@@ -1,0 +1,94 @@
+"""The single-document extraction kernel — the semantic spec.
+
+Analog of ``procitaj-sliku-ii``
+(/root/reference/src/clj/ocr_lib/core_helper.clj:1676-1741), the
+reference's single-threaded per-document pipeline that defines the
+canonical operator order: decode → normalize → read atomic units →
+group into ordered structure → classify each unit → assemble text +
+residuals.  The distributed Ray pipeline wraps exactly this function and
+must equal it byte-for-byte at every parallelism level (the property the
+reference's band-merge tests prove for its ``pcalls`` split,
+core_test.clj:2474-2749).
+
+Dispatch (the ``ImageIO/read`` format-sniff analog, core.clj:1498-1500):
+``%PDF-`` magic → PDF branch; anything else → HTML branch; empty or
+whitespace-only bytes → empty result (nil-guard discipline,
+core_test.clj:12-83).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from .pdf import extract_pdf
+from .segment import classify, segment
+from .tokenizer import tokenize, tokenize_chunked
+
+
+@dataclass
+class ExtractResult:
+    doc_kind: str  # "html" | "pdf" | "empty"
+    text: str
+    spans: list = field(default_factory=list)  # dicts: start end block_id kind
+    residuals: list = field(default_factory=list)  # rejected block ids, capped
+
+
+def sniff_kind(html: bytes) -> str:
+    """Content sniff on leading bytes (format-sniffing analog)."""
+    if html is None:
+        return "empty"
+    head = html[:512].lstrip()
+    if not head:
+        return "empty"
+    if head.startswith(b"%PDF-"):
+        return "pdf"
+    return "html"
+
+
+def decode_bytes(html: bytes) -> str:
+    """utf-8 with replacement — deterministic for any byte input."""
+    return html.decode("utf-8", errors="replace")
+
+
+def extract_document(
+    html: bytes, cfg: ExtractConfig = DEFAULT_CONFIG, chunked: bool = False
+) -> ExtractResult:
+    """bytes → (text, spans, residuals).  Pure; no I/O, no clock, no RNG.
+
+    HTML branch: tokenize (optionally in bounded chunk passes for giant
+    pages) → segment into blocks → classify each block → accepted blocks
+    join with "\\n" in reading order; rejected block ids become residuals
+    capped at ``cfg.residual_cap`` per document (per-DOCUMENT, unlike the
+    reference's per-thread cap — see config.py).
+    """
+    kind = sniff_kind(html)
+    if kind == "empty":
+        return ExtractResult(doc_kind="empty", text="")
+    data = decode_bytes(html)
+    if kind == "pdf":
+        text, spans = extract_pdf(data, cfg)
+        return ExtractResult(doc_kind="pdf", text=text, spans=spans)
+    doc = (
+        tokenize_chunked(data, cfg.chunk_size)
+        if chunked or len(data) > cfg.giant_threshold
+        else tokenize(data)
+    )
+    blocks = segment(doc)
+    parts = []
+    spans = []
+    residuals = []
+    out_id = 0
+    for bid, blk in enumerate(blocks):
+        k = classify(blk, cfg)
+        if k:
+            parts.append(blk.text)
+            spans.append(
+                {"start": blk.start, "end": blk.end, "block_id": out_id, "kind": k}
+            )
+            out_id += 1
+        elif len(residuals) < cfg.residual_cap:
+            residuals.append(bid)
+    return ExtractResult(
+        doc_kind="html", text="\n".join(parts), spans=spans, residuals=residuals
+    )

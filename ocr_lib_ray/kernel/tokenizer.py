@@ -1,0 +1,320 @@
+"""Streaming array-backed tag-stack HTML tokenizer.
+
+Analog of ``read-black-dots-fn`` (/root/reference/src/clj/ocr_lib/core.clj:332-396):
+the parse step that turns opaque document bytes into the atomic units
+everything downstream groups and classifies.  For the reference those
+units are black pixels ``[x y]``; here they are text nodes with their
+offsets and the tag context active when they were read.
+
+No external tree library (north_star requirement): a single left-to-right
+scan maintains an explicit stack of open tags.  Error-recovery rules are
+deterministic and part of the golden spec (SURVEY.md §7.4):
+
+* a ``<`` not followed by ``[a-zA-Z!/?]`` is literal text;
+* a tag ends at the first ``>`` (attribute values containing ``>`` are
+  not special-cased); an unterminated tag swallows the rest of the doc;
+* ``<!-- ... -->`` comments (unterminated → to EOF), ``<!...>`` and
+  ``<?...>`` declarations are skipped;
+* ``<script>``/``<style>`` content is raw text, skipped up to the first
+  case-insensitive ``</script``/``</style`` (unterminated → to EOF);
+* void elements never push; ``/>`` never pushes;
+* ``</x>`` pops up to and including the nearest open ``x``; with no open
+  ``x`` it is ignored;
+* implied ends: opening a block-level tag closes an open ``<p>``;
+  opening ``<li>`` also closes an open ``<li>``;
+* EOF closes everything.
+
+Offsets (``start``/``end``) are character offsets into the decoded html
+string (== byte offsets for ASCII documents).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# Tag classes ---------------------------------------------------------------
+
+#: block-level tags: opening or closing one of these bumps the block
+#: boundary counter (analog of the row boundary in the reference's page
+#: structure, core.clj:770-785).
+BLOCK_TAGS = frozenset(
+    """html body head main article section div p h1 h2 h3 h4 h5 h6 ul ol li
+    dl dt dd table thead tbody tfoot tr td th nav header footer aside
+    blockquote pre figure figcaption form fieldset address hr br center
+    noscript template iframe select option textarea title""".split()
+)
+
+#: subtree is page chrome, never main content (tag-class heuristic of the
+#: north_star; analog of template classes that never match content).
+BOILERPLATE_TAGS = frozenset(
+    """head nav header footer aside form button select option script style
+    noscript template iframe object svg title""".split()
+)
+
+HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+RAWTEXT_TAGS = frozenset(["script", "style"])
+
+_RAWTEXT_END = {t: re.compile("</" + t, re.IGNORECASE) for t in RAWTEXT_TAGS}
+
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+_NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+}
+
+
+def _entity_sub(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#x") or body.startswith("#X"):
+        try:
+            return chr(int(body[2:], 16))
+        except (ValueError, OverflowError):
+            return m.group(0)
+    if body.startswith("#"):
+        try:
+            return chr(int(body[1:]))
+        except (ValueError, OverflowError):
+            return m.group(0)
+    return _NAMED_ENTITIES.get(body, m.group(0))
+
+
+def unescape(text: str) -> str:
+    """Decode the deterministic entity subset (named basics + numeric)."""
+    if "&" not in text:
+        return text
+    return _ENTITY_RE.sub(_entity_sub, text)
+
+
+def collapse_ws(text: str) -> str:
+    """Canonical whitespace: ASCII whitespace runs → one space, trimmed.
+
+    Matches the SQL oracle ``trim(regexp_replace(x, '[ \\t\\n\\r\\f\\v]+',
+    ' ', 'g'))`` exactly (the class is explicit so Python's unicode-aware
+    ``\\s`` cannot diverge from it).
+    """
+    return _WS_RE.sub(" ", text).strip()
+
+
+# Parser state & node record ------------------------------------------------
+
+
+@dataclass
+class TagState:
+    """Open-tag stack + derived counters; carried across chunk seams.
+
+    Analog of the guard-row context of ``read-black-dots-part-fn``
+    (core.clj:398-501): chunked parses that resume from this state are
+    byte-equivalent to one unchunked parse (tested).
+    """
+
+    stack: list = field(default_factory=list)  # open tag names, bottom→top
+    boiler_depth: int = 0
+    link_depth: int = 0
+    heading_depth: int = 0
+    li_depth: int = 0
+    block_seq: int = 0
+    block_tag_stack: list = field(default_factory=list)  # open BLOCK tags
+
+    def push(self, tag: str) -> None:
+        self.stack.append(tag)
+        if tag in BOILERPLATE_TAGS:
+            self.boiler_depth += 1
+        if tag == "a":
+            self.link_depth += 1
+        if tag in HEADING_TAGS:
+            self.heading_depth += 1
+        if tag == "li":
+            self.li_depth += 1
+        if tag in BLOCK_TAGS:
+            self.block_seq += 1
+            self.block_tag_stack.append(tag)
+
+    def pop(self) -> str:
+        tag = self.stack.pop()
+        if tag in BOILERPLATE_TAGS:
+            self.boiler_depth -= 1
+        if tag == "a":
+            self.link_depth -= 1
+        if tag in HEADING_TAGS:
+            self.heading_depth -= 1
+        if tag == "li":
+            self.li_depth -= 1
+        if tag in BLOCK_TAGS:
+            self.block_seq += 1
+            if self.block_tag_stack:
+                self.block_tag_stack.pop()
+        return tag
+
+    def pop_through(self, tag: str) -> None:
+        """Close up to and including the nearest open ``tag``."""
+        while self.stack:
+            if self.pop() == tag:
+                return
+
+    def current_block_tag(self) -> str:
+        return self.block_tag_stack[-1] if self.block_tag_stack else ""
+
+
+@dataclass
+class TokenizedDoc:
+    """Flattened text-node arrays for one document (parallel lists).
+
+    The per-document equivalent of the reference's dot set — but keyed,
+    flagged and offset so downstream stages are pure array code.
+    """
+
+    starts: list = field(default_factory=list)
+    ends: list = field(default_factory=list)
+    texts: list = field(default_factory=list)  # raw (entities NOT yet decoded)
+    boiler: list = field(default_factory=list)
+    link: list = field(default_factory=list)
+    heading: list = field(default_factory=list)
+    listitem: list = field(default_factory=list)
+    block_seq: list = field(default_factory=list)
+    block_tag: list = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.texts)
+
+
+def _emit_text(doc: TokenizedDoc, st: TagState, start: int, end: int, text: str) -> None:
+    if not text or text.isspace():
+        # noise removal analog (``obrisi-piksele`` < 20 px rule,
+        # core_helper.clj:519-561): whitespace-only nodes never become units.
+        return
+    doc.starts.append(start)
+    doc.ends.append(end)
+    doc.texts.append(text)
+    doc.boiler.append(st.boiler_depth > 0)
+    doc.link.append(st.link_depth > 0)
+    doc.heading.append(st.heading_depth > 0)
+    doc.listitem.append(st.li_depth > 0)
+    doc.block_seq.append(st.block_seq)
+    doc.block_tag.append(st.current_block_tag())
+
+
+def tokenize_range(
+    html: str,
+    doc: TokenizedDoc,
+    st: TagState,
+    pos: int,
+    limit: int,
+) -> int:
+    """Tokenize ``html[pos:limit]`` continuing from state ``st``.
+
+    Returns the resume position (> ``limit`` only when a construct that
+    may not be split — a tag, comment or rawtext run straddling the seam
+    — had to be consumed past it).  Appends nodes to ``doc`` in place.
+    """
+    n = len(html)
+    limit = min(limit, n)
+    while pos < limit:
+        lt = html.find("<", pos)
+        if lt == -1 or lt >= limit:
+            # A text run straddling the seam is consumed WHOLE (like tags
+            # and comments): splitting it could land inside a whitespace
+            # run, whose fragments are dropped as noise, gluing the words
+            # on either side together.  This is the seam-correctness rule
+            # (merge-separated-parts analog, core.clj:1392-1458).
+            if lt == -1:
+                lt = n
+            _emit_text(doc, st, pos, lt, html[pos:lt])
+            return lt
+        if lt > pos:
+            _emit_text(doc, st, pos, lt, html[pos:lt])
+        pos = lt
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                close = html.find("-->", lt + 4)
+                pos = n if close == -1 else close + 3
+            else:
+                close = html.find(">", lt + 1)
+                pos = n if close == -1 else close + 1
+            continue
+        if nxt == "?":
+            close = html.find(">", lt + 1)
+            pos = n if close == -1 else close + 1
+            continue
+        if nxt == "/":
+            close = html.find(">", lt + 2)
+            name_m = _TAG_NAME_RE.match(html, lt + 2)
+            pos = n if close == -1 else close + 1
+            if name_m:
+                tag = name_m.group(0).lower()
+                if tag in st.stack:
+                    st.pop_through(tag)
+            continue
+        name_m = _TAG_NAME_RE.match(html, lt + 1)
+        if not name_m:
+            # literal '<'
+            _emit_text(doc, st, lt, lt + 1, "<")
+            pos = lt + 1
+            continue
+        tag = name_m.group(0).lower()
+        close = html.find(">", lt + 1)
+        if close == -1:
+            return n  # unterminated tag swallows the tail
+        self_closing = html[close - 1] == "/"
+        pos = close + 1
+        if tag in RAWTEXT_TAGS and not self_closing:
+            end_m = _RAWTEXT_END[tag].search(html, pos)
+            if end_m is None:
+                return n
+            close2 = html.find(">", end_m.start())
+            pos = n if close2 == -1 else close2 + 1
+            continue
+        if tag in VOID_TAGS or self_closing:
+            if tag in BLOCK_TAGS:  # <br>, <hr>: boundary without nesting
+                st.block_seq += 1
+            continue
+        # implied ends (top-of-stack only — deterministic minimal rule):
+        # any block tag closes an open <p>; <li> also closes an open <li>.
+        if tag in BLOCK_TAGS and st.stack and st.stack[-1] == "p":
+            st.pop_through("p")
+        if tag == "li" and st.stack and st.stack[-1] == "li":
+            st.pop_through("li")
+        st.push(tag)
+    return pos
+
+
+def tokenize(html: str) -> TokenizedDoc:
+    """One-shot tokenize (the single-document semantic spec)."""
+    doc = TokenizedDoc()
+    st = TagState()
+    pos = 0
+    n = len(html)
+    while pos < n:
+        pos = tokenize_range(html, doc, st, pos, n)
+    return doc
+
+
+def tokenize_chunked(html: str, chunk_size: int) -> TokenizedDoc:
+    """Bounded-pass tokenize for giant pages.
+
+    Seam algebra analog of ``read-black-dots-part-fn`` +
+    ``merge-separated-parts`` (core.clj:398-501, 1392-1458): each pass
+    parses one byte range, the tag stack is carried across the seam, and
+    a construct straddling the seam is consumed whole by the earlier
+    pass.  Result is identical to :func:`tokenize` (property-tested).
+    """
+    doc = TokenizedDoc()
+    st = TagState()
+    pos = 0
+    n = len(html)
+    while pos < n:
+        pos = tokenize_range(html, doc, st, pos, min(pos + chunk_size, n))
+    return doc

@@ -1,0 +1,175 @@
+"""Deterministic synthetic pages table (the ``input_hint`` table).
+
+Analog of the reference's fixture discipline (two checked-in images +
+golden values, /root/reference/test/clj/ocr_lib/core_test.clj, and the
+``nauci-slova`` fixture loader, core_helper.clj:1833-1989): every test
+input is derived deterministically so goldens are exact.
+
+Each row of the driver's ``documents`` table becomes one page (or
+``repeat`` pages for bench scale) with schema exactly
+``(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)``.  The page kind is a pure function of ``doc_id``:
+
+* ``doc_id % 17 == 3``  → ``pdf``       (content-stream branch)
+* ``doc_id % 13 == 5``  → ``malformed`` (unclosed/mis-nested tags; the
+  tag-stack recovery rules neutralize them → same golden text)
+* ``doc_id % 11 == 7``  → ``noisy``     (comments, tracking pixels,
+  empty tags; noise rules drop them → same golden text)
+* otherwise             → ``plain``
+
+All kinds share ONE golden: ``"Document {doc_id}\\n" + collapse_ws(text)``
+(title heading block + body content block), which keeps the DuckDB
+oracle SQL uniform while still exercising error recovery, noise
+removal, boilerplate rejection and both branch dispatches.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernel.tokenizer import collapse_ws
+
+EPOCH_US = 1577836800_000_000  # 2020-01-01T00:00:00Z in microseconds
+URL_PREFIX = "https://corpus.test/"
+PDF_WORDS_PER_LINE = 8
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def page_kind(doc_id: int) -> str:
+    if doc_id % 17 == 3:
+        return "pdf"
+    if doc_id % 13 == 5:
+        return "malformed"
+    if doc_id % 11 == 7:
+        return "noisy"
+    return "plain"
+
+
+def page_url(doc_id: int, source: str, rep: int = 0) -> str:
+    base = f"{URL_PREFIX}{source}/{doc_id}"
+    return base if rep == 0 else f"{base}?rep={rep}"
+
+
+def _esc(text: str) -> str:
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_pdf(text: str) -> str:
+    return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+_CHROME_HEAD = (
+    "<!DOCTYPE html>\n<html lang=\"{lang}\">\n<head><title>Document {doc_id}</title>"
+    '<meta charset="utf-8"/></head>\n<body>\n'
+    '<header><nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/{source}">{source}</a></li>'
+    '<li><a href="/about">About Us</a></li></ul></nav></header>\n'
+)
+_CHROME_TAIL = (
+    '<aside><p><a href="/r/1">Related one</a> <a href="/r/2">Related two</a> '
+    '<a href="/r/3">Related three</a></p></aside>\n'
+    '<footer><p>Copyright 2026 {source} archive. <a href="/terms">Terms</a> '
+    '<a href="/privacy">Privacy</a></p></footer>\n</body>\n</html>\n'
+)
+
+
+def make_html(doc_id: int, text: str, lang: str, source: str, kind: str) -> bytes:
+    body = _esc(collapse_ws(text))
+    head = _CHROME_HEAD.format(lang=lang, doc_id=doc_id, source=source)
+    tail = _CHROME_TAIL.format(source=source)
+    if kind == "malformed":
+        # unclosed <b>, stray </span>, p left open before </main>: the
+        # recovery rules (pop-through, ignore-unmatched, EOF-close) make
+        # this extract identically to the plain kind.
+        main = (
+            f"<main>\n<article>\n<h1>Document {doc_id}</h1></span>\n"
+            f"<p><b>{body}\n</article>\n</main>\n"
+        )
+    elif kind == "noisy":
+        main = (
+            f"<main>\n<!-- tracking -->\n<article>\n<h1>Document {doc_id}</h1>\n"
+            f'<img src="/t.gif" width="1" height="1"/>\n<p>   </p>\n'
+            f"<p>{body}</p>\n<span></span>\n<div>\n  \n</div>\n</article>\n</main>\n"
+        )
+    else:
+        main = (
+            f"<main>\n<article>\n<h1>Document {doc_id}</h1>\n"
+            f"<p>{body}</p>\n</article>\n</main>\n"
+        )
+    return (head + main + tail).encode("utf-8")
+
+
+def make_pdf(doc_id: int, text: str) -> bytes:
+    """Minimal text-positioning content stream with ``%PDF-`` magic.
+
+    Title at y=760; body lines (``PDF_WORDS_PER_LINE`` words each) from
+    y=700 stepping -14 — the title→body gap (60) exceeds
+    ``pdf_block_gap`` (30) so the title is its own block, and body lines
+    are one block, matching the HTML golden exactly.
+    """
+    words = collapse_ws(text).split(" ") if collapse_ws(text) else []
+    lines = [
+        " ".join(words[i : i + PDF_WORDS_PER_LINE])
+        for i in range(0, len(words), PDF_WORDS_PER_LINE)
+    ]
+    ops = [f"1 0 0 1 72 760 Tm (Document {doc_id}) Tj"]
+    y = 700
+    for ln in lines:
+        ops.append(f"1 0 0 1 72 {y} Tm ({_esc_pdf(ln)}) Tj")
+        y -= 14
+    stream = "BT\n/F1 12 Tf\n" + "\n".join(ops) + "\nET\n"
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
+        "stream\n" + stream + "endstream\n%%EOF\n"
+    ).encode("utf-8")
+
+
+def golden_text(doc_id: int, text: str) -> str:
+    """The frozen expected extraction for every page kind."""
+    body = collapse_ws(text)
+    return f"Document {doc_id}" + ("\n" + body if body else "")
+
+
+def synthesize_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    """Arrow batch fn: documents rows → pages rows (stateless map stage).
+
+    ``repeat > 1`` replicates each document with distinct urls (rep
+    suffix) and warc_ts offsets — used only to scale bench input.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+    for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
+        kind = page_kind(doc_id)
+        payload = (
+            make_pdf(doc_id, text)
+            if kind == "pdf"
+            else make_html(doc_id, text, lang, source, kind)
+        )
+        for rep in range(repeat):
+            urls.append(page_url(doc_id, source, rep))
+            tss.append(EPOCH_US + doc_id * 1_000_000 + rep)
+            htmls.append(payload)
+            out_texts.append(text)
+            out_langs.append(lang)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(out_texts, pa.string()),
+            pa.array(out_langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
