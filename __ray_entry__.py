@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported — no
+ray.init()/ray.shutdown() here or in ocr_lib_ray library code.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The extraction queries run over the deterministic synthetic pages table
+(ocr_lib_ray/sources/pages.py) derived 1:1 from the ``documents`` view,
+which is why their goldens are expressible as ANSI SQL over
+``documents`` — the generator's layout is part of the frozen spec.
 """
 
 from __future__ import annotations
@@ -18,27 +14,381 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# canonical normalized-text SQL fragment (== kernel collapse_ws)
+_NORM = "trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))"
+
+
+def _pages(sf_dir: str, repeat: int = 1):
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    return build_pages_dataset(sf_dir, repeat)
+
+
+def _extracted(sf_dir: str):
+    from ocr_lib_ray.pipelines.extract import extract_pipeline
+
+    return extract_pipeline(_pages(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return _extracted("/root/testdata/sf0.001").select_columns(
+        ["url", "text", "lang", "doc_kind"]
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_extract_text(sf_dir: str):
+    return _extracted(sf_dir).select_columns(["url", "text", "lang"])
+
+
+def _q_extract_spans_stats(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                pc.list_value_length(batch.column("spans")).cast(pa.int64()),
+                pc.list_value_length(batch.column("residuals")).cast(pa.int64()),
+            ],
+            names=["url", "n_spans", "n_residuals"],
+        )
+
+    return _extracted(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def _q_sniff_kinds(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _extracted(sf_dir)
+        .groupby("doc_kind")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_extract_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_chars", pc.utf8_length(batch.column("text")).cast(pa.int64())
+        )
+
+    return (
+        _extracted(sf_dir)
+        .map_batches(add_len, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("text_chars", alias_name="text_chars"))
+    )
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _q_doc_stats(sf_dir: str):
+    from ocr_lib_ray.functions.text_stats import doc_stats_batch
+
+    return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from ocr_lib_ray.functions.text_stats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from ray.data.aggregate import Min
+    from ocr_lib_ray.functions.text_stats import fingerprint_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+def _q_quality_basic(sf_dir: str):
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.text_stats import QualityScore
+
+    def basic(batch: pa.Table) -> pa.Table:
+        full = QualityScore()(batch)
+        return full.select(["doc_id", "stop_ratio", "mean_word_len"])
+
+    return _docs(sf_dir).map_batches(basic, batch_format="pyarrow")
+
+
+def _q_quality_score(sf_dir: str):
+    from ocr_lib_ray.functions.text_stats import QualityScore
+
+    return _docs(sf_dir).map_batches(
+        QualityScore, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.text_stats import LangId
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray
+    import pyarrow.compute as pc
+
+    from ocr_lib_ray.functions.dedup import ngram_jaccard_pairs_batch, shingle_hashes
+    from ocr_lib_ray.functions.text_stats import normalize_expr
+
+    docs = _docs(sf_dir)
+    # broadcast side: {doc_id: shingle hashes} — built once via streaming
+    # iter_batches (small per-doc arrays), shipped once with ray.put.
+    sets = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        ids = b.column("doc_id").to_pylist()
+        norms = normalize_expr(b.column("text")).to_pylist()
+        for i, t in zip(ids, norms):
+            sets[i] = shingle_hashes(t, 3)
+    ref = ray.put(sets)
+    pairs = docs.map_batches(
+        lambda b: ngram_jaccard_pairs_batch(b, ref, 3, 0.5), batch_format="pyarrow"
+    )
+    return pairs
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from ocr_lib_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from ocr_lib_ray.functions.dedup import dedup_by_pairs, minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_by_pairs(docs, pairs).select_columns(["doc_id"])
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from ocr_lib_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _q_knn_brute(sf_dir: str):
+    from ocr_lib_ray.functions.similarity import knn_brute
+
+    return knn_brute(_emb(sf_dir), query_ids=list(range(10)), k=5).select_columns(
+        ["query_id", "vec_id"]
+    )
+
+
+def _q_knn_lsh(sf_dir: str):
+    from ocr_lib_ray.functions.similarity import knn_lsh
+
+    return knn_lsh(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def _q_cosine_dups(sf_dir: str):
+    from ocr_lib_ray.functions.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(sf_dir), threshold=0.4).select_columns(["d1", "d2"])
+
+
+def _q_tumbling_window(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import tumbling_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = tumbling_window(events, window_seconds=3600)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value_sum")
+        cents = pc.round(pc.multiply(batch.column("value_sum"), 100.0), ndigits=0)
+        batch = batch.set_column(i, "value_sum_cents", cents.cast(pa.int64()))
+        return batch
+
+    return out.map_batches(to_cents, batch_format="pyarrow")
+
+
+def _q_media_features(sf_dir: str):
+    from ocr_lib_ray.functions.multimodal import media_features
+
+    return media_features(_pages(sf_dir)).select_columns(
+        ["url", "n_bytes", "crc", "byte_entropy"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_text": _q_extract_text,
+        "extract_spans_stats": _q_extract_spans_stats,
+        "sniff_kinds": _q_sniff_kinds,
+        "extract_by_lang": _q_extract_by_lang,
+        "doc_stats": _q_doc_stats,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "quality_basic": _q_quality_basic,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        "cosine_dups": _q_cosine_dups,
+        "tumbling_window": _q_tumbling_window,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB, same parquet views)
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = _NORM
+    return {
+        "extract_text": f"""
+            SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
+                   'Document ' || doc_id ||
+                     CASE WHEN {norm} <> ''
+                            AND len(str_split({norm}, ' ')) >= 3
+                          THEN chr(10) || {norm} ELSE '' END AS text,
+                   lang
+            FROM documents
+        """,
+        "extract_spans_stats": f"""
+            SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
+                   CASE WHEN doc_id % 17 = 3
+                        THEN 1 + CAST(ceil(len(str_split({norm}, ' ')) / 8.0) AS BIGINT)
+                        ELSE 2 END AS n_spans,
+                   CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 6 END AS n_residuals
+            FROM documents
+        """,
+        "sniff_kinds": """
+            SELECT CASE WHEN doc_id % 17 = 3 THEN 'pdf' ELSE 'html' END AS doc_kind,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "extract_by_lang": f"""
+            SELECT lang, count(*) AS n,
+                   CAST(sum(len('Document ' || doc_id) +
+                       CASE WHEN {norm} <> '' THEN 1 + len({norm}) ELSE 0 END)
+                     AS BIGINT) AS text_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_stats": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            t AS (SELECT doc_id, nm,
+                         CASE WHEN nm = '' THEN 0 ELSE len(str_split(nm, ' ')) END AS nt
+                  FROM d)
+            SELECT doc_id, len(nm) AS n_chars_norm, nt AS n_tokens,
+                   CASE WHEN nt > 0
+                        THEN round((len(nm) - (nt - 1)) * 1.0 / nt, 6)
+                        ELSE 0.0 END AS avg_token_len
+            FROM t
+        """,
+        "fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS fingerprint, min(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "quality_basic": f"""
+            WITH t AS (SELECT doc_id, str_split(lower({norm}), ' ') AS ws FROM documents)
+            SELECT doc_id,
+                   round(len(list_filter(ws, w -> list_contains(
+                       ['the','and','of','to','a','in','is','it','that','for','with'], w)))
+                     * 1.0 / len(ws), 6) AS stop_ratio,
+                   round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
+                     AS mean_word_len
+            FROM t
+        """,
+        "ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            l AS (SELECT doc_id,
+                         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                              ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(ws) - 2)]) END AS grams
+                  FROM t),
+            sh AS (SELECT doc_id, w FROM l, unnest(grams) AS u(w)),
+            cnt AS (SELECT doc_id, count(*) AS cn FROM sh GROUP BY 1),
+            p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT d1, d2,
+                   round(inter * 1.0 / (ca.cn + cb.cn - inter), 6) AS jaccard
+            FROM p JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+            WHERE inter * 1.0 / (ca.cn + cb.cn - inter) >= 0.5
+        """,
+        # sim values are excluded from the compared output: the embedding
+        # column is float32 and DuckDB's list_cosine_similarity
+        # accumulates in float32 while numpy accumulates in float64 —
+        # bit-equality of the scores is not meaningful.  Membership and
+        # ranking ARE stable (margins ≫ 1e-7) and are what is compared.
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id < 10),
+            c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+            s AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                                      vec_id ASC) AS rk
+                  FROM q CROSS JOIN c)
+            SELECT query_id, vec_id FROM s WHERE rk <= 5
+        """,
+        "cosine_dups": """
+            SELECT a.vec_id AS d1, b.vec_id AS d2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # value_sum compared in integer cents: double += order differs
+        # between engines, and round-to-6 is 1-ulp fragile; cents are exact.
+        "tumbling_window": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   count(*) AS n,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_sum_cents,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        # lang_id, quality_score, minhash_pairs, dedup_minhash,
+        # simhash_pairs, knn_lsh, media_features: not SQL-expressible
+        # (heuristic / sketch / LSH / binary-payload ops) → rows-only.
+    }

@@ -1,0 +1,307 @@
+"""Deduplication operators (training-data ops, SURVEY.md §2.7 extension).
+
+Four families, each Ray-Data-first and shuffle-conscious:
+
+* exact          — content-hash key → groupby(key) → min doc_id.  One
+                   shuffle on the hash key; the map side is vectorized.
+* minhash-LSH    — shingle → minhash signature (numpy, per batch) →
+                   explode to (band, band_hash, doc_id, signature) rows →
+                   groupby(band, band_hash) → candidate pairs verified
+                   IN-GROUP from the carried signatures (estimated
+                   Jaccard), so verification needs no broadcast and no
+                   second join — scalable to 10^12 docs.
+* simhash        — 64-bit fingerprint; band buckets (4×16 bits ⇒ any
+                   pair with hamming ≤ 3 shares a band) → in-group
+                   hamming verify.
+* ngram-Jaccard  — exact all-pairs token-set Jaccard against a
+                   broadcast side (``ray.put`` once).  O(n²): the
+                   small-corpus oracle / verifier; at scale use the
+                   minhash path (documented).
+
+All hashing is seeded/stable (crc32 / blake2b) — never Python ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .text_stats import normalize_expr
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_token_hashes(tokens) -> np.ndarray:
+    """crc32 per token (stable across runs/processes)."""
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+
+
+def shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct hashed token n-grams of the normalized text."""
+    toks = text.split(" ") if text else []
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(_stable_token_hashes(grams))
+
+
+class MinHasher:
+    """Per-batch minhash signatures (actor state: permutation params).
+
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1); signature = min over
+    shingles, vectorized as an outer product per document.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        # a, b < 2^31 and x < 2^32 (crc32) keep a*x + b < 2^63: exact in
+        # uint64, fully vectorized, no overflow.
+        self.a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.shingle_n)
+        if sh.size == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    hasher: MinHasher,
+    bands: int,
+    id_col: str = "doc_id",
+    text_is_norm: bool = False,
+) -> pa.Table:
+    """documents batch → exploded (band, band_hash, doc_id, signature)."""
+    ids = batch.column(id_col).to_pylist()
+    norm = (
+        batch.column("text").to_pylist()
+        if text_is_norm
+        else normalize_expr(batch.column("text")).to_pylist()
+    )
+    rows_per_band = hasher.num_perm // bands
+    out_band, out_hash, out_id, out_sig = [], [], [], []
+    for doc_id, text in zip(ids, norm):
+        sig = hasher.signature(text)
+        sig_bytes = sig.tobytes()
+        for b in range(bands):
+            chunk = sig_bytes[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+            out_band.append(b)
+            out_hash.append(zlib.crc32(chunk))
+            out_id.append(doc_id)
+            out_sig.append(sig_bytes)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_band, pa.int32()),
+            pa.array(out_hash, pa.uint32()),
+            pa.array(out_id, pa.int64()),
+            pa.array(out_sig, pa.binary()),
+        ],
+        names=["band", "band_hash", "doc_id", "signature"],
+    )
+
+
+def _pairs_from_band_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """In-group candidate pairs + signature-estimated Jaccard (no
+    broadcast: signatures ride in the group rows)."""
+    g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"d1": [], "d2": [], "est_jaccard": []}).astype(
+            {"d1": "int64", "d2": "int64", "est_jaccard": "float64"}
+        )
+    ids = g["doc_id"].to_numpy()
+    sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
+    d1, d2, est = [], [], []
+    for i in range(n):
+        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for j, e in enumerate(eq):
+            if e >= threshold:
+                d1.append(ids[i])
+                d2.append(ids[i + 1 + j])
+                est.append(round(float(e), 6))
+    return pd.DataFrame({"d1": d1, "d2": d2, "est_jaccard": est})
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+):
+    """Dataset of documents → Dataset of near-dup pairs (d1 < d2).
+
+    Pipeline: map_batches(signatures+bands) → groupby(band, band_hash)
+    → in-group verify → dedup pairs found by multiple bands (groupby
+    min).  Two shuffles total, both on small exploded rows.
+    """
+    hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=seed)
+    band_rows = docs_ds.map_batches(
+        lambda b: minhash_band_rows(b, hasher, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _pairs_from_band_group(g, threshold), batch_format="pandas"
+    )
+    # a pair can surface in several bands → keep one row (max estimate)
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["d1", "d2"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
+    """Remove every doc that has a smaller near-dup partner.
+
+    Greedy min-keep policy (keeps each similarity component's smallest
+    id when the pair graph covers the component).  The loser set is tiny
+    relative to the corpus → broadcast it into a vectorized filter.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    losers = pairs_ds.select_columns(["d2"]).unique("d2")
+    loser_ref = ray.put(pa.array(sorted(losers), pa.int64()))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(loser_ref)
+        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=drop)))
+
+    return docs_ds.map_batches(_keep, batch_format="pyarrow")
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def _blake64(token: str) -> int:
+    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+
+
+def simhash64(text: str) -> int:
+    toks = text.split(" ") if text else []
+    if not toks:
+        return 0
+    hs = np.fromiter((_blake64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    fp = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            fp |= np.uint64(1) << np.uint64(i)
+    return int(fp)
+
+
+def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
+    """documents → (band, band_key, doc_id, fingerprint) rows.
+
+    4 bands × 16 bits: any pair at hamming distance ≤ 3 collides in ≥ 1
+    band (pigeonhole), so in-group hamming verify is exhaustive for k≤3.
+    """
+    ids = batch.column("doc_id").to_pylist()
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    width = 64 // bands
+    mask = (1 << width) - 1
+    ob, ok, oi, of = [], [], [], []
+    for doc_id, text in zip(ids, norm):
+        fp = simhash64(text)
+        for b in range(bands):
+            ob.append(b)
+            ok.append((fp >> (b * width)) & mask)
+            oi.append(doc_id)
+            of.append(fp)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ob, pa.int32()),
+            pa.array(ok, pa.uint64()),
+            pa.array(oi, pa.int64()),
+            pa.array(of, pa.uint64()),
+        ],
+        names=["band", "band_key", "doc_id", "fingerprint"],
+    )
+
+
+def _simhash_pairs_group(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    fps = g["fingerprint"].to_numpy(dtype=np.uint64)
+    d1, d2, hd = [], [], []
+    for i in range(len(g)):
+        x = fps[i + 1 :] ^ fps[i]
+        cnt = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(cnt <= max_hamming)[0]:
+            d1.append(ids[i])
+            d2.append(ids[i + 1 + j])
+            hd.append(int(cnt[j]))
+    return pd.DataFrame({"d1": d1, "d2": d2, "hamming": hd}).astype(
+        {"d1": "int64", "d2": "int64", "hamming": "int64"}
+    )
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
+    rows = docs_ds.map_batches(
+        lambda b: simhash_band_rows(b, bands), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = rows.groupby(["band", "band_key"]).map_groups(
+        lambda g: _simhash_pairs_group(g, max_hamming), batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["d1", "d2"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --- exact n-gram Jaccard (small-corpus oracle path) -----------------------
+
+
+def ngram_jaccard_pairs_batch(batch: pa.Table, all_sets_ref, n: int, threshold: float) -> pa.Table:
+    """Per-batch exact Jaccard of each doc vs every LARGER doc_id.
+
+    ``all_sets_ref`` is a ``ray.put`` broadcast of {doc_id: shingle-hash
+    ndarray} — shipped once per task/actor, not per batch pair.  O(n²)
+    by design: this is the exact verifier; use minhash_lsh_pairs at scale.
+    """
+    import ray
+
+    all_sets = ray.get(all_sets_ref) if all_sets_ref is not None else {}
+    ids = batch.column("doc_id").to_pylist()
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    other_ids = np.array(sorted(all_sets), dtype=np.int64)
+    d1, d2, jac = [], [], []
+    for doc_id, text in zip(ids, norm):
+        mine = shingle_hashes(text, n)
+        if mine.size == 0:
+            continue
+        for oid in other_ids[other_ids > doc_id]:
+            theirs = all_sets[int(oid)]
+            if theirs.size == 0:
+                continue
+            inter = np.intersect1d(mine, theirs, assume_unique=True).size
+            j = inter / (mine.size + theirs.size - inter)
+            if j >= threshold:
+                d1.append(doc_id)
+                d2.append(int(oid))
+                jac.append(round(j, 6))
+    return pa.Table.from_arrays(
+        [
+            pa.array(d1, pa.int64()),
+            pa.array(d2, pa.int64()),
+            pa.array(jac, pa.float64()),
+        ],
+        names=["d1", "d2", "jaccard"],
+    )

@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (training-data ops).
+
+* ``knn_brute`` — exact top-k cosine: the query matrix is broadcast ONCE
+  (``ray.put``), each corpus batch computes a numpy matmul and emits its
+  LOCAL top-k per query, and a final tiny groupby reduces to the global
+  top-k.  The all-pairs work is fully distributed; the reduce handles
+  only n_queries × k × n_batches candidate rows.
+* ``knn_lsh`` — LSH-bucketed ANN (random-hyperplane signs): corpus and
+  queries hash to buckets; only same-bucket candidates are scored.  The
+  scale path (probed recall vs brute force is tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float64)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def local_topk_batch(batch: pa.Table, q_ref, k: int) -> pa.Table:
+    """Corpus batch → local top-k rows (query_id, vec_id, sim)."""
+    import ray
+
+    q_ids, q_mat = ray.get(q_ref)  # normalized query matrix, broadcast once
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize_rows(_as_matrix(batch.column("embedding")))
+    sims = q_mat @ m.T  # (nq, batch)
+    k_eff = min(k, sims.shape[1])
+    out_q, out_v, out_s = [], [], []
+    for qi in range(sims.shape[0]):
+        idx = np.argpartition(-sims[qi], k_eff - 1)[:k_eff]
+        for j in idx:
+            out_q.append(int(q_ids[qi]))
+            out_v.append(int(ids[j]))
+            out_s.append(round(float(sims[qi, j]), 9))
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_q, pa.int64()),
+            pa.array(out_v, pa.int64()),
+            pa.array(out_s, pa.float64()),
+        ],
+        names=["query_id", "vec_id", "sim"],
+    )
+
+
+def _global_topk_group(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    # deterministic order: sim desc, then vec_id asc as tie-break;
+    # final sim rounded to 6 (oracle-compatible: DuckDB round(x, 6))
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    g = g.assign(sim=g["sim"].round(6))
+    return g[["query_id", "vec_id", "sim"]]
+
+
+def knn_brute(emb_ds, query_ids, k: int = 5, exclude_self: bool = True):
+    """Exact cosine top-k for ``query_ids`` over the whole embedding table.
+
+    Returns Dataset (query_id, vec_id, sim).  The query side is collected
+    on the driver (it is the SMALL side by definition) and broadcast.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    qset = pa.array(sorted(query_ids), pa.int64())
+    q_tbl = pa.concat_tables(
+        [
+            b
+            for b in emb_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qset)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(q_ids)
+    q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))[order]
+    q_ids = q_ids[order]
+    q_ref = ray.put((q_ids, q_mat))
+
+    corpus = emb_ds
+    if exclude_self:
+        corpus = corpus.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("vec_id"), value_set=qset))
+            ),
+            batch_format="pyarrow",
+        )
+    local = corpus.map_batches(
+        lambda b: local_topk_batch(b, q_ref, k), batch_format="pyarrow"
+    )
+    return local.groupby("query_id").map_groups(
+        lambda g: _global_topk_group(g, k), batch_format="pandas"
+    )
+
+
+# --- LSH-bucketed ANN ------------------------------------------------------
+
+
+class HyperplaneLSH:
+    """Random-hyperplane sign buckets (stateful: planes built per actor)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes.T) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def knn_lsh(emb_ds, query_ids, k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42):
+    """ANN: score only corpus vectors in each query's LSH bucket.
+
+    Recall < 1 by construction; measured against knn_brute in tests.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+    qset = pa.array(sorted(query_ids), pa.int64())
+    q_tbl = pa.concat_tables(
+        list(
+            emb_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qset)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))
+    q_buckets = lsh.bucket(q_mat)
+    # queries grouped by bucket, broadcast once
+    by_bucket: dict = {}
+    for qid, qv, qb in zip(q_ids, q_mat, q_buckets):
+        by_bucket.setdefault(int(qb), ([], []))
+        by_bucket[int(qb)][0].append(int(qid))
+        by_bucket[int(qb)][1].append(qv)
+    q_ref = ray.put({b: (np.array(i), np.stack(v)) for b, (i, v) in by_bucket.items()})
+
+    def _bucket_topk(batch: pa.Table) -> pa.Table:
+        qmap = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        keep = ~np.isin(ids, np.asarray(qset))
+        m = _normalize_rows(_as_matrix(batch.column("embedding")))
+        buckets = lsh.bucket(m)
+        out_q, out_v, out_s = [], [], []
+        for b, (bq_ids, bq_mat) in qmap.items():
+            sel = keep & (buckets == b)
+            if not sel.any():
+                continue
+            sims = bq_mat @ m[sel].T
+            sub_ids = ids[sel]
+            k_eff = min(k, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                idx = np.argpartition(-sims[qi], k_eff - 1)[:k_eff]
+                for j in idx:
+                    out_q.append(int(bq_ids[qi]))
+                    out_v.append(int(sub_ids[j]))
+                    out_s.append(round(float(sims[qi, j]), 9))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "vec_id", "sim"],
+        )
+
+    local = emb_ds.map_batches(_bucket_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: _global_topk_group(g, k), batch_format="pandas"
+    )
+
+
+def cosine_dup_pairs(emb_ds, threshold: float = 0.95):
+    """Embedding near-dup: all pairs with cosine ≥ threshold (d1 < d2).
+
+    Brute-force against a broadcast of the (small) full matrix — correct
+    at fixture scale; at corpus scale bucket with ``HyperplaneLSH`` first
+    (same in-group verify pattern as minhash).
+    """
+    import ray
+
+    full = pa.concat_tables(list(emb_ds.iter_batches(batch_format="pyarrow")))
+    ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = _normalize_rows(_as_matrix(full.column("embedding")))
+    ref = ray.put((ids, mat))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bmat = _normalize_rows(_as_matrix(batch.column("embedding")))
+        sims = bmat @ all_mat.T
+        d1, d2, s = [], [], []
+        for i in range(len(bids)):
+            mask = (all_ids > bids[i]) & (sims[i] >= threshold)
+            for j in np.nonzero(mask)[0]:
+                d1.append(int(bids[i]))
+                d2.append(int(all_ids[j]))
+                s.append(round(float(sims[i, j]), 6))
+        return pa.Table.from_arrays(
+            [
+                pa.array(d1, pa.int64()),
+                pa.array(d2, pa.int64()),
+                pa.array(s, pa.float64()),
+            ],
+            names=["d1", "d2", "cosine"],
+        )
+
+    return emb_ds.map_batches(_pairs, batch_format="pyarrow")

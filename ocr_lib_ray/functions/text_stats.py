@@ -1,0 +1,140 @@
+"""Text analysis operators over document tables (training-data ops).
+
+All batch fns are Arrow-vectorized (`pyarrow.compute` kernels) except
+where a per-row Python step is inherent (md5, stopword profiles) — and
+those loop over short token lists, not characters.
+
+Normalization is the engine-wide canonical form ``collapse_ws`` (see
+kernel/tokenizer.py) whose SQL equivalent is
+``trim(regexp_replace(x, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_CLASS = "[ \t\n\r\f\v]+"
+
+
+def normalize_expr(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Vectorized collapse_ws."""
+    return pc.utf8_trim_whitespace(pc.replace_substring_regex(col, _WS_CLASS, " "))
+
+
+def token_count(norm: pa.ChunkedArray):
+    """Words in normalized text (0 for empty) — vectorized."""
+    n = pc.list_value_length(pc.split_pattern(norm, " "))
+    return pc.if_else(pc.equal(pc.utf8_length(norm), 0), pa.scalar(0, pa.int32()), n)
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars_norm, n_tokens, avg_token_len) per document."""
+    norm = normalize_expr(batch.column("text"))
+    n_chars = pc.utf8_length(norm).cast(pa.int64())
+    n_tokens = token_count(norm).cast(pa.int64())
+    # avg token length = (chars - separators) / tokens; exact rational → round 6
+    seps = pc.subtract(n_tokens, pc.min_element_wise(n_tokens, 1))
+    avg = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.round(
+            pc.divide(
+                pc.subtract(n_chars, seps).cast(pa.float64()),
+                pc.max_element_wise(n_tokens, 1).cast(pa.float64()),
+            ),
+            ndigits=6,
+        ),
+        pa.scalar(0.0),
+    )
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_chars, n_tokens, avg],
+        names=["doc_id", "n_chars_norm", "n_tokens", "avg_token_len"],
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint: md5 hex of normalized text (dedup key)."""
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(fps, pa.string())],
+        names=["doc_id", "fingerprint"],
+    )
+
+
+# --- language id: n-gram/stopword heuristic (deterministic, no model) ------
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+}
+
+
+class LangId:
+    """Actor-pool stage: stopword-profile language id + CJK char rule.
+
+    Stateful-stage discipline (profiles built once per actor in
+    ``__init__`` — the read-signs-fn-once fix, core.clj:1792-1796).
+    Deterministic tie-break: highest hit count, then alphabetical tag;
+    no hits → "und"; any CJK codepoint → "zh".
+    """
+
+    def __init__(self):
+        self.profiles = sorted(_LANG_PROFILES.items())  # alphabetical = tie order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            if any("一" <= ch <= "鿿" for ch in t[:2000]):
+                preds.append("zh")
+                continue
+            toks = t.lower().split()
+            best_tag, best_hits = "und", 0
+            for tag, prof in self.profiles:
+                hits = sum(1 for w in toks if w in prof)
+                if hits > best_hits:
+                    best_tag, best_hits = tag, hits
+            preds.append(best_tag)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(preds, pa.string())],
+            names=["doc_id", "lang_pred"],
+        )
+
+
+class QualityScore:
+    """Actor-pool stage: heuristic quality signals per document.
+
+    Signals (all deterministic): stopword ratio (en profile), mean word
+    length, alpha-char ratio, digit ratio, max word repetition ratio.
+    """
+
+    def __init__(self):
+        self.stop = _LANG_PROFILES["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = {k: [] for k in ("stop_ratio", "mean_word_len", "alpha_ratio", "top_word_ratio")}
+        for t in texts:
+            toks = t.lower().split()
+            n = len(toks)
+            if n == 0:
+                for k in out:
+                    out[k].append(0.0)
+                continue
+            out["stop_ratio"].append(round(sum(w in self.stop for w in toks) / n, 6))
+            out["mean_word_len"].append(round(sum(len(w) for w in toks) / n, 6))
+            chars = sum(len(w) for w in toks)
+            alpha = sum(sum(c.isalpha() for c in w) for w in toks)
+            out["alpha_ratio"].append(round(alpha / max(chars, 1), 6))
+            counts: dict = {}
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+            out["top_word_ratio"].append(round(max(counts.values()) / n, 6))
+        arrays = [batch.column("doc_id")] + [pa.array(v, pa.float64()) for v in out.values()]
+        return pa.Table.from_arrays(arrays, names=["doc_id"] + list(out.keys()))

@@ -1,0 +1,48 @@
+"""Windowed aggregates over the events table (streaming-shaped op).
+
+Ray Data has no event-time windows; tumbling windows are expressed as
+``window_id = ts_us // window_us`` (a vectorized map) followed by a
+pre-aggregated groupby — the partial/combiner pattern: per-batch partial
+sums first, then a small shuffle over partials only (SURVEY guide:
+"Aggregation at scale").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def add_window_id(batch: pa.Table, window_us: int) -> pa.Table:
+    ts = batch.column("ts").cast(pa.int64())  # epoch micros (non-negative)
+    win = pc.multiply(pc.divide(ts, window_us), window_us)  # int floor-div
+    return batch.append_column("window_start_us", win)
+
+
+def partial_window_agg(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per (event_type, window) per batch."""
+    df = batch.select(["event_type", "window_start_us", "value"]).to_pandas()
+    g = (
+        df.groupby(["event_type", "window_start_us"], sort=False)["value"]
+        .agg(n="count", value_sum="sum", value_min="min", value_max="max")
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def tumbling_window(events_ds, window_seconds: int = 3600):
+    """events → (event_type, window_start_us, n, value_sum, value_min,
+    value_max): tumbling count/sum/min/max per type."""
+    window_us = window_seconds * 1_000_000
+    partials = events_ds.map_batches(
+        lambda b: partial_window_agg(add_window_id(b, window_us)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("value_sum", alias_name="value_sum"),
+        Min("value_min", alias_name="value_min"),
+        Max("value_max", alias_name="value_max"),
+    )

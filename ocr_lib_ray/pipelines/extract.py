@@ -1,0 +1,120 @@
+"""The flagship pipeline: pages → extracted (url, text, spans, lang).
+
+Distributed form of ``read-image-fn``
+(/root/reference/src/clj/ocr_lib/core.clj:1772-1806), Ray-Data-first:
+
+    read_parquet (column-pruned)
+      → map_batches(synthesize_pages)          # fixture source stage
+      → map_batches(add_partition_meta)        # url-hash partition id + size
+      → [skew route on html_len]               # band-split analog
+      → map_batches(ExtractDocuments, actor pool)  # the kernel
+      → union → write/groupby-manifest sink
+
+No stage materializes the dataset; the only all-to-all exchange is the
+optional per-partition manifest groupby in :func:`run_extract_job`
+(SURVEY.md §7.3).  Skew routing executes the upstream read twice (two
+vectorized size filters over the same lazy source) — the read is a
+column-pruned parquet scan, which is the cheap side of the trade; at
+cluster scale this avoids a giant page stalling a bulk batch.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..sources.pages import synthesize_pages_batch
+from ..stages.extract_stage import ExtractDocuments
+from ..stages.manifest import (
+    completed_partitions,
+    make_partition_writer,
+    make_resume_filter,
+)
+from ..stages.partition import add_partition_meta, drop_columns, make_size_filter
+
+
+def build_pages_dataset(sf_dir: str, repeat: int = 1) -> rd.Dataset:
+    """documents.parquet → pages Dataset (columns pruned at the read)."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return docs.map_batches(
+        lambda b: synthesize_pages_batch(b, repeat),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def extract_pipeline(
+    pages: rd.Dataset,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    skew_route: bool = True,
+) -> rd.Dataset:
+    """pages Dataset → extracted Dataset (lazy, streaming)."""
+    ds = pages.map_batches(
+        lambda b: add_partition_meta(b, cfg.num_partitions),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if skew_route:
+        bulk = (
+            ds.map_batches(
+                make_size_filter(0, cfg.giant_threshold), batch_format="pyarrow"
+            )
+            .map_batches(
+                ExtractDocuments,
+                fn_constructor_args=(cfg,),
+                batch_format="pyarrow",
+                batch_size=cfg.bulk_batch_size,
+                concurrency=cfg.concurrency,
+            )
+        )
+        giant = (
+            ds.map_batches(
+                make_size_filter(cfg.giant_threshold, 1 << 62),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                ExtractDocuments,
+                fn_constructor_args=(cfg,),
+                batch_format="pyarrow",
+                batch_size=cfg.giant_batch_size,
+                concurrency=(1, 2),
+            )
+        )
+        return bulk.union(giant)
+    return ds.map_batches(
+        ExtractDocuments,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.bulk_batch_size,
+        concurrency=cfg.concurrency,
+    )
+
+
+def run_extract_job(
+    sf_dir: str,
+    out_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    repeat: int = 1,
+    resume: bool = True,
+) -> dict:
+    """End-to-end job with per-partition manifests + checkpointed resume.
+
+    Returns ``{"partitions_written": n, "partitions_skipped": k}``.
+    """
+    pages = build_pages_dataset(sf_dir, repeat)
+    extracted = extract_pipeline(pages, cfg)
+    skipped = 0
+    if resume:
+        done = completed_partitions(out_dir)
+        skipped = len(done)
+        if done:
+            extracted = extracted.map_batches(
+                make_resume_filter(done), batch_format="pyarrow"
+            )
+    manifest = extracted.groupby("partition_id").map_groups(
+        make_partition_writer(out_dir), batch_format="pyarrow"
+    )
+    rows = manifest.count()  # consume → executes the streaming pipeline
+    return {"partitions_written": rows, "partitions_skipped": skipped}

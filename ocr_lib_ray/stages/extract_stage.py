@@ -1,0 +1,102 @@
+"""Ray Data stages wrapping the per-document kernel (Arrow in / Arrow out).
+
+The distributed form of the reference's thread fan-out
+(``read-unknown-signs-tasks-fn`` + ``pcalls``,
+/root/reference/src/clj/ocr_lib/core.clj:1460-1514): Ray Data schedules
+batches across the cluster instead of bands across threads, and because
+the kernel is a pure per-document function, output is byte-identical at
+any parallelism — the property the reference needs its band-merge algebra
+for.
+
+``ExtractDocuments`` is a callable CLASS → actor pool: configuration and
+compiled state are built ONCE per actor in ``__init__`` (fixing the
+reference's per-call template reload, core.clj:1792-1796), batches flow
+through ``__call__``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..kernel.extract import extract_document
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+            ("block_id", pa.int32()),
+            ("kind", pa.string()),
+        ]
+    )
+)
+
+EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("lang", pa.string()),
+        ("doc_kind", pa.string()),
+        ("residuals", pa.list_(pa.int32())),
+        ("partition_id", pa.int32()),
+    ]
+)
+
+
+class ExtractDocuments:
+    """Actor-pool stage: pages batch → extraction batch.
+
+    State (config + the classifier bundle analog of the ``signs``
+    template store, core.clj:1782) is bound once per actor.  An optional
+    ``bundle_ref`` (a ``ray.put`` object ref) is resolved here so big
+    classifier resources ship once per actor, not once per batch.
+    """
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG, bundle_ref=None):
+        self.cfg = cfg
+        if bundle_ref is not None:
+            import ray
+
+            self.bundle = ray.get(bundle_ref)
+        else:
+            self.bundle = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, self.cfg)
+
+
+def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Pure batch transform (usable as a stateless task too)."""
+    urls = batch.column("url")
+    htmls = batch.column("html")
+    langs = (
+        batch.column("lang")
+        if "lang" in batch.column_names
+        else pa.nulls(batch.num_rows, pa.string())
+    )
+    pids = (
+        batch.column("partition_id")
+        if "partition_id" in batch.column_names
+        else pa.nulls(batch.num_rows, pa.int32())
+    )
+    texts, spans, kinds, residuals = [], [], [], []
+    for i in range(batch.num_rows):
+        res = extract_document(htmls[i].as_py(), cfg)
+        texts.append(res.text)
+        spans.append(res.spans)
+        kinds.append(res.doc_kind)
+        residuals.append(res.residuals)
+    return pa.Table.from_arrays(
+        [
+            urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+            pa.array(texts, pa.string()),
+            pa.array(spans, SPAN_TYPE),
+            langs.combine_chunks() if isinstance(langs, pa.ChunkedArray) else langs,
+            pa.array(kinds, pa.string()),
+            pa.array(residuals, pa.list_(pa.int32())),
+            pids.combine_chunks() if isinstance(pids, pa.ChunkedArray) else pids,
+        ],
+        schema=EXTRACT_SCHEMA,
+    )

@@ -1,0 +1,116 @@
+"""Per-partition lineage manifests + checkpointed resume (north_rule).
+
+Output layout (resumable; never one giant file):
+
+    out_dir/data/part={pid}/part-{pid}.parquet   # one dir per partition
+    out_dir/manifest/part-{pid}.parquet          # one manifest row file
+
+A partition is complete iff its manifest row exists with status "ok";
+the data file is written first, then the manifest (write-then-rename on
+the data side makes the pair effectively atomic: a crash between the
+two leaves a data file that the next run simply overwrites).
+
+Resume = read the manifest dir at job start, collect finished
+partition ids, and filter them out of the input BEFORE extraction —
+the anti-join-against-manifest design from SURVEY.md §2.7.
+
+Checksum: order-independent sum of ``crc32(url) ^ crc32(text)`` per row
+(mod 2^64), so two runs that produced the same rows in any order agree —
+the deterministic-merge analog of the reference's thread-number re-sort
+(core.clj:1746-1751).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("checksum", pa.uint64()),
+        ("status", pa.string()),
+        ("output_path", pa.string()),
+    ]
+)
+
+
+def partition_checksum(urls, texts) -> int:
+    acc = 0
+    for u, t in zip(urls, texts):
+        acc = (
+            acc
+            + (zlib.crc32(u.encode("utf-8")) ^ zlib.crc32(t.encode("utf-8")))
+        ) & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
+def make_partition_writer(out_dir: str):
+    """Group fn for ``groupby("partition_id").map_groups``: writes one
+    partition's data atomically and returns its manifest row."""
+
+    def _write(group: pa.Table) -> pa.Table:
+        pid = group.column("partition_id")[0].as_py()
+        data_dir = os.path.join(out_dir, "data", f"part={pid}")
+        os.makedirs(data_dir, exist_ok=True)
+        final = os.path.join(data_dir, f"part-{pid}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(group, tmp)
+        os.replace(tmp, final)
+        urls = group.column("url").to_pylist()
+        texts = group.column("text").to_pylist()
+        row = pa.Table.from_arrays(
+            [
+                pa.array([pid], pa.int32()),
+                pa.array([group.num_rows], pa.int64()),
+                pa.array([group.nbytes], pa.int64()),
+                pa.array([partition_checksum(urls, texts)], pa.uint64()),
+                pa.array(["ok"], pa.string()),
+                pa.array([final], pa.string()),
+            ],
+            schema=MANIFEST_SCHEMA,
+        )
+        man_dir = os.path.join(out_dir, "manifest")
+        os.makedirs(man_dir, exist_ok=True)
+        mtmp = os.path.join(man_dir, f"part-{pid}.parquet.tmp")
+        pq.write_table(row, mtmp)
+        os.replace(mtmp, os.path.join(man_dir, f"part-{pid}.parquet"))
+        return row
+
+    return _write
+
+
+def completed_partitions(out_dir: str) -> set:
+    """Partition ids already finished (for the resume filter)."""
+    man_dir = os.path.join(out_dir, "manifest")
+    done = set()
+    if not os.path.isdir(man_dir):
+        return done
+    for name in sorted(os.listdir(man_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(man_dir, name), columns=["partition_id", "status"])
+        for pid, status in zip(
+            t.column("partition_id").to_pylist(), t.column("status").to_pylist()
+        ):
+            if status == "ok":
+                done.add(pid)
+    return done
+
+
+def make_resume_filter(done: set):
+    """Vectorized filter dropping rows of already-completed partitions."""
+    import pyarrow.compute as pc
+
+    done_arr = pa.array(sorted(done), pa.int32())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("partition_id"), value_set=done_arr))
+        return batch.filter(mask)
+
+    return _filter
