@@ -63,18 +63,28 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
-        # a, b < 2^31 and x < 2^32 (crc32) keep a*x + b < 2^63: exact in
-        # uint64, fully vectorized, no overflow.
-        self.a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
+        # per-permutation xor seeds + a splitmix64 finalizer: bijective
+        # in uint64 (multiplication wraps mod 2^64), so each permutation
+        # is a genuine full-domain scramble.  (An affine (a*x+b) mod p
+        # with a too small to wrap preserves order on small inputs and
+        # degenerates to "min shingle wins" — bug caught by the planted-
+        # pair test.)
+        self.seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_n = shingle_n
+
+    @staticmethod
+    def _mix(v: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer (public domain constant set)
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
 
     def signature(self, text: str) -> np.ndarray:
         sh = shingle_hashes(text, self.shingle_n)
         if sh.size == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        v = self._mix(sh[None, :] ^ self.seeds[:, None])
         return v.min(axis=1)
 
 
@@ -273,12 +283,18 @@ def ngram_jaccard_pairs_batch(batch: pa.Table, all_sets_ref, n: int, threshold: 
     """Per-batch exact Jaccard of each doc vs every LARGER doc_id.
 
     ``all_sets_ref`` is a ``ray.put`` broadcast of {doc_id: shingle-hash
-    ndarray} — shipped once per task/actor, not per batch pair.  O(n²)
-    by design: this is the exact verifier; use minhash_lsh_pairs at scale.
+    ndarray} — shipped once per task/actor, not per batch pair (a plain
+    dict is accepted for unit tests).  O(n²) by design: this is the
+    exact verifier; use minhash_lsh_pairs at scale.
     """
-    import ray
+    if all_sets_ref is None:
+        all_sets = {}
+    elif isinstance(all_sets_ref, dict):
+        all_sets = all_sets_ref
+    else:
+        import ray
 
-    all_sets = ray.get(all_sets_ref) if all_sets_ref is not None else {}
+        all_sets = ray.get(all_sets_ref)
     ids = batch.column("doc_id").to_pylist()
     norm = normalize_expr(batch.column("text")).to_pylist()
     other_ids = np.array(sorted(all_sets), dtype=np.int64)

@@ -118,10 +118,21 @@ class HyperplaneLSH:
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
 
 
-def knn_lsh(emb_ds, query_ids, k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 42):
-    """ANN: score only corpus vectors in each query's LSH bucket.
+def knn_lsh(
+    emb_ds,
+    query_ids,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    probes: int = 1,
+):
+    """ANN: score only corpus vectors in each query's LSH bucket(s).
 
-    Recall < 1 by construction; measured against knn_brute in tests.
+    Multi-probe: ``probes=1`` also searches every bucket at hamming
+    distance 1 from the query's bucket (flip one hyperplane sign) —
+    the standard recall/cost knob.  Recall < 1 by construction;
+    measured against knn_brute in tests.
     """
     import pyarrow.compute as pc
     import ray
@@ -139,12 +150,16 @@ def knn_lsh(emb_ds, query_ids, k: int = 5, n_planes: int = 6, dim: int = 64, see
     q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
     q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))
     q_buckets = lsh.bucket(q_mat)
-    # queries grouped by bucket, broadcast once
+    # queries grouped by bucket (plus hamming-1 probe buckets), broadcast once
     by_bucket: dict = {}
     for qid, qv, qb in zip(q_ids, q_mat, q_buckets):
-        by_bucket.setdefault(int(qb), ([], []))
-        by_bucket[int(qb)][0].append(int(qid))
-        by_bucket[int(qb)][1].append(qv)
+        probe_buckets = {int(qb)}
+        if probes >= 1:
+            probe_buckets |= {int(qb) ^ (1 << p) for p in range(n_planes)}
+        for pb in probe_buckets:
+            by_bucket.setdefault(pb, ([], []))
+            by_bucket[pb][0].append(int(qid))
+            by_bucket[pb][1].append(qv)
     q_ref = ray.put({b: (np.array(i), np.stack(v)) for b, (i, v) in by_bucket.items()})
 
     def _bucket_topk(batch: pa.Table) -> pa.Table:

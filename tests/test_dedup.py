@@ -1,0 +1,146 @@
+"""Dedup operator tests: planted near-dups in the driver testdata (25
+pairs with 3-gram Jaccard ≥ 0.9 at sf0.001/sf0.01) plus synthetic
+fixtures for exact-dup and policy checks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_lib_ray.functions.dedup import (
+    MinHasher,
+    ngram_jaccard_pairs_batch,
+    shingle_hashes,
+    simhash64,
+    simhash_band_rows,
+)
+
+
+def exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = shingle_hashes(a, n), shingle_hashes(b, n)
+    inter = np.intersect1d(sa, sb).size
+    return inter / (sa.size + sb.size - inter)
+
+
+def test_shingles_deterministic_and_distinct():
+    s1 = shingle_hashes("a b c d", 3)
+    s2 = shingle_hashes("a b c d", 3)
+    assert (s1 == s2).all()
+    assert shingle_hashes("a b", 3).size == 1  # short doc → whole-text shingle
+    assert shingle_hashes("", 3).size == 0
+
+
+def test_minhash_estimates_jaccard():
+    base = " ".join(f"w{i}" for i in range(100))
+    near = " ".join(f"w{i}" for i in range(95)) + " x1 x2 x3 x4 x5"
+    far = " ".join(f"z{i}" for i in range(100))
+    h = MinHasher(num_perm=128)
+    est_near = (h.signature(base) == h.signature(near)).mean()
+    est_far = (h.signature(base) == h.signature(far)).mean()
+    true_near = exact_jaccard(base, near)
+    assert abs(est_near - true_near) < 0.15
+    assert est_far < 0.05
+
+
+def test_signature_stable_across_instances():
+    a = MinHasher(seed=42).signature("alpha beta gamma delta")
+    b = MinHasher(seed=42).signature("alpha beta gamma delta")
+    assert (a == b).all()
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy cat")
+    c = simhash64("completely different words entirely unrelated stuff")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+    assert simhash64("") == 0
+    assert simhash64("the quick brown fox jumps over the lazy dog") == a
+
+
+def test_simhash_band_pigeonhole():
+    """hamming ≤ 3 with 4 bands ⇒ at least one identical 16-bit band."""
+    fp = simhash64("some document text here")
+    batch = pa.Table.from_arrays(
+        [pa.array([1], pa.int64()), pa.array(["some document text here"], pa.string())],
+        names=["doc_id", "text"],
+    )
+    rows = simhash_band_rows(batch, bands=4)
+    assert rows.num_rows == 4
+    keys = rows.column("band_key").to_pylist()
+    rebuilt = sum(k << (16 * b) for b, k in enumerate(keys))
+    assert rebuilt == fp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_planted_pairs(sf_small):
+    """The driver testdata plants near-dup pairs (3-gram J ≈ 0.9+);
+    minhash-LSH at est-threshold 0.8 must find exactly the high-J pairs
+    it is sensitive to — verified against exact Jaccard."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    found = minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_small}/documents.parquet")
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    # every reported pair is a true near-dup
+    for d1, d2 in zip(found["d1"], found["d2"]):
+        assert exact_jaccard(texts[d1], texts[d2]) >= 0.6, (d1, d2)
+    # and the planted gold pairs (exact J >= 0.9) are all found
+    ids = sorted(texts)
+    gold = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if exact_jaccard(texts[a], texts[b]) >= 0.9
+    }
+    got = set(zip(found["d1"], found["d2"]))
+    assert gold, "testdata should contain planted near-dups"
+    missed = gold - got
+    assert not missed, f"missed planted pairs: {missed}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_by_pairs_keeps_min(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dedup_by_pairs, minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    pairs_df = pairs.to_pandas()
+    survivors = set(dedup_by_pairs(docs, pairs).to_pandas()["doc_id"])
+    n_docs = docs.count()
+    losers = set(pairs_df["d2"])
+    assert survivors == set(range_ids(n_docs, docs)) - losers
+    # the smaller member of every pair survives unless itself a loser
+    for d1 in pairs_df["d1"]:
+        if d1 not in losers:
+            assert d1 in survivors
+
+
+def range_ids(n, docs_ds):
+    return docs_ds.to_pandas()["doc_id"].tolist()
+
+
+def test_exact_ngram_pairs_batch_no_ray_broadcast():
+    batch = pa.Table.from_arrays(
+        [
+            pa.array([1, 2], pa.int64()),
+            pa.array(["a b c d e", "a b c d x"], pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+    sets = {
+        1: shingle_hashes("a b c d e", 3),
+        2: shingle_hashes("a b c d x", 3),
+        3: shingle_hashes("q r s t u", 3),
+    }
+    out = ngram_jaccard_pairs_batch(batch, sets, 3, 0.2)
+    pairs = list(zip(out.column("d1").to_pylist(), out.column("d2").to_pylist()))
+    assert (1, 2) in pairs
+    assert all(d2 != 3 for _, d2 in pairs)

@@ -1,0 +1,127 @@
+"""Text analysis, windowed aggregate, and multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_lib_ray.functions.multimodal import MediaDecodeStub
+from ocr_lib_ray.functions.text_stats import (
+    LangId,
+    QualityScore,
+    doc_stats_batch,
+    fingerprint_batch,
+)
+
+
+def docs_batch(texts, ids=None):
+    ids = ids or list(range(1, len(texts) + 1))
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+
+
+def test_doc_stats_golden():
+    out = doc_stats_batch(docs_batch(["one two  three", "", "  x  "]))
+    assert out.column("n_tokens").to_pylist() == [3, 0, 1]
+    assert out.column("n_chars_norm").to_pylist() == [13, 0, 1]
+    # avg token len: (13-2)/3
+    assert out.column("avg_token_len").to_pylist()[0] == round(11 / 3, 6)
+
+
+def test_fingerprint_is_normalized_md5():
+    import hashlib
+
+    out = fingerprint_batch(docs_batch(["a  b\n c", "a b c"]))
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == fps[1] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_lang_id_heuristic():
+    out = LangId()(
+        docs_batch(
+            [
+                "the cat and the dog in the house",
+                "der Hund ist nicht ein Tier mit Namen",
+                "le chat est un animal pour la maison",
+                "el perro es un animal que vive por aqui",
+                "这是 一个 中文 文档",
+                "zzz qqq xxx",
+            ]
+        )
+    )
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_quality_score_signals():
+    out = QualityScore()(docs_batch(["the the the the", "alpha beta gamma delta", ""]))
+    top = out.column("top_word_ratio").to_pylist()
+    assert top[0] == 1.0 and top[1] == 0.25 and top[2] == 0.0
+    stop = out.column("stop_ratio").to_pylist()
+    assert stop[0] == 1.0 and stop[1] == 0.0
+
+
+def test_media_stub_features_deterministic():
+    batch = pa.Table.from_arrays(
+        [
+            pa.array(["u1", "u2"], pa.string()),
+            pa.array([b"\x00" * 100, bytes(range(256))], pa.binary()),
+        ],
+        names=["url", "html"],
+    )
+    out1 = MediaDecodeStub()(batch)
+    out2 = MediaDecodeStub()(batch)
+    assert out1.equals(out2)
+    ent = out1.column("byte_entropy").to_pylist()
+    assert ent[0] == 0.0 and abs(ent[1] - 8.0) < 1e-9
+    assert out1.column("n_bytes").to_pylist() == [100, 256]
+    feat = out1.column("feature").to_pylist()
+    assert len(feat[0]) == 16 and abs(sum(feat[1]) - 1.0) < 1e-3
+
+
+def test_media_real_decode_gated():
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStub(real_decode=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tumbling_window_matches_pandas(sf_small):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import tumbling_window
+
+    events = rd.read_parquet(f"{sf_small}/events.parquet", columns=["event_type", "ts", "value"])
+    got = (
+        tumbling_window(events, 3600)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    df["window_start_us"] = (
+        df["ts"].astype("int64") // 3_600_000_000
+    ) * 3_600_000_000
+    want = (
+        df.groupby(["event_type", "window_start_us"])["value"]
+        .agg(n="count", value_sum="sum", value_min="min", value_max="max")
+        .reset_index()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["value_sum"], want["value_sum"])
+    assert np.allclose(got["value_min"], want["value_min"])
+    assert np.allclose(got["value_max"], want["value_max"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_features_over_pages(sf_small):
+    from ocr_lib_ray.functions.multimodal import media_features
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    out = media_features(build_pages_dataset(sf_small)).to_pandas()
+    assert len(out) == 500
+    assert (out["n_bytes"] > 0).all()

@@ -1,0 +1,139 @@
+"""Segmentation / classification / assembly / PDF-branch goldens
+(analogs of grouping + matching tests, core_test.clj:1566-1630,2816-2941,
+and the end-to-end golden strings :3098-3101, :3225-3238)."""
+
+import pytest
+
+from ocr_lib_ray.config import ExtractConfig
+from ocr_lib_ray.kernel import extract_document, segment, tokenize
+from ocr_lib_ray.kernel.pdf import extract_pdf, tokenize_pdf
+from ocr_lib_ray.kernel.segment import classify
+
+CFG = ExtractConfig()
+
+
+def blocks_of(html: str):
+    return segment(tokenize(html))
+
+
+def test_block_golden():
+    bs = blocks_of("<main><h1>My Title</h1><p>one two three four</p></main>")
+    assert [(b.text, b.tag, b.n_words) for b in bs] == [
+        ("My Title", "h1", 2),
+        ("one two three four", "p", 4),
+    ]
+
+
+def test_inline_merge_no_space():
+    bs = blocks_of("<p>fo<b>od</b> court here</p>")
+    assert bs[0].text == "food court here"
+    assert bs[0].n_words == 3
+
+
+def test_link_words_counted():
+    bs = blocks_of('<p>plain words here <a href="x">link text</a></p>')
+    assert bs[0].n_words == 5
+    assert bs[0].link_words == 2
+
+
+def test_classify_rules():
+    boiler = blocks_of("<footer><p>some footer text</p></footer>")[0]
+    assert classify(boiler, CFG) == ""
+    heading = blocks_of("<h2>One</h2>")[0]
+    assert classify(heading, CFG) == "heading"
+    short = blocks_of("<p>two words</p>")[0]
+    assert classify(short, CFG) == ""
+    content = blocks_of("<p>three word block</p>")[0]
+    assert classify(content, CFG) == "content"
+    listy = blocks_of("<ul><li>alpha beta gamma</li></ul>")[0]
+    assert classify(listy, CFG) == "list"
+    linky = blocks_of('<p><a href="/">all of this is a link</a></p>')[0]
+    assert classify(linky, CFG) == ""
+    # exactly at the 1/3 link-density boundary → accepted (<=)
+    edge = blocks_of('<p><a href="x">one</a> two three</p>')[0]
+    assert edge.link_words * CFG.link_density_den == edge.n_words * CFG.link_density_num
+    assert classify(edge, CFG) == "content"
+
+
+def test_assembly_newlines_and_residuals():
+    html = (
+        "<nav><p>chrome chrome chrome</p></nav>"
+        "<h1>Head Line</h1><p>first body block ok</p>"
+        "<p>x</p>"  # too short → residual
+        "<p>second body block ok</p>"
+    )
+    res = extract_document(html.encode())
+    assert res.text == "Head Line\nfirst body block ok\nsecond body block ok"
+    # rejected: nav p (block 0), short p → residual ids in document order
+    assert len(res.residuals) == 2
+    assert [s["kind"] for s in res.spans] == ["heading", "content", "content"]
+    assert [s["block_id"] for s in res.spans] == [0, 1, 2]
+
+
+def test_residual_cap_is_per_document():
+    html = "".join(f"<p>w{i}</p>" for i in range(50))  # 50 rejected blocks
+    res = extract_document(html.encode(), CFG)
+    assert len(res.residuals) == CFG.residual_cap
+
+
+def test_span_offsets_cover_block():
+    html = "<main><p>alpha beta gamma</p></main>"
+    res = extract_document(html.encode())
+    s = res.spans[0]
+    assert html[s["start"] : s["end"]] == "alpha beta gamma"
+
+
+def test_empty_inputs():
+    for payload in (b"", b"   ", None):
+        r = extract_document(payload)
+        assert r.doc_kind == "empty" and r.text == "" and r.spans == []
+
+
+def test_entity_handling():
+    res = extract_document(b"<p>a &amp; b &lt;tag&gt; ok</p>")
+    assert res.text == "a & b <tag> ok"
+
+
+# --- PDF branch ------------------------------------------------------------
+
+PDF = (
+    b"%PDF-1.4\nstream\nBT\n/F1 12 Tf\n"
+    b"1 0 0 1 72 760 Tm (Title Line) Tj\n"
+    b"1 0 0 1 72 700 Tm (first body line) Tj\n"
+    b"1 0 0 1 300 700 Tm (same line right) Tj\n"
+    b"1 0 0 1 72 686 Tm (second body line) Tj\n"
+    b"ET\nendstream\n%%EOF\n"
+)
+
+
+def test_pdf_dispatch_and_layout():
+    res = extract_document(PDF)
+    assert res.doc_kind == "pdf"
+    # title is its own block (gap 60 > 30); body lines one block;
+    # runs on one line ordered by x
+    assert res.text == "Title Line\nfirst body line same line right second body line"
+    assert [s["kind"] for s in res.spans] == ["pdf-line"] * 3
+    assert [s["block_id"] for s in res.spans] == [0, 1, 1]
+
+
+def test_pdf_td_and_escapes():
+    data = "BT (a) Tj 0 -50 Td (par\\(en\\)s \\\\ ok) Tj ET"
+    runs = tokenize_pdf(data)
+    assert [r.text for r in runs] == ["a", "par(en)s \\ ok"]
+    assert runs[1].y == -50.0
+    text, spans = extract_pdf(data, CFG)
+    assert text == "a\npar(en)s \\ ok"
+
+
+def test_pdf_outside_bt_ignored():
+    runs = tokenize_pdf("(not text) Tj BT (yes) Tj ET (also not) Tj")
+    assert [r.text for r in runs] == ["yes"]
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_chunked_extraction_identical(chunked):
+    html = ("<main>" + "".join(f"<p>block {i} with several words</p>" for i in range(200)) + "</main>").encode()
+    small_chunks = ExtractConfig(chunk_size=64)
+    a = extract_document(html, CFG, chunked=chunked)
+    b = extract_document(html, small_chunks, chunked=True)
+    assert a.text == b.text and a.spans == b.spans

@@ -1,0 +1,74 @@
+"""Similarity search tests: brute-force exactness vs a numpy oracle,
+LSH recall measurement, embedding near-dup pairs."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def numpy_topk(sf_dir, query_ids, k):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qmask = np.isin(ids, query_ids)
+    out = {}
+    for qid, qv in zip(ids[qmask], m[qmask]):
+        sims = qv @ m[~qmask].T
+        cids = ids[~qmask]
+        order = np.lexsort((cids, -sims))[:k]
+        out[int(qid)] = set(int(c) for c in cids[order])
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_brute_exact(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.similarity import knn_brute
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+    got = knn_brute(emb, query_ids=list(range(10)), k=5).to_pandas()
+    oracle = numpy_topk(sf_small, list(range(10)), 5)
+    assert len(got) == 50
+    for qid, grp in got.groupby("query_id"):
+        assert set(grp["vec_id"]) == oracle[qid]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_lsh_recall(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.similarity import knn_lsh
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+    got = knn_lsh(emb, query_ids=list(range(10)), k=5, n_planes=4).to_pandas()
+    oracle = numpy_topk(sf_small, list(range(10)), 5)
+    hits = total = 0
+    for qid, nb in oracle.items():
+        found = set(got[got["query_id"] == qid]["vec_id"])
+        hits += len(found & nb)
+        total += len(nb)
+    recall = hits / total
+    assert recall >= 0.2, recall  # ANN tradeoff; brute path is the exact one
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_dup_pairs_match_numpy(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.similarity import cosine_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+    got = cosine_dup_pairs(emb, threshold=0.4).to_pandas()
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[sims[iu, ju] >= 0.4], ju[sims[iu, ju] >= 0.4])
+    }
+    assert set(zip(got["d1"], got["d2"])) == want
