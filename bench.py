@@ -1,0 +1,211 @@
+"""Benchmark: headline extraction pipeline + operator timings.
+
+Prints ONE JSON line:
+  {"metric": "extract_sec", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+Headline input is production-shaped: a sharded Parquet pages table
+(the ``input_hint`` schema) under /tmp, synthesized deterministically
+ONCE (untimed prep; reused across processes — the scaling runs at 8 and
+32 CPUs read the identical files).  The timed job is
+``read_parquet(shards) → extract_pipeline → count`` — read, per-batch
+kernel, streaming consumption; nothing materialized.
+
+``--scaling``: runs the headline job in two FRESH processes at
+num_cpus=8 and 32 on the same input and reports both throughputs +
+efficiency = (T_8/T_32)/4 (the sandbox evidence protocol for the
+north_rule's N vs 4N cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "200"))
+SHARDS = 128
+
+
+def pages_shard_dir() -> str:
+    tag = SF_DIR.strip("/").replace("/", "_")
+    return f"/tmp/graft_pages_{tag}_r{REPEAT}_s{SHARDS}"
+
+
+def prepare_pages(pages_dir: str) -> None:
+    """Deterministic one-time synthesis of the sharded pages table."""
+    import ray.data as rd
+
+    from ocr_lib_ray.sources.pages import synthesize_pages_batch
+
+    if os.path.isdir(pages_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(pages_dir)
+    ):
+        return
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=SHARDS,
+    )
+    pages = docs.map_batches(
+        lambda b: synthesize_pages_batch(b, REPEAT),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).repartition(SHARDS)
+    tmp = pages_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    pages.write_parquet(tmp)
+    os.replace(tmp, pages_dir)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.extract import extract_pipeline
+
+    pages_dir = pages_shard_dir()
+    prepare_pages(pages_dir)
+
+    # warm-up (untimed): page cache + worker-process imports — run the
+    # real pipeline over a small slice so every worker has loaded the
+    # library before the timed run (cold start excluded, as for a
+    # long-running production job)
+    extract_pipeline(rd.read_parquet(pages_dir).limit(5000)).count()
+
+    timings: dict = {}
+    t0 = time.time()
+    out_rows = extract_pipeline(rd.read_parquet(pages_dir)).count()
+    headline = time.time() - t0
+    timings["extract"] = round(headline, 3)
+
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    for name in (
+        "doc_stats",
+        "fingerprint",
+        "dedup_exact",
+        "minhash_pairs",
+        "simhash_pairs",
+        "knn_brute",
+        "tumbling_window",
+    ):
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "extract_sec",
+        "value": timings["extract"],
+        "unit": "sec",
+        "docs_per_sec": round(out_rows / timings["extract"], 1),
+        "n_pages": out_rows,
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "repeat": REPEAT,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input files, fresh processes at 8 and 32 CPUs."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    speedup = lo["value"] / hi["value"]
+    eff = speedup / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "speedup": round(speedup, 3),
+        "n_pages": hi["n_pages"],
+        "sf": SF_DIR,
+    }
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.extract import extract_pipeline
+
+    pages_dir = pages_shard_dir()
+    prepare_pages(pages_dir)
+    extract_pipeline(rd.read_parquet(pages_dir).limit(5000)).count()
+    t0 = time.time()
+    out_rows = extract_pipeline(rd.read_parquet(pages_dir)).count()
+    headline = time.time() - t0
+    ray.shutdown()
+    return {
+        "metric": "extract_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "docs_per_sec": round(out_rows / headline, 1),
+        "n_pages": out_rows,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

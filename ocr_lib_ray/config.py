@@ -54,8 +54,8 @@ class ExtractConfig:
     # -- partitioning (north_rule: partition by url-hash)
     num_partitions: int = 16
 
-    # -- actor pool sizing
-    concurrency: tuple = (1, 8)
+    # -- actor pool sizing; None = autoscale (1, cluster CPUs)
+    concurrency: tuple | None = None
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -58,6 +58,55 @@ def test_pipeline_batchsize_invariance(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_skew_route_equivalent(sf_small):
+    """Dual-path routing (band-split analog) must not change output:
+    force a low giant_threshold so real rows take the giant path."""
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
+
+    cfg = ExtractConfig(giant_threshold=900)  # below median page size
+    a = (
+        extract_pipeline(build_pages_dataset(sf_small), cfg, skew_route=True)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_pipeline(build_pages_dataset(sf_small), skew_route=False)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a["url"] == b["url"]).all()
+    assert (a["text"] == b["text"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_with_bundle_equivalent(sf_small):
+    """bundle_ref path (actor pool, state fetched once per actor) must
+    produce identical output to the stateless-task path."""
+    import ray
+
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
+
+    ref = ray.put({"kind": "classifier-bundle", "version": 1})
+    a = (
+        extract_pipeline(build_pages_dataset(sf_small), bundle_ref=ref)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_pipeline(build_pages_dataset(sf_small))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (a["url"] == b["url"]).all()
+    assert (a["text"] == b["text"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_manifest_job_and_resume(sf_small, tmp_path):
     from ocr_lib_ray.pipelines.extract import run_extract_job
     from ocr_lib_ray.stages.manifest import completed_partitions
