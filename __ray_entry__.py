@@ -243,6 +243,37 @@ def _q_tumbling_window(sf_dir: str):
     return out.map_batches(to_cents, batch_format="pyarrow")
 
 
+def _q_token_counts(sf_dir: str):
+    from ocr_lib_ray.functions.tokens import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_top_tokens(sf_dir: str):
+    from ocr_lib_ray.functions.tokens import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=20)
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = sessionize(events, gap_seconds=1800)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value_sum")
+        cents = pc.round(pc.multiply(batch.column("value_sum"), 100.0), ndigits=0)
+        return batch.set_column(i, "value_sum_cents", cents.cast(pa.int64()))
+
+    return out.map_batches(to_cents, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     from ocr_lib_ray.functions.multimodal import media_features
 
@@ -271,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "cosine_dups": _q_cosine_dups,
         "tumbling_window": _q_tumbling_window,
+        "sessionize": _q_sessionize,
+        "token_counts": _q_token_counts,
+        "top_tokens": _q_top_tokens,
         "media_features": _q_media_features,
     }
 
@@ -387,6 +421,34 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS value_min,
                    max(value) AS value_max
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+            x AS (SELECT user_id, ts_us, value,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            y AS (SELECT user_id, ts_us, value,
+                    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+                  FROM x)
+            SELECT user_id, session_id,
+                   min(ts_us) AS session_start_us,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_sum_cents
+            FROM y GROUP BY 1, 2
+        """,
+        "token_counts": f"""
+            WITH t AS (SELECT str_split({norm}, ' ') AS ws FROM documents
+                       WHERE {norm} <> '')
+            SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1
+        """,
+        "top_tokens": f"""
+            WITH t AS (SELECT str_split({norm}, ' ') AS ws FROM documents
+                       WHERE {norm} <> ''),
+            c AS (SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1)
+            SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
         """,
         # lang_id, quality_score, minhash_pairs, dedup_minhash,
         # simhash_pairs, knn_lsh, media_features: not SQL-expressible

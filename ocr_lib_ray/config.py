@@ -37,6 +37,10 @@ class ExtractConfig:
     #    greater than block_gap start a new block.
     pdf_line_tol: float = 2.0
     pdf_block_gap: float = 30.0
+    # column split: x-gap between consecutive runs on one line greater
+    # than this starts a new column segment (projection-profile analog,
+    # core_helper.clj:395-444)
+    pdf_col_gap: float = 200.0
 
     # -- skew routing (analog of the band split for big pages,
     #    core.clj:1460-1481): documents with len(html) above this go to

@@ -31,6 +31,38 @@ def partial_window_agg(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def sessionize(events_ds, gap_seconds: int = 1800):
+    """Session windows per user: events sorted by ts within a user group;
+    a gap > ``gap_seconds`` starts a new session.  Expressed as
+    ``groupby(user_id).map_groups`` (the partition-by-key +
+    in-group-order pattern for stream-shaped data; ordering assumption:
+    per-user history fits one group).  Returns one row per session:
+    (user_id, session_id, session_start_us, n_events, value_sum).
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts = g["ts"].astype("int64")
+        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = (
+            g.assign(session_id=new_session - 1, ts_us=ts)
+            .groupby("session_id", sort=True)
+            .agg(
+                session_start_us=("ts_us", "min"),
+                n_events=("ts_us", "count"),
+                value_sum=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def tumbling_window(events_ds, window_seconds: int = 3600):
     """events → (event_type, window_start_us, n, value_sum, value_min,
     value_max): tumbling count/sum/min/max per type."""

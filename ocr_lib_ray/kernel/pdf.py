@@ -105,6 +105,23 @@ def cluster_lines(runs: list, cfg: ExtractConfig) -> list:
     return lines
 
 
+def split_columns(line_runs: list, cfg: ExtractConfig) -> list:
+    """Split one line's x-sorted runs at wide x-gaps (column detection —
+    the projection-profile character/column segmentation analog,
+    ``oblast-slova``/``odredi-oblast-slova``, core_helper.clj:395-444):
+    a gap > ``pdf_col_gap`` between consecutive runs starts a new column
+    segment, which gets its own span."""
+    if not line_runs:
+        return []
+    segs = [[line_runs[0]]]
+    for prev, r in zip(line_runs, line_runs[1:]):
+        if r.x - prev.x > cfg.pdf_col_gap:
+            segs.append([r])
+        else:
+            segs[-1].append(r)
+    return segs
+
+
 def extract_pdf(data: str, cfg: ExtractConfig):
     """PDF branch: returns (text, spans) like the HTML branch.
 
@@ -132,14 +149,15 @@ def extract_pdf(data: str, cfg: ExtractConfig):
     for bid, blk in enumerate(blocks):
         line_texts = []
         for y, rs in blk:
-            line_texts.append(collapse_ws(" ".join(r.text for r in rs)))
-            spans.append(
-                {
-                    "start": min(r.start for r in rs),
-                    "end": max(r.end for r in rs),
-                    "block_id": bid,
-                    "kind": "pdf-line",
-                }
-            )
+            for seg in split_columns(rs, cfg):
+                line_texts.append(collapse_ws(" ".join(r.text for r in seg)))
+                spans.append(
+                    {
+                        "start": min(r.start for r in seg),
+                        "end": max(r.end for r in seg),
+                        "block_id": bid,
+                        "kind": "pdf-line",
+                    }
+                )
         out_parts.append(" ".join(line_texts))
     return "\n".join(out_parts), spans

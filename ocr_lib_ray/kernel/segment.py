@@ -110,6 +110,12 @@ def classify(block: Block, cfg: ExtractConfig) -> str:
         block.link_words * cfg.link_density_den
         <= block.n_words * cfg.link_density_num
     )
+    if block.tag in ("figcaption", "caption"):
+        # satellite attachment (the hooks analog, find-dots-hooks-fn
+        # core.clj:687-751): caption fragments below the word threshold
+        # still belong to their figure/table — accepted with their own
+        # kind so the span structure records the attachment.
+        return "satellite" if block.n_words >= 1 and low_link else ""
     if block.is_heading:
         return "heading" if block.n_words >= 1 and low_link else ""
     if block.n_words >= cfg.min_words and low_link:

@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 #: structure, core.clj:770-785).
 BLOCK_TAGS = frozenset(
     """html body head main article section div p h1 h2 h3 h4 h5 h6 ul ol li
-    dl dt dd table thead tbody tfoot tr td th nav header footer aside
+    dl dt dd table caption thead tbody tfoot tr td th nav header footer aside
     blockquote pre figure figcaption form fieldset address hr br center
     noscript template iframe select option textarea title""".split()
 )

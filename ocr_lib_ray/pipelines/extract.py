@@ -123,19 +123,13 @@ def extract_pipeline(
     )
 
 
-def run_extract_job(
-    sf_dir: str,
-    out_dir: str,
-    cfg: ExtractConfig = DEFAULT_CONFIG,
-    repeat: int = 1,
-    resume: bool = True,
-) -> dict:
-    """End-to-end job with per-partition manifests + checkpointed resume.
+def write_with_manifest(extracted: rd.Dataset, out_dir: str, resume: bool = True) -> dict:
+    """Sink: per-partition atomic parquet + lineage manifest rows; with
+    ``resume`` the already-completed partitions are filtered out BEFORE
+    extraction work is scheduled (anti-join against the manifest).
 
     Returns ``{"partitions_written": n, "partitions_skipped": k}``.
     """
-    pages = build_pages_dataset(sf_dir, repeat)
-    extracted = extract_pipeline(pages, cfg)
     skipped = 0
     if resume:
         done = completed_partitions(out_dir)
@@ -149,3 +143,15 @@ def run_extract_job(
     )
     rows = manifest.count()  # consume → executes the streaming pipeline
     return {"partitions_written": rows, "partitions_skipped": skipped}
+
+
+def run_extract_job(
+    sf_dir: str,
+    out_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    repeat: int = 1,
+    resume: bool = True,
+) -> dict:
+    """Fixture-input convenience wrapper over :func:`write_with_manifest`."""
+    pages = build_pages_dataset(sf_dir, repeat)
+    return write_with_manifest(extract_pipeline(pages, cfg), out_dir, resume=resume)

@@ -36,6 +36,9 @@ MANIFEST_SCHEMA = pa.schema(
         ("checksum", pa.uint64()),
         ("status", pa.string()),
         ("output_path", pa.string()),
+        # metrics (progress-atom analog, core.clj:15-106): per-partition
+        # write wall time — docs/s per partition = n_docs / write_sec
+        ("write_sec", pa.float64()),
     ]
 )
 
@@ -55,6 +58,9 @@ def make_partition_writer(out_dir: str):
     partition's data atomically and returns its manifest row."""
 
     def _write(group: pa.Table) -> pa.Table:
+        import time
+
+        t0 = time.time()
         pid = group.column("partition_id")[0].as_py()
         data_dir = os.path.join(out_dir, "data", f"part={pid}")
         os.makedirs(data_dir, exist_ok=True)
@@ -72,6 +78,7 @@ def make_partition_writer(out_dir: str):
                 pa.array([partition_checksum(urls, texts)], pa.uint64()),
                 pa.array(["ok"], pa.string()),
                 pa.array([final], pa.string()),
+                pa.array([round(time.time() - t0, 6)], pa.float64()),
             ],
             schema=MANIFEST_SCHEMA,
         )

@@ -110,10 +110,34 @@ def test_pdf_dispatch_and_layout():
     res = extract_document(PDF)
     assert res.doc_kind == "pdf"
     # title is its own block (gap 60 > 30); body lines one block;
-    # runs on one line ordered by x
+    # runs on one line ordered by x; the x=72→300 gap (228 > col_gap 200)
+    # splits that line into two column segments (projection-profile
+    # analog), so it yields two spans but the same joined text
     assert res.text == "Title Line\nfirst body line same line right second body line"
-    assert [s["kind"] for s in res.spans] == ["pdf-line"] * 3
-    assert [s["block_id"] for s in res.spans] == [0, 1, 1]
+    assert [s["kind"] for s in res.spans] == ["pdf-line"] * 4
+    assert [s["block_id"] for s in res.spans] == [0, 1, 1, 1]
+
+
+def test_pdf_column_split():
+    from ocr_lib_ray.kernel.pdf import GlyphRun, split_columns
+
+    runs = [
+        GlyphRun(x=72, y=700, text="left col", start=0, end=8),
+        GlyphRun(x=120, y=700, text="still left", start=9, end=19),
+        GlyphRun(x=400, y=700, text="right col", start=20, end=29),
+    ]
+    segs = split_columns(runs, CFG)
+    assert [[r.text for r in s] for s in segs] == [["left col", "still left"], ["right col"]]
+
+
+def test_satellite_attachment():
+    html = (
+        "<figure><img src='x.png'/><figcaption>Fig 1</figcaption></figure>"
+        "<p>main body text here</p>"
+    )
+    res = extract_document(html.encode())
+    assert res.text == "Fig 1\nmain body text here"
+    assert [s["kind"] for s in res.spans] == ["satellite", "content"]
 
 
 def test_pdf_td_and_escapes():
