@@ -372,6 +372,50 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_word_len
             FROM t
         """,
+        # alpha_ratio uses [a-zA-Z] which equals Python isalpha() on this
+        # ASCII corpus (verified: no non-ASCII chars in documents.text)
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, str_split(lower({norm}), ' ') AS ws FROM documents),
+            u AS (SELECT doc_id, w, count(*) AS c FROM t, unnest(ws) AS q(w) GROUP BY 1, 2),
+            m AS (SELECT doc_id, max(c) AS mc FROM u GROUP BY 1)
+            SELECT t.doc_id,
+                   round(len(list_filter(ws, w -> list_contains(
+                       ['the','and','of','to','a','in','is','it','that','for','with'], w)))
+                     * 1.0 / len(ws), 6) AS stop_ratio,
+                   round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
+                     AS mean_word_len,
+                   round(list_sum(list_transform(ws, w ->
+                       len(regexp_replace(w, '[^a-zA-Z]', '', 'g')))) * 1.0 /
+                     greatest(list_sum(list_transform(ws, w -> len(w))), 1), 6)
+                     AS alpha_ratio,
+                   round(m.mc * 1.0 / len(ws), 6) AS top_word_ratio
+            FROM t JOIN m ON t.doc_id = m.doc_id
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, text,
+                          str_split(lower({norm}), ' ') AS ws FROM documents),
+            h AS (SELECT doc_id, text,
+               len(list_filter(ws, w -> list_contains(
+                 ['der','die','das','und','ist','nicht','ein','mit','von','zu'], w))) AS h_de,
+               len(list_filter(ws, w -> list_contains(
+                 ['the','and','of','to','a','in','is','it','that','for','with'], w))) AS h_en,
+               len(list_filter(ws, w -> list_contains(
+                 ['el','la','los','las','y','es','un','una','que','por'], w))) AS h_es,
+               len(list_filter(ws, w -> list_contains(
+                 ['le','la','les','et','est','un','une','des','que','pour'], w))) AS h_fr
+               FROM t),
+            s AS (SELECT doc_id, text, tag, hits FROM h
+                  UNPIVOT (hits FOR tag IN (h_de AS 'de', h_en AS 'en',
+                                            h_es AS 'es', h_fr AS 'fr')) ),
+            best AS (SELECT doc_id, text, tag, hits,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, tag ASC) AS rk FROM s)
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+                        WHEN hits = 0 THEN 'und'
+                        ELSE tag END AS lang_pred
+            FROM best WHERE rk = 1
+        """,
         "ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
             t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),

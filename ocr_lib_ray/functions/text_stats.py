@@ -91,7 +91,7 @@ class LangId:
         texts = batch.column("text").to_pylist()
         preds = []
         for t in texts:
-            if any("一" <= ch <= "鿿" for ch in t[:2000]):
+            if any("一" <= ch <= "鿿" for ch in t):
                 preds.append("zh")
                 continue
             toks = t.lower().split()
