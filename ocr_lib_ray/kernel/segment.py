@@ -49,29 +49,39 @@ def segment(doc: TokenizedDoc) -> list:
     ``obrisi-piksele``, core_helper.clj:519-561).
     """
     blocks: list = []
-    n = len(doc)
+    seqs = doc.block_seq
+    texts = doc.texts
+    links = doc.link
+    heads = doc.heading
+    lis = doc.listitem
+    boils = doc.boiler
+    n = len(texts)
     i = 0
     while i < n:
         j = i
-        seq = doc.block_seq[i]
-        while j < n and doc.block_seq[j] == seq:
+        seq = seqs[i]
+        while j < n and seqs[j] == seq:
             j += 1
-        parts = []
-        link_words = 0
-        heading = False
-        listitem = False
-        boiler = False
-        for k in range(i, j):
-            t = unescape(doc.texts[k])
-            parts.append(t)
-            if doc.link[k]:
-                ct = collapse_ws(t)
-                if ct:
-                    link_words += len(ct.split(" "))
-            heading = heading or doc.heading[k]
-            listitem = listitem or doc.listitem[k]
-            boiler = boiler or doc.boiler[k]
-        text = collapse_ws("".join(parts))
+        if j == i + 1:  # common case: single-node block
+            t = unescape(texts[i])
+            heading, listitem, boiler = heads[i], lis[i], boils[i]
+            text = collapse_ws(t)
+            link_words = len(text.split(" ")) if links[i] and text else 0
+        else:
+            parts = []
+            link_words = 0
+            heading = listitem = boiler = False
+            for k in range(i, j):
+                t = unescape(texts[k])
+                parts.append(t)
+                if links[k]:
+                    ct = collapse_ws(t)
+                    if ct:
+                        link_words += len(ct.split(" "))
+                heading = heading or heads[k]
+                listitem = listitem or lis[k]
+                boiler = boiler or boils[k]
+            text = collapse_ws("".join(parts))
         if text:
             blocks.append(
                 Block(

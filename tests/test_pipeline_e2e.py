@@ -107,6 +107,37 @@ def test_actor_pool_with_bundle_equivalent(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_giant_page_through_pipeline():
+    """A page above giant_threshold flows through the pipeline via the
+    kernel's bounded chunked parse and matches the one-shot kernel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.kernel import extract_document
+    from ocr_lib_ray.pipelines.extract import extract_pipeline
+
+    body = "<p>" + "lorem ipsum dolor sit amet " * 60000 + "</p>"  # ~1.6 MB
+    html = ("<main>" + body + "</main>").encode()
+    pages = rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array(["https://x.test/giant"], pa.string()),
+                pa.array([0], pa.timestamp("us")),
+                pa.array([html], pa.binary()),
+                pa.array([""], pa.string()),
+                pa.array(["en"], pa.string()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+    )
+    out = extract_pipeline(pages, skew_route=True).to_pandas()
+    want = extract_document(html)
+    assert len(out) == 1
+    assert out["text"][0] == want.text
+    assert want.text.startswith("lorem ipsum")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_manifest_job_and_resume(sf_small, tmp_path):
     from ocr_lib_ray.pipelines.extract import run_extract_job
     from ocr_lib_ray.stages.manifest import completed_partitions
