@@ -274,6 +274,28 @@ def _q_sessionize(sf_dir: str):
     return out.map_batches(to_cents, batch_format="pyarrow")
 
 
+def _q_sample_split(sf_dir: str):
+    """Deterministic train/val/test split counts (crc32 keyed — not
+    SQL-expressible, rows-only; determinism pinned by unit tests)."""
+    from ray.data.aggregate import Count
+
+    from ocr_lib_ray.functions.sampling import split_dataset
+
+    return (
+        split_dataset(_docs(sf_dir), "doc_id", test_frac=0.1, val_frac=0.05)
+        .groupby("split")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_cosine_dups_lsh(sf_dir: str):
+    from ocr_lib_ray.functions.similarity import cosine_dup_pairs_lsh
+
+    return cosine_dup_pairs_lsh(_emb(sf_dir), threshold=0.4, n_planes=2).select_columns(
+        ["d1", "d2"]
+    )
+
+
 def _q_media_features(sf_dir: str):
     from ocr_lib_ray.functions.multimodal import media_features
 
@@ -305,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "sample_split": _q_sample_split,
+        "cosine_dups_lsh": _q_cosine_dups_lsh,
         "media_features": _q_media_features,
     }
 

@@ -197,6 +197,42 @@ def knn_lsh(
     )
 
 
+def cosine_dup_pairs_lsh(
+    emb_ds, threshold: float = 0.95, n_planes: int = 4, dim: int = 64, seed: int = 42
+):
+    """Embedding near-dup at scale: LSH-bucket the corpus (hyperplane
+    signs), then exact cosine verification INSIDE each bucket group —
+    the same in-group verify pattern as minhash (vectors ride in the
+    group rows; no broadcast, no second join).  Recall < 1 for pairs
+    whose bucket differs; measured against the brute path in tests.
+    """
+    import pandas as pd
+
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_as_matrix(batch.column("embedding")))
+        return batch.append_column("bucket", pa.array(lsh.bucket(m), pa.int64()))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ids = g["vec_id"].to_numpy()
+        m = _normalize_rows(np.asarray(list(g["embedding"]), dtype=np.float64))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "d1": ids[iu[keep]],
+                "d2": ids[ju[keep]],
+                "cosine": np.round(sims[iu[keep], ju[keep]], 6),
+            }
+        )
+
+    buckets = emb_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+
 def cosine_dup_pairs(emb_ds, threshold: float = 0.95):
     """Embedding near-dup: all pairs with cosine ≥ threshold (d1 < d2).
 

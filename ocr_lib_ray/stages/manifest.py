@@ -110,6 +110,40 @@ def completed_partitions(out_dir: str) -> set:
     return done
 
 
+def validate_job(out_dir: str) -> dict:
+    """Lineage integrity check: re-read every completed partition's data
+    file and verify row count + checksum against its manifest row.
+
+    Returns {"partitions": n, "valid": k, "invalid": [pid, ...]} — the
+    audit tool a resumable 100 TB job needs before trusting a resume.
+    """
+    man_dir = os.path.join(out_dir, "manifest")
+    invalid = []
+    total = 0
+    if not os.path.isdir(man_dir):
+        return {"partitions": 0, "valid": 0, "invalid": []}
+    for name in sorted(os.listdir(man_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        m = pq.read_table(os.path.join(man_dir, name))
+        for i in range(m.num_rows):
+            total += 1
+            pid = m.column("partition_id")[i].as_py()
+            path = m.column("output_path")[i].as_py()
+            try:
+                data = pq.read_table(path, columns=["url", "text"])
+            except Exception:
+                invalid.append(pid)
+                continue
+            ok_rows = data.num_rows == m.column("n_docs")[i].as_py()
+            cs = partition_checksum(
+                data.column("url").to_pylist(), data.column("text").to_pylist()
+            )
+            if not ok_rows or cs != m.column("checksum")[i].as_py():
+                invalid.append(pid)
+    return {"partitions": total, "valid": total - len(invalid), "invalid": invalid}
+
+
 def make_resume_filter(done: set):
     """Vectorized filter dropping rows of already-completed partitions."""
     import pyarrow.compute as pc
