@@ -166,27 +166,118 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    carry_signatures: bool = True,
 ):
-    """Dataset of documents → Dataset of near-dup pairs (d1 < d2).
+    """Dataset of documents → Dataset of near-dup pairs (d1 < d2) with
+    signature-estimated Jaccard.
 
-    Pipeline: map_batches(signatures+bands) → groupby(band, band_hash)
-    → in-group verify → dedup pairs found by multiple bands (groupby
-    min).  Two shuffles total, both on small exploded rows.
+    Two verification strategies, same result (tested equal):
+
+    * ``carry_signatures=True`` (default, best at bench scale): band
+      rows carry the full signature (num_perm × 8 B, duplicated per
+      band) and candidate pairs are verified inside the band groupby —
+      one shuffle, no second pass.
+    * ``carry_signatures=False`` (best at 10^12-doc scale): band rows
+      carry only (band, band_hash, doc_id) — 16× less shuffle volume —
+      candidates come out of the groupby unverified, and a second pass
+      recomputes signatures ONLY for candidate docs (the candidate set
+      is tiny relative to the corpus; its id set is broadcast with
+      ``ray.put`` into a vectorized semi-filter).
     """
     hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=seed)
+    from ray.data.aggregate import Max
+
+    if carry_signatures:
+        band_rows = docs_ds.map_batches(
+            lambda b: minhash_band_rows(b, hasher, bands),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        pairs = band_rows.groupby("band").map_groups(
+            lambda g: _pairs_from_band(g, threshold), batch_format="pandas"
+        )
+        # a pair can surface in several bands → keep one row (max estimate)
+        return pairs.groupby(["d1", "d2"]).aggregate(
+            Max("est_jaccard", alias_name="est_jaccard")
+        )
+
+    import ray
+
     band_rows = docs_ds.map_batches(
-        lambda b: minhash_band_rows(b, hasher, bands),
+        lambda b: minhash_band_rows(b, hasher, bands).drop_columns(["signature"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = band_rows.groupby("band").map_groups(
-        lambda g: _pairs_from_band(g, threshold), batch_format="pandas"
-    )
-    # a pair can surface in several bands → keep one row (max estimate)
-    from ray.data.aggregate import Max
 
-    return pairs.groupby(["d1", "d2"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    def candidates_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        multi = g[g.groupby("band_hash")["doc_id"].transform("size") > 1]
+        d1, d2 = [], []
+        for _, sub in multi.groupby("band_hash", sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d1.append(ids[i])
+                    d2.append(ids[j])
+        return pd.DataFrame({"d1": d1, "d2": d2}).astype({"d1": "int64", "d2": "int64"})
+
+    cand = (
+        band_rows.groupby("band")
+        .map_groups(candidates_in_band, batch_format="pandas")
+        .groupby(["d1", "d2"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    cand_df = cand.to_pandas()  # tiny: candidate pairs only
+    cand_ids = pa.array(
+        sorted(set(cand_df["d1"]) | set(cand_df["d2"])), pa.int64()
+    )
+    import pyarrow.compute as pc
+
+    sig_rows = docs_ds.map_batches(
+        lambda b: _signatures_for(
+            b.filter(pc.is_in(b.column("doc_id"), value_set=cand_ids)), hasher
+        ),
+        batch_format="pyarrow",
+    )
+    sigs = {
+        i: np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(
+            *(
+                pa.concat_tables(list(sig_rows.iter_batches(batch_format="pyarrow")))
+                .to_pydict()
+                .values()
+            )
+        )
+    }
+    d1, d2, est = [], [], []
+    for a, b_ in zip(cand_df["d1"], cand_df["d2"]):
+        e = float((sigs[a] == sigs[b_]).mean())
+        if e >= threshold:
+            d1.append(a)
+            d2.append(b_)
+            est.append(round(e, 6))
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array(d1, pa.int64()),
+                pa.array(d2, pa.int64()),
+                pa.array(est, pa.float64()),
+            ],
+            names=["d1", "d2", "est_jaccard"],
+        )
+    )
+
+
+def _signatures_for(batch: pa.Table, hasher: MinHasher) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array([hasher.signature(t).tobytes() for t in norm], pa.binary()),
+        ],
+        names=["doc_id", "signature"],
     )
 
 

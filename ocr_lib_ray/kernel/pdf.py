@@ -27,12 +27,18 @@ from ..config import ExtractConfig
 from .tokenizer import collapse_ws
 
 _NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)"
+_STR = r"\((?:[^()\\]|\\.)*\)"
 _OP_RE = re.compile(
-    r"(?P<tm>(?:%s\s+){4}(?P<tmx>%s)\s+(?P<tmy>%s)\s+Tm)"
+    r"(?P<tl>(?P<tlv>%s)\s+TL)"
+    r"|(?P<tm>(?:%s\s+){4}(?P<tmx>%s)\s+(?P<tmy>%s)\s+Tm)"
     r"|(?P<td>(?P<tdx>%s)\s+(?P<tdy>%s)\s+T[dD])"
+    r"|(?P<tstar>T\*)"
     r"|(?P<bt>BT)|(?P<et>ET)"
-    r"|(?P<tj>\((?P<str>(?:[^()\\]|\\.)*)\)\s*Tj)" % (_NUM, _NUM, _NUM, _NUM, _NUM)
+    r"|(?P<tj>(?P<str>%s)\s*(?P<show>Tj|'))"
+    r"|(?P<tja>\[(?P<arr>(?:%s|%s|\s+)*)\]\s*TJ)"
+    % (_NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _STR, _STR, _NUM)
 )
+_ARR_ITEM_RE = re.compile(r"(%s)|(%s)" % (_STR, _NUM))
 _STR_ESC_RE = re.compile(r"\\([()\\nrtbf]|[0-7]{1,3})")
 
 _ESC_MAP = {"(": "(", ")": ")", "\\": "\\", "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
@@ -58,25 +64,59 @@ class GlyphRun:
 
 
 def tokenize_pdf(data: str) -> list:
-    """Content stream text → glyph runs (the dot-reading analog)."""
+    """Content stream text → glyph runs (the dot-reading analog).
+
+    Operator subset: ``Tm`` (set position), ``Td``/``TD`` (translate;
+    TD also sets leading), ``TL`` (leading), ``T*`` (next line),
+    ``(s) Tj`` and ``(s) '`` (show; ``'`` moves to next line first),
+    ``[(a) -120 (b)] TJ`` (array show — strings concatenated, kerning
+    numbers ignored), bracketed by ``BT``/``ET``.
+    """
     runs: list = []
     x = y = 0.0
+    leading = 14.0
     in_text = False
+
+    def emit(s: str, start: int, end: int) -> None:
+        if s and not s.isspace():
+            runs.append(GlyphRun(x=x, y=y, text=s, start=start, end=end))
+
     for m in _OP_RE.finditer(data):
         if m.group("bt"):
             in_text = True
             x = y = 0.0
         elif m.group("et"):
             in_text = False
+        elif m.group("tl"):
+            leading = float(m.group("tlv"))
         elif m.group("tm"):
             x, y = float(m.group("tmx")), float(m.group("tmy"))
         elif m.group("td"):
             x += float(m.group("tdx"))
             y += float(m.group("tdy"))
+            if m.group(0).endswith("TD"):
+                leading = -float(m.group("tdy"))
+        elif m.group("tstar"):
+            y -= leading
         elif m.group("tj") and in_text:
-            s = _unescape_pdf(m.group("str"))
-            if s and not s.isspace():
-                runs.append(GlyphRun(x=x, y=y, text=s, start=m.start("str"), end=m.end("str")))
+            if m.group("show") == "'":
+                y -= leading
+            emit(
+                _unescape_pdf(m.group("str")[1:-1]),
+                m.start("str") + 1,
+                m.end("str") - 1,
+            )
+        elif m.group("tja") and in_text:
+            parts = []
+            first_s = last_e = None
+            for am in _ARR_ITEM_RE.finditer(m.group("arr")):
+                if am.group(1) is not None:
+                    parts.append(_unescape_pdf(am.group(1)[1:-1]))
+                    if first_s is None:
+                        first_s = m.start("arr") + am.start(1) + 1
+                    last_e = m.start("arr") + am.end(1) - 1
+            if parts and first_s is not None:
+                emit("".join(parts), first_s, last_e)
     return runs
 
 

@@ -105,6 +105,21 @@ def test_minhash_lsh_finds_planted_pairs(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_verify_modes_agree(sf_small):
+    """In-group verify (signatures carried) and join-verify (signatures
+    recomputed for candidates only) must produce the same pairs."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    a = minhash_lsh_pairs(docs, threshold=0.8, carry_signatures=True).to_pandas()
+    b = minhash_lsh_pairs(docs, threshold=0.8, carry_signatures=False).to_pandas()
+    key = lambda df: sorted(zip(df["d1"], df["d2"], df["est_jaccard"]))
+    assert key(a) == key(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_by_pairs_keeps_min(sf_small):
     import ray.data as rd
 

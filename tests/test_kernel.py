@@ -154,6 +154,18 @@ def test_pdf_outside_bt_ignored():
     assert [r.text for r in runs] == ["yes"]
 
 
+def test_pdf_tj_array_and_line_ops():
+    # TJ array: strings concatenated, kerning numbers ignored
+    runs = tokenize_pdf("BT 1 0 0 1 72 700 Tm [(Hel) -20 (lo) 5 ( wor) (ld)] TJ ET")
+    assert [r.text for r in runs] == ["Hello world"]
+    # TL + T*: next-line moves down by leading
+    runs = tokenize_pdf("BT 16 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj ET")
+    assert [(r.text, r.y) for r in runs] == [("a", 700.0), ("b", 684.0)]
+    # ': move to next line then show; TD sets leading to -ty
+    runs = tokenize_pdf("BT 1 0 0 1 72 700 Tm 0 -12 TD (a) Tj (b) ' ET")
+    assert [(r.text, r.y) for r in runs] == [("a", 688.0), ("b", 676.0)]
+
+
 @pytest.mark.parametrize("chunked", [False, True])
 def test_chunked_extraction_identical(chunked):
     html = ("<main>" + "".join(f"<p>block {i} with several words</p>" for i in range(200)) + "</main>").encode()
