@@ -274,6 +274,31 @@ def _q_sessionize(sf_dir: str):
     return out.map_batches(to_cents, batch_format="pyarrow")
 
 
+def _q_char_entropy(sf_dir: str):
+    from ocr_lib_ray.functions.text_stats import char_entropy_batch
+
+    return _docs(sf_dir).map_batches(char_entropy_batch, batch_format="pyarrow")
+
+
+def _q_sliding_window(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import sliding_window
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = sliding_window(events, window_seconds=3600, slide_seconds=900)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value_sum")
+        cents = pc.round(pc.multiply(batch.column("value_sum"), 100.0), ndigits=0)
+        return batch.set_column(i, "value_sum_cents", cents.cast(pa.int64()))
+
+    return out.map_batches(to_cents, batch_format="pyarrow")
+
+
 def _q_sample_split(sf_dir: str):
     """Deterministic train/val/test split counts (crc32 keyed — not
     SQL-expressible, rows-only; determinism pinned by unit tests)."""
@@ -327,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "char_entropy": _q_char_entropy,
+        "sliding_window": _q_sliding_window,
         "sample_split": _q_sample_split,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "media_features": _q_media_features,
@@ -518,7 +545,32 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
         """,
-        # lang_id, quality_score, minhash_pairs, dedup_minhash,
-        # simhash_pairs, knn_lsh, media_features: not SQL-expressible
-        # (heuristic / sketch / LSH / binary-payload ops) → rows-only.
+        "char_entropy": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            c AS (SELECT doc_id, ch, count(*) AS cnt, len(any_value(nm)) AS n
+                  FROM d, unnest(str_split(nm, '')) AS u(ch)
+                  WHERE nm <> '' GROUP BY doc_id, ch)
+            SELECT doc_id,
+                   round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6)
+                     AS char_entropy
+            FROM c GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 0.0 FROM d WHERE nm = ''
+        """,
+        "sliding_window": """
+            WITH off AS (SELECT unnest(generate_series(0, 3)) AS i),
+            e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)
+            SELECT event_type,
+                   (ts_us // 900000000) * 900000000 - i * 900000000
+                     AS window_start_us,
+                   count(*) AS n,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_sum_cents,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM e CROSS JOIN off GROUP BY 1, 2
+        """,
+        # minhash_pairs, dedup_minhash, simhash_pairs, knn_lsh,
+        # sample_split, cosine_dups_lsh, media_features: not
+        # SQL-expressible (sketch / LSH / crc32-keyed / binary-payload
+        # ops) → rows-only.
     }

@@ -30,6 +30,10 @@ class ExtractConfig:
     # -- residuals (analog of unknown-sign crops + "*" emission,
     #    core.clj:1637-1672).  Cap is per document, deterministic.
     residual_cap: int = 8
+    # keep the rejected blocks' text (the unknown-sign-CROP analog,
+    # draw-sign core.clj:1071-1133) in a debug column; off by default —
+    # it retains boilerplate bytes in the output
+    keep_residual_texts: bool = False
 
     # -- PDF branch layout clustering (analog of projection-profile row
     #    segmentation, core_helper.clj:675-732): runs whose y differs by

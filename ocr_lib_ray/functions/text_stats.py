@@ -55,6 +55,29 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Shannon entropy (bits) of the normalized text's character
+    distribution — a cheap quality/garbage signal."""
+    import math
+
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    ents = []
+    for t in norm:
+        if not t:
+            ents.append(0.0)
+            continue
+        counts: dict = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(t)
+        ent = -sum((c / n) * math.log2(c / n) for _, c in sorted(counts.items()))
+        ents.append(round(ent, 6))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(ents, pa.float64())],
+        names=["doc_id", "char_entropy"],
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint: md5 hex of normalized text (dedup key)."""
     norm = normalize_expr(batch.column("text")).to_pylist()

@@ -63,6 +63,49 @@ def sessionize(events_ds, gap_seconds: int = 1800):
     return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def sliding_window(events_ds, window_seconds: int = 3600, slide_seconds: int = 900):
+    """Overlapping windows: each event explodes into the window_size /
+    slide windows covering it (vectorized numpy repeat), then the same
+    partial-combine + small groupby as tumbling.  Returns
+    (event_type, window_start_us, n, value_sum, value_min, value_max).
+    """
+    import numpy as np
+
+    window_us = window_seconds * 1_000_000
+    slide_us = slide_seconds * 1_000_000
+    k = window_us // slide_us  # windows covering each event
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist())
+        val = batch.column("value").to_numpy()
+        # last slide-aligned window start covering ts, then k-1 earlier ones
+        last = (ts // slide_us) * slide_us
+        offs = (np.arange(k) * slide_us)[None, :]
+        starts = (last[:, None] - offs).reshape(-1)
+        keep = starts >= 0
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(et, k)[keep]),
+                pa.array(starts[keep], pa.int64()),
+                pa.array(np.repeat(val, k)[keep], pa.float64()),
+            ],
+            names=["event_type", "window_start_us", "value"],
+        )
+
+    partials = events_ds.map_batches(
+        lambda b: partial_window_agg(explode(b)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partials.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("value_sum", alias_name="value_sum"),
+        Min("value_min", alias_name="value_min"),
+        Max("value_max", alias_name="value_max"),
+    )
+
+
 def tumbling_window(events_ds, window_seconds: int = 3600):
     """events → (event_type, window_start_us, n, value_sum, value_min,
     value_max): tumbling count/sum/min/max per type."""

@@ -32,6 +32,7 @@ class ExtractResult:
     text: str
     spans: list = field(default_factory=list)  # dicts: start end block_id kind
     residuals: list = field(default_factory=list)  # rejected block ids, capped
+    residual_texts: list = field(default_factory=list)  # only if cfg.keep_residual_texts
 
 
 def sniff_kind(html: bytes) -> str:
@@ -78,6 +79,7 @@ def extract_document(
     parts = []
     spans = []
     residuals = []
+    residual_texts = []
     out_id = 0
     for bid, blk in enumerate(blocks):
         k = classify(blk, cfg)
@@ -89,6 +91,12 @@ def extract_document(
             out_id += 1
         elif len(residuals) < cfg.residual_cap:
             residuals.append(bid)
+            if cfg.keep_residual_texts:
+                residual_texts.append(blk.text)
     return ExtractResult(
-        doc_kind="html", text="\n".join(parts), spans=spans, residuals=residuals
+        doc_kind="html",
+        text="\n".join(parts),
+        spans=spans,
+        residuals=residuals,
+        residual_texts=residual_texts,
     )

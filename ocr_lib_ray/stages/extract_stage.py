@@ -40,6 +40,7 @@ EXTRACT_SCHEMA = pa.schema(
         ("lang", pa.string()),
         ("doc_kind", pa.string()),
         ("residuals", pa.list_(pa.int32())),
+        ("residual_texts", pa.list_(pa.string())),  # empty unless cfg.keep_residual_texts
         ("partition_id", pa.int32()),
     ]
 )
@@ -81,13 +82,15 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Ta
         if "partition_id" in batch.column_names
         else pa.nulls(batch.num_rows, pa.int32())
     )
-    texts, spans, kinds, residuals = [], [], [], []
+    texts, spans, kinds, residuals, res_texts = [], [], [], [], []
+    raw = htmls.to_pylist()
     for i in range(batch.num_rows):
-        res = extract_document(htmls[i].as_py(), cfg)
+        res = extract_document(raw[i], cfg)
         texts.append(res.text)
         spans.append(res.spans)
         kinds.append(res.doc_kind)
         residuals.append(res.residuals)
+        res_texts.append(res.residual_texts)
     return pa.Table.from_arrays(
         [
             urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
@@ -96,6 +99,7 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Ta
             langs.combine_chunks() if isinstance(langs, pa.ChunkedArray) else langs,
             pa.array(kinds, pa.string()),
             pa.array(residuals, pa.list_(pa.int32())),
+            pa.array(res_texts, pa.list_(pa.string())),
             pids.combine_chunks() if isinstance(pids, pa.ChunkedArray) else pids,
         ],
         schema=EXTRACT_SCHEMA,
