@@ -24,6 +24,35 @@ def golden_map(sf_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pipeline_matches_frozen_golden(sf_small):
+    """The conformance anchor: distributed pipeline output must equal
+    the COMMITTED golden parquet (generated once by the single-threaded
+    kernel via tools/make_golden.py and frozen — the reference's
+    golden-fixture discipline, core_test.clj:3225-3238).  Catches any
+    silent semantic drift of kernel or pipeline."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
+
+    golden = pq2.read_table(
+        os.path.join(os.path.dirname(__file__), "golden_sf0001.parquet")
+    )
+    out = (
+        extract_pipeline(build_pages_dataset(sf_small))
+        .to_pandas()
+        .set_index("url")
+    )
+    g = golden.to_pandas().set_index("url")
+    assert set(out.index) == set(g.index)
+    out = out.loc[g.index]
+    assert (out["text"] == g["text"]).all()
+    assert (out["doc_kind"] == g["doc_kind"]).all()
+    assert out["spans"].map(repr).equals(g["spans"].map(repr))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pipeline_matches_golden(sf_small):
     from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
 
