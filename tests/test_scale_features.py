@@ -77,6 +77,61 @@ def test_take_split_partitions_corpus(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_retry_preserves_byte_identical_output(sf_small, tmp_path):
+    """Every batch fails once (marker files shared across workers); Ray
+    task retries re-run it; final output must be byte-identical to a
+    clean run (kernel purity + idempotence — what makes retries safe at
+    100 TB)."""
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
+    from ocr_lib_ray.stages.partition import add_partition_meta
+
+    marker_dir = str(tmp_path)
+
+    def flaky_once(batch):  # nested → pickled by value for the workers
+        import hashlib
+        import os
+
+        from ocr_lib_ray.stages.extract_stage import extract_batch
+
+        key = hashlib.md5(
+            "|".join(sorted(batch.column("url").to_pylist())).encode()
+        ).hexdigest()
+        mark = os.path.join(marker_dir, key)
+        if not os.path.exists(mark):
+            with open(mark, "w"):
+                pass
+            raise RuntimeError("injected transient failure")
+        return extract_batch(batch)
+
+    pages = build_pages_dataset(sf_small)
+    flaky = (
+        pages.map_batches(
+            lambda b: add_partition_meta(b, 16), batch_format="pyarrow"
+        )
+        .map_batches(
+            flaky_once,
+            batch_format="pyarrow",
+            batch_size=64,
+            retry_exceptions=[RuntimeError],
+            max_retries=3,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    clean = (
+        extract_pipeline(build_pages_dataset(sf_small))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(flaky) == len(clean)
+    assert (flaky["url"] == clean["url"]).all()
+    assert (flaky["text"] == clean["text"]).all()
+    assert len(list(tmp_path.iterdir())) > 0  # failures actually happened
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_cosine_dups_lsh_recall(sf_small):
     import ray.data as rd
 
