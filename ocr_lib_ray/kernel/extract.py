@@ -18,6 +18,7 @@ core_test.clj:12-83).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
@@ -47,9 +48,38 @@ def sniff_kind(html: bytes) -> str:
     return "html"
 
 
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.IGNORECASE
+)
+
+#: charsets honored by the sniffer; everything else falls back to utf-8.
+#: windows-1252 also covers declared latin-1/ascii (WHATWG alias rule:
+#: browsers decode iso-8859-1 as windows-1252).
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "iso-8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+}
+
+
 def decode_bytes(html: bytes) -> str:
-    """utf-8 with replacement — deterministic for any byte input."""
-    return html.decode("utf-8", errors="replace")
+    """Deterministic charset handling (the grayscale-normalize analog):
+    a ``<meta charset=…>`` declaration in the first 1024 bytes selects
+    the decoder (utf-8 or windows-1252 family, per the WHATWG alias
+    rule); otherwise utf-8.  Always ``errors="replace"`` — any byte
+    input decodes to the same string on every run/machine."""
+    m = _CHARSET_RE.search(html[:1024])
+    enc = "utf-8"
+    if m:
+        declared = m.group(1).decode("ascii", "replace").lower()
+        enc = _KNOWN_CHARSETS.get(declared, "utf-8")
+    return html.decode(enc, errors="replace")
 
 
 def extract_document(

@@ -66,6 +66,9 @@ _TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
 
+#: deterministic named-entity subset: the HTML basics plus the names
+#: that actually occur at frequency in web text.  Unknown names pass
+#: through verbatim (part of the golden spec — no silent guessing).
 _NAMED_ENTITIES = {
     "amp": "&",
     "lt": "<",
@@ -73,6 +76,35 @@ _NAMED_ENTITIES = {
     "quot": '"',
     "apos": "'",
     "nbsp": " ",
+    "copy": "©",
+    "reg": "®",
+    "trade": "™",
+    "deg": "°",
+    "middot": "·",
+    "laquo": "«",
+    "raquo": "»",
+    "ldquo": "“",
+    "rdquo": "”",
+    "lsquo": "‘",
+    "rsquo": "’",
+    "ndash": "–",
+    "mdash": "—",
+    "hellip": "…",
+    "bull": "•",
+    "dagger": "†",
+    "sect": "§",
+    "para": "¶",
+    "plusmn": "±",
+    "times": "×",
+    "divide": "÷",
+    "frac12": "½",
+    "frac14": "¼",
+    "frac34": "¾",
+    "euro": "€",
+    "pound": "£",
+    "yen": "¥",
+    "cent": "¢",
+    "shy": "",  # soft hyphen: dropped
 }
 
 

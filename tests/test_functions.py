@@ -84,6 +84,42 @@ def test_media_real_decode_gated():
         MediaDecodeStub(real_decode=True)
 
 
+def test_canonicalize_url():
+    from ocr_lib_ray.functions.urls import canonicalize_url as c
+
+    assert c("HTTP://Example.COM:80/a//b/?utm_source=x&b=2&a=1#frag") == (
+        "http://example.com/a/b?a=1&b=2"
+    )
+    assert c("https://example.com:8443/p/") == "https://example.com:8443/p"
+    assert c("https://example.com/") == "https://example.com/"
+    assert c("https://example.com/?fbclid=123") == "https://example.com/"
+    assert c(c("HTTP://A.B/x//y?z=1")) == c("HTTP://A.B/x//y?z=1")  # idempotent
+
+
+def test_charset_sniffing():
+    from ocr_lib_ray.kernel import extract_document
+
+    # declared windows-1252: 0x93/0x94 are curly quotes
+    html = b'<meta charset="iso-8859-1"><p>\x93quoted words here\x94</p>'
+    res = extract_document(html)
+    assert res.text == "“quoted words here”"
+    # undeclared → utf-8
+    res2 = extract_document("<p>café words here</p>".encode("utf-8"))
+    assert res2.text == "café words here"
+    # declared but unknown charset → utf-8 fallback, never crashes
+    res3 = extract_document(b'<meta charset="klingon"><p>three words here</p>')
+    assert res3.text == "three words here"
+
+
+def test_extended_entities():
+    from ocr_lib_ray.kernel import extract_document
+
+    res = extract_document(
+        b"<p>a &mdash; b &hellip; c &rsquo;d &shy;e &unknown; f</p>"
+    )
+    assert res.text == "a — b … c ’d e &unknown; f"
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_tumbling_window_matches_pandas(sf_small):
     import pandas as pd
