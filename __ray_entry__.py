@@ -182,11 +182,11 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    from ocr_lib_ray.functions.dedup import dedup_by_pairs, minhash_lsh_pairs
+    from ocr_lib_ray.functions.dedup import dedup_connected, minhash_lsh_pairs
 
     docs = _docs(sf_dir)
     pairs = minhash_lsh_pairs(docs, threshold=0.8)
-    return dedup_by_pairs(docs, pairs).select_columns(["doc_id"])
+    return dedup_connected(docs, pairs).select_columns(["doc_id"])
 
 
 def _q_simhash_pairs(sf_dir: str):

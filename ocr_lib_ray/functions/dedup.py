@@ -281,6 +281,60 @@ def _signatures_for(batch: pa.Table, hasher: MinHasher) -> pa.Table:
     )
 
 
+def union_find_components(d1, d2) -> dict:
+    """Connected components of the near-dup graph → {doc_id: root} with
+    root = the component's minimum id.
+
+    Runs on the DRIVER over the pair list — deliberately: the pair set
+    is orders of magnitude smaller than the corpus (it only contains
+    docs that collided in LSH), so union-find here is O(pairs α) with
+    no extra shuffle, while the corpus-side filter stays distributed.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    seen = set()
+    for a, b in zip(d1, d2):
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so every root is its component's minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
+def dedup_connected(docs_ds, pairs_ds, id_col: str = "doc_id"):
+    """Transitive-closure dedup: keep exactly one doc (the min id) per
+    CONNECTED COMPONENT of the pair graph — handles chains a–b, b–c
+    where the greedy pair-min policy could not see a–c.
+
+    Pairs are collected (small by construction), components solved with
+    union-find, and the loser set broadcast into a vectorized filter.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    pdf = pairs_ds.to_pandas()
+    roots = union_find_components(pdf["d1"].tolist(), pdf["d2"].tolist())
+    losers = sorted(x for x, r in roots.items() if r != x)
+    loser_ref = ray.put(pa.array(losers, pa.int64()))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(loser_ref)
+        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=drop)))
+
+    return docs_ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
     """Remove every doc that has a smaller near-dup partner.
 

@@ -142,6 +142,40 @@ def range_ids(n, docs_ds):
     return docs_ds.to_pandas()["doc_id"].tolist()
 
 
+def test_union_find_chain():
+    """Chain a-b, b-c without a-c: component min survives, both others
+    drop — the transitive case greedy pair-min cannot prove."""
+    from ocr_lib_ray.functions.dedup import union_find_components
+
+    roots = union_find_components([10, 20], [20, 30])
+    assert roots == {10: 10, 20: 10, 30: 10}
+    # two components + order independence
+    roots2 = union_find_components([5, 1, 9], [3, 3, 8])
+    assert roots2[5] == 1 and roots2[3] == 1 and roots2[1] == 1
+    assert roots2[9] == 8 and roots2[8] == 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_connected_equals_by_pairs_on_testdata(sf_small):
+    """On the planted testdata the components are small cliques, so the
+    transitive policy and the greedy policy agree — and both drop the
+    right docs."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import (
+        dedup_by_pairs,
+        dedup_connected,
+        minhash_lsh_pairs,
+    )
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    a = set(dedup_connected(docs, pairs).to_pandas()["doc_id"])
+    pairs2 = minhash_lsh_pairs(docs, threshold=0.8)
+    b = set(dedup_by_pairs(docs, pairs2).to_pandas()["doc_id"])
+    assert a == b
+
+
 def test_exact_ngram_pairs_batch_no_ray_broadcast():
     batch = pa.Table.from_arrays(
         [

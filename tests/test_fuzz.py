@@ -39,6 +39,25 @@ def test_arbitrary_bytes_never_crash(b):
     assert r.doc_kind in ("html", "pdf", "empty")
 
 
+pdf_soup = st.text(
+    alphabet=st.sampled_from(list("BT E()[]Tjdm*'\\0123456789.- \nTL")),
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pdf_soup)
+def test_pdf_tokenizer_total(s):
+    from ocr_lib_ray.kernel.pdf import extract_pdf, tokenize_pdf
+    from ocr_lib_ray.config import DEFAULT_CONFIG
+
+    runs = tokenize_pdf(s)
+    text, spans = extract_pdf(s, DEFAULT_CONFIG)
+    assert isinstance(text, str)
+    for r in runs:
+        assert 0 <= r.start <= r.end <= len(s)
+
+
 @settings(max_examples=100, deadline=None)
 @given(html_soup)
 def test_residual_cap_respected(s):
