@@ -190,6 +190,48 @@ def test_manifest_job_and_resume(sf_small, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_write_partitioned_zero_shuffle_sink(sf_small, tmp_path):
+    """The streaming sink (write_parquet partition_cols, no groupby)
+    writes the same rows as the groupby sink and yields footers-based
+    manifests; resume then skips everything."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from ocr_lib_ray.pipelines.extract import (
+        build_pages_dataset,
+        extract_pipeline,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "streamed")
+    r = write_partitioned(
+        extract_pipeline(build_pages_dataset(sf_small)), out, resume=True
+    )
+    assert r["partitions_written"] > 0
+    # total rows across partition dirs == corpus size
+    total = 0
+    for d in os.listdir(os.path.join(out, "data")):
+        for f in os.listdir(os.path.join(out, "data", d)):
+            if f.endswith(".parquet"):
+                total += pq2.ParquetFile(
+                    os.path.join(out, "data", d, f)
+                ).metadata.num_rows
+    assert total == 500
+    # resume: all partitions have manifests → extraction is filtered to 0
+    r2 = write_partitioned(
+        extract_pipeline(build_pages_dataset(sf_small)), out, resume=True
+    )
+    total2 = sum(
+        pq2.ParquetFile(os.path.join(out, "data", d, f)).metadata.num_rows
+        for d in os.listdir(os.path.join(out, "data"))
+        for f in os.listdir(os.path.join(out, "data", d))
+        if f.endswith(".parquet")
+    )
+    assert total2 == 500  # nothing appended on resume
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partition_layout_deterministic(sf_small, tmp_path):
     """Same input → same partition files and checksums across runs
     (url-hash partitioning is stable)."""
