@@ -28,10 +28,18 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+_EMPTY_TOPK = pa.Table.from_arrays(
+    [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+    names=["query_id", "vec_id", "sim"],
+)
+
+
 def local_topk_batch(batch: pa.Table, q_ref, k: int) -> pa.Table:
     """Corpus batch → local top-k rows (query_id, vec_id, sim)."""
     import ray
 
+    if batch.num_rows == 0:  # empty batches occur downstream of filters
+        return _EMPTY_TOPK
     q_ids, q_mat = ray.get(q_ref)  # normalized query matrix, broadcast once
     ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
     m = _normalize_rows(_as_matrix(batch.column("embedding")))
@@ -163,6 +171,8 @@ def knn_lsh(
     q_ref = ray.put({b: (np.array(i), np.stack(v)) for b, (i, v) in by_bucket.items()})
 
     def _bucket_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
         qmap = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         keep = ~np.isin(ids, np.asarray(qset))
@@ -211,6 +221,8 @@ def cosine_dup_pairs_lsh(
     lsh = HyperplaneLSH(dim, n_planes, seed)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
         m = _normalize_rows(_as_matrix(batch.column("embedding")))
         return batch.append_column("bucket", pa.array(lsh.bucket(m), pa.int64()))
 
@@ -248,6 +260,11 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.95):
     ref = ray.put((ids, mat))
 
     def _pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["d1", "d2", "cosine"],
+            )
         all_ids, all_mat = ray.get(ref)
         bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         bmat = _normalize_rows(_as_matrix(batch.column("embedding")))

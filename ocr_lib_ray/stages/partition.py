@@ -28,7 +28,10 @@ def add_partition_meta(batch: pa.Table, num_partitions: int) -> pa.Table:
         dtype=np.int32,
         count=len(urls),
     )
-    lens = pc.binary_length(batch.column("html"))
+    # null html counts as length 0 — a null comparison would yield a null
+    # mask and the skew-route filters would silently DROP the row from
+    # both branches (caught by test_null_html_survives_skew_route)
+    lens = pc.coalesce(pc.binary_length(batch.column("html")), pa.scalar(0, pa.int32()))
     out = batch.append_column("partition_id", pa.array(pids, pa.int32()))
     return out.append_column("html_len", lens.cast(pa.int64()))
 

@@ -6,6 +6,49 @@ import pyarrow as pa
 import pytest
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_null_html_survives_skew_route():
+    """Regression: null html must not vanish from the skew-route split
+    (a null binary_length propagates null through both size filters)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.extract import extract_pipeline
+
+    pages = rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array(["u1", "u2"], pa.string()),
+                pa.array([0, 1], pa.timestamp("us")),
+                pa.array([None, b"<p>three words here</p>"], pa.binary()),
+                pa.array(["", ""], pa.string()),
+                pa.array(["en", "en"], pa.string()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+    )
+    out = extract_pipeline(pages, skew_route=True).to_pandas().sort_values("url")
+    assert list(out["url"]) == ["u1", "u2"]
+    assert list(out["doc_kind"]) == ["empty", "html"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_kernels_accept_empty_batches():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ocr_lib_ray.functions.similarity import local_topk_batch
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"],
+    )
+    q_ref = ray.put((np.array([0]), np.ones((1, 4))))
+    out = local_topk_batch(empty, q_ref, 5)
+    assert out.num_rows == 0 and out.column_names == ["query_id", "vec_id", "sim"]
+
+
 def test_extract_batch_handles_nulls():
     from ocr_lib_ray.stages.extract_stage import extract_batch
 
