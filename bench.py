@@ -36,8 +36,16 @@ SHARDS = 128
 
 
 def pages_shard_dir() -> str:
+    # cache key includes a hash of the generator source: a kernel/template
+    # change invalidates the cached pages automatically (no stale bench)
+    import hashlib
+
+    import ocr_lib_ray.sources.pages as pages_mod
+
+    with open(pages_mod.__file__, "rb") as f:
+        gen_ver = hashlib.md5(f.read()).hexdigest()[:8]
     tag = SF_DIR.strip("/").replace("/", "_")
-    return f"/tmp/graft_pages_{tag}_r{REPEAT}_s{SHARDS}"
+    return f"/tmp/graft_pages_{tag}_r{REPEAT}_s{SHARDS}_{gen_ver}"
 
 
 def prepare_pages(pages_dir: str) -> None:
