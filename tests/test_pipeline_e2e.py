@@ -118,7 +118,9 @@ def test_actor_pool_with_bundle_equivalent(sf_small):
 
     from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
 
-    ref = ray.put({"kind": "classifier-bundle", "version": 1})
+    from ocr_lib_ray.state.bundle import broadcast_bundle, build_bundle
+
+    ref = broadcast_bundle(build_bundle())
     a = (
         extract_pipeline(build_pages_dataset(sf_small), bundle_ref=ref)
         .to_pandas()
