@@ -300,14 +300,17 @@ def _q_sliding_window(sf_dir: str):
 
 
 def _q_sample_split(sf_dir: str):
-    """Deterministic train/val/test split counts (crc32 keyed — not
-    SQL-expressible, rows-only; determinism pinned by unit tests)."""
+    """Deterministic md5-keyed train/val/test split counts."""
     from ray.data.aggregate import Count
 
-    from ocr_lib_ray.functions.sampling import split_dataset
+    from ocr_lib_ray.functions.sampling import add_split_column_md5
 
     return (
-        split_dataset(_docs(sf_dir), "doc_id", test_frac=0.1, val_frac=0.05)
+        _docs(sf_dir)
+        .map_batches(
+            lambda b: add_split_column_md5(b, "doc_id", 0.1, 0.05),
+            batch_format="pyarrow",
+        )
         .groupby("split")
         .aggregate(Count(alias_name="n"))
     )
@@ -569,8 +572,18 @@ def oracle_sql() -> dict[str, str]:
                    max(value) AS value_max
             FROM e CROSS JOIN off GROUP BY 1, 2
         """,
+        # thresholds: 0.1*2^32 = 0x1999999a ; 0.15*2^32 = 0x26666666
+        "sample_split": """
+            WITH s AS (SELECT CASE
+                 WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '1999999a' THEN 'test'
+                 WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '26666666' THEN 'val'
+                 ELSE 'train' END AS split
+               FROM documents)
+            SELECT split, count(*) AS n FROM s GROUP BY split
+        """,
         # minhash_pairs, dedup_minhash, simhash_pairs, knn_lsh,
-        # sample_split, cosine_dups_lsh, media_features: not
-        # SQL-expressible (sketch / LSH / crc32-keyed / binary-payload
-        # ops) → rows-only.
+        # cosine_dups_lsh, media_features: not SQL-expressible
+        # (sketch / LSH / binary-payload ops) → rows-only.
     }

@@ -43,6 +43,33 @@ def add_split_column(
     return batch.append_column("split", pa.array(split, pa.string()))
 
 
+def add_split_column_md5(
+    batch: pa.Table,
+    key_col: str,
+    test_frac: float = 0.1,
+    val_frac: float = 0.0,
+    salt: str = "split",
+) -> pa.Table:
+    """md5-keyed variant: split decided by lexicographic comparison of
+    the first 8 hex chars of ``md5(salt || key)`` against fraction
+    thresholds — bit-identical to the SQL
+    ``substr(md5('salt' || key), 1, 8) < '<hex>'`` (DuckDB-oracleable,
+    unlike crc32 which DuckDB lacks)."""
+    import hashlib
+
+    def hex_threshold(frac: float) -> str:
+        return format(int(frac * (1 << 32)), "08x")
+
+    t_test = hex_threshold(test_frac)
+    t_val = hex_threshold(test_frac + val_frac)
+    keys = batch.column(key_col).to_pylist()
+    split = []
+    for k in keys:
+        h = hashlib.md5((salt + str(k)).encode("utf-8")).hexdigest()[:8]
+        split.append("test" if h < t_test else ("val" if h < t_val else "train"))
+    return batch.append_column("split", pa.array(split, pa.string()))
+
+
 def split_dataset(ds, key_col: str, test_frac: float = 0.1, val_frac: float = 0.0):
     """Dataset → Dataset with a deterministic ``split`` column."""
     return ds.map_batches(
