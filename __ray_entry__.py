@@ -46,6 +46,10 @@ def _q_extract_text(sf_dir: str):
     return _extracted(sf_dir).select_columns(["url", "text", "lang"])
 
 
+def _q_extract_title(sf_dir: str):
+    return _extracted(sf_dir).select_columns(["url", "title"])
+
+
 def _q_extract_spans_stats(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -335,6 +339,7 @@ def _q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
+        "extract_title": _q_extract_title,
         "extract_spans_stats": _q_extract_spans_stats,
         "sniff_kinds": _q_sniff_kinds,
         "extract_by_lang": _q_extract_by_lang,
@@ -378,6 +383,11 @@ def oracle_sql() -> dict[str, str]:
                             AND len(str_split({norm}, ' ')) >= 3
                           THEN chr(10) || {norm} ELSE '' END AS text,
                    lang
+            FROM documents
+        """,
+        "extract_title": """
+            SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
+                   'Document ' || doc_id AS title
             FROM documents
         """,
         "extract_spans_stats": f"""

@@ -31,6 +31,7 @@ from .tokenizer import tokenize, tokenize_chunked
 class ExtractResult:
     doc_kind: str  # "html" | "pdf" | "empty"
     text: str
+    title: str = ""  # first heading block (html) / first block (pdf)
     spans: list = field(default_factory=list)  # dicts: start end block_id kind
     residuals: list = field(default_factory=list)  # rejected block ids, capped
     residual_texts: list = field(default_factory=list)  # only if cfg.keep_residual_texts
@@ -99,7 +100,10 @@ def extract_document(
     data = decode_bytes(html)
     if kind == "pdf":
         text, spans = extract_pdf(data, cfg)
-        return ExtractResult(doc_kind="pdf", text=text, spans=spans)
+        # PDF title heuristic: the first block (top-of-page isolated line
+        # group), matching the HTML first-heading rule on the fixtures
+        title = text.split("\n", 1)[0] if spans and text else ""
+        return ExtractResult(doc_kind="pdf", text=text, title=title, spans=spans)
     doc = (
         tokenize_chunked(data, cfg.chunk_size)
         if chunked or len(data) > cfg.giant_threshold
@@ -110,10 +114,13 @@ def extract_document(
     spans = []
     residuals = []
     residual_texts = []
+    title = ""
     out_id = 0
     for bid, blk in enumerate(blocks):
         k = classify(blk, cfg)
         if k:
+            if k == "heading" and not title:
+                title = blk.text
             parts.append(blk.text)
             spans.append(
                 {"start": blk.start, "end": blk.end, "block_id": out_id, "kind": k}
@@ -126,6 +133,7 @@ def extract_document(
     return ExtractResult(
         doc_kind="html",
         text="\n".join(parts),
+        title=title,
         spans=spans,
         residuals=residuals,
         residual_texts=residual_texts,

@@ -36,6 +36,7 @@ EXTRACT_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("text", pa.string()),
+        ("title", pa.string()),
         ("spans", SPAN_TYPE),
         ("lang", pa.string()),
         ("doc_kind", pa.string()),
@@ -82,11 +83,12 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Ta
         if "partition_id" in batch.column_names
         else pa.nulls(batch.num_rows, pa.int32())
     )
-    texts, spans, kinds, residuals, res_texts = [], [], [], [], []
+    texts, titles, spans, kinds, residuals, res_texts = [], [], [], [], [], []
     raw = htmls.to_pylist()
     for i in range(batch.num_rows):
         res = extract_document(raw[i], cfg)
         texts.append(res.text)
+        titles.append(res.title)
         spans.append(res.spans)
         kinds.append(res.doc_kind)
         residuals.append(res.residuals)
@@ -95,6 +97,7 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Ta
         [
             urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
             pa.array(texts, pa.string()),
+            pa.array(titles, pa.string()),
             pa.array(spans, SPAN_TYPE),
             langs.combine_chunks() if isinstance(langs, pa.ChunkedArray) else langs,
             pa.array(kinds, pa.string()),
