@@ -328,6 +328,12 @@ def _q_cosine_dups_lsh(sf_dir: str):
     )
 
 
+def _q_corpus_clean(sf_dir: str):
+    from ocr_lib_ray.pipelines.corpus import clean_corpus
+
+    return clean_corpus(_pages(sf_dir))
+
+
 def _q_media_features(sf_dir: str):
     from ocr_lib_ray.functions.multimodal import media_features
 
@@ -364,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "sample_split": _q_sample_split,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
+        "corpus_clean": _q_corpus_clean,
         "media_features": _q_media_features,
     }
 
@@ -592,6 +599,19 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'train' END AS split
                FROM documents)
             SELECT split, count(*) AS n FROM s GROUP BY split
+        """,
+        "corpus_clean": f"""
+            WITH gold AS (
+              SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
+                     'Document ' || doc_id ||
+                       CASE WHEN {norm} <> ''
+                              AND len(str_split({norm}, ' ')) >= 3
+                            THEN chr(10) || {norm} ELSE '' END AS text
+              FROM documents),
+            dedup AS (SELECT md5(text) AS fp, min(url) AS url,
+                             min(len(text)) AS text_chars
+                      FROM gold GROUP BY md5(text))
+            SELECT url, text_chars FROM dedup WHERE text_chars >= 40
         """,
         # minhash_pairs, dedup_minhash, simhash_pairs, knn_lsh,
         # cosine_dups_lsh, media_features: not SQL-expressible
