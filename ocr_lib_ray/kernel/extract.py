@@ -37,6 +37,36 @@ class ExtractResult:
     residual_texts: list = field(default_factory=list)  # only if cfg.keep_residual_texts
 
 
+_BASE64_RE = re.compile(rb"^[A-Za-z0-9+/\s]*={0,2}\s*$")
+
+
+def maybe_decode_base64(html: bytes) -> bytes:
+    """Transparent base64 unwrap (``read-base64-image-fn`` parity,
+    core.clj:190-208: the reference's public API accepts base64 payloads).
+
+    Deterministic rule: a payload that contains no ``<`` in its first
+    512 bytes, is ≥ 16 bytes, and consists solely of the base64
+    alphabet is strictly decoded; the decode is kept only if the result
+    starts with a known document magic (tag or ``%PDF-``).  A real HTML
+    page always contains ``<`` (not in the base64 alphabet), so the
+    rule cannot misfire on plain documents.
+    """
+    if len(html) < 16 or b"<" in html[:512]:
+        return html
+    if not _BASE64_RE.match(html):
+        return html
+    import base64
+
+    try:
+        decoded = base64.b64decode(html, validate=False)
+    except Exception:
+        return html
+    head = decoded[:512].lstrip()
+    if head.startswith(b"%PDF-") or head.startswith(b"<"):
+        return decoded
+    return html
+
+
 def sniff_kind(html: bytes) -> str:
     """Content sniff on leading bytes (format-sniffing analog)."""
     if html is None:
@@ -94,6 +124,8 @@ def extract_document(
     capped at ``cfg.residual_cap`` per document (per-DOCUMENT, unlike the
     reference's per-thread cap — see config.py).
     """
+    if html:
+        html = maybe_decode_base64(html)
     kind = sniff_kind(html)
     if kind == "empty":
         return ExtractResult(doc_kind="empty", text="")
