@@ -94,8 +94,20 @@ def minhash_band_rows(
     bands: int,
     id_col: str = "doc_id",
     text_is_norm: bool = False,
+    group_buckets: int = 1,
 ) -> pa.Table:
-    """documents batch → exploded (band, band_hash, doc_id, signature)."""
+    """documents batch → exploded (band, bucket, band_hash, doc_id,
+    signature).
+
+    ``bucket = band_hash % group_buckets`` is the shuffle key partner of
+    ``band``: grouping on (band, bucket) bounds every group to roughly
+    ``corpus / group_buckets`` rows (a (band, band_hash) key would make
+    near-singleton groups — per-group Python dispatch dominates — while
+    band alone makes corpus-sized groups that cannot materialize at
+    10^12 docs).  Size ``group_buckets ≈ corpus_rows / 100_000``; rows
+    with equal band_hash always share a bucket, so candidate recall is
+    unaffected (tested equal across bucket counts).
+    """
     ids = batch.column(id_col).to_pylist()
     norm = (
         batch.column("text").to_pylist()
@@ -113,14 +125,16 @@ def minhash_band_rows(
             out_hash.append(zlib.crc32(chunk))
             out_id.append(doc_id)
             out_sig.append(sig_bytes)
+    hash_arr = np.asarray(out_hash, dtype=np.uint32)
     return pa.Table.from_arrays(
         [
             pa.array(out_band, pa.int32()),
-            pa.array(out_hash, pa.uint32()),
+            pa.array((hash_arr % np.uint32(max(group_buckets, 1))).astype(np.int32)),
+            pa.array(hash_arr, pa.uint32()),
             pa.array(out_id, pa.int64()),
             pa.array(out_sig, pa.binary()),
         ],
-        names=["band", "band_hash", "doc_id", "signature"],
+        names=["band", "bucket", "band_hash", "doc_id", "signature"],
     )
 
 
@@ -167,6 +181,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     carry_signatures: bool = True,
+    group_buckets: int = 1,
 ):
     """Dataset of documents → Dataset of near-dup pairs (d1 < d2) with
     signature-estimated Jaccard.
@@ -189,11 +204,11 @@ def minhash_lsh_pairs(
 
     if carry_signatures:
         band_rows = docs_ds.map_batches(
-            lambda b: minhash_band_rows(b, hasher, bands),
+            lambda b: minhash_band_rows(b, hasher, bands, group_buckets=group_buckets),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        pairs = band_rows.groupby("band").map_groups(
+        pairs = band_rows.groupby(["band", "bucket"]).map_groups(
             lambda g: _pairs_from_band(g, threshold), batch_format="pandas"
         )
         # a pair can surface in several bands → keep one row (max estimate)
@@ -204,7 +219,9 @@ def minhash_lsh_pairs(
     import ray
 
     band_rows = docs_ds.map_batches(
-        lambda b: minhash_band_rows(b, hasher, bands).drop_columns(["signature"]),
+        lambda b: minhash_band_rows(
+            b, hasher, bands, group_buckets=group_buckets
+        ).drop_columns(["signature"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -221,7 +238,7 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"d1": d1, "d2": d2}).astype({"d1": "int64", "d2": "int64"})
 
     cand = (
-        band_rows.groupby("band")
+        band_rows.groupby(["band", "bucket"])
         .map_groups(candidates_in_band, batch_format="pandas")
         .groupby(["d1", "d2"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
@@ -376,11 +393,13 @@ def simhash64(text: str) -> int:
     return int(fp)
 
 
-def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
-    """documents → (band, band_key, doc_id, fingerprint) rows.
+def simhash_band_rows(batch: pa.Table, bands: int = 4, group_buckets: int = 1) -> pa.Table:
+    """documents → (band, bucket, band_key, doc_id, fingerprint) rows.
 
     4 bands × 16 bits: any pair at hamming distance ≤ 3 collides in ≥ 1
     band (pigeonhole), so in-group hamming verify is exhaustive for k≤3.
+    ``bucket = band_key % group_buckets`` bounds group sizes at scale
+    (see minhash_band_rows).
     """
     ids = batch.column("doc_id").to_pylist()
     norm = normalize_expr(batch.column("text")).to_pylist()
@@ -394,14 +413,16 @@ def simhash_band_rows(batch: pa.Table, bands: int = 4) -> pa.Table:
             ok.append((fp >> (b * width)) & mask)
             oi.append(doc_id)
             of.append(fp)
+    key_arr = np.asarray(ok, dtype=np.uint64)
     return pa.Table.from_arrays(
         [
             pa.array(ob, pa.int32()),
-            pa.array(ok, pa.uint64()),
+            pa.array((key_arr % np.uint64(max(group_buckets, 1))).astype(np.int32)),
+            pa.array(key_arr, pa.uint64()),
             pa.array(oi, pa.int64()),
             pa.array(of, pa.uint64()),
         ],
-        names=["band", "band_key", "doc_id", "fingerprint"],
+        names=["band", "bucket", "band_key", "doc_id", "fingerprint"],
     )
 
 
@@ -426,11 +447,13 @@ def _simhash_pairs_band(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     )
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4):
+def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4, group_buckets: int = 1):
     rows = docs_ds.map_batches(
-        lambda b: simhash_band_rows(b, bands), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: simhash_band_rows(b, bands, group_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    pairs = rows.groupby("band").map_groups(
+    pairs = rows.groupby(["band", "bucket"]).map_groups(
         lambda g: _simhash_pairs_band(g, max_hamming), batch_format="pandas"
     )
     from ray.data.aggregate import Min

@@ -105,6 +105,21 @@ def test_minhash_lsh_finds_planted_pairs(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_group_buckets_invariant(sf_small):
+    """Candidate recall must be identical at any group_buckets value
+    (equal band_hash always lands in the same bucket)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    a = minhash_lsh_pairs(docs, threshold=0.8, group_buckets=1).to_pandas()
+    b = minhash_lsh_pairs(docs, threshold=0.8, group_buckets=64).to_pandas()
+    key = lambda df: sorted(zip(df["d1"], df["d2"], df["est_jaccard"]))
+    assert key(a) == key(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_minhash_verify_modes_agree(sf_small):
     """In-group verify (signatures carried) and join-verify (signatures
     recomputed for candidates only) must produce the same pairs."""
