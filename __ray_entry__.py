@@ -328,6 +328,25 @@ def _q_cosine_dups_lsh(sf_dir: str):
     )
 
 
+def _q_heavy_hitters(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import heavy_hitters
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return heavy_hitters(events, k=10)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL sketch — approximate; rows-only (accuracy pinned in tests)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sketches import approx_distinct_users_per_type
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_users_per_type(events)
+
+
 def _q_corpus_clean(sf_dir: str):
     from ocr_lib_ray.pipelines.corpus import clean_corpus
 
@@ -371,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _q_sample_split,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
+        "heavy_hitters": _q_heavy_hitters,
+        "approx_distinct": _q_approx_distinct,
         "media_features": _q_media_features,
     }
 
@@ -613,7 +634,17 @@ def oracle_sql() -> dict[str, str]:
                       FROM gold GROUP BY md5(text))
             SELECT url, text_chars FROM dedup WHERE text_chars >= 40
         """,
+        "heavy_hitters": """
+            WITH t AS (SELECT user_id,
+                              CAST(round(sum(value) * 100, 0) AS BIGINT)
+                                AS value_sum_cents,
+                              count(*) AS n
+                       FROM events GROUP BY user_id)
+            SELECT user_id, value_sum_cents, n FROM t
+            ORDER BY value_sum_cents DESC, user_id ASC LIMIT 10
+        """,
         # minhash_pairs, dedup_minhash, simhash_pairs, knn_lsh,
-        # cosine_dups_lsh, media_features: not SQL-expressible
-        # (sketch / LSH / binary-payload ops) → rows-only.
+        # cosine_dups_lsh, approx_distinct (HLL estimate), media_features:
+        # not SQL-expressible (sketch / LSH / binary-payload ops) →
+        # rows-only.
     }

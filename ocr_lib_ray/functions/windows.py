@@ -31,6 +31,36 @@ def partial_window_agg(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def heavy_hitters(events_ds, k: int = 10):
+    """Top-k users by total value — partial per-batch combine, small
+    groupby over partials, sort/limit on the aggregate only.  Returns
+    (user_id, value_sum_cents, n) with deterministic tie-break
+    (sum desc, user_id asc)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "value"]).to_pandas()
+        g = df.groupby("user_id", sort=False)["value"].agg(n="count", value_sum="sum").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = partials.groupby("user_id").aggregate(
+        Sum("value_sum", alias_name="value_sum"), Sum("n", alias_name="n")
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("value_sum"), 100.0), ndigits=0)
+        i = batch.column_names.index("value_sum")
+        return batch.set_column(i, "value_sum_cents", cents.cast(pa.int64()))
+
+    return (
+        totals.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["value_sum_cents", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def sessionize(events_ds, gap_seconds: int = 1800):
     """Session windows per user: events sorted by ts within a user group;
     a gap > ``gap_seconds`` starts a new session.  Expressed as
