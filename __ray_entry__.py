@@ -328,6 +328,18 @@ def _q_cosine_dups_lsh(sf_dir: str):
     )
 
 
+def _q_redact_pii(sf_dir: str):
+    from ocr_lib_ray.functions.redact import redact_batch
+
+    return _docs(sf_dir).map_batches(redact_batch, batch_format="pyarrow")
+
+
+def _q_bpe_token_count(sf_dir: str):
+    from ocr_lib_ray.functions.redact import bpe_token_count_batch
+
+    return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def _q_heavy_hitters(sf_dir: str):
     import ray.data as rd
 
@@ -390,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _q_sample_split,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
+        "redact_pii": _q_redact_pii,
+        "bpe_token_count": _q_bpe_token_count,
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "media_features": _q_media_features,
@@ -633,6 +647,24 @@ def oracle_sql() -> dict[str, str]:
                              min(len(text)) AS text_chars
                       FROM gold GROUP BY md5(text))
             SELECT url, text_chars FROM dedup WHERE text_chars >= 40
+        """,
+        # patterns imported from the SAME module the Ray op uses
+        # (RE2-compatible; python-re/DuckDB agreement verified in tests)
+        "redact_pii": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '\\b[0-9]{9,}\\b', '<NUM>', 'g'),
+                     '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "heavy_hitters": """
             WITH t AS (SELECT user_id,
