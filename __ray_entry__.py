@@ -340,6 +340,12 @@ def _q_bpe_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
 
 
+def _q_line_dedup(sf_dir: str):
+    from ocr_lib_ray.functions.linedup import remove_common_lines
+
+    return remove_common_lines(_docs(sf_dir), max_df=1)
+
+
 def _q_heavy_hitters(sf_dir: str):
     import ray.data as rd
 
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _q_sample_split,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
+        "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "bpe_token_count": _q_bpe_token_count,
         "heavy_hitters": _q_heavy_hitters,
@@ -647,6 +654,14 @@ def oracle_sql() -> dict[str, str]:
                              min(len(text)) AS text_chars
                       FROM gold GROUP BY md5(text))
             SELECT url, text_chars FROM dedup WHERE text_chars >= 40
+        """,
+        # documents.text has no newlines, so each doc is one "line":
+        # docs sharing their exact text with another doc are blanked
+        "line_dedup": """
+            WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY text)
+            SELECT d.doc_id,
+                   CASE WHEN c.n > 1 THEN '' ELSE d.text END AS text
+            FROM documents d JOIN c ON d.text = c.text
         """,
         # patterns imported from the SAME module the Ray op uses
         # (RE2-compatible; python-re/DuckDB agreement verified in tests)

@@ -1,0 +1,90 @@
+"""Cross-document repeated-line removal (C4-style corpus cleaning).
+
+Lines (\\n-separated units of extracted text) that occur in more than
+``max_df`` documents are boilerplate the per-page classifier could not
+see (chrome rendered into main content, cookie text, share prompts).
+
+Two passes, both shuffle-light:
+
+1. line-frequency: per-batch DISTINCT (line_hash, 1) partials →
+   groupby(line_hash) Sum → filter count > max_df.  The surviving hot
+   set is tiny (boilerplate lines are by definition few and frequent) →
+   collected and broadcast with ``ray.put``.
+2. rewrite: vectorized per-batch filter of each document's lines
+   against the broadcast hot set.
+
+Deterministic: line identity = md5 of the exact line bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+
+def _line_hash(line: str) -> str:
+    return hashlib.md5(line.encode("utf-8")).hexdigest()
+
+
+def line_df_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One (line_hash, n=1) row per DISTINCT line per document."""
+    hashes = []
+    for t in batch.column(text_col).to_pylist():
+        if not t:
+            continue
+        seen = set()
+        for line in t.split("\n"):
+            if line and line not in seen:
+                seen.add(line)
+                hashes.append(_line_hash(line))
+    return pa.Table.from_arrays(
+        [pa.array(hashes, pa.string()), pa.array([1] * len(hashes), pa.int64())],
+        names=["line_hash", "n"],
+    )
+
+
+def hot_lines(ds, text_col: str = "text", max_df: int = 1):
+    """Line hashes appearing in more than ``max_df`` documents (small)."""
+    import pyarrow.compute as pc
+
+    counts = (
+        ds.map_batches(
+            lambda b: line_df_partials(b, text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("line_hash")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n"), max_df)), batch_format="pyarrow"
+    )
+    vals = hot.unique("line_hash")  # None when no line exceeds max_df
+    return set(vals) if vals else set()
+
+
+def remove_common_lines(ds, text_col: str = "text", max_df: int = 1):
+    """Rewrite ``text`` dropping lines shared by > max_df documents.
+
+    Returns the dataset with ``text`` replaced (other columns intact).
+    """
+    import ray
+
+    hot_ref = ray.put(hot_lines(ds, text_col, max_df))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        texts = batch.column(text_col).to_pylist()
+        out = []
+        for t in texts:
+            if not t:
+                out.append(t)
+                continue
+            kept = [ln for ln in t.split("\n") if _line_hash(ln) not in hot]
+            out.append("\n".join(kept))
+        i = batch.column_names.index(text_col)
+        return batch.set_column(i, text_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

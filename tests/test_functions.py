@@ -121,6 +121,37 @@ def test_extended_entities():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_remove_common_lines():
+    """Lines shared across >1 doc are removed; unique lines survive."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.linedup import remove_common_lines
+
+    docs = rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array([1, 2, 3], pa.int64()),
+                pa.array(
+                    [
+                        "unique alpha\nShare this article\nunique beta",
+                        "Share this article\nother unique line",
+                        "totally distinct document",
+                    ],
+                    pa.string(),
+                ),
+            ],
+            names=["doc_id", "text"],
+        )
+    )
+    out = remove_common_lines(docs, max_df=1).to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == [
+        "unique alpha\nunique beta",
+        "other unique line",
+        "totally distinct document",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_tumbling_window_matches_pandas(sf_small):
     import pandas as pd
     import pyarrow.parquet as pq
