@@ -340,6 +340,12 @@ def _q_bpe_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
 
 
+def _q_chunk_documents(sf_dir: str):
+    from ocr_lib_ray.functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), size=32, overlap=8)
+
+
 def _q_line_dedup(sf_dir: str):
     from ocr_lib_ray.functions.linedup import remove_common_lines
 
@@ -408,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _q_sample_split,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
+        "chunk_documents": _q_chunk_documents,
         "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "bpe_token_count": _q_bpe_token_count,
@@ -654,6 +661,27 @@ def oracle_sql() -> dict[str, str]:
                              min(len(text)) AS text_chars
                       FROM gold GROUP BY md5(text))
             SELECT url, text_chars FROM dedup WHERE text_chars >= 40
+        """,
+        # size=32, overlap=8 → stride 24; chunk count = 1 if n<=32 else
+        # 1 + ceil((n-32)/24); slices are 1-based inclusive in DuckDB
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, str_split({norm}, ' ') AS ws,
+                              len(str_split({norm}, ' ')) AS n
+                       FROM documents WHERE {norm} <> ''),
+            k AS (SELECT doc_id, ws, n,
+                         CASE WHEN n <= 32 THEN 1
+                              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT)
+                         END AS nchunks
+                  FROM t),
+            c AS (SELECT doc_id, ws, n,
+                         unnest(generate_series(1, nchunks)) - 1 AS cid
+                  FROM k)
+            SELECT doc_id,
+                   CAST(cid AS INTEGER) AS chunk_id,
+                   array_to_string(ws[cid * 24 + 1 : least(cid * 24 + 32, n)], ' ')
+                     AS chunk_text,
+                   least(cid * 24 + 32, n) - cid * 24 AS n_tokens
+            FROM c
         """,
         # documents.text has no newlines, so each doc is one "line":
         # docs sharing their exact text with another doc are blanked

@@ -1,0 +1,63 @@
+"""Token-bounded document chunking (training-data op): split each
+document into fixed-size token windows with overlap — the map step
+before context-window packing in an LLM data pipeline.
+
+Chunk boundaries are a pure function of the normalized token list:
+chunk i covers tokens [i*stride, i*stride + size), stride = size -
+overlap, last chunk keeps the tail (never empty, never duplicated).
+Row-wise map, no shuffle; output one row per chunk.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .text_stats import normalize_expr
+
+
+def chunk_spans(n_tokens: int, size: int, overlap: int):
+    """[(start, end)] token windows; deterministic, tail-preserving."""
+    if n_tokens <= 0:
+        return []
+    stride = size - overlap
+    assert stride > 0, "overlap must be smaller than size"
+    spans = []
+    start = 0
+    while True:
+        end = min(start + size, n_tokens)
+        spans.append((start, end))
+        if end >= n_tokens:
+            return spans
+        start += stride
+
+
+def chunk_documents_batch(
+    batch: pa.Table, size: int = 32, overlap: int = 8, id_col: str = "doc_id"
+) -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    out_id, out_chunk, out_text, out_n = [], [], [], []
+    for doc_id, t in zip(ids, norm):
+        toks = t.split(" ") if t else []
+        for ci, (s, e) in enumerate(chunk_spans(len(toks), size, overlap)):
+            out_id.append(doc_id)
+            out_chunk.append(ci)
+            out_text.append(" ".join(toks[s:e]))
+            out_n.append(e - s)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_id, pa.int64()),
+            pa.array(out_chunk, pa.int32()),
+            pa.array(out_text, pa.string()),
+            pa.array(out_n, pa.int64()),
+        ],
+        names=["doc_id", "chunk_id", "chunk_text", "n_tokens"],
+    )
+
+
+def chunk_documents(docs_ds, size: int = 32, overlap: int = 8):
+    return docs_ds.map_batches(
+        lambda b: chunk_documents_batch(b, size, overlap),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -120,6 +120,34 @@ def test_extended_entities():
     assert res.text == "a — b … c ’d e &unknown; f"
 
 
+def test_chunk_spans_golden():
+    from ocr_lib_ray.functions.chunking import chunk_spans
+
+    assert chunk_spans(10, 32, 8) == [(0, 10)]
+    assert chunk_spans(32, 32, 8) == [(0, 32)]
+    assert chunk_spans(33, 32, 8) == [(0, 32), (24, 33)]
+    assert chunk_spans(57, 32, 8) == [(0, 32), (24, 56), (48, 57)]
+    assert chunk_spans(0, 32, 8) == []
+    # consecutive chunks overlap by exactly `overlap` until the tail
+    spans = chunk_spans(200, 32, 8)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 == s1 + 24
+
+
+def test_chunk_documents_batch():
+    from ocr_lib_ray.functions.chunking import chunk_documents_batch
+
+    batch = pa.Table.from_arrays(
+        [pa.array([1], pa.int64()), pa.array([" ".join(f"w{i}" for i in range(40))], pa.string())],
+        names=["doc_id", "text"],
+    )
+    out = chunk_documents_batch(batch, size=32, overlap=8)
+    assert out.column("chunk_id").to_pylist() == [0, 1]
+    assert out.column("n_tokens").to_pylist() == [32, 16]
+    t0, t1 = out.column("chunk_text").to_pylist()
+    assert t0.split(" ")[0] == "w0" and t1.split(" ")[0] == "w24"
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_remove_common_lines():
     """Lines shared across >1 doc are removed; unique lines survive."""
