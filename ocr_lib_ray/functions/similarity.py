@@ -115,14 +115,20 @@ def knn_brute(emb_ds, query_ids, k: int = 5, exclude_self: bool = True):
 
 
 class HyperplaneLSH:
-    """Random-hyperplane sign buckets (stateful: planes built per actor)."""
+    """Random-hyperplane sign buckets (stateful: planes built per actor).
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+    ``n_tables`` independent plane sets (the standard multi-table LSH
+    construction): a pair missed by one table can collide in another —
+    recall 1-(1-p)^T instead of p.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42, n_tables: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+        self.n_tables = n_tables
 
-    def bucket(self, m: np.ndarray) -> np.ndarray:
-        signs = (m @ self.planes.T) > 0
+    def bucket(self, m: np.ndarray, table: int = 0) -> np.ndarray:
+        signs = (m @ self.planes[table].T) > 0
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
 
 
@@ -134,18 +140,20 @@ def knn_lsh(
     dim: int = 64,
     seed: int = 42,
     probes: int = 1,
+    n_tables: int = 4,
 ):
-    """ANN: score only corpus vectors in each query's LSH bucket(s).
+    """ANN: score only corpus vectors sharing an LSH bucket with the
+    query in at least one of ``n_tables`` independent tables.
 
-    Multi-probe: ``probes=1`` also searches every bucket at hamming
-    distance 1 from the query's bucket (flip one hyperplane sign) —
-    the standard recall/cost knob.  Recall < 1 by construction;
-    measured against knn_brute in tests.
+    Recall knobs, both standard: multi-probe (``probes=1`` also searches
+    every hamming-1 bucket of each table) and multi-table (a pair
+    missed by one plane set can collide in another).  Recall < 1 by
+    construction; measured against knn_brute in tests.
     """
     import pyarrow.compute as pc
     import ray
 
-    lsh = HyperplaneLSH(dim, n_planes, seed)
+    lsh = HyperplaneLSH(dim, n_planes, seed, n_tables=n_tables)
     qset = pa.array(sorted(query_ids), pa.int64())
     q_tbl = pa.concat_tables(
         list(
@@ -157,41 +165,50 @@ def knn_lsh(
     )
     q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
     q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))
-    q_buckets = lsh.bucket(q_mat)
-    # queries grouped by bucket (plus hamming-1 probe buckets), broadcast once
-    by_bucket: dict = {}
-    for qid, qv, qb in zip(q_ids, q_mat, q_buckets):
-        probe_buckets = {int(qb)}
-        if probes >= 1:
-            probe_buckets |= {int(qb) ^ (1 << p) for p in range(n_planes)}
-        for pb in probe_buckets:
-            by_bucket.setdefault(pb, ([], []))
-            by_bucket[pb][0].append(int(qid))
-            by_bucket[pb][1].append(qv)
-    q_ref = ray.put({b: (np.array(i), np.stack(v)) for b, (i, v) in by_bucket.items()})
+    # per table: queries grouped by (probed) bucket, broadcast once
+    tables: list = []
+    for t in range(n_tables):
+        q_buckets = lsh.bucket(q_mat, t)
+        by_bucket: dict = {}
+        for qid, qv, qb in zip(q_ids, q_mat, q_buckets):
+            probe_buckets = {int(qb)}
+            if probes >= 1:
+                probe_buckets |= {int(qb) ^ (1 << p) for p in range(n_planes)}
+            for pb in probe_buckets:
+                by_bucket.setdefault(pb, ([], []))
+                by_bucket[pb][0].append(int(qid))
+                by_bucket[pb][1].append(qv)
+        tables.append({b: (np.array(i), np.stack(v)) for b, (i, v) in by_bucket.items()})
+    q_ref = ray.put(tables)
 
     def _bucket_topk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _EMPTY_TOPK
-        qmap = ray.get(q_ref)
+        qtables = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         keep = ~np.isin(ids, np.asarray(qset))
         m = _normalize_rows(_as_matrix(batch.column("embedding")))
-        buckets = lsh.bucket(m)
+        seen: set = set()  # (query, vec) scored once across tables
         out_q, out_v, out_s = [], [], []
-        for b, (bq_ids, bq_mat) in qmap.items():
-            sel = keep & (buckets == b)
-            if not sel.any():
-                continue
-            sims = bq_mat @ m[sel].T
-            sub_ids = ids[sel]
-            k_eff = min(k, sims.shape[1])
-            for qi in range(sims.shape[0]):
-                idx = np.argpartition(-sims[qi], k_eff - 1)[:k_eff]
-                for j in idx:
-                    out_q.append(int(bq_ids[qi]))
-                    out_v.append(int(sub_ids[j]))
-                    out_s.append(round(float(sims[qi, j]), 9))
+        for t, qmap in enumerate(qtables):
+            buckets = lsh.bucket(m, t)
+            for b, (bq_ids, bq_mat) in qmap.items():
+                sel = keep & (buckets == b)
+                if not sel.any():
+                    continue
+                sims = bq_mat @ m[sel].T
+                sub_ids = ids[sel]
+                k_eff = min(k, sims.shape[1])
+                for qi in range(sims.shape[0]):
+                    idx = np.argpartition(-sims[qi], k_eff - 1)[:k_eff]
+                    for j in idx:
+                        key = (int(bq_ids[qi]), int(sub_ids[j]))
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        out_q.append(key[0])
+                        out_v.append(key[1])
+                        out_s.append(round(float(sims[qi, j]), 9))
         return pa.Table.from_arrays(
             [
                 pa.array(out_q, pa.int64()),
@@ -208,27 +225,60 @@ def knn_lsh(
 
 
 def cosine_dup_pairs_lsh(
-    emb_ds, threshold: float = 0.95, n_planes: int = 4, dim: int = 64, seed: int = 42
+    emb_ds,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
 ):
-    """Embedding near-dup at scale: LSH-bucket the corpus (hyperplane
-    signs), then exact cosine verification INSIDE each bucket group —
-    the same in-group verify pattern as minhash (vectors ride in the
-    group rows; no broadcast, no second join).  Recall < 1 for pairs
-    whose bucket differs; measured against the brute path in tests.
+    """Embedding near-dup at scale: LSH-bucket the corpus per table
+    (hyperplane signs, ``n_tables`` independent plane sets), exact
+    cosine verification INSIDE each (table, bucket) group — the same
+    in-group verify pattern as minhash (vectors ride in the group rows;
+    no broadcast, no second join) — then one tiny groupby dedupes pairs
+    found by several tables.  Recall < 1 for pairs that collide in no
+    table; measured against the brute path in tests.
     """
     import pandas as pd
+    from ray.data.aggregate import Max
 
-    lsh = HyperplaneLSH(dim, n_planes, seed)
+    lsh = HyperplaneLSH(dim, n_planes, seed, n_tables=n_tables)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    def explode_tables(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("bucket", pa.array([], pa.int64()))
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int32()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.list_(pa.float32())),
+                ],
+                names=["table", "bucket", "vec_id", "embedding"],
+            )
         m = _normalize_rows(_as_matrix(batch.column("embedding")))
-        return batch.append_column("bucket", pa.array(lsh.bucket(m), pa.int64()))
+        parts = []
+        for t in range(n_tables):
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array([t] * batch.num_rows, pa.int32()),
+                        pa.array(lsh.bucket(m, t), pa.int64()),
+                        batch.column("vec_id"),
+                        batch.column("embedding"),
+                    ],
+                    names=["table", "bucket", "vec_id", "embedding"],
+                )
+            )
+        return pa.concat_tables(parts)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id").reset_index(drop=True)
+        g = g.drop_duplicates("vec_id").sort_values("vec_id").reset_index(drop=True)
         ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"d1": [], "d2": [], "cosine": []}).astype(
+                {"d1": "int64", "d2": "int64", "cosine": "float64"}
+            )
         m = _normalize_rows(np.asarray(list(g["embedding"]), dtype=np.float64))
         sims = m @ m.T
         iu, ju = np.triu_indices(len(ids), 1)
@@ -241,8 +291,11 @@ def cosine_dup_pairs_lsh(
             }
         )
 
-    buckets = emb_ds.map_batches(add_bucket, batch_format="pyarrow")
-    return buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    buckets = emb_ds.map_batches(explode_tables, batch_format="pyarrow")
+    pairs = buckets.groupby(["table", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return pairs.groupby(["d1", "d2"]).aggregate(Max("cosine", alias_name="cosine"))
 
 
 def cosine_dup_pairs(emb_ds, threshold: float = 0.95):

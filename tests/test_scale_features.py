@@ -182,8 +182,9 @@ def test_cosine_dups_lsh_recall(sf_small):
 
     emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
     brute = cosine_dup_pairs(emb, threshold=0.4).to_pandas()
-    lsh = cosine_dup_pairs_lsh(emb, threshold=0.4, n_planes=2).to_pandas()
+    lsh = cosine_dup_pairs_lsh(emb, threshold=0.4, n_planes=2, n_tables=4).to_pandas()
     got = set(zip(lsh["d1"], lsh["d2"]))
     want = set(zip(brute["d1"], brute["d2"]))
     assert got <= want  # no false positives (exact in-bucket verify)
-    assert len(got) >= 0.3 * max(len(want), 1)  # recall floor at 2 planes
+    # multi-table: measured 0.97 on this fixture; floor with margin
+    assert len(got) >= 0.7 * max(len(want), 1)

@@ -42,7 +42,7 @@ def test_knn_lsh_recall(sf_small):
     from ocr_lib_ray.functions.similarity import knn_lsh
 
     emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
-    got = knn_lsh(emb, query_ids=list(range(10)), k=5, n_planes=4).to_pandas()
+    got = knn_lsh(emb, query_ids=list(range(10)), k=5, n_planes=4, n_tables=4).to_pandas()
     oracle = numpy_topk(sf_small, list(range(10)), 5)
     hits = total = 0
     for qid, nb in oracle.items():
@@ -50,7 +50,8 @@ def test_knn_lsh_recall(sf_small):
         hits += len(found & nb)
         total += len(nb)
     recall = hits / total
-    assert recall >= 0.2, recall  # ANN tradeoff; brute path is the exact one
+    # multi-table LSH: measured 0.94 on this fixture; floor with margin
+    assert recall >= 0.6, recall
 
 
 @pytest.mark.usefixtures("ray_session")
