@@ -346,6 +346,14 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), size=32, overlap=8)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy packing is order-dependent (deterministically pinned) but
+    not SQL-expressible → rows-only; invariants pinned in tests."""
+    from ocr_lib_ray.functions.chunking import chunk_documents, pack_sequences
+
+    return pack_sequences(chunk_documents(_docs(sf_dir), 32, 8), budget=128)
+
+
 def _q_line_dedup(sf_dir: str):
     from ocr_lib_ray.functions.linedup import remove_common_lines
 
@@ -415,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
         "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "bpe_token_count": _q_bpe_token_count,

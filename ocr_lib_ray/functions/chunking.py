@@ -61,3 +61,47 @@ def chunk_documents(docs_ds, size: int = 32, overlap: int = 8):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def pack_sequences(chunks_ds, budget: int, num_partitions: int = 16):
+    """Greedy first-fit packing of chunks into token-budgeted training
+    sequences — deterministic and distributed.
+
+    Packing is inherently order-dependent, so the order is pinned:
+    chunks are hash-partitioned by doc_id (crc32 % P — sequences never
+    straddle partitions, so a resumed/re-run job packs identically),
+    and within each partition packed in (doc_id, chunk_id) order.
+    Output: one row per sequence
+    (partition_id, seq_id, n_chunks, total_tokens ≤ budget).
+    """
+    import zlib
+
+    import pandas as pd
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pids = [zlib.crc32(str(i).encode()) % num_partitions for i in ids]
+        return batch.append_column("partition_id", pa.array(pids, pa.int32()))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        seq_id, fill, n_chunks = 0, 0, 0
+        out = []
+        for n in g["n_tokens"]:
+            n = min(int(n), budget)
+            if fill + n > budget and n_chunks > 0:
+                out.append((seq_id, n_chunks, fill))
+                seq_id, fill, n_chunks = seq_id + 1, 0, 0
+            fill += n
+            n_chunks += 1
+        if n_chunks:
+            out.append((seq_id, n_chunks, fill))
+        df = pd.DataFrame(out, columns=["seq_id", "n_chunks", "total_tokens"])
+        df.insert(0, "partition_id", int(g["partition_id"].iloc[0]))
+        return df
+
+    return (
+        chunks_ds.map_batches(add_pid, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partition_id")
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -149,6 +149,28 @@ def test_chunk_documents_batch():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pack_sequences(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.chunking import chunk_documents, pack_sequences
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, size=32, overlap=8)
+    n_chunks_total = chunks.count()
+    packed = pack_sequences(chunk_documents(docs, 32, 8), budget=128).to_pandas()
+    assert (packed["total_tokens"] <= 128).all()
+    assert packed["n_chunks"].sum() == n_chunks_total  # every chunk packed once
+    # determinism across runs
+    packed2 = pack_sequences(chunk_documents(docs, 32, 8), budget=128).to_pandas()
+    key = ["partition_id", "seq_id"]
+    assert packed.sort_values(key).reset_index(drop=True).equals(
+        packed2.sort_values(key).reset_index(drop=True)
+    )
+    # packing is efficient: mean fill ≥ 60% of budget
+    assert packed["total_tokens"].mean() >= 0.6 * 128
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_remove_common_lines():
     """Lines shared across >1 doc are removed; unique lines survive."""
     import ray.data as rd
