@@ -178,6 +178,18 @@ def write_partitioned(extracted: rd.Dataset, out_dir: str, resume: bool = True) 
                 make_resume_filter(done), batch_format="pyarrow"
             )
     data_dir = os.path.join(out_dir, "data")
+    if os.path.isdir(data_dir):
+        # restart semantics: any partition dir WITHOUT a manifest row is a
+        # partial write from a crashed run — re-running would APPEND
+        # duplicate files into it, so wipe those dirs before writing.
+        done = completed_partitions(out_dir)
+        import shutil
+
+        for d in os.listdir(data_dir):
+            if d.startswith("partition_id="):
+                pid = int(d.split("=")[1])
+                if pid not in done:
+                    shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
     extracted.write_parquet(data_dir, partition_cols=["partition_id"])
     # post-hoc manifests from footers
     man_dir = os.path.join(out_dir, "manifest")

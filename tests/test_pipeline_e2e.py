@@ -234,6 +234,36 @@ def test_write_partitioned_zero_shuffle_sink(sf_small, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_streamed_sink_crash_restart_no_duplicates(sf_small, tmp_path):
+    """A crashed streamed-sink run (data files present, no manifests)
+    must not duplicate rows on rerun — partial partition dirs are wiped."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from ocr_lib_ray.pipelines.extract import (
+        build_pages_dataset,
+        extract_pipeline,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "crashy")
+    write_partitioned(extract_pipeline(build_pages_dataset(sf_small)), out)
+    # simulate a crash on HALF the partitions: delete their manifests
+    man = os.path.join(out, "manifest")
+    for f in sorted(os.listdir(man))[:8]:
+        os.remove(os.path.join(man, f))
+    write_partitioned(extract_pipeline(build_pages_dataset(sf_small)), out)
+    total = sum(
+        pq2.ParquetFile(os.path.join(out, "data", d, f)).metadata.num_rows
+        for d in os.listdir(os.path.join(out, "data"))
+        for f in os.listdir(os.path.join(out, "data", d))
+        if f.endswith(".parquet")
+    )
+    assert total == 500  # no duplicates, nothing lost
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partition_layout_deterministic(sf_small, tmp_path):
     """Same input → same partition files and checksums across runs
     (url-hash partitioning is stable)."""
