@@ -21,13 +21,15 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
 def canonicalize_url(url: str) -> str:
+    url = url.strip()
     try:
-        parts = urlsplit(url.strip())
+        parts = urlsplit(url)
+        host = parts.hostname.lower() if parts.hostname else ""
+        port = parts.port  # raises ValueError on non-numeric/out-of-range
     except ValueError:
-        return url.strip()
+        # unparseable urls pass through verbatim (deterministic no-op)
+        return url
     scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

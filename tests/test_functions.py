@@ -94,6 +94,10 @@ def test_canonicalize_url():
     assert c("https://example.com/") == "https://example.com/"
     assert c("https://example.com/?fbclid=123") == "https://example.com/"
     assert c(c("HTTP://A.B/x//y?z=1")) == c("HTTP://A.B/x//y?z=1")  # idempotent
+    # malformed urls pass through instead of raising
+    assert c("http://x:abc/") == "http://x:abc/"
+    assert c("http://x:99999/") == "http://x:99999/"
+    assert c("not a url at all") == "not a url at all"
 
 
 def test_charset_sniffing():
