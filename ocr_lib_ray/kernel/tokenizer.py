@@ -260,6 +260,12 @@ def tokenize_range(
     limit = min(limit, n)
     # --- load state into locals ------------------------------------------
     stack = st.stack
+    # open-tag name counts: O(1) membership for close-tag matching (a
+    # linear `tag in stack` scan is O(depth) per close tag → quadratic on
+    # adversarially deep pages)
+    open_counts: dict = {}
+    for _t in stack:
+        open_counts[_t] = open_counts.get(_t, 0) + 1
     boiler_d, link_d, heading_d, li_d = (
         st.boiler_depth,
         st.link_depth,
@@ -290,6 +296,7 @@ def tokenize_range(
     def pop_one() -> str:
         nonlocal boiler_d, link_d, heading_d, li_d, block_seq
         tag = stack.pop()
+        open_counts[tag] -= 1
         if tag in BOILERPLATE_TAGS:
             boiler_d -= 1
         if tag == "a":
@@ -344,7 +351,7 @@ def tokenize_range(
                 pos = n if close == -1 else close + 1
                 if name_m:
                     tag = name_m.group(0).lower()
-                    if tag in stack:
+                    if open_counts.get(tag, 0) > 0:
                         pop_through(tag)
                 continue
             name_m = tag_match(html, lt + 1)
@@ -380,6 +387,7 @@ def tokenize_range(
                     pop_through("li")
             # push(tag), inlined
             stack.append(tag)
+            open_counts[tag] = open_counts.get(tag, 0) + 1
             if tag in BOILERPLATE_TAGS:
                 boiler_d += 1
             if tag == "a":
