@@ -346,6 +346,14 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), size=32, overlap=8)
 
 
+def _q_model_score(sf_dir: str):
+    """Batched model scoring (deterministic logistic stand-in; sigmoid
+    not cleanly SQL-hashable → rows-only, determinism pinned in tests)."""
+    from ocr_lib_ray.functions.scoring import score_documents
+
+    return score_documents(_docs(sf_dir))
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy packing is order-dependent (deterministically pinned) but
     not SQL-expressible → rows-only; invariants pinned in tests."""
@@ -424,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "model_score": _q_model_score,
         "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "bpe_token_count": _q_bpe_token_count,

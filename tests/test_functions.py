@@ -153,6 +153,30 @@ def test_chunk_documents_batch():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_model_scorer(sf_small):
+    import ray
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.scoring import ModelScorer, score_documents
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    out = score_documents(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 500
+    assert ((out["quality_prob"] >= 0) & (out["quality_prob"] <= 1)).all()
+    # deterministic across runs
+    out2 = score_documents(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(out2)
+    # direct (no-broadcast) path agrees with the actor path
+    import pyarrow.parquet as pq2
+
+    direct = ModelScorer()(
+        pq2.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    )
+    d = direct.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (d["quality_prob"] == out["quality_prob"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pack_sequences(sf_small):
     import ray.data as rd
 
