@@ -346,6 +346,14 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), size=32, overlap=8)
 
 
+def _q_training_data(sf_dir: str):
+    """Full 8-operator composition (extract→redact→line-dedup→dedup→
+    quality→chunk→pack) — packing is order-dependent → rows-only."""
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+
+    return build_training_data(_pages(sf_dir))
+
+
 def _q_model_score(sf_dir: str):
     """Batched model scoring (deterministic logistic stand-in; sigmoid
     not cleanly SQL-hashable → rows-only, determinism pinned in tests)."""
@@ -433,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "model_score": _q_model_score,
+        "training_data": _q_training_data,
         "line_dedup": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "bpe_token_count": _q_bpe_token_count,

@@ -44,9 +44,10 @@ def chunk_documents_batch(
             out_chunk.append(ci)
             out_text.append(" ".join(toks[s:e]))
             out_n.append(e - s)
+    id_type = batch.schema.field(id_col).type  # int64 or string doc keys
     return pa.Table.from_arrays(
         [
-            pa.array(out_id, pa.int64()),
+            pa.array(out_id, id_type),
             pa.array(out_chunk, pa.int32()),
             pa.array(out_text, pa.string()),
             pa.array(out_n, pa.int64()),

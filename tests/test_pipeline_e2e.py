@@ -293,6 +293,32 @@ def test_partition_layout_deterministic(sf_small, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_build_training_data_end_to_end(sf_small):
+    """The 8-operator composition: extract → redact → line-dedup →
+    exact-dedup → quality gate → chunk → pack, on one streaming
+    Dataset; budget + coverage + determinism asserted."""
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    a = (
+        build_training_data(build_pages_dataset(sf_small))
+        .to_pandas()
+        .sort_values(["partition_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert (a["total_tokens"] <= 128).all()
+    assert (a["n_chunks"] >= 1).all()
+    b = (
+        build_training_data(build_pages_dataset(sf_small))
+        .to_pandas()
+        .sort_values(["partition_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # deterministic end to end
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_entry_contract(sf_small):
     import sys
 
