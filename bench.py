@@ -134,6 +134,11 @@ def run_bench() -> dict:
         "token_counts",
         "lang_id",
         "quality_score",
+        "corpus_clean",
+        "training_data",
+        "chunk_documents",
+        "line_dedup",
+        "redact_pii",
     ):
         t0 = time.time()
         res = qs[name](SF_DIR)
