@@ -154,7 +154,7 @@ def _pairs_from_band(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     multi = g[g.groupby("band_hash")["doc_id"].transform("size") > 1]
     if multi.empty:
         return empty
-    d1, d2, est = [], [], []
+    parts = []
     for _, sub in multi.groupby("band_hash", sort=False):
         sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
         n = len(sub)
@@ -162,13 +162,48 @@ def _pairs_from_band(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
             continue
         ids = sub["doc_id"].to_numpy()
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["signature"]])
-        for i in range(n):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for j in np.nonzero(eq >= threshold)[0]:
-                d1.append(ids[i])
-                d2.append(ids[i + 1 + j])
-                est.append(round(float(eq[j]), 6))
-    return pd.DataFrame({"d1": d1, "d2": d2, "est_jaccard": est}).astype(
+        # clique compression: docs with IDENTICAL signatures form an
+        # est=1.0 cluster; emit a CHAIN (k-1 pairs) instead of the full
+        # clique (k·(k-1)/2) — connected-component-equivalent for dedup,
+        # and the difference between linear and quadratic pair volume on
+        # dense-duplicate corpora (40-way dup groups melted the shuffle
+        # before this).  Cross-cluster similarity is then computed on
+        # one representative per cluster, vectorized.
+        uniq, first_idx, inverse = np.unique(
+            sigs, axis=0, return_index=True, return_inverse=True
+        )
+        for c in np.nonzero(np.bincount(inverse) > 1)[0]:
+            members = np.sort(ids[inverse == c])
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "d1": members[:-1],
+                        "d2": members[1:],
+                        "est_jaccard": 1.0,
+                    }
+                )
+            )
+        reps = ids[first_idx]
+        order = np.argsort(reps)
+        reps, rsigs = reps[order], uniq[order]
+        m = len(reps)
+        if m >= 2:
+            eqf = (rsigs[:, None, :] == rsigs[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(m, 1)
+            keep = eqf[iu, ju] >= threshold
+            if keep.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "d1": reps[iu[keep]],
+                            "d2": reps[ju[keep]],
+                            "est_jaccard": np.round(eqf[iu[keep], ju[keep]], 6),
+                        }
+                    )
+                )
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True).astype(
         {"d1": "int64", "d2": "int64", "est_jaccard": "float64"}
     )
 
@@ -186,7 +221,14 @@ def minhash_lsh_pairs(
     """Dataset of documents → Dataset of near-dup pairs (d1 < d2) with
     signature-estimated Jaccard.
 
-    Two verification strategies, same result (tested equal):
+    Contract: the pair set is a SPANNING candidate set, not the full
+    clique — signature-identical clusters are chain-compressed (see
+    _pairs_from_band), so any two true near-dups are connected in the
+    pair GRAPH (same connected component) but not necessarily paired
+    directly.  That is exactly what dedup_connected consumes; tests
+    assert component equivalence.
+
+    Two verification strategies (component-equivalent, tested):
 
     * ``carry_signatures=True`` (default, best at bench scale): band
       rows carry the full signature (num_perm × 8 B, duplicated per
@@ -430,19 +472,52 @@ def _simhash_pairs_band(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     """One band's frame → verified pairs; bucket by band_key with
     vectorized pandas (singleton buckets skipped in C)."""
     multi = g[g.groupby("band_key")["doc_id"].transform("size") > 1]
-    d1, d2, hd = [], [], []
+    parts = []
     for _, sub in multi.groupby("band_key", sort=False):
         sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = sub["doc_id"].to_numpy()
-        fps = sub["fingerprint"].to_numpy(dtype=np.uint64)
-        for i in range(len(sub)):
-            x = fps[i + 1 :] ^ fps[i]
-            cnt = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(cnt <= max_hamming)[0]:
-                d1.append(ids[i])
-                d2.append(ids[i + 1 + j])
-                hd.append(int(cnt[j]))
-    return pd.DataFrame({"d1": d1, "d2": d2, "hamming": hd}).astype(
+        n = len(sub)
+        if n < 2:
+            continue
+        all_ids = sub["doc_id"].to_numpy()
+        all_fps = sub["fingerprint"].to_numpy(dtype=np.uint64)
+        # clique compression (see _pairs_from_band): identical
+        # fingerprints chain at hamming 0; cross-cluster hamming runs on
+        # one representative per fingerprint value
+        uniq, first_idx, inverse = np.unique(
+            all_fps, return_index=True, return_inverse=True
+        )
+        for c in np.nonzero(np.bincount(inverse) > 1)[0]:
+            members = np.sort(all_ids[inverse == c])
+            parts.append(
+                pd.DataFrame({"d1": members[:-1], "d2": members[1:], "hamming": 0})
+            )
+        ids = all_ids[first_idx]
+        order = np.argsort(ids)
+        ids, fps = ids[order], uniq[order]
+        n = len(ids)
+        if n < 2:
+            continue
+        x = fps[:, None] ^ fps[None, :]
+        # vectorized popcount via 8-bit lookup on the bytes view
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        ham = lut[x.view(np.uint8)].reshape(n, n, 8).sum(axis=2)
+        iu, ju = np.triu_indices(n, 1)
+        keep = ham[iu, ju] <= max_hamming
+        if keep.any():
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "d1": ids[iu[keep]],
+                        "d2": ids[ju[keep]],
+                        "hamming": ham[iu[keep], ju[keep]].astype("int64"),
+                    }
+                )
+            )
+    if not parts:
+        return pd.DataFrame({"d1": [], "d2": [], "hamming": []}).astype(
+            {"d1": "int64", "d2": "int64", "hamming": "int64"}
+        )
+    return pd.concat(parts, ignore_index=True).astype(
         {"d1": "int64", "d2": "int64", "hamming": "int64"}
     )
 

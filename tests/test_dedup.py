@@ -85,12 +85,16 @@ def test_minhash_lsh_finds_planted_pairs(sf_small):
     found = minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
     import pyarrow.parquet as pq
 
+    from ocr_lib_ray.functions.dedup import union_find_components
+
     t = pq.read_table(f"{sf_small}/documents.parquet")
     texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
     # every reported pair is a true near-dup
     for d1, d2 in zip(found["d1"], found["d2"]):
         assert exact_jaccard(texts[d1], texts[d2]) >= 0.6, (d1, d2)
-    # and the planted gold pairs (exact J >= 0.9) are all found
+    # every planted gold pair (exact J >= 0.9) is CONNECTED in the
+    # found-pair graph (the spanning-set contract: signature-identical
+    # clusters are chain-compressed, so direct pairs are not guaranteed)
     ids = sorted(texts)
     gold = {
         (a, b)
@@ -98,10 +102,10 @@ def test_minhash_lsh_finds_planted_pairs(sf_small):
         for b in ids[i + 1 :]
         if exact_jaccard(texts[a], texts[b]) >= 0.9
     }
-    got = set(zip(found["d1"], found["d2"]))
     assert gold, "testdata should contain planted near-dups"
-    missed = gold - got
-    assert not missed, f"missed planted pairs: {missed}"
+    roots = union_find_components(found["d1"].tolist(), found["d2"].tolist())
+    for a, b in gold:
+        assert roots.get(a) is not None and roots.get(a) == roots.get(b), (a, b)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -121,17 +125,25 @@ def test_minhash_group_buckets_invariant(sf_small):
 
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_verify_modes_agree(sf_small):
-    """In-group verify (signatures carried) and join-verify (signatures
-    recomputed for candidates only) must produce the same pairs."""
+    """In-group verify (chain-compressed) and join-verify (full pairs)
+    must produce the same connected components — the dedup-relevant
+    equivalence."""
     import ray.data as rd
 
-    from ocr_lib_ray.functions.dedup import minhash_lsh_pairs
+    from ocr_lib_ray.functions.dedup import minhash_lsh_pairs, union_find_components
 
     docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
     a = minhash_lsh_pairs(docs, threshold=0.8, carry_signatures=True).to_pandas()
     b = minhash_lsh_pairs(docs, threshold=0.8, carry_signatures=False).to_pandas()
-    key = lambda df: sorted(zip(df["d1"], df["d2"], df["est_jaccard"]))
-    assert key(a) == key(b)
+
+    def components(df):
+        roots = union_find_components(df["d1"].tolist(), df["d2"].tolist())
+        comps: dict = {}
+        for node, root in roots.items():
+            comps.setdefault(root, set()).add(node)
+        return sorted(frozenset(c) for c in comps.values())
+
+    assert components(a) == components(b)
 
 
 @pytest.mark.usefixtures("ray_session")
