@@ -166,6 +166,33 @@ def test_pdf_tj_array_and_line_ops():
     assert [(r.text, r.y) for r in runs] == [("a", 688.0), ("b", 676.0)]
 
 
+def test_table_extraction_policy():
+    """Data tables: each cell is its own block; short cells reject (→
+    residuals), sentence-length cells accept — pinned policy."""
+    html = (
+        "<table><caption>Results table</caption>"
+        "<tr><th>name</th><th>value</th></tr>"
+        "<tr><td>alpha</td><td>this row has a full sentence inside it</td></tr>"
+        "</table>"
+    )
+    res = extract_document(html.encode())
+    assert res.text == "Results table\nthis row has a full sentence inside it"
+    assert [s["kind"] for s in res.spans] == ["satellite", "content"]
+    assert len(res.residuals) == 3  # name, value, alpha
+
+
+def test_pdf_multiple_text_objects():
+    """Each BT resets the text position; objects cluster by their own
+    coordinates — pinned."""
+    data = (
+        "BT 1 0 0 1 72 700 Tm (first object line) Tj ET\n"
+        "BT 1 0 0 1 72 650 Tm (second object line) Tj ET"
+    )
+    text, spans = extract_pdf(data, CFG)
+    assert text == "first object line\nsecond object line"
+    assert [s["block_id"] for s in spans] == [0, 1]
+
+
 @pytest.mark.parametrize("chunked", [False, True])
 def test_chunked_extraction_identical(chunked):
     html = ("<main>" + "".join(f"<p>block {i} with several words</p>" for i in range(200)) + "</main>").encode()
