@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from .pdf import extract_pdf
 from .segment import classify, segment
-from .tokenizer import tokenize, tokenize_chunked
+from .tokenizer import DEFAULT_TAGS, TagConfig, tokenize, tokenize_chunked
 
 
 @dataclass
@@ -114,7 +114,10 @@ def decode_bytes(html: bytes) -> str:
 
 
 def extract_document(
-    html: bytes, cfg: ExtractConfig = DEFAULT_CONFIG, chunked: bool = False
+    html: bytes,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    chunked: bool = False,
+    tags: TagConfig = DEFAULT_TAGS,
 ) -> ExtractResult:
     """bytes → (text, spans, residuals).  Pure; no I/O, no clock, no RNG.
 
@@ -137,9 +140,9 @@ def extract_document(
         title = text.split("\n", 1)[0] if spans and text else ""
         return ExtractResult(doc_kind="pdf", text=text, title=title, spans=spans)
     doc = (
-        tokenize_chunked(data, cfg.chunk_size)
+        tokenize_chunked(data, cfg.chunk_size, tags)
         if chunked or len(data) > cfg.giant_threshold
-        else tokenize(data)
+        else tokenize(data, tags)
     )
     blocks = segment(doc)
     parts = []

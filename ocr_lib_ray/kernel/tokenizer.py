@@ -62,6 +62,25 @@ RAWTEXT_TAGS = frozenset(["script", "style"])
 
 _RAWTEXT_END = {t: re.compile("</" + t, re.IGNORECASE) for t in RAWTEXT_TAGS}
 
+
+class TagConfig:
+    """Configurable tag-class tables (the teachable half of the
+    classifier — the ``signs`` map analog).  Defaults are the module
+    constants; a ClassifierBundle can extend/replace them so a
+    deployment reclassifies chrome without code changes."""
+
+    __slots__ = ("block", "boiler", "heading", "void", "rawtext")
+
+    def __init__(self, block=None, boiler=None, heading=None, void=None, rawtext=None):
+        self.block = frozenset(block) if block is not None else BLOCK_TAGS
+        self.boiler = frozenset(boiler) if boiler is not None else BOILERPLATE_TAGS
+        self.heading = frozenset(heading) if heading is not None else HEADING_TAGS
+        self.void = frozenset(void) if void is not None else VOID_TAGS
+        self.rawtext = frozenset(rawtext) if rawtext is not None else RAWTEXT_TAGS
+
+
+DEFAULT_TAGS = TagConfig()
+
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
@@ -244,6 +263,7 @@ def tokenize_range(
     st: TagState,
     pos: int,
     limit: int,
+    tags: TagConfig = DEFAULT_TAGS,
 ) -> int:
     """Tokenize ``html[pos:limit]`` continuing from state ``st``.
 
@@ -258,7 +278,9 @@ def tokenize_range(
     """
     n = len(html)
     limit = min(limit, n)
-    # --- load state into locals ------------------------------------------
+    # --- load state + tag tables into locals -----------------------------
+    BLOCK, BOIL = tags.block, tags.boiler
+    HEAD, VOID, RAW = tags.heading, tags.void, tags.rawtext
     stack = st.stack
     # open-tag name counts: O(1) membership for close-tag matching (a
     # linear `tag in stack` scan is O(depth) per close tag → quadratic on
@@ -297,15 +319,15 @@ def tokenize_range(
         nonlocal boiler_d, link_d, heading_d, li_d, block_seq
         tag = stack.pop()
         open_counts[tag] -= 1
-        if tag in BOILERPLATE_TAGS:
+        if tag in BOIL:
             boiler_d -= 1
         if tag == "a":
             link_d -= 1
-        if tag in HEADING_TAGS:
+        if tag in HEAD:
             heading_d -= 1
         if tag == "li":
             li_d -= 1
-        if tag in BLOCK_TAGS:
+        if tag in BLOCK:
             block_seq += 1
             if btags:
                 btags.pop()
@@ -366,37 +388,38 @@ def tokenize_range(
                 return n  # unterminated tag swallows the tail
             self_closing = html[close - 1] == "/"
             pos = close + 1
-            if tag in RAWTEXT_TAGS and not self_closing:
-                end_m = _RAWTEXT_END[tag].search(html, pos)
+            if tag in RAW and not self_closing:
+                end_re = _RAWTEXT_END.get(tag) or re.compile("</" + tag, re.IGNORECASE)
+                end_m = end_re.search(html, pos)
                 if end_m is None:
                     return n
                 close2 = find(">", end_m.start())
                 pos = n if close2 == -1 else close2 + 1
                 continue
-            if tag in VOID_TAGS or self_closing:
-                if tag in BLOCK_TAGS:  # <br>, <hr>: boundary without nesting
+            if tag in VOID or self_closing:
+                if tag in BLOCK:  # <br>, <hr>: boundary without nesting
                     block_seq += 1
                 continue
             # implied ends (top-of-stack only — deterministic minimal rule):
             # any block tag closes an open <p>; <li> also closes an open <li>.
             if stack:
                 top = stack[-1]
-                if top == "p" and tag in BLOCK_TAGS:
+                if top == "p" and tag in BLOCK:
                     pop_through("p")
                 elif top == "li" and tag == "li":
                     pop_through("li")
             # push(tag), inlined
             stack.append(tag)
             open_counts[tag] = open_counts.get(tag, 0) + 1
-            if tag in BOILERPLATE_TAGS:
+            if tag in BOIL:
                 boiler_d += 1
             if tag == "a":
                 link_d += 1
-            if tag in HEADING_TAGS:
+            if tag in HEAD:
                 heading_d += 1
             if tag == "li":
                 li_d += 1
-            if tag in BLOCK_TAGS:
+            if tag in BLOCK:
                 block_seq += 1
                 btags.append(tag)
         return pos
@@ -407,18 +430,18 @@ def tokenize_range(
         st.block_seq = block_seq
 
 
-def tokenize(html: str) -> TokenizedDoc:
+def tokenize(html: str, tags: TagConfig = DEFAULT_TAGS) -> TokenizedDoc:
     """One-shot tokenize (the single-document semantic spec)."""
     doc = TokenizedDoc()
     st = TagState()
     pos = 0
     n = len(html)
     while pos < n:
-        pos = tokenize_range(html, doc, st, pos, n)
+        pos = tokenize_range(html, doc, st, pos, n, tags)
     return doc
 
 
-def tokenize_chunked(html: str, chunk_size: int) -> TokenizedDoc:
+def tokenize_chunked(html: str, chunk_size: int, tags: TagConfig = DEFAULT_TAGS) -> TokenizedDoc:
     """Bounded-pass tokenize for giant pages.
 
     Seam algebra analog of ``read-black-dots-part-fn`` +
@@ -432,5 +455,5 @@ def tokenize_chunked(html: str, chunk_size: int) -> TokenizedDoc:
     pos = 0
     n = len(html)
     while pos < n:
-        pos = tokenize_range(html, doc, st, pos, min(pos + chunk_size, n))
+        pos = tokenize_range(html, doc, st, pos, min(pos + chunk_size, n), tags)
     return doc

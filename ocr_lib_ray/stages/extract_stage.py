@@ -57,20 +57,35 @@ class ExtractDocuments:
     """
 
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG, bundle_ref=None):
+        from ..kernel.tokenizer import DEFAULT_TAGS, TagConfig
+
         self.cfg = cfg
+        self.tags = DEFAULT_TAGS
         if bundle_ref is not None:
             import ray
 
             self.bundle = ray.get(bundle_ref)
+            # the bundle's tag-class tables re-teach the tokenizer/classifier
+            # (the signs-map extension surface), built once per actor
+            if getattr(self.bundle, "boilerplate_tags", None) is not None:
+                self.tags = TagConfig(
+                    block=getattr(self.bundle, "block_tags", None),
+                    boiler=self.bundle.boilerplate_tags,
+                    heading=getattr(self.bundle, "heading_tags", None),
+                )
         else:
             self.bundle = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.cfg)
+        return extract_batch(batch, self.cfg, self.tags)
 
 
-def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Table:
+def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG, tags=None) -> pa.Table:
     """Pure batch transform (usable as a stateless task too)."""
+    from ..kernel.tokenizer import DEFAULT_TAGS
+
+    if tags is None:
+        tags = DEFAULT_TAGS
     urls = batch.column("url")
     htmls = batch.column("html")
     langs = (
@@ -86,7 +101,7 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Ta
     texts, titles, spans, kinds, residuals, res_texts = [], [], [], [], [], []
     raw = htmls.to_pylist()
     for i in range(batch.num_rows):
-        res = extract_document(raw[i], cfg)
+        res = extract_document(raw[i], cfg, tags=tags)
         texts.append(res.text)
         titles.append(res.title)
         spans.append(res.spans)

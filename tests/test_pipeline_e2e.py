@@ -121,6 +121,12 @@ def test_actor_pool_with_bundle_equivalent(sf_small):
     from ocr_lib_ray.state.bundle import broadcast_bundle, build_bundle
 
     ref = broadcast_bundle(build_bundle())
+    # a re-taught bundle actually changes classification: marking
+    # <article> as boilerplate kills all fixture main content
+    ref2 = broadcast_bundle(build_bundle(extra_boilerplate=["article"]))
+    taught = extract_pipeline(build_pages_dataset(sf_small), bundle_ref=ref2).to_pandas()
+    html_rows = taught[taught["doc_kind"] == "html"]
+    assert (html_rows["text"] == "").all()  # article subtree rejected everywhere
     a = (
         extract_pipeline(build_pages_dataset(sf_small), bundle_ref=ref)
         .to_pandas()
