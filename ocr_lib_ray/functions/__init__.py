@@ -1,0 +1,54 @@
+"""Training-data operator library — convenience exports."""
+
+from .chunking import chunk_documents, pack_sequences
+from .dedup import (
+    dedup_by_pairs,
+    dedup_connected,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    union_find_components,
+)
+from .linedup import remove_common_lines
+from .redact import bpe_token_count_batch, redact_batch, redact_text
+from .sampling import split_dataset, take_split
+from .scoring import score_documents
+from .similarity import cosine_dup_pairs, cosine_dup_pairs_lsh, knn_brute, knn_lsh
+from .sketches import approx_distinct_users_per_type, hll_aggregate
+from .text_stats import LangId, QualityScore, doc_stats_batch, fingerprint_batch
+from .tokens import token_counts, top_tokens
+from .urls import canonicalize_url
+from .windows import heavy_hitters, sessionize, sliding_window, tumbling_window
+
+__all__ = [
+    "chunk_documents",
+    "pack_sequences",
+    "dedup_by_pairs",
+    "dedup_connected",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "union_find_components",
+    "remove_common_lines",
+    "bpe_token_count_batch",
+    "redact_batch",
+    "redact_text",
+    "split_dataset",
+    "take_split",
+    "score_documents",
+    "cosine_dup_pairs",
+    "cosine_dup_pairs_lsh",
+    "knn_brute",
+    "knn_lsh",
+    "approx_distinct_users_per_type",
+    "hll_aggregate",
+    "LangId",
+    "QualityScore",
+    "doc_stats_batch",
+    "fingerprint_batch",
+    "token_counts",
+    "top_tokens",
+    "canonicalize_url",
+    "heavy_hitters",
+    "sessionize",
+    "sliding_window",
+    "tumbling_window",
+]
