@@ -37,7 +37,16 @@ def main(argv=None) -> int:
     ex.add_argument("--resume", action="store_true", default=True)
     ex.add_argument("--no-resume", dest="resume", action="store_false")
     ex.add_argument("--skew-route", action="store_true")
+    va = sub.add_parser("validate", help="audit a job's partitions against its manifests")
+    va.add_argument("--output", required=True, help="job output root to audit")
     args = p.parse_args(argv)
+
+    if args.cmd == "validate":
+        from .stages.manifest import validate_job
+
+        result = validate_job(args.output)
+        print(json.dumps(result))
+        return 0 if not result["invalid"] else 1
 
     if bool(args.input) == bool(args.sf_dir):
         p.error("exactly one of --input / --sf-dir is required")
