@@ -112,7 +112,10 @@ def extract_pipeline(
             batch_format="pyarrow",
         ).map_batches(
             ExtractDocuments,
-            fn_constructor_args=(cfg,),
+            # bundle_ref must flow to BOTH routes: a re-taught TagConfig that
+            # applied only to bulk rows would silently classify giant pages
+            # with DEFAULT_TAGS (route-dependent semantics).
+            fn_constructor_args=(cfg, bundle_ref),
             batch_format="pyarrow",
             batch_size=cfg.giant_batch_size,
             concurrency=(1, 2),
