@@ -34,6 +34,30 @@ from .text_stats import normalize_expr
 
 _MERSENNE = (1 << 61) - 1
 
+#: target rows per LSH shuffle group — every groupby(band, bucket) group
+#: materializes in ONE map_groups task, so this bounds per-task memory.
+ROWS_PER_GROUP = 100_000
+
+
+def derive_group_buckets(docs_ds, approx_rows=None, rows_per_group: int = ROWS_PER_GROUP) -> int:
+    """Scale-safe shuffle-group sizing: ``ceil(corpus_rows / rows_per_group)``.
+
+    With ``bucket = band_hash % group_buckets``, the groupby(band, bucket)
+    groups are bounded to ~``rows_per_group`` band rows regardless of
+    corpus size — at 10^12 docs this yields 10^7 buckets of 10^5 rows
+    instead of 16 corpus-sized groups that cannot materialize.  Recall is
+    unaffected (rows with equal band_hash always share a bucket; tested
+    invariant across bucket counts).
+
+    ``approx_rows`` skips the counting pass — pass it from catalog
+    metadata at scale.  Without it, ``docs_ds.count()`` is metadata-only
+    for plain parquet reads but executes the lineage for transformed
+    datasets.
+    """
+    if approx_rows is None:
+        approx_rows = docs_ds.count()
+    return max(1, -(-int(approx_rows) // rows_per_group))
+
 
 def _stable_token_hashes(tokens) -> np.ndarray:
     """crc32 per token (stable across runs/processes)."""
@@ -216,10 +240,17 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     carry_signatures: bool = True,
-    group_buckets: int = 1,
+    group_buckets: int | None = None,
+    approx_rows: int | None = None,
 ):
     """Dataset of documents → Dataset of near-dup pairs (d1 < d2) with
     signature-estimated Jaccard.
+
+    ``group_buckets=None`` (the default) derives the shuffle-group count
+    from the corpus size via :func:`derive_group_buckets`, so the default
+    path is scale-safe — no caller can accidentally produce corpus-sized
+    groupby groups.  Pass ``approx_rows`` (e.g. from catalog metadata) to
+    skip the counting pass on transformed inputs.
 
     Contract: the pair set is a SPANNING candidate set, not the full
     clique — signature-identical clusters are chain-compressed (see
@@ -242,6 +273,8 @@ def minhash_lsh_pairs(
       ``ray.put`` into a vectorized semi-filter).
     """
     hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=seed)
+    if group_buckets is None:
+        group_buckets = derive_group_buckets(docs_ds, approx_rows)
     from ray.data.aggregate import Max
 
     if carry_signatures:
@@ -522,7 +555,19 @@ def _simhash_pairs_band(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     )
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3, bands: int = 4, group_buckets: int = 1):
+def simhash_pairs(
+    docs_ds,
+    max_hamming: int = 3,
+    bands: int = 4,
+    group_buckets: int | None = None,
+    approx_rows: int | None = None,
+):
+    """Near-dup pairs at hamming ≤ ``max_hamming`` (exhaustive for ≤ 3
+    with 4 bands, pigeonhole).  ``group_buckets=None`` derives a
+    scale-safe shuffle-group count from the corpus size (see
+    :func:`derive_group_buckets`)."""
+    if group_buckets is None:
+        group_buckets = derive_group_buckets(docs_ds, approx_rows)
     rows = docs_ds.map_batches(
         lambda b: simhash_band_rows(b, bands, group_buckets),
         batch_format="pyarrow",

@@ -224,13 +224,34 @@ def knn_lsh(
     )
 
 
+#: target rows per (table, bucket) group for cosine LSH — the in-group
+#: verify is O(k²) sims, so 2k rows ⇒ ≤ 4M-entry sim matrix per task.
+TARGET_BUCKET_ROWS = 2000
+
+
+def derive_n_planes(emb_ds, approx_rows=None, target_bucket_rows: int = TARGET_BUCKET_ROWS) -> int:
+    """Scale-safe plane count: 2^n_planes buckets per table sized so the
+    EXPECTED bucket holds ~``target_bucket_rows`` vectors.  Unlike the
+    minhash ``group_buckets`` coarsening, splitting a hyperplane bucket
+    by a secondary hash would LOSE pairs, so the bucket count must come
+    from the plane count itself; recall loss from more planes is
+    compensated by ``n_tables`` (standard multi-table LSH tradeoff).
+    """
+    import math
+
+    if approx_rows is None:
+        approx_rows = emb_ds.count()
+    return max(4, math.ceil(math.log2(max(int(approx_rows), 1) / target_bucket_rows + 1)))
+
+
 def cosine_dup_pairs_lsh(
     emb_ds,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
     n_tables: int = 4,
+    approx_rows: int | None = None,
 ):
     """Embedding near-dup at scale: LSH-bucket the corpus per table
     (hyperplane signs, ``n_tables`` independent plane sets), exact
@@ -239,10 +260,16 @@ def cosine_dup_pairs_lsh(
     no broadcast, no second join) — then one tiny groupby dedupes pairs
     found by several tables.  Recall < 1 for pairs that collide in no
     table; measured against the brute path in tests.
+
+    ``n_planes=None`` (default) derives the bucket count from the corpus
+    size via :func:`derive_n_planes`, so default groups stay bounded at
+    any scale.
     """
     import pandas as pd
     from ray.data.aggregate import Max
 
+    if n_planes is None:
+        n_planes = derive_n_planes(emb_ds, approx_rows)
     lsh = HyperplaneLSH(dim, n_planes, seed, n_tables=n_tables)
 
     def explode_tables(batch: pa.Table) -> pa.Table:

@@ -121,6 +121,37 @@ def test_minhash_group_buckets_invariant(sf_small):
     b = minhash_lsh_pairs(docs, threshold=0.8, group_buckets=64).to_pandas()
     key = lambda df: sorted(zip(df["d1"], df["d2"], df["est_jaccard"]))
     assert key(a) == key(b)
+    # the DERIVED default (group_buckets=None — what the driver queries
+    # run) must match the explicit values too
+    c = minhash_lsh_pairs(docs, threshold=0.8).to_pandas()
+    assert key(a) == key(c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_derived_group_buckets_scale():
+    """The default sizing must bound groups: ~rows/100k buckets, min 1."""
+    from ocr_lib_ray.functions.dedup import derive_group_buckets
+
+    assert derive_group_buckets(None, approx_rows=500) == 1
+    assert derive_group_buckets(None, approx_rows=100_000) == 1
+    assert derive_group_buckets(None, approx_rows=100_001) == 2
+    assert derive_group_buckets(None, approx_rows=10**12) == 10**7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_group_buckets_invariant(sf_small):
+    """Simhash pair output is invariant across bucket counts, including
+    the derived default the driver query runs."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import simhash_pairs
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    key = lambda df: sorted(zip(df["d1"], df["d2"], df["hamming"]))
+    a = simhash_pairs(docs, max_hamming=3, group_buckets=1).to_pandas()
+    b = simhash_pairs(docs, max_hamming=3, group_buckets=64).to_pandas()
+    c = simhash_pairs(docs, max_hamming=3).to_pandas()
+    assert key(a) == key(b) == key(c)
 
 
 @pytest.mark.usefixtures("ray_session")
