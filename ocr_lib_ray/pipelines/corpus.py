@@ -61,6 +61,13 @@ def build_training_data(
     Returns packed-sequence rows (partition_id, seq_id, n_chunks,
     total_tokens).  Near-dup (minhash) dedup plugs in between exact
     dedup and scoring when the corpus calls for it (same Dataset shape).
+
+    Multi-pass note: line-dedup and exact-dedup each drive a small
+    keys-only pass over ``docs`` before the streaming rewrite, and Ray
+    re-executes upstream lineage per pass.  At fixture scale that is
+    cheap; a 100 TB job should run extraction once to a checkpointed
+    parquet directory (the CLI job does) and feed this pipeline from the
+    checkpoint so each pass re-reads parquet, not re-parses HTML.
     """
     from ray.data.aggregate import Min
 
@@ -82,12 +89,19 @@ def build_training_data(
     docs = extracted.map_batches(redact_extracted, batch_format="pyarrow")
     docs = remove_common_lines(docs, max_df=1)
 
-    # exact dedup: min doc (url) per content hash
-    fps = docs.map_batches(
-        lambda b: pa.Table.from_arrays(
+    # exact dedup — winner-broadcast filter: the shuffle moves ONLY
+    # (fp, doc_id) rows (32-byte keys + urls), never the text.  The
+    # vectorized aggregate finds each content's winner; contents seen
+    # more than once (a tiny set relative to the corpus) are broadcast
+    # as an fp→winner map into a streaming filter over the doc Dataset
+    # (the dedup_by_pairs broadcast-loser pattern).
+    import ray
+    from ray.data.aggregate import Count
+
+    def _fp_batch(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
             [
                 b.column("doc_id"),
-                b.column("text"),
                 pa.array(
                     [
                         hashlib.md5(t.encode("utf-8")).hexdigest()
@@ -96,13 +110,35 @@ def build_training_data(
                     pa.string(),
                 ),
             ],
-            names=["doc_id", "text", "fp"],
-        ),
-        batch_format="pyarrow",
+            names=["doc_id", "fp"],
+        )
+
+    keyed = docs.map_batches(_fp_batch, batch_format="pyarrow")
+    agg = keyed.groupby("fp").aggregate(
+        Min("doc_id", alias_name="winner"), Count(alias_name="n")
     )
-    deduped = fps.groupby("fp").aggregate(
-        Min("doc_id", alias_name="doc_id"), Min("text", alias_name="text")
+    dup_batches = list(
+        agg.map_batches(
+            lambda b: b.filter(pc.greater(b.column("n"), 1)).select(["fp", "winner"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
     )
+    dup_map = {}
+    for t in dup_batches:
+        dup_map.update(zip(t.column("fp").to_pylist(), t.column("winner").to_pylist()))
+    dup_ref = ray.put(dup_map)
+
+    def _keep_winners(b: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        if not dups or b.num_rows == 0:
+            return b
+        with_fp = _fp_batch(b)
+        ids = with_fp.column("doc_id").to_pylist()
+        fps_ = with_fp.column("fp").to_pylist()
+        keep = [dups.get(f, i) == i for i, f in zip(ids, fps_)]
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    deduped = docs.map_batches(_keep_winners, batch_format="pyarrow")
 
     # model quality gate: score and filter INLINE so text rides along —
     # no corpus-sized keep-set broadcast, no join
