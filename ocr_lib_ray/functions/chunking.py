@@ -64,7 +64,17 @@ def chunk_documents(docs_ds, size: int = 32, overlap: int = 8):
     )
 
 
-def pack_sequences(chunks_ds, budget: int, num_partitions: int = 16):
+#: target chunk rows per packing group — each (partition_id) group
+#: materializes in ONE map_groups task, so this bounds per-task memory.
+PACK_ROWS_PER_PARTITION = 100_000
+
+
+def pack_sequences(
+    chunks_ds,
+    budget: int,
+    num_partitions: int | None = None,
+    approx_rows: int | None = None,
+):
     """Greedy first-fit packing of chunks into token-budgeted training
     sequences — deterministic and distributed.
 
@@ -74,10 +84,24 @@ def pack_sequences(chunks_ds, budget: int, num_partitions: int = 16):
     and within each partition packed in (doc_id, chunk_id) order.
     Output: one row per sequence
     (partition_id, seq_id, n_chunks, total_tokens ≤ budget).
+
+    ``num_partitions=None`` derives P from the chunk count (min 16,
+    ~``PACK_ROWS_PER_PARTITION`` rows per group) so no group exceeds one
+    worker's memory at any corpus size; composed pipelines thread an
+    explicit corpus-scaled P instead (``ExtractConfig.num_partitions``)
+    to avoid the counting pass.  P is part of the output contract (a
+    sequence never straddles partitions), so re-runs must reuse the same
+    P — but chunk COVERAGE is P-invariant: every chunk lands in exactly
+    one sequence at any P (tested).
     """
     import zlib
 
     import pandas as pd
+
+    if num_partitions is None:
+        if approx_rows is None:
+            approx_rows = chunks_ds.count()
+        num_partitions = max(16, -(-int(approx_rows) // PACK_ROWS_PER_PARTITION))
 
     def add_pid(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()

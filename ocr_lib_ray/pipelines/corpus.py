@@ -158,7 +158,12 @@ def build_training_data(
         lambda b: chunk_documents_batch(b, chunk_size, chunk_overlap),
         batch_format="pyarrow",
     )
-    return pack_sequences(chunks, budget=pack_budget)
+    # thread the job's corpus-scaled partition knob (callers size
+    # cfg.num_partitions to the corpus) instead of paying pack_sequences'
+    # derive-by-count pass over this long lineage
+    return pack_sequences(
+        chunks, budget=pack_budget, num_partitions=max(16, cfg.num_partitions)
+    )
 
 
 def clean_corpus(

@@ -199,6 +199,48 @@ def test_pack_sequences(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_partition_scaling(sf_small):
+    """P must be derivable from corpus size without changing the packing
+    CONTRACT: at any P every chunk lands in exactly one sequence, budget
+    holds, and total token volume is identical; the derived default (the
+    driver-query path) equals the explicit fixture-scale P."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.chunking import chunk_documents, pack_sequences
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    n_chunks_total = chunk_documents(docs, 32, 8).count()
+    key = ["partition_id", "seq_id"]
+    p16 = (
+        pack_sequences(chunk_documents(docs, 32, 8), budget=128, num_partitions=16)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    p64 = pack_sequences(
+        chunk_documents(docs, 32, 8), budget=128, num_partitions=64
+    ).to_pandas()
+    for p in (p16, p64):
+        assert (p["total_tokens"] <= 128).all()
+        assert p["n_chunks"].sum() == n_chunks_total
+    assert p16["total_tokens"].sum() == p64["total_tokens"].sum()
+    # partitions nest under crc32 % P (16 | 64): each P=64 partition's
+    # docs sit inside ONE P=16 partition → per-partition token volume
+    # aggregates exactly
+    vol16 = p16.groupby("partition_id")["total_tokens"].sum()
+    vol64 = p64.groupby(p64["partition_id"] % 16)["total_tokens"].sum()
+    assert vol16.equals(vol64)
+    # derived default == explicit P at fixture scale (rows << 100k → 16)
+    dflt = (
+        pack_sequences(chunk_documents(docs, 32, 8), budget=128)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert dflt.equals(p16)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_remove_common_lines():
     """Lines shared across >1 doc are removed; unique lines survive."""
     import ray.data as rd
