@@ -109,16 +109,18 @@ def sliding_window(events_ds, window_seconds: int = 3600, slide_seconds: int = 9
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
         et = np.asarray(batch.column("event_type").to_pylist())
         val = batch.column("value").to_numpy()
-        # last slide-aligned window start covering ts, then k-1 earlier ones
+        # last slide-aligned window start covering ts, then k-1 earlier
+        # ones — emitted unconditionally, including negative starts for
+        # events within (k-1)*slide of epoch (matches the SQL oracle,
+        # which generates all k offsets; pinned by the near-epoch test)
         last = (ts // slide_us) * slide_us
         offs = (np.arange(k) * slide_us)[None, :]
         starts = (last[:, None] - offs).reshape(-1)
-        keep = starts >= 0
         return pa.Table.from_arrays(
             [
-                pa.array(np.repeat(et, k)[keep]),
-                pa.array(starts[keep], pa.int64()),
-                pa.array(np.repeat(val, k)[keep], pa.float64()),
+                pa.array(np.repeat(et, k)),
+                pa.array(starts, pa.int64()),
+                pa.array(np.repeat(val, k), pa.float64()),
             ],
             names=["event_type", "window_start_us", "value"],
         )

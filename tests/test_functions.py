@@ -305,6 +305,54 @@ def test_tumbling_window_matches_pandas(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sliding_window_near_epoch_matches_oracle():
+    """Events within (k-1)*slide of epoch 0: the impl must emit the same
+    (possibly negative-start) windows the SQL oracle's unconditional
+    k-offset cross join emits — pins the alignment (a >=0 filter here
+    silently diverged from the oracle on near-epoch data)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import sliding_window
+
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(["click", "click", "view", "view"]),
+            pa.array([100, 950_000_000, 0, 2_000_000_000], pa.timestamp("us")),
+            pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        ],
+        names=["event_type", "ts", "value"],
+    )
+    got = (
+        sliding_window(rd.from_arrow(tbl), 3600, 900)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(
+        """
+        WITH off AS (SELECT unnest(generate_series(0, 3)) AS i),
+        e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)
+        SELECT event_type,
+               (ts_us // 900000000) * 900000000 - i * 900000000 AS window_start_us,
+               count(*) AS n, sum(value) AS value_sum,
+               min(value) AS value_min, max(value) AS value_max
+        FROM e CROSS JOIN off GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    ).df()
+    assert (got["window_start_us"] < 0).any()  # near-epoch rows exist
+    assert len(got) == len(want)
+    for col in ("event_type", "window_start_us", "n"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all()
+    for col in ("value_sum", "value_min", "value_max"):
+        assert np.allclose(got[col], want[col])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_media_features_over_pages(sf_small):
     from ocr_lib_ray.functions.multimodal import media_features
     from ocr_lib_ray.pipelines.extract import build_pages_dataset
