@@ -157,26 +157,11 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_ngram_jaccard(sf_dir: str):
-    import ray
-    import pyarrow.compute as pc
+    from ocr_lib_ray.functions.dedup import ngram_jaccard_pairs
 
-    from ocr_lib_ray.functions.dedup import ngram_jaccard_pairs_batch, shingle_hashes
-    from ocr_lib_ray.functions.text_stats import normalize_expr
-
-    docs = _docs(sf_dir)
-    # broadcast side: {doc_id: shingle hashes} — built once via streaming
-    # iter_batches (small per-doc arrays), shipped once with ray.put.
-    sets = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        ids = b.column("doc_id").to_pylist()
-        norms = normalize_expr(b.column("text")).to_pylist()
-        for i, t in zip(ids, norms):
-            sets[i] = shingle_hashes(t, 3)
-    ref = ray.put(sets)
-    pairs = docs.map_batches(
-        lambda b: ngram_jaccard_pairs_batch(b, ref, 3, 0.5), batch_format="pyarrow"
-    )
-    return pairs
+    # shingling runs distributed (map_batches); the driver collects only
+    # the compact (doc_id, hashes) rows for the ray.put broadcast
+    return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
 
 
 def _q_minhash_pairs(sf_dir: str):

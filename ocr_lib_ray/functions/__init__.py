@@ -5,6 +5,7 @@ from .dedup import (
     dedup_by_pairs,
     dedup_connected,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
     union_find_components,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "dedup_by_pairs",
     "dedup_connected",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash_pairs",
     "union_find_components",
     "remove_common_lines",

@@ -583,6 +583,55 @@ def simhash_pairs(
 
 # --- exact n-gram Jaccard (small-corpus oracle path) -----------------------
 
+#: hard cap for the exact O(n²) verifier — the broadcast side holds every
+#: doc's shingle-hash array, so this path is for verification corpora
+#: only; minhash_lsh_pairs is the scale path.
+NGRAM_JACCARD_MAX_DOCS = 1_000_000
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5, max_docs: int = NGRAM_JACCARD_MAX_DOCS):
+    """Exact all-pairs token-set Jaccard (d1 < d2, jaccard ≥ threshold).
+
+    The broadcast side ({doc_id: shingle-hash ndarray}) is built
+    DISTRIBUTED — shingling runs in map_batches, the driver collects only
+    the compact (doc_id, hashes) rows — then shipped once with
+    ``ray.put``.  O(n²) verification by design: this is the exact
+    small-corpus verifier (guarded at ``max_docs``); use
+    :func:`minhash_lsh_pairs` at scale.
+    """
+    import ray
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        norm = normalize_expr(batch.column("text")).to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(
+                    [shingle_hashes(t, n).tolist() for t in norm],
+                    pa.list_(pa.uint64()),
+                ),
+            ],
+            names=["doc_id", "hashes"],
+        )
+
+    sets: dict = {}
+    for b in docs_ds.map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for i, h in zip(b.column("doc_id").to_pylist(), b.column("hashes").to_pylist()):
+            sets[i] = np.asarray(h, dtype=np.uint64)
+        if len(sets) > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the exact O(n²) small-corpus verifier "
+                f"(> {max_docs} docs); use minhash_lsh_pairs at scale"
+            )
+    ref = ray.put(sets)
+    return docs_ds.map_batches(
+        lambda b: ngram_jaccard_pairs_batch(b, ref, n, threshold),
+        batch_format="pyarrow",
+    )
+
 
 def ngram_jaccard_pairs_batch(batch: pa.Table, all_sets_ref, n: int, threshold: float) -> pa.Table:
     """Per-batch exact Jaccard of each doc vs every LARGER doc_id.
