@@ -73,6 +73,11 @@ class ExtractDocuments:
                     boiler=self.bundle.boilerplate_tags,
                     heading=getattr(self.bundle, "heading_tags", None),
                 )
+            # threshold overrides (the caller-threaded matching-value
+            # analog): the bundle can re-teach min_words / link-density /
+            # residual_cap pipeline-wide, once per actor
+            if hasattr(self.bundle, "apply_to"):
+                self.cfg = self.bundle.apply_to(cfg)
         else:
             self.bundle = None
 

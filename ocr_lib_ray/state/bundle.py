@@ -35,9 +35,36 @@ class ClassifierBundle:
     lang_profiles: dict = field(default_factory=dict)
     #: extra named entities layered over the kernel table
     extra_entities: dict = field(default_factory=dict)
+    #: classification-threshold overrides (the caller-threaded
+    #: ``matching-value`` analog, core.clj:1772-1806): None = keep the
+    #: ExtractConfig value.  Lets a deployment teach acceptance
+    #: thresholds through the same bundle that teaches tag classes.
+    min_words: int | None = None
+    link_density_num: int | None = None
+    link_density_den: int | None = None
+    residual_cap: int | None = None
+
+    def apply_to(self, cfg):
+        """ExtractConfig with this bundle's threshold overrides applied
+        (a new frozen config; None fields keep the caller's values)."""
+        from dataclasses import replace
+
+        overrides = {
+            k: v
+            for k in ("min_words", "link_density_num", "link_density_den", "residual_cap")
+            if (v := getattr(self, k)) is not None
+        }
+        return replace(cfg, **overrides) if overrides else cfg
 
 
-def build_bundle(extra_boilerplate=(), lang_profiles=None) -> ClassifierBundle:
+def build_bundle(
+    extra_boilerplate=(),
+    lang_profiles=None,
+    min_words=None,
+    link_density_num=None,
+    link_density_den=None,
+    residual_cap=None,
+) -> ClassifierBundle:
     """Driver-side bundle construction (the ``nauci-slova`` analog,
     core_helper.clj:1833-1989 — run once, offline)."""
     from ..functions.text_stats import _LANG_PROFILES
@@ -47,6 +74,10 @@ def build_bundle(extra_boilerplate=(), lang_profiles=None) -> ClassifierBundle:
         lang_profiles={
             k: frozenset(v) for k, v in (lang_profiles or _LANG_PROFILES).items()
         },
+        min_words=min_words,
+        link_density_num=link_density_num,
+        link_density_den=link_density_den,
+        residual_cap=residual_cap,
     )
 
 

@@ -144,6 +144,43 @@ def test_actor_pool_with_bundle_equivalent(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bundle_threshold_overrides(sf_small):
+    """The bundle can re-teach classification THRESHOLDS (the reference's
+    caller-threaded matching-value, core.clj:1772-1806), not just tag
+    classes: a min_words override must change accept decisions
+    pipeline-wide through the actor path, and a default bundle must
+    leave output identical to the no-bundle path."""
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
+    from ocr_lib_ray.state.bundle import broadcast_bundle, build_bundle
+
+    base = (
+        extract_pipeline(build_pages_dataset(sf_small))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    strict_ref = broadcast_bundle(build_bundle(min_words=10_000))
+    strict = (
+        extract_pipeline(build_pages_dataset(sf_small), bundle_ref=strict_ref)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (base["url"] == strict["url"]).all()
+    changed = (base["text"] != strict["text"]).sum()
+    assert changed > 0  # the override reached classify through the pool
+    # strict text is always a (possibly equal) reduction of base text
+    assert (
+        strict["text"].str.len() <= base["text"].str.len()
+    ).all()
+    # residual_cap override flows too: cap 0 → no residuals anywhere
+    nocap_ref = broadcast_bundle(build_bundle(min_words=10_000, residual_cap=0))
+    nocap = extract_pipeline(build_pages_dataset(sf_small), bundle_ref=nocap_ref).to_pandas()
+    assert nocap["residuals"].map(len).max() == 0
+    assert strict["residuals"].map(len).max() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_skew_route_with_bundle_equivalent(sf_small):
     """skew_route x bundle_ref: the re-taught TagConfig must reach BOTH
     routes.  With <article> re-taught as boilerplate and a giant_threshold
