@@ -179,44 +179,12 @@ class TagState:
     block_seq: int = 0
     block_tag_stack: list = field(default_factory=list)  # open BLOCK tags
 
-    def push(self, tag: str) -> None:
-        self.stack.append(tag)
-        if tag in BOILERPLATE_TAGS:
-            self.boiler_depth += 1
-        if tag == "a":
-            self.link_depth += 1
-        if tag in HEADING_TAGS:
-            self.heading_depth += 1
-        if tag == "li":
-            self.li_depth += 1
-        if tag in BLOCK_TAGS:
-            self.block_seq += 1
-            self.block_tag_stack.append(tag)
-
-    def pop(self) -> str:
-        tag = self.stack.pop()
-        if tag in BOILERPLATE_TAGS:
-            self.boiler_depth -= 1
-        if tag == "a":
-            self.link_depth -= 1
-        if tag in HEADING_TAGS:
-            self.heading_depth -= 1
-        if tag == "li":
-            self.li_depth -= 1
-        if tag in BLOCK_TAGS:
-            self.block_seq += 1
-            if self.block_tag_stack:
-                self.block_tag_stack.pop()
-        return tag
-
-    def pop_through(self, tag: str) -> None:
-        """Close up to and including the nearest open ``tag``."""
-        while self.stack:
-            if self.pop() == tag:
-                return
-
-    def current_block_tag(self) -> str:
-        return self.block_tag_stack[-1] if self.block_tag_stack else ""
+    # NOTE: deliberately a pure state container — the ONLY code that
+    # mutates it is :func:`tokenize_range`'s hot loop (which reads tag
+    # classes from the instance TagConfig).  Convenience push/pop methods
+    # were removed: they duplicated the hot-loop transitions against
+    # MODULE tag tables and would silently diverge under a re-taught
+    # bundle TagConfig.
 
 
 @dataclass
@@ -239,22 +207,6 @@ class TokenizedDoc:
 
     def __len__(self) -> int:
         return len(self.texts)
-
-
-def _emit_text(doc: TokenizedDoc, st: TagState, start: int, end: int, text: str) -> None:
-    if not text or text.isspace():
-        # noise removal analog (``obrisi-piksele`` < 20 px rule,
-        # core_helper.clj:519-561): whitespace-only nodes never become units.
-        return
-    doc.starts.append(start)
-    doc.ends.append(end)
-    doc.texts.append(text)
-    doc.boiler.append(st.boiler_depth > 0)
-    doc.link.append(st.link_depth > 0)
-    doc.heading.append(st.heading_depth > 0)
-    doc.listitem.append(st.li_depth > 0)
-    doc.block_seq.append(st.block_seq)
-    doc.block_tag.append(st.current_block_tag())
 
 
 def tokenize_range(

@@ -105,10 +105,14 @@ def test_chunked_equals_oneshot(chunk):
 
 
 def test_tagstate_counters_balanced():
+    """After parsing balanced markup through the REAL hot loop (the only
+    code that mutates TagState), the synced-back state must be neutral —
+    the seam-resume contract."""
+    from ocr_lib_ray.kernel.tokenizer import TokenizedDoc, tokenize_range
+
     st = TagState()
-    for t in ["div", "nav", "a", "li"]:
-        st.push(t)
-    for _ in range(4):
-        st.pop()
+    doc = TokenizedDoc()
+    html = "<div><nav><a href='#'><li>x</li></a></nav></div>"
+    tokenize_range(html, doc, st, 0, len(html))
     assert (st.boiler_depth, st.link_depth, st.li_depth, st.heading_depth) == (0, 0, 0, 0)
-    assert st.block_tag_stack == []
+    assert st.stack == [] and st.block_tag_stack == []
