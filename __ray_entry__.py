@@ -441,6 +441,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 
+def _lang_id_sql(norm: str) -> str:
+    """lang_id oracle generated from the SAME _LANG_PROFILES dict the
+    LangId stage reads — impl and oracle cannot diverge as profiles are
+    extended."""
+    from ocr_lib_ray.functions.text_stats import _LANG_PROFILES
+
+    h_cols = ",\n               ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ",".join("'" + w + "'" for w in sorted(prof))
+        + "], w))) AS h_" + tag
+        for tag, prof in sorted(_LANG_PROFILES.items())
+    )
+    unpivot = ", ".join(f"h_{tag} AS '{tag}'" for tag in sorted(_LANG_PROFILES))
+    cjk = "[\\x{4E00}-\\x{9FFF}]"
+    return f"""
+            WITH t AS (SELECT doc_id, text,
+                          str_split(lower({norm}), ' ') AS ws FROM documents),
+            h AS (SELECT doc_id, text,
+               {h_cols}
+               FROM t),
+            s AS (SELECT doc_id, text, tag, hits FROM h
+                  UNPIVOT (hits FOR tag IN ({unpivot})) ),
+            best AS (SELECT doc_id, text, tag, hits,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, tag ASC) AS rk FROM s)
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '{cjk}') THEN 'zh'
+                        WHEN hits = 0 THEN 'und'
+                        ELSE tag END AS lang_pred
+            FROM best WHERE rk = 1
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     norm = _NORM
     return {
@@ -523,31 +556,7 @@ def oracle_sql() -> dict[str, str]:
                    round(m.mc * 1.0 / len(ws), 6) AS top_word_ratio
             FROM t JOIN m ON t.doc_id = m.doc_id
         """,
-        "lang_id": f"""
-            WITH t AS (SELECT doc_id, text,
-                          str_split(lower({norm}), ' ') AS ws FROM documents),
-            h AS (SELECT doc_id, text,
-               len(list_filter(ws, w -> list_contains(
-                 ['der','die','das','und','ist','nicht','ein','mit','von','zu'], w))) AS h_de,
-               len(list_filter(ws, w -> list_contains(
-                 ['the','and','of','to','a','in','is','it','that','for','with'], w))) AS h_en,
-               len(list_filter(ws, w -> list_contains(
-                 ['el','la','los','las','y','es','un','una','que','por'], w))) AS h_es,
-               len(list_filter(ws, w -> list_contains(
-                 ['le','la','les','et','est','un','une','des','que','pour'], w))) AS h_fr
-               FROM t),
-            s AS (SELECT doc_id, text, tag, hits FROM h
-                  UNPIVOT (hits FOR tag IN (h_de AS 'de', h_en AS 'en',
-                                            h_es AS 'es', h_fr AS 'fr')) ),
-            best AS (SELECT doc_id, text, tag, hits,
-                        row_number() OVER (PARTITION BY doc_id
-                            ORDER BY hits DESC, tag ASC) AS rk FROM s)
-            SELECT doc_id,
-                   CASE WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
-                        WHEN hits = 0 THEN 'und'
-                        ELSE tag END AS lang_pred
-            FROM best WHERE rk = 1
-        """,
+        "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
             t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),

@@ -90,11 +90,24 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 # --- language id: n-gram/stopword heuristic (deterministic, no model) ------
 
+# Stopword profiles — the single source of truth for BOTH the LangId
+# stage and the driver's oracle SQL (generated from this dict in
+# __ray_entry__.py, so impl and oracle cannot diverge).  Words shared by
+# several languages are fine: the tie-break (hits desc, tag asc) is
+# deterministic on both sides.
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
     "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+    "it": {"il", "lo", "gli", "che", "non", "per", "con", "sono", "della", "di"},
+    "pt": {"os", "um", "uma", "para", "com", "mais", "em", "ou", "como", "foi"},
+    "nl": {"de", "het", "een", "en", "van", "ik", "te", "dat", "niet", "op"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "av", "för", "med"},
+    "pl": {"i", "w", "nie", "na", "się", "jest", "do", "to", "że", "z"},
+    "tr": {"bir", "ve", "bu", "da", "ne", "için", "ile", "olarak", "daha", "gibi"},
+    "id": {"yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"},
+    "ro": {"și", "în", "cu", "este", "pentru", "nu", "mai", "din", "sau", "dar"},
 }
 
 

@@ -53,6 +53,36 @@ def test_lang_id_heuristic():
     assert out.column("lang_pred").to_pylist() == ["en", "de", "fr", "es", "zh", "und"]
 
 
+def test_lang_id_extended_profiles():
+    """The 8 round-2 profiles classify representative sentences; the
+    oracle SQL is generated from the same dict (test_oracle below runs
+    it), so this pins the impl side."""
+    out = LangId()(
+        docs_batch(
+            [
+                "il gatto non sono che un animale per la casa di lui",
+                "um gato para casa com mais alguem ou em familia foi",
+                "de kat is een dier van het huis en ik weet dat niet",
+                "och att det som en katt på huset är av för med",
+                "i w nie na się jest do to że z",
+                "bir kedi ve bu da ne için ile olarak daha gibi",
+                "yang dan di itu dengan untuk tidak ini dari akan",
+                "și în cu este pentru nu mai din sau dar",
+            ]
+        )
+    )
+    assert out.column("lang_pred").to_pylist() == [
+        "it",
+        "pt",
+        "nl",
+        "sv",
+        "pl",
+        "tr",
+        "id",
+        "ro",
+    ]
+
+
 def test_quality_score_signals():
     out = QualityScore()(docs_batch(["the the the the", "alpha beta gamma delta", ""]))
     top = out.column("top_word_ratio").to_pylist()
