@@ -340,8 +340,9 @@ def _q_training_data(sf_dir: str):
 
 
 def _q_model_score(sf_dir: str):
-    """Batched model scoring (deterministic logistic stand-in; sigmoid
-    not cleanly SQL-hashable → rows-only, determinism pinned in tests)."""
+    """Batched model scoring (deterministic logistic with fixed public
+    weights over the rounded quality signals — SQL-expressible, full
+    hash oracle)."""
     from ocr_lib_ray.functions.scoring import score_documents
 
     return score_documents(_docs(sf_dir))
@@ -387,11 +388,101 @@ def _q_corpus_clean(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ocr_lib_ray.functions.multimodal import media_features
 
-    return media_features(_pages(sf_dir)).select_columns(
-        ["url", "n_bytes", "crc", "byte_entropy"]
+    # crc32 has no DuckDB equivalent (pytest-pinned instead); entropy is
+    # re-rounded to 6 so float compare matches the oracle discipline
+    def view(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                batch.column("n_bytes"),
+                pc.round(batch.column("byte_entropy"), ndigits=6),
+            ],
+            names=["url", "n_bytes", "byte_entropy"],
+        )
+
+    return media_features(_pages(sf_dir)).map_batches(view, batch_format="pyarrow")
+
+
+def _media_features_sql(norm: str) -> str:
+    """Reconstructs the synthetic page PAYLOAD BYTES in SQL (the page
+    generator's templates are part of the frozen spec, sources/pages.py)
+    and computes n_bytes + byte-distribution entropy over them — a full
+    hash oracle for the multimodal feature stage (ASCII corpus ⇒ char
+    distribution == byte distribution)."""
+    esc = (
+        "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     )
+    esc_pdf = r"replace(replace(replace({x}, '\', '\\'), '(', '\('), ')', '\)')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, lang, source,
+                 'https://corpus.test/' || source || '/' || doc_id AS url,
+                 {norm} AS nm,
+                 CASE WHEN doc_id % 17 = 3 THEN 'pdf'
+                      WHEN doc_id % 13 = 5 THEN 'malformed'
+                      WHEN doc_id % 11 = 7 THEN 'noisy'
+                      ELSE 'plain' END AS kind
+          FROM documents),
+        htm AS (
+          SELECT url,
+            e'<!DOCTYPE html>\\n<html lang="' || lang || e'">\\n<head><title>Document '
+            || doc_id || e'</title><meta charset="utf-8"/></head>\\n<body>\\n'
+            || '<header><nav><ul><li><a href="/">Home</a></li>'
+            || '<li><a href="/' || source || '">' || source || '</a></li>'
+            || e'<li><a href="/about">About Us</a></li></ul></nav></header>\\n'
+            || CASE kind
+                 WHEN 'malformed' THEN
+                   e'<main>\\n<article>\\n<h1>Document ' || doc_id || e'</h1></span>\\n'
+                   || '<p><b>' || {esc.format(x="nm")} || e'\\n</article>\\n</main>\\n'
+                 WHEN 'noisy' THEN
+                   e'<main>\\n<!-- tracking -->\\n<article>\\n<h1>Document ' || doc_id
+                   || e'</h1>\\n<img src="/t.gif" width="1" height="1"/>\\n<p>   </p>\\n'
+                   || '<p>' || {esc.format(x="nm")}
+                   || e'</p>\\n<span></span>\\n<div>\\n  \\n</div>\\n</article>\\n</main>\\n'
+                 ELSE
+                   e'<main>\\n<article>\\n<h1>Document ' || doc_id || e'</h1>\\n'
+                   || '<p>' || {esc.format(x="nm")} || e'</p>\\n</article>\\n</main>\\n'
+               END
+            || e'<aside><p><a href="/r/1">Related one</a> <a href="/r/2">Related two</a> '
+            || e'<a href="/r/3">Related three</a></p></aside>\\n'
+            || '<footer><p>Copyright 2026 ' || source
+            || e' archive. <a href="/terms">Terms</a> '
+            || e'<a href="/privacy">Privacy</a></p></footer>\\n</body>\\n</html>\\n'
+            AS payload
+          FROM d WHERE kind <> 'pdf'),
+        pw AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws FROM d WHERE kind = 'pdf'),
+        pdf AS (
+          SELECT url,
+            e'%PDF-1.4\\n1 0 obj << /Type /Catalog >> endobj\\nstream\\n'
+            || e'BT\\n/F1 12 Tf\\n'
+            || array_to_string(
+                 list_prepend('1 0 0 1 72 760 Tm (Document ' || doc_id || ') Tj',
+                   CASE WHEN nm = '' THEN []
+                        ELSE [ '1 0 0 1 72 ' || (700 - 14 * (i - 1)) || ' Tm ('
+                               || {esc_pdf.format(x="array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')")}
+                               || ') Tj'
+                               FOR i IN generate_series(1, (len(ws) + 7) // 8) ] END),
+                 e'\\n')
+            || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
+          FROM pw),
+        p AS (SELECT url, payload FROM htm UNION ALL SELECT url, payload FROM pdf),
+        tot AS (SELECT url, strlen(payload) AS n_bytes FROM p),
+        c AS (SELECT url, substr(payload, CAST(i AS INT), 1) AS ch
+              FROM (SELECT url, payload,
+                           unnest(generate_series(1, strlen(payload))) AS i
+                    FROM p)),
+        f AS (SELECT url, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        ent AS (SELECT f.url,
+                       round(-sum((cnt * 1.0 / n_bytes) * log2(cnt * 1.0 / n_bytes)), 6)
+                         AS byte_entropy
+                FROM f JOIN tot ON f.url = tot.url GROUP BY f.url, n_bytes)
+        SELECT tot.url, n_bytes, byte_entropy FROM tot JOIN ent ON tot.url = ent.url
+    """
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -739,8 +830,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, value_sum_cents, n FROM t
             ORDER BY value_sum_cents DESC, user_id ASC LIMIT 10
         """,
+        # the synthetic payload bytes are SQL-reconstructible (the page
+        # templates are part of the frozen spec), so the media stage gets
+        # a full hash oracle on (url, n_bytes, byte_entropy); crc32 has
+        # no DuckDB builtin and is pytest-pinned instead
+        "media_features": _media_features_sql(norm),
+        # logistic over the ROUNDED quality signals (featurize reads
+        # QualityScore's round-6 outputs) + log1p(raw length) + bias,
+        # weights frozen in scoring._DEFAULT_WEIGHTS
+        "model_score": f"""
+            WITH t AS (SELECT doc_id, text,
+                              str_split(lower({norm}), ' ') AS ws FROM documents),
+            u AS (SELECT doc_id, w, count(*) AS c FROM t, unnest(ws) AS q(w) GROUP BY 1, 2),
+            m AS (SELECT doc_id, max(c) AS mc FROM u GROUP BY 1),
+            feats AS (SELECT t.doc_id,
+                   round(len(list_filter(ws, w -> list_contains(
+                       ['the','and','of','to','a','in','is','it','that','for','with'], w)))
+                     * 1.0 / len(ws), 6) AS stop_ratio,
+                   round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
+                     AS mean_word_len,
+                   round(list_sum(list_transform(ws, w ->
+                       len(regexp_replace(w, '[^a-zA-Z]', '', 'g')))) * 1.0 /
+                     greatest(list_sum(list_transform(ws, w -> len(w))), 1), 6)
+                     AS alpha_ratio,
+                   round(m.mc * 1.0 / len(ws), 6) AS top_word_ratio,
+                   ln(1.0 + length(t.text)) AS log_len
+              FROM t JOIN m ON t.doc_id = m.doc_id)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(2.0 * stop_ratio + 0.15 * mean_word_len
+                         + 3.0 * alpha_ratio - 4.0 * top_word_ratio
+                         + 0.25 * log_len - 1.5))), 6) AS quality_prob
+            FROM feats
+        """,
         # minhash_pairs, dedup_minhash, simhash_pairs, knn_lsh,
-        # cosine_dups_lsh, approx_distinct (HLL estimate), media_features:
-        # not SQL-expressible (sketch / LSH / binary-payload ops) →
-        # rows-only.
+        # cosine_dups_lsh, approx_distinct (HLL estimate), pack_sequences
+        # (partition key is zlib.crc32 — no DuckDB builtin), training_data
+        # (composition includes packing): not SQL-expressible → rows-only.
     }

@@ -57,7 +57,10 @@ class MediaDecodeStub:
         entropy = float(-(nz * np.log2(nz)).sum())
         feat = hist.reshape(16, 16).sum(axis=1)
         feat = (feat / feat.sum()).astype(np.float32)
-        return round(entropy, 9), [round(float(v), 9) for v in feat]
+        # entropy rounded to 6 directly from the raw double: a 9-then-6
+        # double-rounding makes exact .5 ties at the 7th digit common
+        # enough to break float-oracle comparison (seen in the gate)
+        return round(entropy, 6), [round(float(v), 9) for v in feat]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch.column("html")  # the binary payload column
