@@ -424,6 +424,7 @@ def _media_features_sql(norm: str) -> str:
                  'https://corpus.test/' || source || '/' || doc_id AS url,
                  {norm} AS nm,
                  CASE WHEN doc_id % 17 = 3 THEN 'pdf'
+                      WHEN doc_id % 19 = 4 THEN 'pdf_rot'
                       WHEN doc_id % 13 = 5 THEN 'malformed'
                       WHEN doc_id % 11 = 7 THEN 'noisy'
                       ELSE 'plain' END AS kind
@@ -454,8 +455,28 @@ def _media_features_sql(norm: str) -> str:
             || e' archive. <a href="/terms">Terms</a> '
             || e'<a href="/privacy">Privacy</a></p></footer>\\n</body>\\n</html>\\n'
             AS payload
-          FROM d WHERE kind <> 'pdf'),
+          FROM d WHERE kind NOT IN ('pdf', 'pdf_rot')),
         pw AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws FROM d WHERE kind = 'pdf'),
+        pw2 AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws
+                FROM d WHERE kind = 'pdf_rot'),
+        pdf2 AS (
+          SELECT url,
+            e'%PDF-1.4\\n1 0 obj << /Type /Catalog >> endobj\\nstream\\n'
+            || e'BT\\n'
+            || array_to_string(
+                 ['/F2 24 Tf',
+                  '1 0 0 1 72 760 Tm (Document ' || doc_id || ') Tj',
+                  '/F1 12 Tf']
+                 || CASE WHEN nm = '' THEN []
+                         ELSE [ '1 0 0 1 72 ' || (700 - 14 * (i - 1)) || ' Tm ('
+                                || {esc_pdf.format(x="array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')")}
+                                || ') Tj'
+                                FOR i IN generate_series(1, (len(ws) + 7) // 8) ] END
+                 || ['0.707107 0.707107 -0.707107 0.707107 180 320 Tm (DRAFT '
+                     || doc_id || ') Tj'],
+                 e'\\n')
+            || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
+          FROM pw2),
         pdf AS (
           SELECT url,
             e'%PDF-1.4\\n1 0 obj << /Type /Catalog >> endobj\\nstream\\n'
@@ -470,7 +491,9 @@ def _media_features_sql(norm: str) -> str:
                  e'\\n')
             || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
           FROM pw),
-        p AS (SELECT url, payload FROM htm UNION ALL SELECT url, payload FROM pdf),
+        p AS (SELECT url, payload FROM htm
+              UNION ALL SELECT url, payload FROM pdf
+              UNION ALL SELECT url, payload FROM pdf2),
         tot AS (SELECT url, strlen(payload) AS n_bytes FROM p),
         c AS (SELECT url, substr(payload, CAST(i AS INT), 1) AS ch
               FROM (SELECT url, payload,
@@ -584,14 +607,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_spans_stats": f"""
             SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
-                   CASE WHEN doc_id % 17 = 3
+                   CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4
                         THEN 1 + CAST(ceil(len(str_split({norm}, ' ')) / 8.0) AS BIGINT)
                         ELSE 2 END AS n_spans,
-                   CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 6 END AS n_residuals
+                   CASE WHEN doc_id % 17 = 3 THEN 0
+                        WHEN doc_id % 19 = 4 THEN 1
+                        ELSE 6 END AS n_residuals
             FROM documents
         """,
         "sniff_kinds": """
-            SELECT CASE WHEN doc_id % 17 = 3 THEN 'pdf' ELSE 'html' END AS doc_kind,
+            SELECT CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4
+                        THEN 'pdf' ELSE 'html' END AS doc_kind,
                    count(*) AS n
             FROM documents GROUP BY 1
         """,

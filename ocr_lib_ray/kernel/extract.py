@@ -134,11 +134,18 @@ def extract_document(
         return ExtractResult(doc_kind="empty", text="")
     data = decode_bytes(html)
     if kind == "pdf":
-        text, spans = extract_pdf(data, cfg)
+        text, spans, residuals, residual_texts = extract_pdf(data, cfg)
         # PDF title heuristic: the first block (top-of-page isolated line
         # group), matching the HTML first-heading rule on the fixtures
         title = text.split("\n", 1)[0] if spans and text else ""
-        return ExtractResult(doc_kind="pdf", text=text, title=title, spans=spans)
+        return ExtractResult(
+            doc_kind="pdf",
+            text=text,
+            title=title,
+            spans=spans,
+            residuals=residuals,
+            residual_texts=residual_texts,
+        )
     doc = (
         tokenize_chunked(data, cfg.chunk_size, tags)
         if chunked or len(data) > cfg.giant_threshold

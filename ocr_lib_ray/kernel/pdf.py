@@ -30,13 +30,15 @@ _NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)"
 _STR = r"\((?:[^()\\]|\\.)*\)"
 _OP_RE = re.compile(
     r"(?P<tl>(?P<tlv>%s)\s+TL)"
-    r"|(?P<tm>(?:%s\s+){4}(?P<tmx>%s)\s+(?P<tmy>%s)\s+Tm)"
+    r"|(?P<tf>/(?P<fname>\w+)\s+(?P<fsize>%s)\s+Tf)"
+    r"|(?P<tm>(?P<tma>%s)\s+(?P<tmb>%s)\s+(?P<tmc>%s)\s+(?P<tmd>%s)"
+    r"\s+(?P<tmx>%s)\s+(?P<tmy>%s)\s+Tm)"
     r"|(?P<td>(?P<tdx>%s)\s+(?P<tdy>%s)\s+T[dD])"
     r"|(?P<tstar>T\*)"
     r"|(?P<bt>BT)|(?P<et>ET)"
     r"|(?P<tj>(?P<str>%s)\s*(?P<show>Tj|'))"
     r"|(?P<tja>\[(?P<arr>(?:%s|%s|\s+)*)\]\s*TJ)"
-    % (_NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _STR, _STR, _NUM)
+    % (_NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _NUM, _STR, _STR, _NUM)
 )
 _ARR_ITEM_RE = re.compile(r"(%s)|(%s)" % (_STR, _NUM))
 _STR_ESC_RE = re.compile(r"\\([()\\nrtbf]|[0-7]{1,3})")
@@ -61,36 +63,56 @@ class GlyphRun:
     text: str
     start: int  # char offset of the run's string literal in the document
     end: int
+    size: float = 12.0  # current Tf font size (glyph-width basis)
+    rotated: bool = False  # Tm with b≠0 or c≠0 (rotation/shear)
 
 
 def tokenize_pdf(data: str) -> list:
     """Content stream text → glyph runs (the dot-reading analog).
 
-    Operator subset: ``Tm`` (set position), ``Td``/``TD`` (translate;
-    TD also sets leading), ``TL`` (leading), ``T*`` (next line),
-    ``(s) Tj`` and ``(s) '`` (show; ``'`` moves to next line first),
-    ``[(a) -120 (b)] TJ`` (array show — strings concatenated, kerning
-    numbers ignored), bracketed by ``BT``/``ET``.
+    Operator subset: ``Tm`` (set FULL text matrix — translation from
+    (e, f); a nonzero b/c component marks the run rotated/sheared),
+    ``/F<n> <size> Tf`` (font size, carried per run as the glyph-width
+    basis), ``Td``/``TD`` (translate; TD also sets leading), ``TL``
+    (leading), ``T*`` (next line), ``(s) Tj`` and ``(s) '`` (show;
+    ``'`` moves to next line first), ``[(a) -120 (b)] TJ`` (array show —
+    strings concatenated, kerning numbers ignored), bracketed by
+    ``BT``/``ET``.
     """
     runs: list = []
     x = y = 0.0
+    size = 12.0
+    rotated = False
     leading = 14.0
     in_text = False
 
     def emit(s: str, start: int, end: int) -> None:
         if s and not s.isspace():
-            runs.append(GlyphRun(x=x, y=y, text=s, start=start, end=end))
+            runs.append(
+                GlyphRun(
+                    x=x, y=y, text=s, start=start, end=end, size=size, rotated=rotated
+                )
+            )
 
     for m in _OP_RE.finditer(data):
         if m.group("bt"):
             in_text = True
             x = y = 0.0
+            rotated = False
         elif m.group("et"):
             in_text = False
         elif m.group("tl"):
             leading = float(m.group("tlv"))
+        elif m.group("tf"):
+            size = float(m.group("fsize"))
         elif m.group("tm"):
             x, y = float(m.group("tmx")), float(m.group("tmy"))
+            # rotation/shear detection: b or c ≠ 0.  Rotation persists
+            # until the next Tm or BT (Td/TD translate WITHIN the
+            # current matrix).
+            rotated = (
+                abs(float(m.group("tmb"))) > 1e-9 or abs(float(m.group("tmc"))) > 1e-9
+            )
         elif m.group("td"):
             x += float(m.group("tdx"))
             y += float(m.group("tdy"))
@@ -120,13 +142,33 @@ def tokenize_pdf(data: str) -> list:
     return runs
 
 
+#: average glyph advance as a fraction of font size — the standard
+#: Helvetica-ish heuristic standing in for per-glyph width tables (the
+#: reference's learned width machinery, core_helper.clj:324-361).
+GLYPH_WIDTH_FRACTION = 0.6
+
+#: baseline tolerance as a fraction of the line's font size — larger
+#: type tolerates more baseline jitter (odredi-oblast-reda-ii analog,
+#: core_helper.clj:780-892); pdf_line_tol remains the floor.
+LINE_TOL_FRACTION = 0.2
+
+
+def run_advance(r: GlyphRun) -> float:
+    """Estimated x-advance (width) of a run from its font size."""
+    return GLYPH_WIDTH_FRACTION * r.size * len(r.text)
+
+
 def cluster_lines(runs: list, cfg: ExtractConfig) -> list:
     """Runs → reading-order lines: ``[(y, [runs sorted by x]) ...]``.
 
     Sort by (-y, x) then group: a run joins the current line when its y
-    is within ``pdf_line_tol`` of the line's first run (sort-rows /
-    add-into-sorted-set-fn analog, core.clj:770-875).  Ties are broken
-    by (x, start) so the order is total and deterministic.
+    is within tolerance of the line's first run (sort-rows /
+    add-into-sorted-set-fn analog, core.clj:770-875).  The tolerance is
+    font-size-aware — ``max(pdf_line_tol, LINE_TOL_FRACTION × size)`` of
+    the line's leading run — so large type tolerates proportional
+    baseline jitter (baseline-refinement analog,
+    core_helper.clj:780-892).  Ties are broken by (x, start) so the
+    order is total and deterministic.
     """
     if not runs:
         return []
@@ -134,28 +176,34 @@ def cluster_lines(runs: list, cfg: ExtractConfig) -> list:
     lines: list = []
     cur = [ordered[0]]
     cur_y = ordered[0].y
+    cur_tol = max(cfg.pdf_line_tol, LINE_TOL_FRACTION * ordered[0].size)
     for r in ordered[1:]:
-        if abs(r.y - cur_y) <= cfg.pdf_line_tol:
+        if abs(r.y - cur_y) <= cur_tol:
             cur.append(r)
         else:
             lines.append((cur_y, cur))
             cur = [r]
             cur_y = r.y
+            cur_tol = max(cfg.pdf_line_tol, LINE_TOL_FRACTION * r.size)
     lines.append((cur_y, cur))
     return lines
 
 
 def split_columns(line_runs: list, cfg: ExtractConfig) -> list:
-    """Split one line's x-sorted runs at wide x-gaps (column detection —
-    the projection-profile character/column segmentation analog,
-    ``oblast-slova``/``odredi-oblast-slova``, core_helper.clj:395-444):
-    a gap > ``pdf_col_gap`` between consecutive runs starts a new column
-    segment, which gets its own span."""
+    """Split one line's x-sorted runs at wide WHITESPACE gaps (column
+    detection — the projection-profile character/column segmentation
+    analog, ``oblast-slova``/``odredi-oblast-slova``,
+    core_helper.clj:395-444): the gap is measured from the END of the
+    previous run (its origin plus the font-size-derived advance, the
+    learned-glyph-width analog, core_helper.clj:324-361), not origin to
+    origin — two long abutting runs are one segment regardless of their
+    origins.  A gap > ``pdf_col_gap`` starts a new column segment, which
+    gets its own span."""
     if not line_runs:
         return []
     segs = [[line_runs[0]]]
     for prev, r in zip(line_runs, line_runs[1:]):
-        if r.x - prev.x > cfg.pdf_col_gap:
+        if r.x - (prev.x + run_advance(prev)) > cfg.pdf_col_gap:
             segs.append([r])
         else:
             segs[-1].append(r)
@@ -163,41 +211,64 @@ def split_columns(line_runs: list, cfg: ExtractConfig) -> list:
 
 
 def extract_pdf(data: str, cfg: ExtractConfig):
-    """PDF branch: returns (text, spans) like the HTML branch.
+    """PDF branch: returns (text, spans, residuals, residual_texts) like
+    the HTML branch's classify step.
 
-    Lines are grouped into blocks on y-gap > ``pdf_block_gap``; within a
-    block lines join with a single space, blocks join with ``\\n``
-    (the row-``\\n`` / word-gap-space assembly rules, core.clj:1620-1690).
-    Spans: one per line, kind "pdf-line", offsets into the content
-    stream; block_id = the block the line belongs to.
+    UPRIGHT runs: lines are grouped into blocks on y-gap >
+    ``pdf_block_gap``; within a block lines join with a single space,
+    blocks join with ``\\n`` (the row-``\\n`` / word-gap-space assembly
+    rules, core.clj:1620-1690).  Spans: one per line, kind "pdf-line",
+    offsets into the content stream; block_id = the block the line
+    belongs to.
+
+    ROTATED runs (Tm with b/c ≠ 0 — watermarks, stamps, vertical
+    labels) are NOT reading-order content: they are rejected into the
+    residual stream in a deterministic fallback order (-y, x, start),
+    one residual per run, ids continuing after the content blocks and
+    capped at ``cfg.residual_cap`` (texts kept under
+    ``cfg.keep_residual_texts``) — the unknown-sign-reject analog,
+    core.clj:1637-1672.
     """
     runs = tokenize_pdf(data)
-    lines = cluster_lines(runs, cfg)
-    if not lines:
-        return "", []
-    blocks: list = []  # list of list-of-lines
-    cur = [lines[0]]
-    for prev, ln in zip(lines, lines[1:]):
-        if prev[0] - ln[0] > cfg.pdf_block_gap:
-            blocks.append(cur)
-            cur = [ln]
-        else:
-            cur.append(ln)
-    blocks.append(cur)
+    upright = [r for r in runs if not r.rotated]
+    rotated = sorted(
+        (r for r in runs if r.rotated), key=lambda r: (-r.y, r.x, r.start)
+    )
+    lines = cluster_lines(upright, cfg)
     out_parts = []
     spans = []
-    for bid, blk in enumerate(blocks):
-        line_texts = []
-        for y, rs in blk:
-            for seg in split_columns(rs, cfg):
-                line_texts.append(collapse_ws(" ".join(r.text for r in seg)))
-                spans.append(
-                    {
-                        "start": min(r.start for r in seg),
-                        "end": max(r.end for r in seg),
-                        "block_id": bid,
-                        "kind": "pdf-line",
-                    }
-                )
-        out_parts.append(" ".join(line_texts))
-    return "\n".join(out_parts), spans
+    n_blocks = 0
+    if lines:
+        blocks: list = []  # list of list-of-lines
+        cur = [lines[0]]
+        for prev, ln in zip(lines, lines[1:]):
+            if prev[0] - ln[0] > cfg.pdf_block_gap:
+                blocks.append(cur)
+                cur = [ln]
+            else:
+                cur.append(ln)
+        blocks.append(cur)
+        n_blocks = len(blocks)
+        for bid, blk in enumerate(blocks):
+            line_texts = []
+            for y, rs in blk:
+                for seg in split_columns(rs, cfg):
+                    line_texts.append(collapse_ws(" ".join(r.text for r in seg)))
+                    spans.append(
+                        {
+                            "start": min(r.start for r in seg),
+                            "end": max(r.end for r in seg),
+                            "block_id": bid,
+                            "kind": "pdf-line",
+                        }
+                    )
+            out_parts.append(" ".join(line_texts))
+    residuals = []
+    residual_texts = []
+    for i, r in enumerate(rotated):
+        if len(residuals) >= cfg.residual_cap:
+            break
+        residuals.append(n_blocks + i)
+        if cfg.keep_residual_texts:
+            residual_texts.append(collapse_ws(r.text))
+    return "\n".join(out_parts), spans, residuals, residual_texts

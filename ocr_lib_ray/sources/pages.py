@@ -11,6 +11,8 @@ Each row of the driver's ``documents`` table becomes one page (or
 lang:string)``.  The page kind is a pure function of ``doc_id``:
 
 * ``doc_id % 17 == 3``  → ``pdf``       (content-stream branch)
+* ``doc_id % 19 == 4``  → ``pdf_rot``   (two-font + rotated watermark;
+  rotation detection drops the watermark → same golden text)
 * ``doc_id % 13 == 5``  → ``malformed`` (unclosed/mis-nested tags; the
   tag-stack recovery rules neutralize them → same golden text)
 * ``doc_id % 11 == 7``  → ``noisy``     (comments, tracking pixels,
@@ -47,6 +49,8 @@ PAGES_SCHEMA = pa.schema(
 def page_kind(doc_id: int) -> str:
     if doc_id % 17 == 3:
         return "pdf"
+    if doc_id % 19 == 4:
+        return "pdf_rot"  # two-font + rotated-watermark content stream
     if doc_id % 13 == 5:
         return "malformed"
     if doc_id % 11 == 7:
@@ -133,6 +137,35 @@ def make_pdf(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+def make_pdf_rot(doc_id: int, text: str) -> bytes:
+    """Two-font + rotated-watermark content stream (round-2 PDF-depth
+    fixture): title at /F2 24pt (font-size-aware line tolerance), body
+    at /F1 12pt, plus a 45°-rotated ``DRAFT {doc_id}`` watermark placed
+    mid-page (y=320 — inside the body's y-range on long documents, so a
+    rotation-detection failure would corrupt the golden text).  The
+    extractor must drop the watermark into the residual stream, keeping
+    the golden identical to every other kind.
+    """
+    words = collapse_ws(text).split(" ") if collapse_ws(text) else []
+    lines = [
+        " ".join(words[i : i + PDF_WORDS_PER_LINE])
+        for i in range(0, len(words), PDF_WORDS_PER_LINE)
+    ]
+    ops = ["/F2 24 Tf", f"1 0 0 1 72 760 Tm (Document {doc_id}) Tj", "/F1 12 Tf"]
+    y = 700
+    for ln in lines:
+        ops.append(f"1 0 0 1 72 {y} Tm ({_esc_pdf(ln)}) Tj")
+        y -= 14
+    ops.append(
+        f"0.707107 0.707107 -0.707107 0.707107 180 320 Tm (DRAFT {doc_id}) Tj"
+    )
+    stream = "BT\n" + "\n".join(ops) + "\nET\n"
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
+        "stream\n" + stream + "endstream\n%%EOF\n"
+    ).encode("utf-8")
+
+
 def golden_text(doc_id: int, text: str) -> str:
     """The frozen expected extraction for every page kind."""
     body = collapse_ws(text)
@@ -152,11 +185,12 @@ def synthesize_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
     for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
         kind = page_kind(doc_id)
-        payload = (
-            make_pdf(doc_id, text)
-            if kind == "pdf"
-            else make_html(doc_id, text, lang, source, kind)
-        )
+        if kind == "pdf":
+            payload = make_pdf(doc_id, text)
+        elif kind == "pdf_rot":
+            payload = make_pdf_rot(doc_id, text)
+        else:
+            payload = make_html(doc_id, text, lang, source, kind)
         for rep in range(repeat):
             urls.append(page_url(doc_id, source, rep))
             tss.append(EPOCH_US + doc_id * 1_000_000 + rep)

@@ -52,7 +52,7 @@ def test_pdf_tokenizer_total(s):
     from ocr_lib_ray.config import DEFAULT_CONFIG
 
     runs = tokenize_pdf(s)
-    text, spans = extract_pdf(s, DEFAULT_CONFIG)
+    text, spans, _res, _rt = extract_pdf(s, DEFAULT_CONFIG)
     assert isinstance(text, str)
     for r in runs:
         assert 0 <= r.start <= r.end <= len(s)

@@ -109,13 +109,14 @@ PDF = (
 def test_pdf_dispatch_and_layout():
     res = extract_document(PDF)
     assert res.doc_kind == "pdf"
-    # title is its own block (gap 60 > 30); body lines one block;
-    # runs on one line ordered by x; the x=72→300 gap (228 > col_gap 200)
-    # splits that line into two column segments (projection-profile
-    # analog), so it yields two spans but the same joined text
+    # title is its own block (gap 60 > 30); body lines one block; runs
+    # on one line ordered by x.  The column gap is WHITESPACE-measured
+    # (end of previous run = origin + 0.6·size·len, the glyph-width
+    # analog): "first body line" at x=72 ends ≈180, so the x=300 run is
+    # only 120 away — same segment, one span per line.
     assert res.text == "Title Line\nfirst body line same line right second body line"
-    assert [s["kind"] for s in res.spans] == ["pdf-line"] * 4
-    assert [s["block_id"] for s in res.spans] == [0, 1, 1, 1]
+    assert [s["kind"] for s in res.spans] == ["pdf-line"] * 3
+    assert [s["block_id"] for s in res.spans] == [0, 1, 1]
 
 
 def test_pdf_column_split():
@@ -145,7 +146,7 @@ def test_pdf_td_and_escapes():
     runs = tokenize_pdf(data)
     assert [r.text for r in runs] == ["a", "par(en)s \\ ok"]
     assert runs[1].y == -50.0
-    text, spans = extract_pdf(data, CFG)
+    text, spans, _res, _rt = extract_pdf(data, CFG)
     assert text == "a\npar(en)s \\ ok"
 
 
@@ -164,6 +165,80 @@ def test_pdf_tj_array_and_line_ops():
     # ': move to next line then show; TD sets leading to -ty
     runs = tokenize_pdf("BT 1 0 0 1 72 700 Tm 0 -12 TD (a) Tj (b) ' ET")
     assert [(r.text, r.y) for r in runs] == [("a", 688.0), ("b", 676.0)]
+
+
+def test_pdf_tf_and_rotation():
+    """Round-2 PDF depth: /Tf sizes ride on runs, rotated Tm runs (b/c
+    ≠ 0) leave reading order and become residuals in deterministic
+    (-y, x) fallback order."""
+    from ocr_lib_ray.kernel.pdf import extract_pdf, tokenize_pdf
+
+    data = (
+        "BT /F2 24 Tf 1 0 0 1 72 760 Tm (Big Title) Tj\n"
+        "/F1 12 Tf 1 0 0 1 72 700 Tm (body text here) Tj\n"
+        "0.707107 0.707107 -0.707107 0.707107 180 400 Tm (WATERMARK) Tj\n"
+        "0 1 -1 0 500 100 Tm (vertical label) Tj ET"
+    )
+    runs = tokenize_pdf(data)
+    assert [(r.text, r.size, r.rotated) for r in runs] == [
+        ("Big Title", 24.0, False),
+        ("body text here", 12.0, False),
+        ("WATERMARK", 12.0, True),
+        ("vertical label", 12.0, True),
+    ]
+    text, spans, residuals, _ = extract_pdf(data, CFG)
+    assert text == "Big Title\nbody text here"
+    assert residuals == [2, 3]  # ids continue after the 2 content blocks
+    rt_cfg = ExtractConfig(keep_residual_texts=True)
+    _, _, _, rtexts = extract_pdf(data, rt_cfg)
+    assert rtexts == ["WATERMARK", "vertical label"]  # -y order: 400 then 100
+    # rotation persists across Td until the next Tm/BT
+    runs = tokenize_pdf("BT 0 1 -1 0 100 100 Tm (a) Tj 0 -14 Td (b) Tj ET")
+    assert [r.rotated for r in runs] == [True, True]
+    # residual cap applies
+    many = "BT " + " ".join(
+        f"0 1 -1 0 {100 + i} 100 Tm (w{i}) Tj" for i in range(20)
+    ) + " ET"
+    _, _, res, _ = extract_pdf(many, ExtractConfig(residual_cap=3))
+    assert len(res) == 3
+
+
+def test_pdf_font_size_line_tolerance():
+    """Baseline jitter within 0.2×size joins one line for large type but
+    splits for small type (odredi-oblast-reda-ii refinement)."""
+    from ocr_lib_ray.kernel.pdf import extract_pdf
+
+    big = (
+        "BT /F1 40 Tf 1 0 0 1 72 700 Tm (left part) Tj"
+        " 1 0 0 1 150 694 Tm (right part) Tj ET"
+    )
+    text, spans, _, _ = extract_pdf(big, CFG)
+    assert text == "left part right part"
+    assert len(spans) == 1  # Δy=6 ≤ 0.2×40: ONE line
+    small = (
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm (left part) Tj"
+        " 1 0 0 1 150 694 Tm (right part) Tj ET"
+    )
+    text, spans, _, _ = extract_pdf(small, CFG)
+    assert text == "left part right part"  # same block (gap 6 < 30)
+    assert len(spans) == 2  # but Δy=6 > max(2.0, 2.4): TWO lines
+
+
+def test_pdf_rot_fixture_golden():
+    """pdf_rot pages (two-font + mid-page rotated watermark) extract the
+    SAME golden as every other kind; the watermark lands in residuals."""
+    from ocr_lib_ray.sources.pages import golden_text, make_pdf_rot
+
+    text = "many words flow here across several synthetic lines " * 10
+    res = extract_document(make_pdf_rot(23, text))
+    assert res.doc_kind == "pdf"
+    assert res.text == golden_text(23, text)
+    assert res.title == "Document 23"
+    assert len(res.residuals) == 1
+    res2 = extract_document(
+        make_pdf_rot(23, text), ExtractConfig(keep_residual_texts=True)
+    )
+    assert res2.residual_texts == ["DRAFT 23"]
 
 
 def test_table_extraction_policy():
@@ -188,7 +263,7 @@ def test_pdf_multiple_text_objects():
         "BT 1 0 0 1 72 700 Tm (first object line) Tj ET\n"
         "BT 1 0 0 1 72 650 Tm (second object line) Tj ET"
     )
-    text, spans = extract_pdf(data, CFG)
+    text, spans, _res, _rt = extract_pdf(data, CFG)
     assert text == "first object line\nsecond object line"
     assert [s["block_id"] for s in spans] == [0, 1]
 
