@@ -333,10 +333,17 @@ def _q_chunk_documents(sf_dir: str):
 
 def _q_training_data(sf_dir: str):
     """Full 8-operator composition (extract→redact→line-dedup→dedup→
-    quality→chunk→pack) — packing is order-dependent → rows-only."""
+    quality→chunk→pack) — packing is order-dependent → rows-only.
+
+    Runs with a checkpoint (the multi-pass 100TB pattern): the dedup key
+    passes re-read the extracted-docs parquet instead of re-parsing
+    HTML."""
+    import tempfile
+
     from ocr_lib_ray.pipelines.corpus import build_training_data
 
-    return build_training_data(_pages(sf_dir))
+    ckpt = tempfile.mkdtemp(prefix="graft_td_ckpt_")
+    return build_training_data(_pages(sf_dir), checkpoint_dir=ckpt)
 
 
 def _q_model_score(sf_dir: str):

@@ -391,6 +391,31 @@ def test_build_training_data_end_to_end(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_build_training_data_checkpoint_equivalent(sf_small, tmp_path):
+    """checkpoint_dir (the multi-pass 100TB pattern — extract once to
+    parquet, key passes re-read it) must not change the output."""
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    key = ["partition_id", "seq_id"]
+    a = (
+        build_training_data(build_pages_dataset(sf_small))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        build_training_data(
+            build_pages_dataset(sf_small), checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_entry_contract(sf_small):
     import sys
 
