@@ -4,6 +4,7 @@ from .chunking import chunk_documents, pack_sequences
 from .dedup import (
     dedup_by_pairs,
     dedup_connected,
+    expand_components,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -25,6 +26,7 @@ __all__ = [
     "pack_sequences",
     "dedup_by_pairs",
     "dedup_connected",
+    "expand_components",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",

@@ -427,6 +427,54 @@ def dedup_connected(docs_ds, pairs_ds, id_col: str = "doc_id"):
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def expand_components(pairs_ds, max_component: int = 100_000):
+    """Spanning pair set → ALL intra-component pairs (full cliques).
+
+    The LSH pair output is a SPANNING candidate set (chain-compressed,
+    see :func:`minhash_lsh_pairs`) — exactly what dedup consumes.  A
+    consumer that needs every pair per similarity component (e.g. pair
+    auditing, weighted graphs) expands here: components are solved with
+    driver-side union-find over the (small) pair list, then each
+    component's k·(k-1)/2 pairs are generated DISTRIBUTED via a
+    per-component map_groups.  Quadratic by definition — components
+    larger than ``max_component`` raise instead of silently melting the
+    cluster (lift the cap deliberately).
+
+    Returns a Dataset of (d1, d2) with d1 < d2.
+    """
+    import ray.data as rd
+
+    pdf = pairs_ds.to_pandas()
+    roots = union_find_components(pdf["d1"].tolist(), pdf["d2"].tolist())
+    biggest: dict = {}
+    for node, root in roots.items():
+        biggest[root] = biggest.get(root, 0) + 1
+    too_big = {r: n for r, n in biggest.items() if n > max_component}
+    if too_big:
+        raise ValueError(
+            f"components over max_component={max_component}: {too_big} — "
+            "full-clique expansion is quadratic; raise the cap deliberately"
+        )
+    members = pa.Table.from_arrays(
+        [
+            pa.array(list(roots.values()), pa.int64()),
+            pa.array(list(roots.keys()), pa.int64()),
+        ],
+        names=["root", "member"],
+    )
+
+    def clique(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["member"].unique())
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"d1": ids[iu], "d2": ids[ju]}).astype(
+            {"d1": "int64", "d2": "int64"}
+        )
+
+    return rd.from_arrow(members).groupby("root").map_groups(
+        clique, batch_format="pandas"
+    )
+
+
 def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
     """Remove every doc that has a smaller near-dup partner.
 

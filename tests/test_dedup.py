@@ -178,6 +178,25 @@ def test_minhash_verify_modes_agree(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_expand_components_full_cliques():
+    """Chain a-b, b-c, plus isolated pair x-y → cliques {ab,ac,bc} and
+    {xy}; oversized components refuse."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import expand_components
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"d1": [1, 2, 10], "d2": [2, 3, 11], "w": [0.9, 0.9, 0.9]})
+    )
+    out = expand_components(pairs).to_pandas()
+    got = sorted(zip(out["d1"], out["d2"]))
+    assert got == [(1, 2), (1, 3), (2, 3), (10, 11)]
+    with pytest.raises(ValueError, match="max_component"):
+        expand_components(pairs, max_component=2)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_by_pairs_keeps_min(sf_small):
     import ray.data as rd
 
