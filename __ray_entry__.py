@@ -204,6 +204,15 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(_emb(sf_dir), query_ids=list(range(10)), k=5)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF ANN (deterministic k-means coarse quantizer, nprobe cells
+    scanned) — recall < 1 by construction → rows-only; recall and the
+    nprobe=n_centroids==brute equivalence are pinned in pytest."""
+    from ocr_lib_ray.functions.similarity import knn_ivf
+
+    return knn_ivf(_emb(sf_dir), query_ids=list(range(10)), k=5, n_centroids=16, nprobe=6)
+
+
 def _q_cosine_dups(sf_dir: str):
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs
 
@@ -534,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "cosine_dups": _q_cosine_dups,
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,

@@ -137,6 +137,9 @@ def run_bench() -> dict:
         "corpus_clean",
         "training_data",
         "chunk_documents",
+        "pack_sequences",
+        "model_score",
+        "media_features",
         "line_dedup",
         "redact_pii",
     ):

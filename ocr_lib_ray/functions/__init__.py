@@ -14,7 +14,13 @@ from .linedup import remove_common_lines
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .sampling import split_dataset, take_split
 from .scoring import score_documents
-from .similarity import cosine_dup_pairs, cosine_dup_pairs_lsh, knn_brute, knn_lsh
+from .similarity import (
+    cosine_dup_pairs,
+    cosine_dup_pairs_lsh,
+    knn_brute,
+    knn_ivf,
+    knn_lsh,
+)
 from .sketches import approx_distinct_users_per_type, hll_aggregate
 from .text_stats import LangId, QualityScore, doc_stats_batch, fingerprint_batch
 from .tokens import token_counts, top_tokens
@@ -41,6 +47,7 @@ __all__ = [
     "cosine_dup_pairs",
     "cosine_dup_pairs_lsh",
     "knn_brute",
+    "knn_ivf",
     "knn_lsh",
     "approx_distinct_users_per_type",
     "hll_aggregate",

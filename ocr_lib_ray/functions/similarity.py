@@ -244,6 +244,116 @@ def derive_n_planes(emb_ds, approx_rows=None, target_bucket_rows: int = TARGET_B
     return max(4, math.ceil(math.log2(max(int(approx_rows), 1) / target_bucket_rows + 1)))
 
 
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def build_ivf_centroids(
+    emb_ds,
+    n_centroids: int = 64,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    dim: int = 64,
+):
+    """Deterministic spherical k-means centroids from a corpus sample —
+    the IVF coarse quantizer, built ONCE on the driver and broadcast.
+
+    Determinism: the sample is the first ``sample_rows`` rows in dataset
+    order (stable for parquet reads), init picks evenly spaced sample
+    rows after a vec_id sort, and Lloyd iterations are fixed-count numpy
+    — no RNG, same centroids on every run/machine.  At corpus scale the
+    sample is a bounded limit() read, never a full pass.
+    """
+    tbl = pa.concat_tables(
+        list(emb_ds.limit(sample_rows).iter_batches(batch_format="pyarrow"))
+    )
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    m = _normalize_rows(_as_matrix(tbl.column("embedding")))[order]
+    n = m.shape[0]
+    k = min(n_centroids, n)
+    cent = m[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                cent[c] = m[sel].mean(axis=0)
+        cent = _normalize_rows(cent)
+    return cent
+
+
+def knn_ivf(
+    emb_ds,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_rows: int = 10_000,
+    dim: int = 64,
+):
+    """IVF ANN: corpus vectors are assigned to their nearest centroid
+    cell per batch (one matmul); each query scores ONLY the vectors in
+    its ``nprobe`` nearest cells.  Centroids + queries ship once
+    (``ray.put``); per-batch work is two matmuls; the reduce handles
+    n_queries × k × n_batches candidate rows (same shape as knn_brute).
+    Scanned fraction ≈ nprobe / n_centroids; recall < 1 by construction,
+    measured against knn_brute in tests.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    cent = build_ivf_centroids(emb_ds, n_centroids, sample_rows, dim=dim)
+    qset = pa.array(sorted(query_ids), pa.int64())
+    q_tbl = pa.concat_tables(
+        list(
+            emb_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=qset)),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))
+    n_cells = cent.shape[0]
+    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
+    ref = ray.put((cent, q_ids, q_mat, probe))
+
+    def _cell_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
+        cent_, q_ids_, q_mat_, probe_ = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        keep = ~np.isin(ids, q_ids_)
+        m = _normalize_rows(_as_matrix(batch.column("embedding")))
+        cells = (m @ cent_.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            sel = keep & np.isin(cells, probe_[qi])
+            if not sel.any():
+                continue
+            sims = q_mat_[qi] @ m[sel].T
+            sub_ids = ids[sel]
+            k_eff = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, k_eff - 1)[:k_eff]
+            for j in idx:
+                out_q.append(int(q_ids_[qi]))
+                out_v.append(int(sub_ids[j]))
+                out_s.append(round(float(sims[j]), 9))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_v, pa.int64()),
+                pa.array(out_s, pa.float64()),
+            ],
+            names=["query_id", "vec_id", "sim"],
+        )
+
+    local = emb_ds.map_batches(_cell_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        lambda g: _global_topk_group(g, k), batch_format="pandas"
+    )
+
+
 def cosine_dup_pairs_lsh(
     emb_ds,
     threshold: float = 0.95,
@@ -325,16 +435,27 @@ def cosine_dup_pairs_lsh(
     return pairs.groupby(["d1", "d2"]).aggregate(Max("cosine", alias_name="cosine"))
 
 
-def cosine_dup_pairs(emb_ds, threshold: float = 0.95):
+#: hard cap for the exact brute near-dup path — the broadcast side holds
+#: the FULL embedding matrix; cosine_dup_pairs_lsh is the scale path.
+COSINE_BRUTE_MAX_ROWS = 1_000_000
+
+
+def cosine_dup_pairs(emb_ds, threshold: float = 0.95, max_rows: int = COSINE_BRUTE_MAX_ROWS):
     """Embedding near-dup: all pairs with cosine ≥ threshold (d1 < d2).
 
-    Brute-force against a broadcast of the (small) full matrix — correct
-    at fixture scale; at corpus scale bucket with ``HyperplaneLSH`` first
-    (same in-group verify pattern as minhash).
+    Brute-force against a broadcast of the (small) full matrix — the
+    exact small-corpus verifier, guarded at ``max_rows``; at corpus
+    scale use :func:`cosine_dup_pairs_lsh` (same in-group verify pattern
+    as minhash).
     """
     import ray
 
     full = pa.concat_tables(list(emb_ds.iter_batches(batch_format="pyarrow")))
+    if full.num_rows > max_rows:
+        raise ValueError(
+            f"cosine_dup_pairs is the exact brute verifier (> {max_rows} "
+            "rows); use cosine_dup_pairs_lsh at scale"
+        )
     ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
     mat = _normalize_rows(_as_matrix(full.column("embedding")))
     ref = ray.put((ids, mat))

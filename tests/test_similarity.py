@@ -55,6 +55,40 @@ def test_knn_lsh_recall(sf_small):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_recall_and_determinism(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.similarity import knn_ivf
+
+    emb = rd.read_parquet(f"{sf_small}/embeddings.parquet")
+    got = knn_ivf(
+        emb, query_ids=list(range(10)), k=5, n_centroids=16, nprobe=6
+    ).to_pandas()
+    oracle = numpy_topk(sf_small, list(range(10)), 5)
+    hits = total = 0
+    for qid, nb in oracle.items():
+        found = set(got[got["query_id"] == qid]["vec_id"])
+        hits += len(found & nb)
+        total += len(nb)
+    recall = hits / total
+    assert recall >= 0.6, recall
+    # nprobe == n_centroids scans everything → exact (== brute)
+    exact = knn_ivf(
+        emb, query_ids=list(range(10)), k=5, n_centroids=16, nprobe=16
+    ).to_pandas()
+    for qid, nb in oracle.items():
+        assert set(exact[exact["query_id"] == qid]["vec_id"]) == nb
+    # deterministic across runs (no RNG in the k-means)
+    again = knn_ivf(
+        emb, query_ids=list(range(10)), k=5, n_centroids=16, nprobe=6
+    ).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_cosine_dup_pairs_match_numpy(sf_small):
     import ray.data as rd
 
