@@ -142,8 +142,10 @@ def _q_quality_basic(sf_dir: str):
 def _q_quality_score(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import QualityScore
 
+    from ocr_lib_ray.pool import autoscale_pool
+
     return _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pyarrow", concurrency=(1, 4)
+        QualityScore, batch_format="pyarrow", concurrency=autoscale_pool()
     )
 
 
@@ -152,8 +154,10 @@ def _q_lang_id(sf_dir: str):
 
     from ocr_lib_ray.functions.text_stats import LangId
 
+    from ocr_lib_ray.pool import autoscale_pool
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=autoscale_pool())
 
 
 def _q_ngram_jaccard(sf_dir: str):

@@ -84,9 +84,14 @@ class MediaDecodeStub:
         )
 
 
-def media_features(pages_ds, batch_size: int = 16, concurrency=(1, 4)):
+def media_features(pages_ds, batch_size: int = 16, concurrency=None):
     """Actor-pool decode stage over binary payload rows (small batches —
-    payload rows are wide)."""
+    payload rows are wide).  ``concurrency=None`` autoscales the pool to
+    the cluster (see ocr_lib_ray.pool)."""
+    from ..pool import autoscale_pool
+
+    if concurrency is None:
+        concurrency = autoscale_pool()
     return pages_ds.map_batches(
         MediaDecodeStub,
         batch_format="pyarrow",

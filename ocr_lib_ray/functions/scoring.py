@@ -62,10 +62,16 @@ class ModelScorer:
         )
 
 
-def score_documents(docs_ds, weights=None, concurrency=(1, 4), batch_size: int = 1024):
+def score_documents(docs_ds, weights=None, concurrency=None, batch_size: int = 1024):
     """docs → (doc_id, quality_prob) via an actor pool with broadcast
-    weights (the batched-inference stage shape)."""
+    weights (the batched-inference stage shape).  ``concurrency=None``
+    autoscales the pool to the cluster (see ocr_lib_ray.pool)."""
     import ray
+
+    from ..pool import autoscale_pool
+
+    if concurrency is None:
+        concurrency = autoscale_pool()
 
     ref = ray.put(np.asarray(weights if weights is not None else _DEFAULT_WEIGHTS))
     return docs_ds.map_batches(

@@ -51,10 +51,9 @@ def _pool_size(cfg: ExtractConfig) -> tuple:
     phase split, core.clj:153-164) and should be able to own the node."""
     if cfg.concurrency is not None:
         return cfg.concurrency
-    import ray
+    from ..pool import autoscale_pool
 
-    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, n))
+    return autoscale_pool()
 
 
 def extract_pipeline(
