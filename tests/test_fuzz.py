@@ -40,7 +40,7 @@ def test_arbitrary_bytes_never_crash(b):
 
 
 pdf_soup = st.text(
-    alphabet=st.sampled_from(list("BT E()[]Tjdm*'\\0123456789.- \nTL")),
+    alphabet=st.sampled_from(list("BT E()[]Tjdm*'\\0123456789.- \nTLf/F")),  # incl. Tf
     max_size=300,
 )
 
