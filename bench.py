@@ -186,6 +186,7 @@ def run_scaling() -> dict:
                 best = r
         return best
 
+    load_at_launch = round(os.getloadavg()[0], 2)  # quiet-host evidence
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     lo = one(lo_cpus)
@@ -205,6 +206,7 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3),
         "n_pages": hi["n_pages"],
         "sf": SF_DIR,
+        "load_at_launch": load_at_launch,
     }
 
 
