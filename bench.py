@@ -143,11 +143,17 @@ def run_bench() -> dict:
         "line_dedup",
         "redact_pii",
     ):
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2, same protocol as the headline: the shared host's
+        # bursty load makes single-shot per-op numbers meaningless
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     return {
         "metric": "extract_sec",
