@@ -3,6 +3,7 @@
 from .chunking import chunk_documents, pack_sequences
 from .dedup import (
     dedup_by_pairs,
+    dedup_by_pairs_join,
     dedup_connected,
     expand_components,
     minhash_lsh_pairs,
@@ -10,7 +11,7 @@ from .dedup import (
     simhash_pairs,
     union_find_components,
 )
-from .linedup import remove_common_lines
+from .linedup import remove_common_lines, remove_common_lines_join
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .sampling import split_dataset, take_split
 from .scoring import score_documents
@@ -31,6 +32,7 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "dedup_by_pairs",
+    "dedup_by_pairs_join",
     "dedup_connected",
     "expand_components",
     "minhash_lsh_pairs",
@@ -38,6 +40,7 @@ __all__ = [
     "simhash_pairs",
     "union_find_components",
     "remove_common_lines",
+    "remove_common_lines_join",
     "bpe_token_count_batch",
     "redact_batch",
     "redact_text",

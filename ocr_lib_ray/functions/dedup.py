@@ -495,6 +495,35 @@ def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partitions: int = 32):
+    """Scale variant of :func:`dedup_by_pairs`: hash-join anti-filter.
+
+    The broadcast path ships the loser id set to every task — ideal
+    while losers ≪ corpus, impossible when a dup-heavy corpus makes the
+    loser set itself corpus-sized.  This variant never collects: losers
+    stay a Dataset and the filter is a ``left_outer`` hash join on the
+    id (both sides shuffled into ``num_partitions`` hash buckets —
+    bounded per-task memory at any loser-set size, at the cost of one
+    all-to-all on the doc rows).  Size ``num_partitions`` ≈ corpus_bytes
+    / 512 MB.  Output rows/columns equal the broadcast path (tested).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    losers = pairs_ds.select_columns(["d2"]).groupby("d2").aggregate(
+        Count(alias_name="_dup")
+    )
+    joined = docs_ds.join(
+        losers, "left_outer", num_partitions, on=(id_col,), right_on=("d2",)
+    )
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("_dup"))
+        return batch.filter(mask).drop_columns(["_dup"])
+
+    return joined.map_batches(keep_winners, batch_format="pyarrow")
+
+
 # --- simhash ---------------------------------------------------------------
 
 

@@ -65,6 +65,88 @@ def hot_lines(ds, text_col: str = "text", max_df: int = 1):
     return set(vals) if vals else set()
 
 
+def remove_common_lines_join(
+    ds,
+    text_col: str = "text",
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+):
+    """Scale variant of :func:`remove_common_lines`: hash-join rewrite.
+
+    The broadcast path collects the hot-line set on the driver — right
+    while boilerplate lines are few, impossible when a web-scale corpus
+    has billions of repeated lines.  Here nothing is collected: documents
+    explode to (doc, line_idx, line, line_hash) rows, hot lines stay a
+    Dataset, membership is a ``left_outer`` hash join, and surviving
+    lines re-assemble per document (groupby(id) → sort line_idx → join).
+    Costs two all-to-alls on the line rows (join + regroup) in exchange
+    for bounded memory at any hot-set size.  Returns (id_col, text_col)
+    only; text equals the broadcast path (tested).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, lines, hashes = [], [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            # sentinel row (idx -1, unique hash → never hot): keeps the
+            # doc present in the regroup even when EVERY line is removed
+            ids.append(i)
+            idxs.append(-1)
+            lines.append("")
+            hashes.append(f"__doc__{i}")
+            for li, ln in enumerate((t or "").split("\n")):
+                ids.append(i)
+                idxs.append(li)
+                lines.append(ln)
+                hashes.append(_line_hash(ln))
+        id_type = batch.schema.field(id_col).type
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, id_type),
+                pa.array(idxs, pa.int64()),
+                pa.array(lines, pa.string()),
+                pa.array(hashes, pa.string()),
+            ],
+            names=[id_col, "line_idx", "line", "line_hash"],
+        )
+
+    hot = (
+        ds.map_batches(
+            lambda b: line_df_partials(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("line_hash")
+        .aggregate(Sum("n", alias_name="_df"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("_df"), max_df)),
+            batch_format="pyarrow",
+        )
+    )
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    joined = exploded.join(
+        hot, "left_outer", num_partitions, on=("line_hash",), left_suffix=""
+    )
+    kept = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_df"))).select(
+            [id_col, "line_idx", "line"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["line_idx"] >= 0].sort_values("line_idx")
+        return pd.DataFrame(
+            {id_col: [g[id_col].iloc[0]], text_col: ["\n".join(real["line"])]}
+        )
+
+    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+
+
 def remove_common_lines(ds, text_col: str = "text", max_df: int = 1):
     """Rewrite ``text`` dropping lines shared by > max_df documents.
 

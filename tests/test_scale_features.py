@@ -188,3 +188,62 @@ def test_cosine_dups_lsh_recall(sf_small):
     assert got <= want  # no false positives (exact in-bucket verify)
     # multi-table: measured 0.97 on this fixture; floor with margin
     assert len(got) >= 0.7 * max(len(want), 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_by_pairs_join_equivalent(sf_small):
+    """The hash-join anti-filter (no loser broadcast — the dup-heavy-
+    corpus scale path) must keep exactly the same docs as the broadcast
+    path."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import (
+        dedup_by_pairs,
+        dedup_by_pairs_join,
+        minhash_lsh_pairs,
+    )
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    a = sorted(dedup_by_pairs(docs, pairs).to_pandas()["doc_id"])
+    b = sorted(dedup_by_pairs_join(docs, pairs, num_partitions=8).to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remove_common_lines_join_equivalent():
+    """The hash-join line rewrite (no hot-set broadcast) must produce
+    byte-identical text to the broadcast path — including a doc whose
+    EVERY line is hot (survives as empty text via the sentinel row)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.linedup import remove_common_lines, remove_common_lines_join
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "keep me\nshared boilerplate\nunique one",
+                "shared boilerplate\nanother keeper",
+                "shared boilerplate",  # fully-hot doc → must survive as ""
+                "",  # empty doc → must survive as ""
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    a = (
+        remove_common_lines(ds, max_df=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        remove_common_lines_join(ds, max_df=1, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"]) == [1, 2, 3, 4]
+    assert list(a["text"]) == list(b["text"])
+    assert b.loc[b["doc_id"] == 3, "text"].iloc[0] == ""
