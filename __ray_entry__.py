@@ -382,6 +382,26 @@ def _q_line_dedup(sf_dir: str):
     return remove_common_lines(_docs(sf_dir), max_df=1)
 
 
+def _q_line_dedup_join(sf_dir: str):
+    """Same semantics as line_dedup via the hash-JOIN rewrite (no
+    hot-set broadcast) — shares the line_dedup oracle SQL verbatim."""
+    from ocr_lib_ray.functions.linedup import remove_common_lines_join
+
+    return remove_common_lines_join(_docs(sf_dir), max_df=1, num_partitions=8)
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    """Exact-Jaccard near-dup dedup through the hash-join anti-filter
+    (dedup_by_pairs_join) — the no-broadcast loser filtering path,
+    fully SQL-expressible because the pair source is exact ngram
+    Jaccard."""
+    from ocr_lib_ray.functions.dedup import dedup_by_pairs_join, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup_by_pairs_join(docs, pairs, num_partitions=8).select_columns(["doc_id"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     import ray.data as rd
 
@@ -563,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": _q_model_score,
         "training_data": _q_training_data,
         "line_dedup": _q_line_dedup,
+        "line_dedup_join": _q_line_dedup_join,
+        "dedup_jaccard": _q_dedup_jaccard,
         "redact_pii": _q_redact_pii,
         "bpe_token_count": _q_bpe_token_count,
         "heavy_hitters": _q_heavy_hitters,
@@ -574,6 +596,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB, same parquet views)
 # --------------------------------------------------------------------------
+
+
+def _ngram_pairs_cte(norm: str) -> str:
+    """Shared WITH-clause computing exact 3-gram Jaccard pairs ≥ 0.5 as
+    `pairs(d1, d2, jaccard)` — used by the ngram_jaccard oracle and the
+    dedup_jaccard (join anti-filter) oracle so the two cannot diverge."""
+    return f"""WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            l AS (SELECT doc_id,
+                         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                              ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(ws) - 2)]) END AS grams
+                  FROM t),
+            sh AS (SELECT doc_id, w FROM l, unnest(grams) AS u(w)),
+            cnt AS (SELECT doc_id, count(*) AS cn FROM sh GROUP BY 1),
+            p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2,
+                   round(inter * 1.0 / (ca.cn + cb.cn - inter), 6) AS jaccard
+              FROM p JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+              WHERE inter * 1.0 / (ca.cn + cb.cn - inter) >= 0.5)"""
 
 
 def _lang_id_sql(norm: str) -> str:
@@ -696,22 +740,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""
-            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
-            t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
-            l AS (SELECT doc_id,
-                         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                              ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
-                                   FOR i IN generate_series(1, len(ws) - 2)]) END AS grams
-                  FROM t),
-            sh AS (SELECT doc_id, w FROM l, unnest(grams) AS u(w)),
-            cnt AS (SELECT doc_id, count(*) AS cn FROM sh GROUP BY 1),
-            p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-            SELECT d1, d2,
-                   round(inter * 1.0 / (ca.cn + cb.cn - inter), 6) AS jaccard
-            FROM p JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
-            WHERE inter * 1.0 / (ca.cn + cb.cn - inter) >= 0.5
+            {_ngram_pairs_cte(norm)}
+            SELECT d1, d2, jaccard FROM pairs
+        """,
+        # dedup through the hash-JOIN anti-filter over exact-Jaccard
+        # pairs (dedup_by_pairs_join — the no-broadcast loser path)
+        "dedup_jaccard": f"""
+            {_ngram_pairs_cte(norm)}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT d2 FROM pairs)
         """,
         # sim values are excluded from the compared output: the embedding
         # column is float32 and DuckDB's list_cosine_similarity
@@ -845,6 +882,13 @@ def oracle_sql() -> dict[str, str]:
         # documents.text has no newlines, so each doc is one "line":
         # docs sharing their exact text with another doc are blanked
         "line_dedup": """
+            WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY text)
+            SELECT d.doc_id,
+                   CASE WHEN c.n > 1 THEN '' ELSE d.text END AS text
+            FROM documents d JOIN c ON d.text = c.text
+        """,
+        # identical golden, computed by the hash-join rewrite path
+        "line_dedup_join": """
             WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY text)
             SELECT d.doc_id,
                    CASE WHEN c.n > 1 THEN '' ELSE d.text END AS text

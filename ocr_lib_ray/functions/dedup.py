@@ -508,10 +508,21 @@ def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partition
     / 512 MB.  Output rows/columns equal the broadcast path (tested).
     """
     import pyarrow.compute as pc
+    import ray.data as rd
     from ray.data.aggregate import Count
 
     losers = pairs_ds.select_columns(["d2"]).groupby("d2").aggregate(
         Count(alias_name="_dup")
+    )
+    # schema anchor: a zero-row right side has no schema and the hash
+    # join rejects it; doc ids are non-negative so -1 never matches
+    losers = losers.union(
+        rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([-1], pa.int64()), pa.array([1], pa.int64())],
+                names=["d2", "_dup"],
+            )
+        )
     )
     joined = docs_ds.join(
         losers, "left_outer", num_partitions, on=(id_col,), right_on=("d2",)

@@ -78,16 +78,37 @@ def remove_common_lines_join(
     while boilerplate lines are few, impossible when a web-scale corpus
     has billions of repeated lines.  Here nothing is collected: documents
     explode to (doc, line_idx, line, line_hash) rows, hot lines stay a
-    Dataset, membership is a ``left_outer`` hash join, and surviving
-    lines re-assemble per document (groupby(id) → sort line_idx → join).
-    Costs two all-to-alls on the line rows (join + regroup) in exchange
+    Dataset, and membership is an explicit SAME-KEY-BUCKET hash join —
+    both sides carry ``bucket = crc32(line_hash) % num_partitions``,
+    union, one groupby(bucket), and each group filters its line rows
+    against its own hot subset vectorized.  (Implemented on groupby
+    rather than ``Dataset.join`` because Ray 2.49's hash join breaks
+    when its output feeds another hash shuffle and a right partition is
+    empty.)  Surviving lines re-assemble per document (groupby(id) →
+    sort line_idx → join).  Two all-to-alls on the line rows in exchange
     for bounded memory at any hot-set size.  Returns (id_col, text_col)
     only; text equals the broadcast path (tested).
     """
-    import numpy as np
+    import zlib
+
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    def bucket_of(h: str) -> int:
+        return zlib.crc32(h.encode()) % num_partitions
+
+    sch = ds.schema()
+    try:
+        id_type = sch.base_schema.field(id_col).type
+    except AttributeError:  # pandas-block schema: numpy dtypes or pa types
+        dt = dict(zip(sch.names, sch.types))[id_col]
+        if isinstance(dt, pa.DataType):
+            id_type = dt
+        elif getattr(dt, "kind", "") == "O":
+            id_type = pa.string()
+        else:
+            id_type = pa.from_numpy_dtype(dt)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, idxs, lines, hashes = [], [], [], []
@@ -112,8 +133,25 @@ def remove_common_lines_join(
                 pa.array(idxs, pa.int64()),
                 pa.array(lines, pa.string()),
                 pa.array(hashes, pa.string()),
+                pa.array([bucket_of(h) for h in hashes], pa.int32()),
+                pa.array([0] * len(ids), pa.int8()),  # side 0 = line row
             ],
-            names=[id_col, "line_idx", "line", "line_hash"],
+            names=[id_col, "line_idx", "line", "line_hash", "bucket", "side"],
+        )
+
+    def hot_rows(batch: pa.Table) -> pa.Table:
+        hashes = batch.column("line_hash").to_pylist()
+        n = len(hashes)
+        return pa.Table.from_arrays(
+            [
+                pa.nulls(n, id_type),
+                pa.array([0] * n, pa.int64()),
+                pa.array([""] * n, pa.string()),
+                pa.array(hashes, pa.string()),
+                pa.array([bucket_of(h) for h in hashes], pa.int32()),
+                pa.array([1] * n, pa.int8()),  # side 1 = hot-hash row
+            ],
+            names=[id_col, "line_idx", "line", "line_hash", "bucket", "side"],
         )
 
     hot = (
@@ -123,19 +161,19 @@ def remove_common_lines_join(
         .groupby("line_hash")
         .aggregate(Sum("n", alias_name="_df"))
         .map_batches(
-            lambda b: b.filter(pc.greater(b.column("_df"), max_df)),
+            lambda b: hot_rows(b.filter(pc.greater(b.column("_df"), max_df))),
             batch_format="pyarrow",
         )
     )
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    joined = exploded.join(
-        hot, "left_outer", num_partitions, on=("line_hash",), left_suffix=""
-    )
-    kept = joined.map_batches(
-        lambda b: b.filter(pc.is_null(b.column("_df"))).select(
-            [id_col, "line_idx", "line"]
-        ),
-        batch_format="pyarrow",
+
+    def filter_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hot_set = set(g.loc[g["side"] == 1, "line_hash"])
+        keep = g[(g["side"] == 0) & (~g["line_hash"].isin(hot_set))]
+        return keep[[id_col, "line_idx", "line"]]
+
+    kept = exploded.union(hot).groupby("bucket").map_groups(
+        filter_in_bucket, batch_format="pandas"
     )
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
