@@ -39,6 +39,27 @@ def main(argv=None) -> int:
     ex.add_argument("--skew-route", action="store_true")
     va = sub.add_parser("validate", help="audit a job's partitions against its manifests")
     va.add_argument("--output", required=True, help="job output root to audit")
+    cc = sub.add_parser(
+        "clean", help="corpus-clean job: extract → dedup → quality gate → parquet"
+    )
+    cc.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    cc.add_argument("--sf-dir", help="testdata dir; synthesize fixture pages")
+    cc.add_argument("--output", required=True, help="surviving-docs parquet dir")
+    cc.add_argument("--min-chars", type=int, default=40)
+    td = sub.add_parser(
+        "training-data",
+        help="full 8-operator pipeline: extract → redact → line-dedup → "
+        "exact-dedup → quality gate → chunk → pack → parquet",
+    )
+    td.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    td.add_argument("--sf-dir", help="testdata dir; synthesize fixture pages")
+    td.add_argument("--output", required=True, help="packed-sequences parquet dir")
+    td.add_argument("--partitions", type=int, default=16)
+    td.add_argument(
+        "--checkpoint-dir",
+        help="extraction checkpoint dir (recommended beyond toy scale: the "
+        "dedup key passes re-read parquet instead of re-parsing HTML)",
+    )
     args = p.parse_args(argv)
 
     if args.cmd == "validate":
@@ -68,12 +89,49 @@ def main(argv=None) -> int:
         write_with_manifest,
     )
 
-    cfg = ExtractConfig(num_partitions=args.partitions)
     t0 = time.time()
     if args.input:
         pages = rd.read_parquet(args.input)
     else:
-        pages = build_pages_dataset(args.sf_dir, repeat=args.repeat)
+        pages = build_pages_dataset(args.sf_dir, repeat=getattr(args, "repeat", 1))
+
+    def _written_rows(out_dir: str) -> int:
+        # row count from the written footers (metadata-only) — counting
+        # the Dataset after write_parquet would re-execute the pipeline
+        import glob
+        import pyarrow.parquet as pqt
+
+        return sum(
+            pqt.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{out_dir}/**/*.parquet", recursive=True)
+        )
+
+    if args.cmd == "clean":
+        from .pipelines.corpus import clean_corpus
+
+        clean_corpus(pages, min_chars=args.min_chars).write_parquet(args.output)
+        print(
+            json.dumps(
+                {"rows": _written_rows(args.output), "wall_sec": round(time.time() - t0, 3)}
+            )
+        )
+        return 0
+    if args.cmd == "training-data":
+        from .pipelines.corpus import build_training_data
+
+        build_training_data(
+            pages,
+            ExtractConfig(num_partitions=args.partitions),
+            checkpoint_dir=args.checkpoint_dir,
+        ).write_parquet(args.output)
+        print(
+            json.dumps(
+                {"rows": _written_rows(args.output), "wall_sec": round(time.time() - t0, 3)}
+            )
+        )
+        return 0
+
+    cfg = ExtractConfig(num_partitions=args.partitions)
     extracted = extract_pipeline(pages, cfg, skew_route=args.skew_route)
     stats = write_with_manifest(extracted, args.output, resume=args.resume)
     stats["wall_sec"] = round(time.time() - t0, 3)

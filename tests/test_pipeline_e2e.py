@@ -427,3 +427,39 @@ def test_entry_contract(sf_small):
     assert len(df) >= 0
     assert set(["url", "text", "lang", "doc_kind"]) <= set(df.columns)
     assert set(em.oracle_sql()) <= set(em.queries())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_clean_and_training_data(sf_small, tmp_path):
+    """The composed-pipeline CLI subcommands run end-to-end and report
+    footer-counted rows (reuses the session's Ray)."""
+    import json
+
+    from ocr_lib_ray.cli import main
+
+    out_clean = str(tmp_path / "clean")
+    rc = main(["clean", "--sf-dir", sf_small, "--output", out_clean])
+    assert rc in (0, None)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out_clean}/**/*.parquet", recursive=True)
+    )
+    assert rows == 500
+    out_td = str(tmp_path / "td")
+    rc = main(
+        [
+            "training-data",
+            "--sf-dir",
+            sf_small,
+            "--output",
+            out_td,
+            "--checkpoint-dir",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc in (0, None)
+    assert glob.glob(f"{out_td}/**/*.parquet", recursive=True)
