@@ -127,6 +127,7 @@ def run_bench() -> dict:
         "ngram_jaccard",
         "knn_brute",
         "knn_lsh",
+        "knn_ivf",
         "cosine_dups",
         "tumbling_window",
         "sliding_window",
@@ -141,6 +142,7 @@ def run_bench() -> dict:
         "model_score",
         "media_features",
         "line_dedup",
+        "line_dedup_join",
         "redact_pii",
     ):
         # min-of-2, same protocol as the headline: the shared host's
