@@ -223,6 +223,91 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(_emb(sf_dir), threshold=0.4).select_columns(["d1", "d2"])
 
 
+def _events_us(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ts_us", pc.cast(b.column("ts"), pa.int64())
+        ).drop_columns(["ts"])
+
+    return ev.map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_asof_join(sf_dir: str):
+    """Backward as-of join (bucket-partitioned merge_asof): each
+    purchase matched to the user's most recent view at-or-before it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from ocr_lib_ray.functions.joins import asof_join
+
+    ev = _events_us(sf_dir)
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts_us"]
+        ),
+        batch_format="pyarrow",
+    )
+    # right side unique per (user, ts): max(value) — mirrored in the SQL
+    right = (
+        ev.map_batches(
+            lambda b: b.filter(pc.equal(b.column("event_type"), "view")).select(
+                ["user_id", "ts_us", "value"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts_us"])
+        .aggregate(Max("value", alias_name="view_value"))
+    )
+    out = asof_join(left, right, "user_id", "ts_us", ["view_value"], suffix="_r")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("event_id"),
+                b.column("user_id"),
+                b.column("ts_us"),
+                b.column("view_value_r"),
+                pc.cast(b.column("ts_us_r"), pa.float64()),
+            ],
+            names=["event_id", "user_id", "ts_us", "view_value", "view_ts_us"],
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def _q_range_join(sf_dir: str):
+    """Range join (bucket-partitioned searchsorted): per click, errors
+    by the same user within the following hour."""
+    import pyarrow.compute as pc
+
+    from ocr_lib_ray.functions.joins import range_join_count
+
+    ev = _events_us(sf_dir)
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "user_id", "ts_us"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "error")).select(
+            ["user_id", "ts_us"]
+        ),
+        batch_format="pyarrow",
+    )
+    return range_join_count(left, right, "user_id", "ts_us", window=3_600_000_000)
+
+
 def _q_tumbling_window(sf_dir: str):
     import ray.data as rd
 
@@ -569,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "cosine_dups": _q_cosine_dups,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
         "token_counts": _q_token_counts,
@@ -773,6 +860,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # value_sum compared in integer cents: double += order differs
         # between engines, and round-to-6 is 1-ulp fragile; cents are exact.
+        "asof_join": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              event_type, value FROM events),
+            l AS (SELECT event_id, user_id, ts_us FROM e
+                  WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts_us, max(value) AS view_value FROM e
+                  WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id, l.ts_us, r.view_value,
+                   CAST(r.ts_us AS DOUBLE) AS view_ts_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        """,
+        "range_join": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              event_type FROM events),
+            l AS (SELECT event_id, user_id, ts_us FROM e
+                  WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts_us FROM e WHERE event_type = 'error')
+            SELECT l.event_id, l.user_id, l.ts_us,
+                   count(r.user_id) AS n_in_window
+            FROM l LEFT JOIN r
+              ON r.user_id = l.user_id AND r.ts_us > l.ts_us
+             AND r.ts_us <= l.ts_us + 3600000000
+            GROUP BY 1, 2, 3
+        """,
         "tumbling_window": """
             SELECT event_type,
                    (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

@@ -11,6 +11,7 @@ from .dedup import (
     simhash_pairs,
     union_find_components,
 )
+from .joins import asof_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .sampling import split_dataset, take_split
@@ -39,6 +40,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "union_find_components",
+    "asof_join",
+    "range_join_count",
     "remove_common_lines",
     "remove_common_lines_join",
     "bpe_token_count_batch",

@@ -1,0 +1,169 @@
+"""Temporal joins Ray Data lacks natively: as-of and range joins.
+
+Both are explicit partitioned hash joins (the portable pattern — add
+``bucket = crc32(key) % P`` to both sides, one groupby(bucket), and
+merge inside the group): a bucket holds EVERY row of its keys from both
+sides, so per-key time logic is local to one task.  P bounds per-task
+memory (size ≈ total_rows / P); skewed keys can be salted into
+sub-buckets by time range if one key outgrows a worker.
+
+Partitioning assumption (documented per the custom-operator rule): key
+hashing distributes keys, not rows — a single key's full history must
+fit one task.  For corpora where one key dominates, pre-split that
+key's right side by coarse time window and as-of join per window.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _pa_col_type(ds, col: str) -> pa.DataType:
+    sch = ds.schema()
+    try:
+        return sch.base_schema.field(col).type
+    except AttributeError:  # pandas-block schema
+        dt = dict(zip(sch.names, sch.types))[col]
+        if isinstance(dt, pa.DataType):
+            return dt
+        return pa.string() if getattr(dt, "kind", "") == "O" else pa.from_numpy_dtype(dt)
+
+
+def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
+    """Union both sides under one schema (typed nulls for the columns a
+    side lacks) with (bucket, side) tags.  Returns (union_ds, left_cols,
+    left_int_cols): pandas group frames float int columns that carry
+    nulls from the other side, so the merge fns cast left ints back.
+    """
+    left_names = list(left_ds.schema().names)
+    right_names = list(right_ds.schema().names)
+    all_cols = left_names + [c for c in right_names if c not in left_names]
+    types = {
+        c: _pa_col_type(left_ds if c in left_names else right_ds, c) for c in all_cols
+    }
+    left_int_cols = [c for c in left_names if pa.types.is_integer(types[c])]
+
+    def aligner(present: list, side: int):
+        def align(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = [
+                batch.column(c) if c in present else pa.nulls(n, types[c])
+                for c in all_cols
+            ]
+            keys = batch.column(key_col).to_pylist()
+            arrays.append(
+                pa.array(
+                    [zlib.crc32(str(k).encode()) % num_partitions for k in keys],
+                    pa.int32(),
+                )
+            )
+            arrays.append(pa.array([side] * n, pa.int8()))
+            return pa.Table.from_arrays(arrays, names=all_cols + ["bucket", "side"])
+
+        return align
+
+    union = left_ds.map_batches(
+        aligner(left_names, 0), batch_format="pyarrow"
+    ).union(right_ds.map_batches(aligner(right_names, 1), batch_format="pyarrow"))
+    return union, left_names, left_int_cols
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list,
+    suffix: str = "_r",
+    num_partitions: int = 32,
+):
+    """For every left row, the right row with the greatest ts ≤ left ts
+    for the same key (backward as-of; null columns when none exists).
+
+    Ties on equal right ts break deterministically by keeping the LAST
+    right row in (ts, value...) sort order — callers needing a specific
+    policy pre-aggregate the right side to one row per (key, ts), which
+    also makes the result equal DuckDB ``ASOF JOIN ... ON l.key = r.key
+    AND l.ts >= r.ts`` (the oracle).  Output: left columns + each right
+    value column with ``suffix`` + the matched right ts as
+    ``ts_col + suffix`` (float64, NaN when unmatched).
+    """
+    # the matched right ts is part of the output: carry it as an
+    # explicit value column (merge_asof consumes the join ts)
+    right = right_ds.select_columns(
+        [key_col, ts_col] + list(right_value_cols)
+    ).map_batches(
+        lambda b: b.append_column(ts_col + suffix, b.column(ts_col)),
+        batch_format="pyarrow",
+    )
+    union, left_cols, left_int_cols = _union_bucketed(
+        left_ds, right, key_col, num_partitions
+    )
+    r_cols = [key_col, ts_col] + list(right_value_cols) + [ts_col + suffix]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][left_cols].astype({c: "int64" for c in left_int_cols})
+        l = l.sort_values([ts_col, key_col], kind="mergesort")
+        r = (
+            g[g["side"] == 1][r_cols]
+            .astype({key_col: "int64", ts_col: "int64"})
+            .sort_values([ts_col] + list(right_value_cols), kind="mergesort")
+        )
+        if l.empty:
+            cols = left_cols + [c + suffix for c in right_value_cols] + [ts_col + suffix]
+            return pd.DataFrame(columns=cols)
+        out = pd.merge_asof(
+            l, r, on=ts_col, by=key_col, direction="backward", suffixes=("", suffix)
+        )
+        return out.rename(columns={c: c + suffix for c in right_value_cols})
+
+    return union.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join_count(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    window: int,
+    num_partitions: int = 32,
+):
+    """Per left row: how many right rows of the same key fall in
+    ``(left_ts, left_ts + window]`` — the "responses within w" range
+    join, vectorized with searchsorted inside each key bucket.
+
+    Returns the left rows plus an ``n_in_window`` int64 column.
+    """
+    union, left_cols, left_int_cols = _union_bucketed(
+        left_ds, right_ds.select_columns([key_col, ts_col]), key_col, num_partitions
+    )
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][left_cols].astype({c: "int64" for c in left_int_cols})
+        r = g[g["side"] == 1][[key_col, ts_col]]
+        if l.empty:
+            return pd.DataFrame(columns=left_cols + ["n_in_window"])
+        parts = []
+        r_by_key = {
+            k: np.sort(sub[ts_col].to_numpy(dtype=np.int64))
+            for k, sub in r.groupby(key_col)
+        }
+        for k, sub in l.groupby(key_col):
+            ts = sub[ts_col].to_numpy(dtype=np.int64)
+            rts = r_by_key.get(k)
+            if rts is None or len(rts) == 0:
+                n = np.zeros(len(ts), dtype=np.int64)
+            else:
+                # (ts, ts + window]: strictly after, up to and including
+                n = (
+                    np.searchsorted(rts, ts + window, side="right")
+                    - np.searchsorted(rts, ts, side="right")
+                ).astype(np.int64)
+            parts.append(sub.assign(n_in_window=n))
+        return pd.concat(parts, ignore_index=True)
+
+    return union.groupby("bucket").map_groups(count_in_window, batch_format="pandas")

@@ -1,0 +1,56 @@
+"""As-of and range join semantics (bucket-partitioned temporal joins)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ocr_lib_ray.functions.joins import asof_join, range_join_count
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_backward_and_nulls():
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"event_id": [10, 11, 12], "user_id": [1, 1, 2], "ts_us": [100, 50, 100]}
+        )
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"user_id": [1, 1], "ts_us": [60, 90], "v": [1.0, 2.0]})
+    )
+    out = (
+        asof_join(left, right, "user_id", "ts_us", ["v"], num_partitions=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 10 (u1, t100) → right t90; event 11 (u1, t50) → none;
+    # event 12 (u2) → no right rows for the key
+    assert list(out["event_id"]) == [10, 11, 12]
+    assert out["v_r"].tolist()[0] == 2.0
+    assert np.isnan(out["v_r"].tolist()[1]) and np.isnan(out["v_r"].tolist()[2])
+    assert out["ts_us_r"].tolist()[0] == 90.0
+    # equal-ts right row matches (<=, backward)
+    right2 = rd.from_pandas(pd.DataFrame({"user_id": [1], "ts_us": [100], "v": [7.0]}))
+    out2 = asof_join(left, right2, "user_id", "ts_us", ["v"], num_partitions=2).to_pandas()
+    assert out2.sort_values("event_id")["v_r"].tolist()[0] == 7.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_count_window_edges():
+    left = rd.from_pandas(
+        pd.DataFrame({"event_id": [1, 2], "user_id": [5, 5], "ts_us": [0, 1000]})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"user_id": [5, 5, 5, 5], "ts_us": [0, 1, 100, 101]})
+    )
+    out = (
+        range_join_count(left, right, "user_id", "ts_us", window=100, num_partitions=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # (0, 100]: ts 1 and 100 count; ts 0 (equal to left) and 101 do not
+    assert out["n_in_window"].tolist() == [2, 0]
+    assert str(out["n_in_window"].dtype) == "int64"
+    assert str(out["event_id"].dtype) == "int64"  # int restored after union nulls
