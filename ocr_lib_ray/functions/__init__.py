@@ -23,6 +23,7 @@ from .similarity import (
     knn_ivf,
     knn_lsh,
 )
+from .streaming import streaming_sessionize
 from .sketches import approx_distinct_users_per_type, hll_aggregate
 from .text_stats import LangId, QualityScore, doc_stats_batch, fingerprint_batch
 from .tokens import token_counts, top_tokens
@@ -65,6 +66,7 @@ __all__ = [
     "top_tokens",
     "canonicalize_url",
     "heavy_hitters",
+    "streaming_sessionize",
     "sessionize",
     "sliding_window",
     "tumbling_window",
