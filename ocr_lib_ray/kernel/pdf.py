@@ -210,9 +210,52 @@ def split_columns(line_runs: list, cfg: ExtractConfig) -> list:
     return segs
 
 
+_STREAM_RE = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
+
+
 def extract_pdf(data: str, cfg: ExtractConfig):
     """PDF branch: returns (text, spans, residuals, residual_texts) like
     the HTML branch's classify step.
+
+    Multi-page object model (one notch): each ``stream…endstream``
+    content block is a PAGE — pages extract independently (their y
+    coordinate spaces are unrelated, so a global y-sort would interleave
+    pages) and concatenate in file order with ``\\n``.  Span offsets stay
+    relative to the whole document.  Data without stream markers (raw
+    content-stream strings, the unit-test surface) is one page.
+    """
+    pages = [(m.start(1), m.group(1)) for m in _STREAM_RE.finditer(data)]
+    if not pages:
+        t, sp, res, rt, _nb = _extract_pdf_page(data, cfg)
+        return t, sp, res, rt
+    texts: list = []
+    spans: list = []
+    residuals: list = []
+    residual_texts: list = []
+    block_base = 0
+    for off, body in pages:
+        t, sp, res, rt, nb = _extract_pdf_page(body, cfg)
+        if t:
+            texts.append(t)
+        for s in sp:
+            s["start"] += off
+            s["end"] += off
+            s["block_id"] += block_base
+        spans.extend(sp)
+        residuals.extend(r + block_base for r in res)
+        residual_texts.extend(rt)
+        block_base += nb
+    return (
+        "\n".join(texts),
+        spans,
+        residuals[: cfg.residual_cap],
+        residual_texts[: cfg.residual_cap],
+    )
+
+
+def _extract_pdf_page(data: str, cfg: ExtractConfig):
+    """One page's content stream → (text, spans, residuals, texts,
+    n_blocks).
 
     UPRIGHT runs: lines are grouped into blocks on y-gap >
     ``pdf_block_gap``; within a block lines join with a single space,
@@ -271,4 +314,4 @@ def extract_pdf(data: str, cfg: ExtractConfig):
         residuals.append(n_blocks + i)
         if cfg.keep_residual_texts:
             residual_texts.append(collapse_ws(r.text))
-    return "\n".join(out_parts), spans, residuals, residual_texts
+    return "\n".join(out_parts), spans, residuals, residual_texts, n_blocks

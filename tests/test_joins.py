@@ -54,3 +54,78 @@ def test_range_join_count_window_edges():
     assert out["n_in_window"].tolist() == [2, 0]
     assert str(out["n_in_window"].dtype) == "int64"
     assert str(out["event_id"].dtype) == "int64"  # int restored after union nulls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_brute_reference():
+    """Randomized-but-seeded inputs: bucket-partitioned as-of equals a
+    brute per-row scan (the obviously-correct reference)."""
+    rng = np.random.default_rng(7)
+    n_l, n_r = 120, 150
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "user_id": rng.integers(0, 12, n_l),
+            "ts_us": rng.integers(0, 1000, n_l),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 12, n_r),
+                "ts_us": rng.integers(0, 1000, n_r),
+                "v": np.round(rng.random(n_r), 3),
+            }
+        )
+        .groupby(["user_id", "ts_us"], as_index=False)["v"]
+        .max()  # unique per (key, ts): the documented contract
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), "user_id", "ts_us", ["v"],
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for _, row in left.iterrows():
+        cand = right[(right["user_id"] == row["user_id"]) & (right["ts_us"] <= row["ts_us"])]
+        g = got[got["event_id"] == row["event_id"]].iloc[0]
+        if cand.empty:
+            assert np.isnan(g["v_r"])
+        else:
+            best = cand.loc[cand["ts_us"].idxmax()]
+            assert g["v_r"] == best["v"] and g["ts_us_r"] == best["ts_us"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_brute_reference():
+    rng = np.random.default_rng(11)
+    n_l, n_r, w = 100, 200, 50
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "user_id": rng.integers(0, 9, n_l),
+            "ts_us": rng.integers(0, 500, n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {"user_id": rng.integers(0, 9, n_r), "ts_us": rng.integers(0, 500, n_r)}
+    )
+    got = (
+        range_join_count(
+            rd.from_pandas(left), rd.from_pandas(right), "user_id", "ts_us", window=w,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for _, row in left.iterrows():
+        want = (
+            (right["user_id"] == row["user_id"])
+            & (right["ts_us"] > row["ts_us"])
+            & (right["ts_us"] <= row["ts_us"] + w)
+        ).sum()
+        assert got[got["event_id"] == row["event_id"]]["n_in_window"].iloc[0] == want

@@ -241,6 +241,33 @@ def test_pdf_rot_fixture_golden():
     assert res2.residual_texts == ["DRAFT 23"]
 
 
+def test_pdf_multipage_streams():
+    """Multi-page object model: each stream…endstream block is a page;
+    pages extract independently (a global y-sort would interleave them —
+    page 2's y=760 title must NOT merge with page 1's) and concatenate
+    in file order; span offsets stay document-absolute."""
+    data = (
+        "%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n"
+        "stream\nBT /F1 12 Tf 1 0 0 1 72 760 Tm (Page One Title) Tj "
+        "1 0 0 1 72 700 Tm (page one body) Tj ET\nendstream\n"
+        "2 0 obj << /Type /Page >> endobj\n"
+        "stream\nBT /F1 12 Tf 1 0 0 1 72 760 Tm (Page Two Title) Tj "
+        "1 0 0 1 72 700 Tm (page two body) Tj ET\nendstream\n%%EOF\n"
+    )
+    res = extract_document(data.encode())
+    assert res.doc_kind == "pdf"
+    assert res.text == (
+        "Page One Title\npage one body\nPage Two Title\npage two body"
+    )
+    # block ids continue across pages (2 blocks per page)
+    assert [s["block_id"] for s in res.spans] == [0, 1, 2, 3]
+    # offsets are document-absolute: the literal text sits at each span
+    for s, want in zip(
+        res.spans, ["Page One Title", "page one body", "Page Two Title", "page two body"]
+    ):
+        assert data[s["start"] : s["end"]] == want
+
+
 def test_table_extraction_policy():
     """Data tables: each cell is its own block; short cells reject (→
     residuals), sentence-length cells accept — pinned policy."""
