@@ -115,6 +115,12 @@ def _q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _q_winnow_fingerprint(sf_dir: str):
+    from ocr_lib_ray.functions.text_stats import winnow_fingerprint_batch
+
+    return _docs(sf_dir).map_batches(winnow_fingerprint_batch, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     from ray.data.aggregate import Min
     from ocr_lib_ray.functions.text_stats import fingerprint_batch
@@ -662,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_by_lang": _q_extract_by_lang,
         "doc_stats": _q_doc_stats,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "quality_basic": _q_quality_basic,
         "quality_score": _q_quality_score,
@@ -813,6 +820,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
+        # bottom-k winnowing sketch over distinct 3-gram md5 hashes
+        "winnow_fingerprint": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            l AS (SELECT doc_id,
+                         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                              ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(ws) - 2)]) END AS grams
+                  FROM t)
+            SELECT doc_id,
+                   array_to_string(
+                     list_sort(list_distinct(
+                       list_transform(grams, g -> substr(md5(g), 1, 16))))[1:8],
+                     ',') AS winnow_fp
+            FROM l
+            UNION ALL
+            SELECT doc_id, '' AS winnow_fp FROM d WHERE nm = ''
+        """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fingerprint, min(doc_id) AS doc_id
             FROM documents GROUP BY 1

@@ -25,7 +25,13 @@ from .similarity import (
 )
 from .streaming import streaming_sessionize
 from .sketches import approx_distinct_users_per_type, hll_aggregate
-from .text_stats import LangId, QualityScore, doc_stats_batch, fingerprint_batch
+from .text_stats import (
+    LangId,
+    QualityScore,
+    doc_stats_batch,
+    fingerprint_batch,
+    winnow_fingerprint_batch,
+)
 from .tokens import token_counts, top_tokens
 from .urls import canonicalize_url
 from .windows import heavy_hitters, sessionize, sliding_window, tumbling_window
@@ -62,6 +68,7 @@ __all__ = [
     "QualityScore",
     "doc_stats_batch",
     "fingerprint_batch",
+    "winnow_fingerprint_batch",
     "token_counts",
     "top_tokens",
     "canonicalize_url",

@@ -78,6 +78,35 @@ def char_entropy_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def winnow_fingerprint_batch(batch: pa.Table, n: int = 3, k: int = 8) -> pa.Table:
+    """Bottom-k document fingerprint (winnowing-style sketch): the k
+    smallest md5-derived hashes of the distinct token n-grams, joined as
+    one string — a compact near-dup blocking key whose overlap
+    approximates n-gram resemblance (bottom-k sketch property).
+
+    md5 (not crc32) so the oracle SQL can reproduce it byte-for-byte
+    (``substr(md5(gram), 1, 16)``; fixed-width lowercase hex sorts
+    lexicographically == numerically).  Empty text → empty fingerprint.
+    """
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    fps = []
+    for t in norm:
+        toks = t.split(" ") if t else []
+        if not toks:
+            fps.append("")
+            continue
+        if len(toks) < n:
+            grams = {" ".join(toks)}
+        else:
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        hs = sorted(hashlib.md5(g.encode("utf-8")).hexdigest()[:16] for g in grams)
+        fps.append(",".join(hs[:k]))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(fps, pa.string())],
+        names=["doc_id", "winnow_fp"],
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint: md5 hex of normalized text (dedup key)."""
     norm = normalize_expr(batch.column("text")).to_pylist()

@@ -390,3 +390,25 @@ def test_media_features_over_pages(sf_small):
     out = media_features(build_pages_dataset(sf_small)).to_pandas()
     assert len(out) == 500
     assert (out["n_bytes"] > 0).all()
+
+
+def test_winnow_fingerprint_properties():
+    """Bottom-k sketch: near-identical docs share most of their
+    fingerprint hashes; disjoint docs share none; empty → empty."""
+    from ocr_lib_ray.functions.text_stats import winnow_fingerprint_batch
+
+    out = winnow_fingerprint_batch(
+        docs_batch(
+            [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and AGAIN",
+                "completely different words entirely unrelated to anything else",
+                "",
+            ]
+        )
+    )
+    fps = [set(f.split(",")) if f else set() for f in out.column("winnow_fp").to_pylist()]
+    assert len(fps[0] & fps[1]) >= 6  # near-dups share most of bottom-8
+    assert not (fps[0] & fps[2])
+    assert fps[3] == set()
+    assert all(len(h) == 16 for h in fps[0])
