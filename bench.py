@@ -121,6 +121,7 @@ def run_bench() -> dict:
     for name in (
         "doc_stats",
         "fingerprint",
+        "winnow_fingerprint",
         "dedup_exact",
         "minhash_pairs",
         "simhash_pairs",
@@ -132,6 +133,9 @@ def run_bench() -> dict:
         "tumbling_window",
         "sliding_window",
         "sessionize",
+        "sessionize_stream",
+        "asof_join",
+        "range_join",
         "token_counts",
         "lang_id",
         "quality_score",

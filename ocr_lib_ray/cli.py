@@ -74,7 +74,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(logging_level="ERROR")  # on a cluster: RAY_ADDRESS from env
     from ray.data import DataContext
 
@@ -115,20 +116,26 @@ def main(argv=None) -> int:
                 {"rows": _written_rows(args.output), "wall_sec": round(time.time() - t0, 3)}
             )
         )
+        if owns_session:
+            ray.shutdown()
         return 0
     if args.cmd == "training-data":
         from .pipelines.corpus import build_training_data
 
+        # hive layout by pack partition: a rerun can skip finished
+        # partition dirs (resumable-output discipline)
         build_training_data(
             pages,
             ExtractConfig(num_partitions=args.partitions),
             checkpoint_dir=args.checkpoint_dir,
-        ).write_parquet(args.output)
+        ).write_parquet(args.output, partition_cols=["partition_id"])
         print(
             json.dumps(
                 {"rows": _written_rows(args.output), "wall_sec": round(time.time() - t0, 3)}
             )
         )
+        if owns_session:
+            ray.shutdown()
         return 0
 
     cfg = ExtractConfig(num_partitions=args.partitions)
@@ -136,7 +143,8 @@ def main(argv=None) -> int:
     stats = write_with_manifest(extracted, args.output, resume=args.resume)
     stats["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(stats))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
