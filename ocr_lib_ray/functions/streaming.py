@@ -17,6 +17,10 @@ assumptions documented:
   never sorts globally;
 * closed sessions are emitted incrementally (drainable mid-stream via
   ``take_closed``); ``flush`` closes whatever remains at end-of-log.
+* fault tolerance: actor state is NOT checkpointed — a worker death
+  loses its bucket's open sessions.  A production stream checkpoints
+  (bucket, last_ts, open-session snapshot) periodically and replays
+  the log from the last checkpoint; the sandbox feed simply reruns.
 
 Output and semantics are identical to the batch ``sessionize``
 (equivalence-tested, and the driver query shares its SQL oracle).
