@@ -114,8 +114,13 @@ def asof_join(
             .sort_values([ts_col] + list(right_value_cols), kind="mergesort")
         )
         if l.empty:
-            cols = left_cols + [c + suffix for c in right_value_cols] + [ts_col + suffix]
-            return pd.DataFrame(columns=cols)
+            # typed empty frame (an object-dtype empty frame degrades
+            # the output schema and trips block-size accounting)
+            out = l.copy()
+            for c in right_value_cols:
+                out[c + suffix] = pd.Series(dtype="float64")
+            out[ts_col + suffix] = pd.Series(dtype="float64")
+            return out
         out = pd.merge_asof(
             l, r, on=ts_col, by=key_col, direction="backward", suffixes=("", suffix)
         )
@@ -146,7 +151,9 @@ def range_join_count(
         l = g[g["side"] == 0][left_cols].astype({c: "int64" for c in left_int_cols})
         r = g[g["side"] == 1][[key_col, ts_col]]
         if l.empty:
-            return pd.DataFrame(columns=left_cols + ["n_in_window"])
+            out = l.copy()
+            out["n_in_window"] = pd.Series(dtype="int64")
+            return out
         parts = []
         r_by_key = {
             k: np.sort(sub[ts_col].to_numpy(dtype=np.int64))
