@@ -462,12 +462,15 @@ def _q_training_data(sf_dir: str):
     Runs with a checkpoint (the multi-pass 100TB pattern): the dedup key
     passes re-read the extracted-docs parquet instead of re-parsing
     HTML."""
-    import tempfile
-
     from ocr_lib_ray.pipelines.corpus import build_training_data
 
-    ckpt = tempfile.mkdtemp(prefix="graft_td_ckpt_")
-    return build_training_data(_pages(sf_dir), checkpoint_dir=ckpt)
+    # deterministic per-sf path, wiped by build_training_data before
+    # writing — repeated gate/bench invocations reuse ONE dir instead of
+    # leaking a corpus-sized parquet copy per call
+    tag = sf_dir.strip("/").replace("/", "_")
+    return build_training_data(
+        _pages(sf_dir), checkpoint_dir=f"/tmp/graft_td_ckpt_{tag}"
+    )
 
 
 def _q_model_score(sf_dir: str):

@@ -22,15 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _pa_col_type(ds, col: str) -> pa.DataType:
-    sch = ds.schema()
-    try:
-        return sch.base_schema.field(col).type
-    except AttributeError:  # pandas-block schema
-        dt = dict(zip(sch.names, sch.types))[col]
-        if isinstance(dt, pa.DataType):
-            return dt
-        return pa.string() if getattr(dt, "kind", "") == "O" else pa.from_numpy_dtype(dt)
+from ..schema_utils import pa_col_type as _pa_col_type
 
 
 def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
@@ -45,13 +37,25 @@ def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
     types = {
         c: _pa_col_type(left_ds if c in left_names else right_ds, c) for c in all_cols
     }
-    left_int_cols = [c for c in left_names if pa.types.is_integer(types[c])]
+
+    def default_array(n: int, t: pa.DataType) -> pa.Array:
+        # ZERO-VALUE fill, not nulls: nulls float int64 columns in the
+        # pandas group frame, corrupting ids >= 2^53 on the cast back
+        # (and blocking non-numeric keys).  The filled values sit only
+        # on the OTHER side's rows and are never read.
+        if pa.types.is_integer(t):
+            return pa.array([0] * n, t)
+        if pa.types.is_floating(t):
+            return pa.array([0.0] * n, t)
+        if pa.types.is_string(t):
+            return pa.array([""] * n, t)
+        return pa.nulls(n, t)
 
     def aligner(present: list, side: int):
         def align(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             arrays = [
-                batch.column(c) if c in present else pa.nulls(n, types[c])
+                batch.column(c) if c in present else default_array(n, types[c])
                 for c in all_cols
             ]
             keys = batch.column(key_col).to_pylist()
@@ -69,7 +73,7 @@ def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
     union = left_ds.map_batches(
         aligner(left_names, 0), batch_format="pyarrow"
     ).union(right_ds.map_batches(aligner(right_names, 1), batch_format="pyarrow"))
-    return union, left_names, left_int_cols
+    return union, left_names
 
 
 def asof_join(
@@ -100,18 +104,14 @@ def asof_join(
         lambda b: b.append_column(ts_col + suffix, b.column(ts_col)),
         batch_format="pyarrow",
     )
-    union, left_cols, left_int_cols = _union_bucketed(
-        left_ds, right, key_col, num_partitions
-    )
+    union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
     r_cols = [key_col, ts_col] + list(right_value_cols) + [ts_col + suffix]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == 0][left_cols].astype({c: "int64" for c in left_int_cols})
+        l = g[g["side"] == 0][left_cols]
         l = l.sort_values([ts_col, key_col], kind="mergesort")
-        r = (
-            g[g["side"] == 1][r_cols]
-            .astype({key_col: "int64", ts_col: "int64"})
-            .sort_values([ts_col] + list(right_value_cols), kind="mergesort")
+        r = g[g["side"] == 1][r_cols].sort_values(
+            [ts_col] + list(right_value_cols), kind="mergesort"
         )
         if l.empty:
             # typed empty frame (an object-dtype empty frame degrades
@@ -143,12 +143,12 @@ def range_join_count(
 
     Returns the left rows plus an ``n_in_window`` int64 column.
     """
-    union, left_cols, left_int_cols = _union_bucketed(
+    union, left_cols = _union_bucketed(
         left_ds, right_ds.select_columns([key_col, ts_col]), key_col, num_partitions
     )
 
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == 0][left_cols].astype({c: "int64" for c in left_int_cols})
+        l = g[g["side"] == 0][left_cols]
         r = g[g["side"] == 1][[key_col, ts_col]]
         if l.empty:
             out = l.copy()

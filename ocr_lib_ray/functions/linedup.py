@@ -98,17 +98,9 @@ def remove_common_lines_join(
     def bucket_of(h: str) -> int:
         return zlib.crc32(h.encode()) % num_partitions
 
-    sch = ds.schema()
-    try:
-        id_type = sch.base_schema.field(id_col).type
-    except AttributeError:  # pandas-block schema: numpy dtypes or pa types
-        dt = dict(zip(sch.names, sch.types))[id_col]
-        if isinstance(dt, pa.DataType):
-            id_type = dt
-        elif getattr(dt, "kind", "") == "O":
-            id_type = pa.string()
-        else:
-            id_type = pa.from_numpy_dtype(dt)
+    from ..schema_utils import pa_col_type
+
+    id_type = pa_col_type(ds, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, idxs, lines, hashes = [], [], [], []

@@ -244,7 +244,11 @@ def extract_pdf(data: str, cfg: ExtractConfig):
         spans.extend(sp)
         residuals.extend(r + block_base for r in res)
         residual_texts.extend(rt)
-        block_base += nb
+        # advance past this page's residual ids too: residual ids and
+        # content block ids share one id space per document, and a
+        # later page's blocks must not collide with an earlier page's
+        # rejected (rotated) runs
+        block_base += nb + len(res)
     return (
         "\n".join(texts),
         spans,

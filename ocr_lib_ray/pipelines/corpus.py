@@ -91,6 +91,12 @@ def build_training_data(
 
     docs = extracted.map_batches(redact_extracted, batch_format="pyarrow")
     if checkpoint_dir is not None:
+        # write_parquet APPENDS into an existing dir: a reused
+        # checkpoint path would silently double the corpus, so the dir
+        # is wiped first (the checkpoint is an artifact of THIS run)
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
         docs.write_parquet(checkpoint_dir)
         docs = rd.read_parquet(checkpoint_dir)
     docs = remove_common_lines(docs, max_df=1)

@@ -129,3 +129,24 @@ def test_range_join_matches_brute_reference():
             & (right["ts_us"] <= row["ts_us"] + w)
         ).sum()
         assert got[got["event_id"] == row["event_id"]]["n_in_window"].iloc[0] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_joins_preserve_big_int64_ids_and_string_keys():
+    """Left-only int columns must survive >2^53 (zero-fill defaults, no
+    float round-trip), and string keys must work end to end."""
+    big = 9007199254740993  # 2^53 + 1: not float64-representable
+    left = rd.from_pandas(
+        pd.DataFrame({"event_id": [big], "user_id": ["alice"], "ts_us": [100]})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"user_id": ["alice", "bob"], "ts_us": [90, 10], "v": [1.5, 9.9]})
+    )
+    out = asof_join(left, right, "user_id", "ts_us", ["v"], num_partitions=4).to_pandas()
+    assert out["event_id"].tolist() == [big]
+    assert out["user_id"].tolist() == ["alice"] and out["v_r"].tolist() == [1.5]
+    out2 = range_join_count(
+        left, right, "user_id", "ts_us", window=1000, num_partitions=4
+    ).to_pandas()
+    assert out2["event_id"].tolist() == [big]
+    assert out2["n_in_window"].tolist() == [0]  # right ts 90 <= left ts

@@ -302,3 +302,20 @@ def test_chunked_extraction_identical(chunked):
     a = extract_document(html, CFG, chunked=chunked)
     b = extract_document(html, small_chunks, chunked=True)
     assert a.text == b.text and a.spans == b.spans
+
+
+def test_pdf_multipage_residual_ids_disjoint():
+    """A page-1 rotated watermark's residual id must not collide with
+    page 2's content block ids (shared id space per document)."""
+    data = (
+        "stream\nBT 1 0 0 1 72 760 Tm (p1 title words) Tj "
+        "1 0 0 1 72 700 Tm (p1 body words) Tj "
+        "0 1 -1 0 200 400 Tm (WM) Tj ET\nendstream\n"
+        "stream\nBT 1 0 0 1 72 760 Tm (p2 title words) Tj "
+        "1 0 0 1 72 700 Tm (p2 body words) Tj ET\nendstream\n"
+    )
+    res = extract_document(("%PDF-1.4\n" + data).encode())
+    span_ids = [s["block_id"] for s in res.spans]
+    assert res.residuals == [2]  # after page 1's two blocks
+    assert set(res.residuals).isdisjoint(span_ids)
+    assert span_ids == [0, 1, 3, 4]  # page 2 skips the residual id
