@@ -151,23 +151,25 @@ def extract_document(
         if chunked or len(data) > cfg.giant_threshold
         else tokenize(data, tags)
     )
-    blocks = segment(doc)
+    blocks = segment(doc, tags.entities)
     parts = []
     spans = []
     residuals = []
     residual_texts = []
     title = ""
-    out_id = 0
     for bid, blk in enumerate(blocks):
         k = classify(blk, cfg)
         if k:
             if k == "heading" and not title:
                 title = blk.text
             parts.append(blk.text)
+            # block_id = SEGMENTATION index: spans and residuals share
+            # one id space per document (as the PDF branch guarantees),
+            # so a consumer can join the two without branch-dependent
+            # semantics.  Accepted ids are therefore not dense.
             spans.append(
-                {"start": blk.start, "end": blk.end, "block_id": out_id, "kind": k}
+                {"start": blk.start, "end": blk.end, "block_id": bid, "kind": k}
             )
-            out_id += 1
         elif len(residuals) < cfg.residual_cap:
             residuals.append(bid)
             if cfg.keep_residual_texts:

@@ -39,7 +39,7 @@ class Block:
     is_boiler: bool
 
 
-def segment(doc: TokenizedDoc) -> list:
+def segment(doc: TokenizedDoc, entities: dict | None = None) -> list:
     """Group text nodes into reading-order blocks.
 
     A block = a maximal run of nodes sharing ``block_seq``.  Node texts
@@ -63,7 +63,7 @@ def segment(doc: TokenizedDoc) -> list:
         while j < n and seqs[j] == seq:
             j += 1
         if j == i + 1:  # common case: single-node block
-            t = unescape(texts[i])
+            t = unescape(texts[i], entities)
             heading, listitem, boiler = heads[i], lis[i], boils[i]
             text = collapse_ws(t)
             link_words = len(text.split(" ")) if links[i] and text else 0
@@ -72,7 +72,7 @@ def segment(doc: TokenizedDoc) -> list:
             link_words = 0
             heading = listitem = boiler = False
             for k in range(i, j):
-                t = unescape(texts[k])
+                t = unescape(texts[k], entities)
                 parts.append(t)
                 if links[k]:
                     ct = collapse_ws(t)

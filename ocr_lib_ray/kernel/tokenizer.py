@@ -69,14 +69,18 @@ class TagConfig:
     constants; a ClassifierBundle can extend/replace them so a
     deployment reclassifies chrome without code changes."""
 
-    __slots__ = ("block", "boiler", "heading", "void", "rawtext")
+    __slots__ = ("block", "boiler", "heading", "void", "rawtext", "entities")
 
-    def __init__(self, block=None, boiler=None, heading=None, void=None, rawtext=None):
+    def __init__(
+        self, block=None, boiler=None, heading=None, void=None, rawtext=None, entities=None
+    ):
         self.block = frozenset(block) if block is not None else BLOCK_TAGS
         self.boiler = frozenset(boiler) if boiler is not None else BOILERPLATE_TAGS
         self.heading = frozenset(heading) if heading is not None else HEADING_TAGS
         self.void = frozenset(void) if void is not None else VOID_TAGS
         self.rawtext = frozenset(rawtext) if rawtext is not None else RAWTEXT_TAGS
+        #: named-entity overlay (bundle extra_entities); None = module table
+        self.entities = dict(entities) if entities is not None else None
 
 
 DEFAULT_TAGS = TagConfig()
@@ -131,22 +135,48 @@ def _entity_sub(m: re.Match) -> str:
     body = m.group(1)
     if body.startswith("#x") or body.startswith("#X"):
         try:
-            return chr(int(body[2:], 16))
-        except (ValueError, OverflowError):
+            cp = int(body[2:], 16)
+        except ValueError:
             return m.group(0)
+        return _safe_chr(cp, m.group(0))
     if body.startswith("#"):
         try:
-            return chr(int(body[1:]))
-        except (ValueError, OverflowError):
+            cp = int(body[1:])
+        except ValueError:
             return m.group(0)
+        return _safe_chr(cp, m.group(0))
     return _NAMED_ENTITIES.get(body, m.group(0))
 
 
-def unescape(text: str) -> str:
-    """Decode the deterministic entity subset (named basics + numeric)."""
+def _safe_chr(cp: int, raw: str) -> str:
+    """Codepoint → char, passing the reference text through verbatim for
+    values no UTF-8 string may hold: lone surrogates U+D800-U+DFFF (one
+    '&#xD800;' in a page would otherwise poison the whole Arrow batch —
+    pa.array raises 'surrogates not allowed') and out-of-range values."""
+    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF or cp < 0:
+        return raw
+    return chr(cp)
+
+
+def unescape(text: str, entities: dict | None = None) -> str:
+    """Decode the deterministic entity subset (named basics + numeric).
+
+    ``entities`` overrides the named-entity table (the bundle's
+    ``extra_entities`` re-teach surface); None keeps the module default
+    on the zero-allocation fast path.
+    """
     if "&" not in text:
         return text
-    return _ENTITY_RE.sub(_entity_sub, text)
+    if entities is None:
+        return _ENTITY_RE.sub(_entity_sub, text)
+
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#"):
+            return _entity_sub(m)
+        return entities.get(body, m.group(0))
+
+    return _ENTITY_RE.sub(sub, text)
 
 
 def collapse_ws(text: str) -> str:

@@ -26,9 +26,16 @@ from ..config import DEFAULT_CONFIG, ExtractConfig
 from .extract import extract_pipeline
 
 
+def _md5_hex(texts: list) -> list:
+    """Dedup key: md5 over the RAW extracted text (already canonical —
+    the kernel emits collapse_ws'd text), deliberately NOT
+    text_stats.fingerprint_batch's re-normalizing form; one helper so
+    the keyed pass and the winner filter can never diverge."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
 def fingerprint_extracted(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    fps = _md5_hex(batch.column("text").to_pylist())
     return pa.Table.from_arrays(
         [
             batch.column("url"),
@@ -114,13 +121,7 @@ def build_training_data(
         return pa.Table.from_arrays(
             [
                 b.column("doc_id"),
-                pa.array(
-                    [
-                        hashlib.md5(t.encode("utf-8")).hexdigest()
-                        for t in b.column("text").to_pylist()
-                    ],
-                    pa.string(),
-                ),
+                pa.array(_md5_hex(b.column("text").to_pylist()), pa.string()),
             ],
             names=["doc_id", "fp"],
         )

@@ -173,25 +173,31 @@ def write_partitioned(extracted: rd.Dataset, out_dir: str, resume: bool = True) 
 
     from ..stages.manifest import MANIFEST_SCHEMA
 
+    import shutil
+
+    data_dir = os.path.join(out_dir, "data")
     if resume:
         done = completed_partitions(out_dir)
         if done:
             extracted = extracted.map_batches(
                 make_resume_filter(done), batch_format="pyarrow"
             )
-    data_dir = os.path.join(out_dir, "data")
-    if os.path.isdir(data_dir):
-        # restart semantics: any partition dir WITHOUT a manifest row is a
-        # partial write from a crashed run — re-running would APPEND
-        # duplicate files into it, so wipe those dirs before writing.
-        done = completed_partitions(out_dir)
-        import shutil
-
-        for d in os.listdir(data_dir):
-            if d.startswith("partition_id="):
-                pid = int(d.split("=")[1])
-                if pid not in done:
-                    shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+        if os.path.isdir(data_dir):
+            # restart semantics: any partition dir WITHOUT a manifest row
+            # is a partial write from a crashed run — re-running would
+            # APPEND duplicate files into it, so wipe those dirs first.
+            for d in os.listdir(data_dir):
+                if d.startswith("partition_id="):
+                    pid = int(d.split("=")[1])
+                    if pid not in done:
+                        shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+    else:
+        # full rewrite: every partition is re-emitted, so EVERY existing
+        # dir (and the stale manifests) must go — write_parquet appends,
+        # and keeping old files would silently double completed
+        # partitions' rows.
+        shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "manifest"), ignore_errors=True)
     extracted.write_parquet(data_dir, partition_cols=["partition_id"])
     # post-hoc manifests from footers
     man_dir = os.path.join(out_dir, "manifest")

@@ -68,10 +68,17 @@ class ExtractDocuments:
             # the bundle's tag-class tables re-teach the tokenizer/classifier
             # (the signs-map extension surface), built once per actor
             if getattr(self.bundle, "boilerplate_tags", None) is not None:
+                extra = getattr(self.bundle, "extra_entities", None)
+                entities = None
+                if extra:
+                    from ..kernel.tokenizer import _NAMED_ENTITIES
+
+                    entities = {**_NAMED_ENTITIES, **extra}
                 self.tags = TagConfig(
                     block=getattr(self.bundle, "block_tags", None),
                     boiler=self.bundle.boilerplate_tags,
                     heading=getattr(self.bundle, "heading_tags", None),
+                    entities=entities,
                 )
             # threshold overrides (the caller-threaded matching-value
             # analog): the bundle can re-teach min_words / link-density /

@@ -64,10 +64,12 @@ def test_assembly_newlines_and_residuals():
     )
     res = extract_document(html.encode())
     assert res.text == "Head Line\nfirst body block ok\nsecond body block ok"
-    # rejected: nav p (block 0), short p → residual ids in document order
-    assert len(res.residuals) == 2
+    # rejected: nav p (block 0), short p (block 3) → residual ids in
+    # document order; span block_ids share the SAME segmentation-index
+    # space (so ids skip the rejected blocks, never collide with them)
+    assert res.residuals == [0, 3]
     assert [s["kind"] for s in res.spans] == ["heading", "content", "content"]
-    assert [s["block_id"] for s in res.spans] == [0, 1, 2]
+    assert [s["block_id"] for s in res.spans] == [1, 2, 4]
 
 
 def test_residual_cap_is_per_document():

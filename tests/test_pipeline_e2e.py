@@ -303,6 +303,24 @@ def test_write_partitioned_zero_shuffle_sink(sf_small, tmp_path):
         if f.endswith(".parquet")
     )
     assert total2 == 500  # nothing appended on resume
+    # full rewrite (resume=False) wipes before writing — never doubles
+    r3 = write_partitioned(
+        extract_pipeline(build_pages_dataset(sf_small)), out, resume=False
+    )
+    assert r3["partitions_written"] > 0
+    total3 = sum(
+        pq2.ParquetFile(os.path.join(out, "data", d, f)).metadata.num_rows
+        for d in os.listdir(os.path.join(out, "data"))
+        for f in os.listdir(os.path.join(out, "data", d))
+        if f.endswith(".parquet")
+    )
+    assert total3 == 500
+    # the documented audit works on this sink's deferred-checksum
+    # manifests: row counts verified, no false corruption
+    from ocr_lib_ray.stages.manifest import validate_job
+
+    audit = validate_job(out)
+    assert audit["partitions"] > 0 and audit["invalid"] == []
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -463,3 +481,33 @@ def test_cli_clean_and_training_data(sf_small, tmp_path):
     )
     assert rc in (0, None)
     assert glob.glob(f"{out_td}/**/*.parquet", recursive=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bundle_extra_entities_reteach():
+    """The bundle's extra_entities overlay must reach entity decoding
+    through the actor pool (previously a documented no-op)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.extract import extract_pipeline
+    from ocr_lib_ray.state.bundle import ClassifierBundle, broadcast_bundle
+
+    html = b"<main><p>price is &currency;42 total today</p></main>"
+    pages = rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array(["https://x.test/e"], pa.string()),
+                pa.array([0], pa.timestamp("us")),
+                pa.array([html], pa.binary()),
+                pa.array([""], pa.string()),
+                pa.array(["en"], pa.string()),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+    )
+    base = extract_pipeline(pages).to_pandas()
+    assert "&currency;" in base["text"][0]  # unknown entity passes through
+    ref = broadcast_bundle(ClassifierBundle(extra_entities={"currency": "¤"}))
+    taught = extract_pipeline(pages, bundle_ref=ref).to_pandas()
+    assert taught["text"][0] == "price is ¤42 total today"
