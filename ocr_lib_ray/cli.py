@@ -107,6 +107,14 @@ def main(argv=None) -> int:
             for f in glob.glob(f"{out_dir}/**/*.parquet", recursive=True)
         )
 
+    if args.cmd in ("clean", "training-data"):
+        # write_parquet APPENDS into an existing dir: a rerun into the
+        # same --output would silently double the corpus, so wipe first
+        # (these jobs have no per-partition manifests; rerun = rewrite)
+        import shutil
+
+        shutil.rmtree(args.output, ignore_errors=True)
+
     if args.cmd == "clean":
         from .pipelines.corpus import clean_corpus
 

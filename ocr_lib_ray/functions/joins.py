@@ -26,10 +26,9 @@ from ..schema_utils import pa_col_type as _pa_col_type
 
 
 def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
-    """Union both sides under one schema (typed nulls for the columns a
-    side lacks) with (bucket, side) tags.  Returns (union_ds, left_cols,
-    left_int_cols): pandas group frames float int columns that carry
-    nulls from the other side, so the merge fns cast left ints back.
+    """Union both sides under one schema with (bucket, side) tags.
+    Columns a side lacks are ZERO-FILLED (see default_array) so pandas
+    group frames keep exact dtypes.  Returns (union_ds, left_cols).
     """
     left_names = list(left_ds.schema().names)
     right_names = list(right_ds.schema().names)
@@ -96,6 +95,13 @@ def asof_join(
     value column with ``suffix`` + the matched right ts as
     ``ts_col + suffix`` (float64, NaN when unmatched).
     """
+    clash = set(right_value_cols) & set(left_ds.schema().names)
+    if clash:
+        raise ValueError(
+            f"right_value_cols {sorted(clash)} collide with left columns — "
+            "rename the right side before joining (the union would merge "
+            "them into one column)"
+        )
     # the matched right ts is part of the output: carry it as an
     # explicit value column (merge_asof consumes the join ts)
     right = right_ds.select_columns(

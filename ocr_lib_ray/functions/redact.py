@@ -29,6 +29,7 @@ _RULES = [
 
 
 def redact_text(text: str) -> str:
+    text = text or ""  # null text cells are legal Arrow input
     for rx, repl in _RULES:
         text = rx.sub(repl, text)
     return text
@@ -56,7 +57,7 @@ _BPE_RE = re.compile(BPE_SPLIT)
 
 def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    counts = [len(_BPE_RE.findall(t)) for t in texts]
+    counts = [len(_BPE_RE.findall(t or "")) for t in texts]
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(counts, pa.int64())],
         names=["doc_id", "n_bpe_tokens"],

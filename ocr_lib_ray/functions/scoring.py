@@ -32,7 +32,7 @@ def featurize(batch: pa.Table) -> np.ndarray:
             np.asarray(q.column("mean_word_len").to_pylist()),
             np.asarray(q.column("alpha_ratio").to_pylist()),
             np.asarray(q.column("top_word_ratio").to_pylist()),
-            np.log1p([len(t) for t in batch.column("text").to_pylist()]),
+            np.log1p([len(t or "") for t in batch.column("text").to_pylist()]),
             np.ones(n),
         ]
     )

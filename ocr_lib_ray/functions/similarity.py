@@ -145,10 +145,11 @@ def knn_lsh(
     """ANN: score only corpus vectors sharing an LSH bucket with the
     query in at least one of ``n_tables`` independent tables.
 
-    Recall knobs, both standard: multi-probe (``probes=1`` also searches
-    every hamming-1 bucket of each table) and multi-table (a pair
-    missed by one plane set can collide in another).  Recall < 1 by
-    construction; measured against knn_brute in tests.
+    Recall knobs, both standard: multi-probe (``probes=r`` also
+    searches every bucket within hamming distance r of the query's, per
+    table) and multi-table (a pair missed by one plane set can collide
+    in another).  Recall < 1 by construction; measured against
+    knn_brute in tests.
     """
     import pyarrow.compute as pc
     import ray
@@ -170,10 +171,16 @@ def knn_lsh(
     for t in range(n_tables):
         q_buckets = lsh.bucket(q_mat, t)
         by_bucket: dict = {}
+        from itertools import combinations
+
         for qid, qv, qb in zip(q_ids, q_mat, q_buckets):
             probe_buckets = {int(qb)}
-            if probes >= 1:
-                probe_buckets |= {int(qb) ^ (1 << p) for p in range(n_planes)}
+            for r in range(1, min(probes, n_planes) + 1):
+                for bits in combinations(range(n_planes), r):
+                    flip = 0
+                    for pbit in bits:
+                        flip |= 1 << pbit
+                    probe_buckets.add(int(qb) ^ flip)
             for pb in probe_buckets:
                 by_bucket.setdefault(pb, ([], []))
                 by_bucket[pb][0].append(int(qid))
@@ -252,7 +259,6 @@ def build_ivf_centroids(
     n_centroids: int = 64,
     sample_rows: int = 10_000,
     iters: int = 10,
-    dim: int = 64,
 ):
     """Deterministic spherical k-means centroids from a corpus sample —
     the IVF coarse quantizer, built ONCE on the driver and broadcast.
@@ -289,7 +295,6 @@ def knn_ivf(
     n_centroids: int = 64,
     nprobe: int = 8,
     sample_rows: int = 10_000,
-    dim: int = 64,
 ):
     """IVF ANN: corpus vectors are assigned to their nearest centroid
     cell per batch (one matmul); each query scores ONLY the vectors in
@@ -302,7 +307,7 @@ def knn_ivf(
     import pyarrow.compute as pc
     import ray
 
-    cent = build_ivf_centroids(emb_ds, n_centroids, sample_rows, dim=dim)
+    cent = build_ivf_centroids(emb_ds, n_centroids, sample_rows)
     qset = pa.array(sorted(query_ids), pa.int64())
     q_tbl = pa.concat_tables(
         list(
@@ -384,12 +389,15 @@ def cosine_dup_pairs_lsh(
 
     def explode_tables(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # typed from the REAL input columns — a synthetic
+            # list<float32> here mismatched list<double> corpora and
+            # produced schema-drift warnings in the shuffle
             return pa.Table.from_arrays(
                 [
                     pa.array([], pa.int32()),
                     pa.array([], pa.int64()),
-                    pa.array([], pa.int64()),
-                    pa.array([], pa.list_(pa.float32())),
+                    batch.column("vec_id"),
+                    batch.column("embedding"),
                 ],
                 names=["table", "bucket", "vec_id", "embedding"],
             )

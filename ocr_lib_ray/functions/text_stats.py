@@ -110,7 +110,7 @@ def winnow_fingerprint_batch(batch: pa.Table, n: int = 3, k: int = 8) -> pa.Tabl
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint: md5 hex of normalized text (dedup key)."""
     norm = normalize_expr(batch.column("text")).to_pylist()
-    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(fps, pa.string())],
         names=["doc_id", "fingerprint"],
@@ -156,6 +156,7 @@ class LangId:
         texts = batch.column("text").to_pylist()
         preds = []
         for t in texts:
+            t = t or ""  # null text cells are legal Arrow input
             if any("一" <= ch <= "鿿" for ch in t):
                 preds.append("zh")
                 continue
@@ -186,7 +187,7 @@ class QualityScore:
         texts = batch.column("text").to_pylist()
         out = {k: [] for k in ("stop_ratio", "mean_word_len", "alpha_ratio", "top_word_ratio")}
         for t in texts:
-            toks = t.lower().split()
+            toks = (t or "").lower().split()
             n = len(toks)
             if n == 0:
                 for k in out:

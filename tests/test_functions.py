@@ -412,3 +412,31 @@ def test_winnow_fingerprint_properties():
     assert not (fps[0] & fps[2])
     assert fps[3] == set()
     assert all(len(h) == 16 for h in fps[0])
+
+
+def test_null_text_rows_survive_text_ops():
+    """One NULL text cell (legal Arrow input) must not kill any text
+    operator — it behaves like the empty string."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.redact import bpe_token_count_batch, redact_batch
+    from ocr_lib_ray.functions.scoring import ModelScorer
+    from ocr_lib_ray.functions.text_stats import (
+        char_entropy_batch,
+        doc_stats_batch,
+        winnow_fingerprint_batch,
+    )
+
+    batch = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()), pa.array(["real words here", None], pa.string())],
+        names=["doc_id", "text"],
+    )
+    assert LangId()(batch).column("lang_pred").to_pylist()[1] == "und"
+    assert QualityScore()(batch).column("stop_ratio").to_pylist()[1] == 0.0
+    assert fingerprint_batch(batch).num_rows == 2
+    assert winnow_fingerprint_batch(batch).column("winnow_fp").to_pylist()[1] == ""
+    assert redact_batch(batch).num_rows == 2
+    assert bpe_token_count_batch(batch).column("n_bpe_tokens").to_pylist()[1] == 0
+    assert ModelScorer()(batch).num_rows == 2
+    assert char_entropy_batch(batch).column("char_entropy").to_pylist()[1] == 0.0
+    assert doc_stats_batch(batch).num_rows == 2
