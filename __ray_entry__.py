@@ -738,6 +738,15 @@ def _ngram_pairs_cte(norm: str) -> str:
               WHERE inter * 1.0 / (ca.cn + cb.cn - inter) >= 0.5)"""
 
 
+def _en_stop_sql() -> str:
+    """English stopword list SQL literal generated from _LANG_PROFILES
+    (the dict QualityScore reads) — editing the profile updates impl AND
+    the three quality/model oracles together."""
+    from ocr_lib_ray.functions.text_stats import _LANG_PROFILES
+
+    return "[" + ",".join("'" + w + "'" for w in sorted(_LANG_PROFILES["en"])) + "]"
+
+
 def _lang_id_sql(norm: str) -> str:
     """lang_id oracle generated from the SAME _LANG_PROFILES dict the
     LangId stage reads — impl and oracle cannot diverge as profiles are
@@ -774,10 +783,16 @@ def _lang_id_sql(norm: str) -> str:
 def oracle_sql() -> dict[str, str]:
     norm = _NORM
     return {
+        # golden text is branch-aware for short docs: the PDF branch has
+        # no link/boiler context and keeps ANY non-empty body, while the
+        # HTML classify drops bodies under min_words=3 (kernel-verified)
         "extract_text": f"""
             SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                    'Document ' || doc_id ||
-                     CASE WHEN {norm} <> ''
+                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4) AND {norm} <> ''
+                          THEN chr(10) || {norm}
+                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4)
+                            AND {norm} <> ''
                             AND len(str_split({norm}, ' ')) >= 3
                           THEN chr(10) || {norm} ELSE '' END AS text,
                    lang
@@ -789,14 +804,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_spans_stats": f"""
+            WITH d AS (SELECT doc_id, source, {norm} AS nm FROM documents),
+            w AS (SELECT doc_id, source,
+                         CASE WHEN nm = '' THEN 0
+                              ELSE len(str_split(nm, ' ')) END AS nw
+                  FROM d)
             SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                    CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4
-                        THEN 1 + CAST(ceil(len(str_split({norm}, ' ')) / 8.0) AS BIGINT)
-                        ELSE 2 END AS n_spans,
+                        THEN 1 + CAST(ceil(nw / 8.0) AS BIGINT)
+                        WHEN nw >= 3 THEN 2 ELSE 1 END AS n_spans,
                    CASE WHEN doc_id % 17 = 3 THEN 0
                         WHEN doc_id % 19 = 4 THEN 1
-                        ELSE 6 END AS n_residuals
-            FROM documents
+                        WHEN nw >= 3 OR nw = 0 THEN 6
+                        ELSE 7 END AS n_residuals
+            FROM w
         """,
         "sniff_kinds": """
             SELECT CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4
@@ -806,9 +827,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_by_lang": f"""
             SELECT lang, count(*) AS n,
-                   CAST(sum(len('Document ' || doc_id) +
-                       CASE WHEN {norm} <> '' THEN 1 + len({norm}) ELSE 0 END)
-                     AS BIGINT) AS text_chars
+                   CAST(sum(len('Document ' || doc_id) + len(
+                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4) AND {norm} <> ''
+                          THEN chr(10) || {norm}
+                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4)
+                            AND {norm} <> ''
+                            AND len(str_split({norm}, ' ')) >= 3
+                          THEN chr(10) || {norm} ELSE '' END)) AS BIGINT) AS text_chars
             FROM documents GROUP BY lang
         """,
         "doc_stats": f"""
@@ -849,7 +874,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, str_split(lower({norm}), ' ') AS ws FROM documents)
             SELECT doc_id,
                    round(len(list_filter(ws, w -> list_contains(
-                       ['the','and','of','to','a','in','is','it','that','for','with'], w)))
+                       {_en_stop_sql()}, w)))
                      * 1.0 / len(ws), 6) AS stop_ratio,
                    round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
                      AS mean_word_len
@@ -863,7 +888,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT doc_id, max(c) AS mc FROM u GROUP BY 1)
             SELECT t.doc_id,
                    round(len(list_filter(ws, w -> list_contains(
-                       ['the','and','of','to','a','in','is','it','that','for','with'], w)))
+                       {_en_stop_sql()}, w)))
                      * 1.0 / len(ws), 6) AS stop_ratio,
                    round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
                      AS mean_word_len,
@@ -871,7 +896,8 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_replace(w, '[^a-zA-Z]', '', 'g')))) * 1.0 /
                      greatest(list_sum(list_transform(ws, w -> len(w))), 1), 6)
                      AS alpha_ratio,
-                   round(m.mc * 1.0 / len(ws), 6) AS top_word_ratio
+                   CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0.0
+                        ELSE round(m.mc * 1.0 / len(ws), 6) END AS top_word_ratio
             FROM t JOIN m ON t.doc_id = m.doc_id
         """,
         "lang_id": _lang_id_sql(norm),
@@ -1028,7 +1054,10 @@ def oracle_sql() -> dict[str, str]:
             WITH gold AS (
               SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                      'Document ' || doc_id ||
-                       CASE WHEN {norm} <> ''
+                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4) AND {norm} <> ''
+                            THEN chr(10) || {norm}
+                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4)
+                              AND {norm} <> ''
                               AND len(str_split({norm}, ' ')) >= 3
                             THEN chr(10) || {norm} ELSE '' END AS text
               FROM documents),
@@ -1115,7 +1144,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT doc_id, max(c) AS mc FROM u GROUP BY 1),
             feats AS (SELECT t.doc_id,
                    round(len(list_filter(ws, w -> list_contains(
-                       ['the','and','of','to','a','in','is','it','that','for','with'], w)))
+                       {_en_stop_sql()}, w)))
                      * 1.0 / len(ws), 6) AS stop_ratio,
                    round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
                      AS mean_word_len,
@@ -1123,7 +1152,8 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_replace(w, '[^a-zA-Z]', '', 'g')))) * 1.0 /
                      greatest(list_sum(list_transform(ws, w -> len(w))), 1), 6)
                      AS alpha_ratio,
-                   round(m.mc * 1.0 / len(ws), 6) AS top_word_ratio,
+                   CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0.0
+                        ELSE round(m.mc * 1.0 / len(ws), 6) END AS top_word_ratio,
                    ln(1.0 + length(t.text)) AS log_len
               FROM t JOIN m ON t.doc_id = m.doc_id)
             SELECT doc_id,

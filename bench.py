@@ -36,14 +36,19 @@ SHARDS = 128
 
 
 def pages_shard_dir() -> str:
-    # cache key includes a hash of the generator source: a kernel/template
-    # change invalidates the cached pages automatically (no stale bench)
+    # cache key hashes the generator source AND the tokenizer module it
+    # imports (collapse_ws shapes the synthesized payload) — a change to
+    # either invalidates the cached pages automatically (no stale bench)
     import hashlib
 
+    import ocr_lib_ray.kernel.tokenizer as tok_mod
     import ocr_lib_ray.sources.pages as pages_mod
 
-    with open(pages_mod.__file__, "rb") as f:
-        gen_ver = hashlib.md5(f.read()).hexdigest()[:8]
+    h = hashlib.md5()
+    for mod in (pages_mod, tok_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    gen_ver = h.hexdigest()[:8]
     tag = SF_DIR.strip("/").replace("/", "_")
     return f"/tmp/graft_pages_{tag}_r{REPEAT}_s{SHARDS}_{gen_ver}"
 
@@ -175,7 +180,9 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, same input files, fresh processes at 8 and 32 CPUs.
+    """Same job, same input files, fresh processes at the two levels
+    (default 4 and 16 CPUs; GRAFT_SCALE_LO/HI override — 8/32 is the
+    alternate pair recorded in BASELINE.md).
 
     Best-of-3 per level: the sandbox machine is shared, and external
     load hits the 32-way run hardest; min wall time is the standard

@@ -1,0 +1,114 @@
+"""Edge-corpus oracle gate: every document-table query must hash-match
+its DuckDB oracle on a corpus of SHORT/EMPTY documents — the cases the
+driver's sf fixtures (min ~10 words/doc) never exercise.  This is the
+test that catches latent impl/oracle divergences (short-body HTML
+rejection, PDF short-body retention, empty-doc quality signals) before
+a future fixture does."""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# doc_ids chosen to hit every page kind: 3→pdf, 4→pdf_rot, 5→malformed,
+# 7→noisy, others plain
+EDGE_DOCS = [
+    (1, "", "en", "srcA"),
+    (2, "one", "en", "srcA"),
+    (3, "two words", "en", "srcA"),          # pdf kind (3 % 17 == 3)
+    (4, "", "de", "srcB"),                    # pdf_rot kind (4 % 19 == 4)
+    (5, "tiny doc", "en", "srcB"),            # malformed kind
+    (6, "three word body", "fr", "srcB"),
+    (7, "x", "en", "srcC"),                   # noisy kind
+    (20, "the quick brown fox jumps over the lazy dog", "en", "srcC"),  # pdf
+    (23, "a longer body with more than eight words to span pdf lines", "en", "srcC"),  # pdf_rot
+    (9, "plain document with a normal number of words inside it", "es", "srcC"),
+]
+
+QUERIES = [
+    "extract_text",
+    "extract_title",
+    "extract_spans_stats",
+    "sniff_kinds",
+    "extract_by_lang",
+    "doc_stats",
+    "fingerprint",
+    "winnow_fingerprint",
+    "dedup_exact",
+    "quality_basic",
+    "quality_score",
+    "model_score",
+    "lang_id",
+    "char_entropy",
+    "bpe_token_count",
+    "redact_pii",
+    "line_dedup",
+    "corpus_clean",
+    "chunk_documents",
+    "media_features",
+    "token_counts",
+    "top_tokens",
+]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted("|".join(repr(v) for v in t) for t in df.itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def norm_df(df: pd.DataFrame) -> pd.DataFrame:
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        else:
+            out[c] = s
+    return pd.DataFrame(out)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    ids, texts, langs, sources = zip(*EDGE_DOCS)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+                pa.array(sources, pa.string()),
+                pa.array([len(t) for t in texts], pa.int64()),
+            ],
+            names=["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", QUERIES)
+def test_edge_corpus_matches_oracle(edge_dir, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    got = em.queries()[name](edge_dir)
+    got = norm_df(got.to_pandas() if hasattr(got, "to_pandas") else got)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet')"
+    )
+    want = norm_df(con.execute(em.oracle_sql()[name]).df())
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    assert value_hash(got) == value_hash(want), f"{name} diverges on edge docs"

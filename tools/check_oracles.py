@@ -73,6 +73,10 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN QUERY NAMES: {sorted(unknown)}")
+        return 2
     failed = []
     import time
 
@@ -89,7 +93,8 @@ def main() -> int:
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only ({len(got)} rows, cols {list(got.columns)}) [{dt:.1f}s]")
-            if len(got) == 0 and name not in ("cosine_dups",):
+            # rows-only ops that can legitimately return zero rows
+            if len(got) == 0 and name not in ("cosine_dups_lsh",):
                 print(f"  WARNING: empty result")
             continue
         want = norm_df(con.execute(oracles[name]).df())
