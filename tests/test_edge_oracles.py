@@ -112,3 +112,73 @@ def test_edge_corpus_matches_oracle(edge_dir, name):
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want), (len(got), len(want))
     assert value_hash(got) == value_hash(want), f"{name} diverges on edge docs"
+
+
+# --- events-table edge gate ------------------------------------------------
+
+# ties on ts (same user and cross-user), a single-event user, an event at
+# epoch 0, and same-ts purchase/view pairs (asof <= boundary)
+EDGE_EVENTS = [
+    # (event_id, ts_us, user_id, event_type, value)
+    (0, 0, 1, "view", 1.00),
+    (1, 0, 1, "click", 2.00),
+    (2, 1_000_000, 1, "purchase", 3.00),
+    (3, 1_000_000, 1, "view", 4.00),          # view at SAME ts as purchase
+    (4, 1_000_000, 1, "view", 5.00),          # duplicate (user, ts) view
+    (5, 3_600_000_000, 2, "purchase", 6.00),  # user with no views
+    (6, 500_000, 3, "error", 7.00),           # single-event user
+    (7, 2_000_000, 1, "error", 8.00),
+    (8, 3_599_000_000, 1, "error", 9.00),     # just inside click+1h? (click at 0)
+]
+
+EVENT_QUERIES = [
+    "tumbling_window",
+    "sliding_window",
+    "sessionize",
+    "sessionize_stream",
+    "asof_join",
+    "range_join",
+    "heavy_hitters",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_ev")
+    eid, ts, uid, et, val = zip(*EDGE_EVENTS)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array(eid, pa.int64()),
+                pa.array(ts, pa.timestamp("us")),
+                pa.array(uid, pa.int64()),
+                pa.array(et, pa.string()),
+                pa.array(val, pa.float64()),
+                pa.array(["{}"] * len(eid), pa.string()),
+            ],
+            names=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_edge_events_match_oracle(edge_events_dir, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    got = em.queries()[name](edge_events_dir)
+    got = norm_df(got.to_pandas() if hasattr(got, "to_pandas") else got)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet')"
+    )
+    want = norm_df(con.execute(em.oracle_sql()[name]).df())
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    assert value_hash(got) == value_hash(want), f"{name} diverges on edge events"
