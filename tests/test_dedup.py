@@ -206,17 +206,14 @@ def test_dedup_by_pairs_keeps_min(sf_small):
     pairs = minhash_lsh_pairs(docs, threshold=0.8)
     pairs_df = pairs.to_pandas()
     survivors = set(dedup_by_pairs(docs, pairs).to_pandas()["doc_id"])
-    n_docs = docs.count()
     losers = set(pairs_df["d2"])
-    assert survivors == set(range_ids(n_docs, docs)) - losers
+    all_ids = set(docs.to_pandas()["doc_id"])
+    assert survivors == all_ids - losers
     # the smaller member of every pair survives unless itself a loser
     for d1 in pairs_df["d1"]:
         if d1 not in losers:
             assert d1 in survivors
 
-
-def range_ids(n, docs_ds):
-    return docs_ds.to_pandas()["doc_id"].tolist()
 
 
 def test_union_find_chain():

@@ -38,6 +38,7 @@ QUERIES = [
     "fingerprint",
     "winnow_fingerprint",
     "dedup_exact",
+    "dedup_jaccard",
     "quality_basic",
     "quality_score",
     "model_score",
@@ -46,12 +47,55 @@ QUERIES = [
     "bpe_token_count",
     "redact_pii",
     "line_dedup",
+    "line_dedup_join",
     "corpus_clean",
     "chunk_documents",
     "media_features",
     "token_counts",
     "top_tokens",
+    "ngram_jaccard",
+    "sample_split",
 ]
+
+#: document-table queries with NO SQL oracle (order-dependent packing /
+#: LSH recall<1 / sketch) — excluded with reason, pinned by pytest
+NO_ORACLE_DOC = {
+    "minhash_pairs",
+    "dedup_minhash",
+    "simhash_pairs",
+    "pack_sequences",
+    "training_data",
+}
+
+#: embedding-table queries (edge corpus is documents-only)
+EMBEDDING_QUERIES = {"knn_brute", "knn_lsh", "knn_ivf", "cosine_dups", "cosine_dups_lsh"}
+
+#: event-table queries: gated below over EDGE_EVENTS (approx_distinct is
+#: the HLL sketch — no oracle)
+EVENT_SIDE = {
+    "tumbling_window",
+    "sliding_window",
+    "sessionize",
+    "sessionize_stream",
+    "asof_join",
+    "range_join",
+    "heavy_hitters",
+    "approx_distinct",
+}
+
+
+def test_edge_gate_covers_every_query():
+    """Completeness: every queries() entry is either edge-gated here
+    (documents or events) or explicitly excluded with a reason — a new
+    query cannot silently skip the edge gate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    covered = set(QUERIES) | NO_ORACLE_DOC | EMBEDDING_QUERIES | EVENT_SIDE
+    missing = set(em.queries()) - covered
+    assert not missing, f"queries missing from the edge gate: {sorted(missing)}"
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -65,7 +109,10 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("int64")
+            # an int column carrying NULLs floats on one side (DuckDB
+            # .df()) and may be nullable Int64 on the other — normalize
+            # both to float64 so the repr-hash can't spuriously diverge
+            out[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64")
         else:
@@ -109,6 +156,8 @@ def test_edge_corpus_matches_oracle(edge_dir, name):
         f"read_parquet('{edge_dir}/documents.parquet')"
     )
     want = norm_df(con.execute(em.oracle_sql()[name]).df())
+    if len(got) == 0 and len(want) == 0:
+        return  # both empty: a 0-row Ray Dataset has no schema to compare
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want), (len(got), len(want))
     assert value_hash(got) == value_hash(want), f"{name} diverges on edge docs"

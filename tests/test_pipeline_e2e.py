@@ -11,6 +11,21 @@ from ocr_lib_ray.config import ExtractConfig
 from ocr_lib_ray.sources.pages import golden_text, page_url
 
 
+def partition_rows(out: str) -> int:
+    """Sum footer row counts across every partition dir of a job."""
+    import os
+
+    import pyarrow.parquet as pq2
+
+    data = os.path.join(out, "data")
+    return sum(
+        pq2.ParquetFile(os.path.join(data, d, f)).metadata.num_rows
+        for d in os.listdir(data)
+        for f in os.listdir(os.path.join(data, d))
+        if f.endswith(".parquet")
+    )
+
+
 def golden_map(sf_dir):
     docs = pq.read_table(f"{sf_dir}/documents.parquet")
     return {
@@ -40,16 +55,23 @@ def test_pipeline_matches_frozen_golden(sf_small):
         os.path.join(os.path.dirname(__file__), "golden_sf0001.parquet")
     )
     out = (
-        extract_pipeline(build_pages_dataset(sf_small))
+        extract_pipeline(
+            build_pages_dataset(sf_small), ExtractConfig(keep_residual_texts=True)
+        )
         .to_pandas()
         .set_index("url")
     )
     g = golden.to_pandas().set_index("url")
     assert set(out.index) == set(g.index)
     out = out.loc[g.index]
+    # the FULL extraction surface is frozen: text, title, kind, spans,
+    # residual ids AND residual texts
     assert (out["text"] == g["text"]).all()
+    assert (out["title"] == g["title"]).all()
     assert (out["doc_kind"] == g["doc_kind"]).all()
     assert out["spans"].map(repr).equals(g["spans"].map(repr))
+    assert out["residuals"].map(list).equals(g["residuals"].map(list))
+    assert out["residual_texts"].map(list).equals(g["residual_texts"].map(list))
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -114,8 +136,6 @@ def test_skew_route_equivalent(sf_small):
 def test_actor_pool_with_bundle_equivalent(sf_small):
     """bundle_ref path (actor pool, state fetched once per actor) must
     produce identical output to the stateless-task path."""
-    import ray
-
     from ocr_lib_ray.pipelines.extract import build_pages_dataset, extract_pipeline
 
     from ocr_lib_ray.state.bundle import broadcast_bundle, build_bundle
@@ -284,37 +304,18 @@ def test_write_partitioned_zero_shuffle_sink(sf_small, tmp_path):
     )
     assert r["partitions_written"] > 0
     # total rows across partition dirs == corpus size
-    total = 0
-    for d in os.listdir(os.path.join(out, "data")):
-        for f in os.listdir(os.path.join(out, "data", d)):
-            if f.endswith(".parquet"):
-                total += pq2.ParquetFile(
-                    os.path.join(out, "data", d, f)
-                ).metadata.num_rows
-    assert total == 500
+    assert partition_rows(out) == 500
     # resume: all partitions have manifests → extraction is filtered to 0
     r2 = write_partitioned(
         extract_pipeline(build_pages_dataset(sf_small)), out, resume=True
     )
-    total2 = sum(
-        pq2.ParquetFile(os.path.join(out, "data", d, f)).metadata.num_rows
-        for d in os.listdir(os.path.join(out, "data"))
-        for f in os.listdir(os.path.join(out, "data", d))
-        if f.endswith(".parquet")
-    )
-    assert total2 == 500  # nothing appended on resume
+    assert partition_rows(out) == 500  # nothing appended on resume
     # full rewrite (resume=False) wipes before writing — never doubles
     r3 = write_partitioned(
         extract_pipeline(build_pages_dataset(sf_small)), out, resume=False
     )
     assert r3["partitions_written"] > 0
-    total3 = sum(
-        pq2.ParquetFile(os.path.join(out, "data", d, f)).metadata.num_rows
-        for d in os.listdir(os.path.join(out, "data"))
-        for f in os.listdir(os.path.join(out, "data", d))
-        if f.endswith(".parquet")
-    )
-    assert total3 == 500
+    assert partition_rows(out) == 500
     # the documented audit works on this sink's deferred-checksum
     # manifests: row counts verified, no false corruption
     from ocr_lib_ray.stages.manifest import validate_job
@@ -442,7 +443,7 @@ def test_entry_contract(sf_small):
 
     ds = em.entry()
     df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
-    assert len(df) >= 0
+    assert len(df) == 500  # sf0.001 corpus size — a 0-row entry is a bug
     assert set(["url", "text", "lang", "doc_kind"]) <= set(df.columns)
     assert set(em.oracle_sql()) <= set(em.queries())
 

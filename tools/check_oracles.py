@@ -39,12 +39,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def norm_df(df: pd.DataFrame) -> pd.DataFrame:
-    # canonicalize dtypes: ints → int64, floats → float64 (uints too)
+    # canonicalize dtypes: ints → int64, floats → float64 (uints too);
+    # an int column carrying NULLs floats on one side (DuckDB .df()) and
+    # may be nullable Int64 on the other — normalize both to float64 so
+    # the repr-hash cannot spuriously diverge
     out = {}
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("int64")
+            out[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64")
         else:
