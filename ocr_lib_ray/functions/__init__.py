@@ -34,7 +34,13 @@ from .text_stats import (
 )
 from .tokens import token_counts, top_tokens
 from .urls import canonicalize_url
-from .windows import heavy_hitters, sessionize, sliding_window, tumbling_window
+from .windows import (
+    heavy_hitters,
+    sessionize,
+    sessionize_salted,
+    sliding_window,
+    tumbling_window,
+)
 
 __all__ = [
     "chunk_documents",
@@ -75,6 +81,7 @@ __all__ = [
     "heavy_hitters",
     "streaming_sessionize",
     "sessionize",
+    "sessionize_salted",
     "sliding_window",
     "tumbling_window",
 ]

@@ -93,6 +93,91 @@ def sessionize(events_ds, gap_seconds: int = 1800):
     return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def sessionize_salted(
+    events_ds, gap_seconds: int = 1800, window_seconds: int = 86_400
+):
+    """Skew-safe sessionize: a HOT user (one key holding a large share
+    of the corpus) melts :func:`sessionize`'s per-user group.  Here the
+    heavy grouping key is (user, time-window) — each group holds at most
+    one window of one user's events — and per-window PARTIAL sessions
+    are then merged per user in a second pass that handles only SESSION
+    SUMMARIES (one tiny row per partial session, ≪ events even for the
+    hottest key): summaries sorted by start time chain-merge when the
+    inter-session gap ≤ ``gap_seconds``.
+
+    Equivalent to :func:`sessionize` (tested; value_sum may differ in
+    the last float ulp because partial sums re-associate).  Pick
+    ``window_seconds`` ≫ gap so sessions rarely straddle windows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+    window_us = window_seconds * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        import pyarrow.compute as pc
+
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        return batch.append_column("win", win)
+
+    def partial_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts = g["ts"].astype("int64")
+        sid = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = (
+            g.assign(_sid=sid, ts_us=ts)
+            .groupby("_sid", sort=True)
+            .agg(
+                session_start_us=("ts_us", "min"),
+                session_end_us=("ts_us", "max"),
+                n_events=("ts_us", "count"),
+                value_sum=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    partials = (
+        events_ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .map_groups(partial_sessions, batch_format="pandas")
+    )
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start_us").reset_index(drop=True)
+        starts = g["session_start_us"].to_numpy()
+        ends = g["session_end_us"].to_numpy()
+        # chain-merge: partial k joins k-1 when its start is within gap
+        # of the running end of the open merged session
+        sid = np.zeros(len(g), dtype=np.int64)
+        cur_end = ends[0]
+        cur = 0
+        for i in range(1, len(g)):
+            if starts[i] - cur_end > gap_us:
+                cur += 1
+                cur_end = ends[i]
+            else:
+                cur_end = max(cur_end, ends[i])
+            sid[i] = cur
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", sort=True)
+            .agg(
+                session_start_us=("session_start_us", "min"),
+                n_events=("n_events", "sum"),
+                value_sum=("value_sum", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return partials.groupby("user_id").map_groups(merge_user, batch_format="pandas")
+
+
 def sliding_window(events_ds, window_seconds: int = 3600, slide_seconds: int = 900):
     """Overlapping windows: each event explodes into the window_size /
     slide windows covering it (vectorized numpy repeat), then the same

@@ -440,3 +440,34 @@ def test_null_text_rows_survive_text_ops():
     assert ModelScorer()(batch).num_rows == 2
     assert char_entropy_batch(batch).column("char_entropy").to_pylist()[1] == 0.0
     assert doc_stats_batch(batch).num_rows == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_salted_equivalent(sf_small):
+    """The skew-safe (user, window)-keyed sessionize must produce the
+    same sessions as the per-user path — including sessions straddling
+    window boundaries (forced with a window barely above the gap)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import sessionize, sessionize_salted
+
+    events = rd.read_parquet(f"{sf_small}/events.parquet", columns=["user_id", "ts", "value"])
+    key = ["user_id", "session_id"]
+    a = (
+        sessionize(events, gap_seconds=1800)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    for window_seconds in (86_400, 3_600):  # 2×gap forces many straddles
+        b = (
+            sessionize_salted(events, gap_seconds=1800, window_seconds=window_seconds)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)[a.columns.tolist()]
+        )
+        assert (a[key] == b[key]).all().all()
+        assert (a["session_start_us"] == b["session_start_us"]).all()
+        assert (a["n_events"] == b["n_events"]).all()
+        # partial sums re-associate → compare within float tolerance
+        assert np.allclose(a["value_sum"], b["value_sum"])
