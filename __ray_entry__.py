@@ -387,6 +387,28 @@ def _q_sessionize_stream(sf_dir: str):
     return out.map_batches(to_cents, batch_format="pyarrow")
 
 
+def _q_sessionize_salted(sf_dir: str):
+    """Skew-safe sessionize ((user, window) grouping + summary merge) —
+    same semantics and SQL oracle as sessionize; cents rounding is safe
+    against the partial-sum re-association (session sums are
+    near-integers in cents, never at a rounding tie)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import sessionize_salted
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = sessionize_salted(events, gap_seconds=1800)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("value_sum")
+        cents = pc.round(pc.multiply(batch.column("value_sum"), 100.0), ndigits=0)
+        return batch.set_column(i, "value_sum_cents", cents.cast(pa.int64()))
+
+    return out.map_batches(to_cents, batch_format="pyarrow")
+
+
 def _q_char_entropy(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import char_entropy_batch
 
@@ -689,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
         "sessionize_stream": _q_sessionize_stream,
+        "sessionize_salted": _q_sessionize_salted,
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
         "char_entropy": _q_char_entropy,
@@ -988,6 +1011,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical golden, computed by the incremental actor path
         "sessionize_stream": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+            x AS (SELECT user_id, ts_us, value,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            y AS (SELECT user_id, ts_us, value,
+                    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+                  FROM x)
+            SELECT user_id, session_id,
+                   min(ts_us) AS session_start_us,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_sum_cents
+            FROM y GROUP BY 1, 2
+        """,
+        # identical golden, computed by the skew-safe salted path
+        "sessionize_salted": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
             x AS (SELECT user_id, ts_us, value,
                     CASE WHEN lag(ts_us) OVER w IS NULL

@@ -74,6 +74,7 @@ EMBEDDING_QUERIES = {"knn_brute", "knn_lsh", "knn_ivf", "cosine_dups", "cosine_d
 #: the HLL sketch — no oracle)
 EVENT_SIDE = {
     "tumbling_window",
+    "sessionize_salted",
     "sliding_window",
     "sessionize",
     "sessionize_stream",
@@ -182,6 +183,7 @@ EDGE_EVENTS = [
 
 EVENT_QUERIES = [
     "tumbling_window",
+    "sessionize_salted",
     "sliding_window",
     "sessionize",
     "sessionize_stream",
