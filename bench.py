@@ -139,6 +139,7 @@ def run_bench() -> dict:
         "sliding_window",
         "sessionize",
         "sessionize_stream",
+        "sessionize_salted",
         "asof_join",
         "range_join",
         "token_counts",
