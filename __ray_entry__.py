@@ -486,12 +486,16 @@ def _q_training_data(sf_dir: str):
     HTML."""
     from ocr_lib_ray.pipelines.corpus import build_training_data
 
-    # deterministic per-sf path, wiped by build_training_data before
-    # writing — repeated gate/bench invocations reuse ONE dir instead of
-    # leaking a corpus-sized parquet copy per call
+    # per-invocation path (pid component): two concurrent callers (a
+    # driver gate and a bench on the same corpus) must not share one
+    # checkpoint dir — one would wipe it while the other is mid-read.
+    # Single-writer semantics per process; the same process reuses its
+    # dir instead of leaking a corpus-sized parquet copy per call.
+    import os
+
     tag = sf_dir.strip("/").replace("/", "_")
     return build_training_data(
-        _pages(sf_dir), checkpoint_dir=f"/tmp/graft_td_ckpt_{tag}"
+        _pages(sf_dir), checkpoint_dir=f"/tmp/graft_td_ckpt_{tag}_{os.getpid()}"
     )
 
 

@@ -46,6 +46,11 @@ def main(argv=None) -> int:
     cc.add_argument("--sf-dir", help="testdata dir; synthesize fixture pages")
     cc.add_argument("--output", required=True, help="surviving-docs parquet dir")
     cc.add_argument("--min-chars", type=int, default=40)
+    cc.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="wipe a non-empty --output even without a prior-run marker",
+    )
     td = sub.add_parser(
         "training-data",
         help="full 8-operator pipeline: extract → redact → line-dedup → "
@@ -59,6 +64,11 @@ def main(argv=None) -> int:
         "--checkpoint-dir",
         help="extraction checkpoint dir (recommended beyond toy scale: the "
         "dedup key passes re-read parquet instead of re-parsing HTML)",
+    )
+    td.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="wipe a non-empty --output even without a prior-run marker",
     )
     args = p.parse_args(argv)
 
@@ -110,10 +120,12 @@ def main(argv=None) -> int:
     if args.cmd in ("clean", "training-data"):
         # write_parquet APPENDS into an existing dir: a rerun into the
         # same --output would silently double the corpus, so wipe first
-        # (these jobs have no per-partition manifests; rerun = rewrite)
-        import shutil
+        # (these jobs have no per-partition manifests; rerun = rewrite).
+        # Guarded: refuses to destroy a non-empty dir that is not a
+        # prior run of ours unless --overwrite is given.
+        from .stages.manifest import safe_wipe_output
 
-        shutil.rmtree(args.output, ignore_errors=True)
+        safe_wipe_output(args.output, overwrite=args.overwrite)
 
     if args.cmd == "clean":
         from .pipelines.corpus import clean_corpus

@@ -100,7 +100,9 @@ def pack_sequences(
 
     if num_partitions is None:
         if approx_rows is None:
-            approx_rows = chunks_ds.count()
+            from .dedup import _rows_estimate
+
+            approx_rows = _rows_estimate(chunks_ds)  # metadata-only when possible
         num_partitions = max(16, -(-int(approx_rows) // PACK_ROWS_PER_PARTITION))
 
     def add_pid(batch: pa.Table) -> pa.Table:

@@ -50,13 +50,40 @@ def derive_group_buckets(docs_ds, approx_rows=None, rows_per_group: int = ROWS_P
     invariant across bucket counts).
 
     ``approx_rows`` skips the counting pass — pass it from catalog
-    metadata at scale.  Without it, ``docs_ds.count()`` is metadata-only
-    for plain parquet reads but executes the lineage for transformed
-    datasets.
+    metadata at scale.  Without it, a metadata-only count is tried
+    first (free for plain parquet reads); only when the dataset is a
+    transformed lineage with no metadata count does this fall back to
+    ``count()``, which EXECUTES the upstream lineage — a warning is
+    logged so the extra corpus-sized pass is never silent.
     """
     if approx_rows is None:
-        approx_rows = docs_ds.count()
+        approx_rows = _rows_estimate(docs_ds)
     return max(1, -(-int(approx_rows) // rows_per_group))
+
+
+def _rows_estimate(ds) -> int:
+    """Row count without executing lineage when possible.
+
+    ``Dataset._meta_count()`` answers from read metadata (parquet
+    footers) for un-transformed reads; transformed datasets return None
+    and the only exact answer is ``count()`` — executed with a logged
+    warning so callers know to pass ``approx_rows`` on expensive
+    lineages.
+    """
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    if n is not None:
+        return int(n)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "derive_group_buckets: no metadata row count for a transformed "
+        "dataset — count() will execute the upstream lineage once; pass "
+        "approx_rows to skip this pass"
+    )
+    return int(ds.count())
 
 
 def _stable_token_hashes(tokens) -> np.ndarray:
@@ -508,22 +535,20 @@ def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partition
     / 512 MB.  Output rows/columns equal the broadcast path (tested).
     """
     import pyarrow.compute as pc
-    import ray.data as rd
     from ray.data.aggregate import Count
 
     losers = pairs_ds.select_columns(["d2"]).groupby("d2").aggregate(
         Count(alias_name="_dup")
     )
-    # schema anchor: a zero-row right side has no schema and the hash
-    # join rejects it; doc ids are non-negative so -1 never matches
-    losers = losers.union(
-        rd.from_arrow(
-            pa.Table.from_arrays(
-                [pa.array([-1], pa.int64()), pa.array([1], pa.int64())],
-                names=["d2", "_dup"],
-            )
-        )
-    )
+    # A zero-row right side has no schema and the hash join rejects it.
+    # No sentinel anchor (a sentinel value colliding with a real id, or
+    # a non-int64 id column, would silently corrupt the filter): the
+    # loser set is materialized — ids-only rows, object-store resident
+    # with spill, executed exactly once — so emptiness is a metadata
+    # check and the join reads the materialized blocks.
+    losers = losers.materialize()
+    if losers.count() == 0:
+        return docs_ds
     joined = docs_ds.join(
         losers, "left_outer", num_partitions, on=(id_col,), right_on=("d2",)
     )

@@ -130,7 +130,15 @@ def asof_join(
         out = pd.merge_asof(
             l, r, on=ts_col, by=key_col, direction="backward", suffixes=("", suffix)
         )
-        return out.rename(columns={c: c + suffix for c in right_value_cols})
+        out = out.rename(columns={c: c + suffix for c in right_value_cols})
+        # Documented schema is float64 (NaN when unmatched) for every
+        # joined column.  merge_asof keeps int64 when a group happens to
+        # match every row, so without this cast the output dtype is
+        # GROUP-DEPENDENT — Ray logs schema drift and the parquet files
+        # mix int64/double.  Cast unconditionally.
+        for c in list(right_value_cols) + [ts_col]:
+            out[c + suffix] = out[c + suffix].astype("float64")
+        return out
 
     return union.groupby("bucket").map_groups(merge, batch_format="pandas")
 

@@ -247,7 +247,9 @@ def derive_n_planes(emb_ds, approx_rows=None, target_bucket_rows: int = TARGET_B
     import math
 
     if approx_rows is None:
-        approx_rows = emb_ds.count()
+        from .dedup import _rows_estimate
+
+        approx_rows = _rows_estimate(emb_ds)  # metadata-only when possible
     return max(4, math.ceil(math.log2(max(int(approx_rows), 1) / target_bucket_rows + 1)))
 
 

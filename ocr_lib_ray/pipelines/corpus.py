@@ -100,10 +100,12 @@ def build_training_data(
     if checkpoint_dir is not None:
         # write_parquet APPENDS into an existing dir: a reused
         # checkpoint path would silently double the corpus, so the dir
-        # is wiped first (the checkpoint is an artifact of THIS run)
-        import shutil
+        # is wiped first (the checkpoint is an artifact of THIS run).
+        # Guarded wipe: refuses a non-empty dir that isn't a prior
+        # checkpoint of ours (mistyped path protection).
+        from ..stages.manifest import safe_wipe_output
 
-        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        safe_wipe_output(checkpoint_dir)
         docs.write_parquet(checkpoint_dir)
         docs = rd.read_parquet(checkpoint_dir)
     docs = remove_common_lines(docs, max_df=1)

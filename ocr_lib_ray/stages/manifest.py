@@ -43,6 +43,36 @@ MANIFEST_SCHEMA = pa.schema(
 )
 
 
+JOB_MARKER = ".ocr_lib_ray_job"
+
+
+def safe_wipe_output(path: str, overwrite: bool = False) -> None:
+    """Wipe ``path`` for a fresh job run — but only when it is safe.
+
+    write_parquet APPENDS into an existing dir, so rerun paths must be
+    wiped; but an unconditional rmtree on a user-supplied path silently
+    destroys unrelated data on a typo.  Wipe only when the dir is
+    absent, empty, or carries the :data:`JOB_MARKER` from a prior run
+    of ours; anything else requires ``overwrite=True``.  After wiping,
+    the dir is recreated with the marker so the NEXT rerun (even after
+    a mid-job crash) is recognized as ours.
+    """
+    import shutil
+
+    if os.path.isdir(path) and os.listdir(path):
+        ours = os.path.exists(os.path.join(path, JOB_MARKER))
+        if not (ours or overwrite):
+            raise SystemExit(
+                f"refusing to delete non-empty {path!r}: it was not written "
+                "by a prior run of this job (no marker file) — pass "
+                "--overwrite to wipe it anyway"
+            )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, JOB_MARKER), "w") as f:
+        f.write("ocr_lib_ray job output dir\n")
+
+
 def partition_checksum(urls, texts) -> int:
     acc = 0
     for u, t in zip(urls, texts):

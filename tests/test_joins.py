@@ -150,3 +150,23 @@ def test_joins_preserve_big_int64_ids_and_string_keys():
     ).to_pandas()
     assert out2["event_id"].tolist() == [big]
     assert out2["n_in_window"].tolist() == [0]  # right ts 90 <= left ts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_dtype_stable_when_every_row_matches():
+    # A bucket where EVERY left row matches used to emit int64 joined
+    # columns (group-dependent schema — parquet files mixing int64 and
+    # double); the documented contract is float64 always.
+    left = rd.from_pandas(
+        pd.DataFrame({"event_id": [1, 2], "user_id": [1, 1], "ts_us": [100, 200]})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"user_id": [1], "ts_us": [50], "rv": [7]})  # int right value
+    )
+    out = asof_join(left, right, "user_id", "ts_us", ["rv"], num_partitions=2)
+    schema = out.schema()
+    types = dict(zip(schema.names, [str(t) for t in schema.types]))
+    assert types["rv_r"] == "double"
+    assert types["ts_us_r"] == "double"
+    df = out.to_pandas()
+    assert df["rv_r"].tolist() == [7.0, 7.0]

@@ -247,3 +247,50 @@ def test_remove_common_lines_join_equivalent():
     assert list(a["doc_id"]) == list(b["doc_id"]) == [1, 2, 3, 4]
     assert list(a["text"]) == list(b["text"])
     assert b.loc[b["doc_id"] == 3, "text"].iloc[0] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_by_pairs_join_empty_pairs_and_odd_ids():
+    """Zero pairs → docs unchanged (no sentinel anchor), and a corpus
+    containing a legitimate id of -1 must survive intact (the old int64
+    -1 anchor silently dropped it)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dedup_by_pairs_join
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [-1, 0, 7], "text": ["a", "b", "c"]}))
+    empty_pairs = rd.from_arrow(
+        pa.table({"d1": pa.array([], pa.int64()), "d2": pa.array([], pa.int64())})
+    )
+    out = sorted(dedup_by_pairs_join(docs, empty_pairs, num_partitions=4).to_pandas()["doc_id"])
+    assert out == [-1, 0, 7]
+    # -1 as a genuine loser is dropped; -1 as a winner survives
+    pairs = rd.from_pandas(pd.DataFrame({"d1": [-1], "d2": [7]}))
+    out2 = sorted(dedup_by_pairs_join(docs, pairs, num_partitions=4).to_pandas()["doc_id"])
+    assert out2 == [-1, 0]
+
+
+def test_safe_wipe_output_guards(tmp_path):
+    """Wipes absent/empty/marker dirs; refuses a foreign non-empty dir
+    unless overwrite=True."""
+    import pytest as _pytest
+
+    from ocr_lib_ray.stages.manifest import JOB_MARKER, safe_wipe_output
+
+    fresh = tmp_path / "fresh"
+    safe_wipe_output(str(fresh))  # absent → created with marker
+    assert (fresh / JOB_MARKER).exists()
+    (fresh / "part.parquet").write_text("x")
+    safe_wipe_output(str(fresh))  # marked → wiped
+    assert not (fresh / "part.parquet").exists()
+
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "precious.txt").write_text("do not delete")
+    with _pytest.raises(SystemExit):
+        safe_wipe_output(str(foreign))
+    assert (foreign / "precious.txt").exists()
+    safe_wipe_output(str(foreign), overwrite=True)
+    assert not (foreign / "precious.txt").exists()
