@@ -70,6 +70,20 @@ def main(argv=None) -> int:
         action="store_true",
         help="wipe a non-empty --output even without a prior-run marker",
     )
+    td.add_argument(
+        "--dedup",
+        choices=["broadcast", "join"],
+        default="broadcast",
+        help="exact-dedup filter: broadcast dup-map (default; duplicates "
+        "≪ corpus) or bucketed hash-join anti-filter (dup-heavy corpora)",
+    )
+    td.add_argument(
+        "--line-max-df",
+        type=int,
+        default=1,
+        help="C4 line-dedup document-frequency threshold (raise above the "
+        "expected duplicate multiplicity on dup-heavy corpora)",
+    )
     args = p.parse_args(argv)
 
     if args.cmd == "validate":
@@ -148,6 +162,8 @@ def main(argv=None) -> int:
             pages,
             ExtractConfig(num_partitions=args.partitions),
             checkpoint_dir=args.checkpoint_dir,
+            dedup=args.dedup,
+            line_max_df=args.line_max_df,
         ).write_parquet(args.output, partition_cols=["partition_id"])
         print(
             json.dumps(

@@ -523,41 +523,44 @@ def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
 
 
 def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partitions: int = 32):
-    """Scale variant of :func:`dedup_by_pairs`: hash-join anti-filter.
+    """Scale variant of :func:`dedup_by_pairs`: bucketed anti-filter.
 
     The broadcast path ships the loser id set to every task — ideal
     while losers ≪ corpus, impossible when a dup-heavy corpus makes the
     loser set itself corpus-sized.  This variant never collects: losers
-    stay a Dataset and the filter is a ``left_outer`` hash join on the
-    id (both sides shuffled into ``num_partitions`` hash buckets —
-    bounded per-task memory at any loser-set size, at the cost of one
-    all-to-all on the doc rows).  Size ``num_partitions`` ≈ corpus_bytes
-    / 512 MB.  Output rows/columns equal the broadcast path (tested).
+    stay a Dataset and the filter is an explicit same-bucket
+    hash-partition anti-join — both sides tagged ``crc32(id) %
+    num_partitions``, one union + groupby(bucket), in-group vectorized
+    ``isin`` drop (bounded per-task memory at any loser-set size, at
+    the cost of one all-to-all on the doc rows).  Deliberately NOT
+    ``Dataset.join``: in Ray 2.49 a join whose output feeds another
+    hash shuffle (e.g. the pack_sequences groupby downstream in
+    build_training_data) silently emits zero rows.  Size
+    ``num_partitions`` ≈ corpus_bytes / 512 MB.  Output rows/columns
+    equal the broadcast path (tested); works for any id dtype.
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    import pandas as pd
 
-    losers = pairs_ds.select_columns(["d2"]).groupby("d2").aggregate(
-        Count(alias_name="_dup")
+    from .joins import _union_bucketed
+
+    losers = pairs_ds.select_columns(["d2"]).map_batches(
+        lambda b: b.rename_columns([id_col]), batch_format="pyarrow"
     )
-    # A zero-row right side has no schema and the hash join rejects it.
-    # No sentinel anchor (a sentinel value colliding with a real id, or
-    # a non-int64 id column, would silently corrupt the filter): the
-    # loser set is materialized — ids-only rows, object-store resident
-    # with spill, executed exactly once — so emptiness is a metadata
-    # check and the join reads the materialized blocks.
+    # materialize the ids-only loser set (object-store resident, spills)
+    # so emptiness is a metadata check — empty losers = no shuffle at
+    # all — and the union below re-reads blocks instead of re-executing
+    # the (possibly expensive) pair lineage.
     losers = losers.materialize()
     if losers.count() == 0:
         return docs_ds
-    joined = docs_ds.join(
-        losers, "left_outer", num_partitions, on=(id_col,), right_on=("d2",)
-    )
+    union, doc_cols = _union_bucketed(docs_ds, losers, id_col, num_partitions)
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        mask = pc.is_null(batch.column("_dup"))
-        return batch.filter(mask).drop_columns(["_dup"])
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        drop = g.loc[g["side"] == 1, id_col]
+        return left.loc[~left[id_col].isin(set(drop)), doc_cols]
 
-    return joined.map_batches(keep_winners, batch_format="pyarrow")
+    return union.groupby("bucket").map_groups(anti, batch_format="pandas")
 
 
 # --- simhash ---------------------------------------------------------------

@@ -150,22 +150,40 @@ class LangId:
     """
 
     def __init__(self):
-        self.profiles = sorted(_LANG_PROFILES.items())  # alphabetical = tie order
+        import re
+
+        tags = sorted(_LANG_PROFILES)  # alphabetical = tie order
+        self.tags = tags
+        # inverted index: token → tuple of profile indices.  Scoring is
+        # then ONE dict lookup per token (stopword hits — a small
+        # fraction — pay a tiny inner loop) instead of 12 set probes
+        # per token; semantics identical to scoring each profile.
+        self.word2langs: dict = {}
+        for li, tag in enumerate(tags):
+            for w in _LANG_PROFILES[tag]:
+                self.word2langs[w] = self.word2langs.get(w, ()) + (li,)
+        self.cjk = re.compile("[一-鿿]")  # one C-level scan per doc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        n_langs = len(self.tags)
         preds = []
         for t in texts:
             t = t or ""  # null text cells are legal Arrow input
-            if any("一" <= ch <= "鿿" for ch in t):
+            if self.cjk.search(t):
                 preds.append("zh")
                 continue
-            toks = t.lower().split()
+            counts = [0] * n_langs
+            get = self.word2langs.get
+            for w in t.lower().split():
+                langs = get(w)
+                if langs:
+                    for li in langs:
+                        counts[li] += 1
             best_tag, best_hits = "und", 0
-            for tag, prof in self.profiles:
-                hits = sum(1 for w in toks if w in prof)
-                if hits > best_hits:
-                    best_tag, best_hits = tag, hits
+            for li, hits in enumerate(counts):
+                if hits > best_hits:  # strict > keeps alphabetical ties
+                    best_tag, best_hits = self.tags[li], hits
             preds.append(best_tag)
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(preds, pa.string())],

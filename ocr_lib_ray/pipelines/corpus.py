@@ -46,6 +46,44 @@ def fingerprint_extracted(batch: pa.Table) -> pa.Table:
     )
 
 
+def _exact_losers(keyed: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """(doc_id, fp) rows → Dataset of exact-dedup losers (column ``d2``).
+
+    A loser is any non-min doc_id of a duplicated fp (the Min-winner
+    policy of the broadcast path).  Grouping is on ``crc32(fp) %
+    num_buckets`` — fp groups are near-singleton and per-group Python
+    dispatch over them is the dominant cost otherwise (the
+    sessionize_salted lesson) — with the fine key resolved vectorized
+    inside the bucket.  Never collects; feeds dedup_by_pairs_join.
+    """
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    def tag(b: pa.Table) -> pa.Table:
+        fps = b.column("fp").to_pylist()
+        buckets = [zlib.crc32(f.encode()) % num_buckets for f in fps]
+        return b.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    def find_losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort").reset_index(drop=True)
+        fp = g["fp"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            first[1:] = fp[1:] != fp[:-1]
+        losers = g.loc[~first, "doc_id"]
+        # explicit string dtype: an EMPTY object column would reach
+        # Arrow as null-typed and poison the downstream groupby schema
+        return pd.DataFrame({"d2": pd.array(losers.tolist(), dtype="string")})
+
+    return (
+        keyed.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(find_losers, batch_format="pandas")
+    )
+
+
 def build_training_data(
     pages: rd.Dataset,
     cfg: ExtractConfig = DEFAULT_CONFIG,
@@ -54,6 +92,8 @@ def build_training_data(
     chunk_overlap: int = 8,
     pack_budget: int = 128,
     checkpoint_dir: str | None = None,
+    dedup: str = "broadcast",
+    line_max_df: int = 1,
 ) -> rd.Dataset:
     """The full web-corpus → training-data pipeline, every stage one of
     this repo's operators on a single streaming Dataset:
@@ -69,6 +109,18 @@ def build_training_data(
     Returns packed-sequence rows (partition_id, seq_id, n_chunks,
     total_tokens).  Near-dup (minhash) dedup plugs in between exact
     dedup and scoring when the corpus calls for it (same Dataset shape).
+
+    ``dedup`` picks the exact-dedup filter strategy:
+
+    * ``"broadcast"`` (default): the {fp → winner} map of DUPLICATED
+      contents is collected and broadcast — right while duplicates ≪
+      corpus (typical crawls);
+    * ``"join"``: nothing is collected — losers stay a Dataset and the
+      filter is the bucketed hash-join anti-filter
+      (:func:`ocr_lib_ray.functions.dedup.dedup_by_pairs_join`), the
+      scale path for dup-heavy corpora (30-50% dup rates) where the
+      dup map itself is corpus-sized.  Output-equivalent (tested on a
+      dup-heavy fixture).
 
     Multi-pass note: line-dedup and exact-dedup each drive a small
     keys-only pass over ``docs`` before the streaming rewrite, and Ray
@@ -108,7 +160,12 @@ def build_training_data(
         safe_wipe_output(checkpoint_dir)
         docs.write_parquet(checkpoint_dir)
         docs = rd.read_parquet(checkpoint_dir)
-    docs = remove_common_lines(docs, max_df=1)
+    # line_max_df: C4-style hot-line threshold.  NOTE the ordering
+    # subtlety: line-dedup runs BEFORE exact dedup, so on a corpus with
+    # exact-duplicate documents every shared line has df ≥ dup_count —
+    # max_df must exceed the expected dup multiplicity or duplicated
+    # docs are stripped to empty text before the dedup stage sees them.
+    docs = remove_common_lines(docs, max_df=line_max_df)
 
     # exact dedup — winner-broadcast filter: the shuffle moves ONLY
     # (fp, doc_id) rows (32-byte keys + urls), never the text.  The
@@ -129,31 +186,45 @@ def build_training_data(
         )
 
     keyed = docs.map_batches(_fp_batch, batch_format="pyarrow")
-    agg = keyed.groupby("fp").aggregate(
-        Min("doc_id", alias_name="winner"), Count(alias_name="n")
-    )
-    dup_batches = list(
-        agg.map_batches(
-            lambda b: b.filter(pc.greater(b.column("n"), 1)).select(["fp", "winner"]),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-    )
-    dup_map = {}
-    for t in dup_batches:
-        dup_map.update(zip(t.column("fp").to_pylist(), t.column("winner").to_pylist()))
-    dup_ref = ray.put(dup_map)
+    if dedup == "join":
+        # nothing collected: losers stay a Dataset (non-min doc_id per
+        # duplicated fp, found vectorized inside fp-hash buckets — near-
+        # singleton fp groups would melt a plain groupby(fp) dispatch),
+        # then the bucketed hash-join anti-filter drops them.
+        from ..functions.dedup import dedup_by_pairs_join
 
-    def _keep_winners(b: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
-        if not dups or b.num_rows == 0:
-            return b
-        with_fp = _fp_batch(b)
-        ids = with_fp.column("doc_id").to_pylist()
-        fps_ = with_fp.column("fp").to_pylist()
-        keep = [dups.get(f, i) == i for i, f in zip(ids, fps_)]
-        return b.filter(pa.array(keep, pa.bool_()))
+        losers = _exact_losers(keyed, num_buckets=max(16, cfg.num_partitions))
+        deduped = dedup_by_pairs_join(
+            docs, losers, id_col="doc_id", num_partitions=max(16, cfg.num_partitions)
+        )
+    elif dedup == "broadcast":
+        agg = keyed.groupby("fp").aggregate(
+            Min("doc_id", alias_name="winner"), Count(alias_name="n")
+        )
+        dup_batches = list(
+            agg.map_batches(
+                lambda b: b.filter(pc.greater(b.column("n"), 1)).select(["fp", "winner"]),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        )
+        dup_map = {}
+        for t in dup_batches:
+            dup_map.update(zip(t.column("fp").to_pylist(), t.column("winner").to_pylist()))
+        dup_ref = ray.put(dup_map)
 
-    deduped = docs.map_batches(_keep_winners, batch_format="pyarrow")
+        def _keep_winners(b: pa.Table) -> pa.Table:
+            dups = ray.get(dup_ref)
+            if not dups or b.num_rows == 0:
+                return b
+            with_fp = _fp_batch(b)
+            ids = with_fp.column("doc_id").to_pylist()
+            fps_ = with_fp.column("fp").to_pylist()
+            keep = [dups.get(f, i) == i for i, f in zip(ids, fps_)]
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        deduped = docs.map_batches(_keep_winners, batch_format="pyarrow")
+    else:
+        raise ValueError(f"dedup must be 'broadcast' or 'join', got {dedup!r}")
 
     # model quality gate: score and filter INLINE so text rides along —
     # no corpus-sized keep-set broadcast, no join

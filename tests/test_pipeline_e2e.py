@@ -512,3 +512,38 @@ def test_bundle_extra_entities_reteach():
     ref = broadcast_bundle(ClassifierBundle(extra_entities={"currency": "¤"}))
     taught = extract_pipeline(pages, bundle_ref=ref).to_pandas()
     assert taught["text"][0] == "price is ¤42 total today"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_training_data_join_dedup_equivalent(sf_small):
+    """dedup='join' (bucketed hash-join anti-filter — nothing collected,
+    the dup-heavy-corpus scale path) must equal the default broadcast
+    dup-map on a dup-heavy fixture (repeat=3: every doc duplicated under
+    3 distinct urls)."""
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    key = ["partition_id", "seq_id"]
+    # line_max_df=10 keeps the shared lines alive (repeat=3 gives every
+    # line df=3; the default max_df=1 would strip duplicated docs to
+    # empty text BEFORE exact dedup and trivialize the comparison)
+    a = (
+        build_training_data(build_pages_dataset(sf_small, repeat=3), line_max_df=10)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        build_training_data(
+            build_pages_dataset(sf_small, repeat=3), dedup="join", line_max_df=10
+        )
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)
+    # the dedup actually bit: the dup-heavy corpus packs exactly the
+    # tokens of the singleton corpus (one winner per content survives)
+    c = build_training_data(build_pages_dataset(sf_small), line_max_df=10).to_pandas()
+    assert a["total_tokens"].sum() == c["total_tokens"].sum()
