@@ -598,6 +598,17 @@ def _media_features_sql(norm: str) -> str:
         "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     )
     esc_pdf = r"replace(replace(replace({x}, '\', '\\'), '(', '\('), ')', '\)')"
+    # pdf_prop glyph-width SQL generated FROM the fixture's own table
+    # (single source of truth — the generated-oracle discipline): 0.1pt
+    # integer units at 12pt, narrow = 30, other covered = 60, unknown →
+    # NULL (no split; mirrors sources/pages._prop_adv_units exactly)
+    from ocr_lib_ray.sources.pages import PROP_GAP, PROP_MIN_OVERSHOOT_UNITS, PROP_WIDTHS
+
+    def _sql_charlist(chars):
+        return ", ".join("'" + c.replace("'", "''") + "'" for c in sorted(chars))
+
+    narrow_in = _sql_charlist(c for c, w in PROP_WIDTHS.items() if w == 0.25)
+    wide_in = _sql_charlist(c for c, w in PROP_WIDTHS.items() if w == 0.5)
     return f"""
         WITH d AS (
           SELECT doc_id, text, lang, source,
@@ -605,6 +616,7 @@ def _media_features_sql(norm: str) -> str:
                  {norm} AS nm,
                  CASE WHEN doc_id % 17 = 3 THEN 'pdf'
                       WHEN doc_id % 19 = 4 THEN 'pdf_rot'
+                      WHEN doc_id % 29 = 8 THEN 'pdf_prop'
                       WHEN doc_id % 13 = 5 THEN 'malformed'
                       WHEN doc_id % 11 = 7 THEN 'noisy'
                       ELSE 'plain' END AS kind
@@ -635,7 +647,7 @@ def _media_features_sql(norm: str) -> str:
             || e' archive. <a href="/terms">Terms</a> '
             || e'<a href="/privacy">Privacy</a></p></footer>\\n</body>\\n</html>\\n'
             AS payload
-          FROM d WHERE kind NOT IN ('pdf', 'pdf_rot')),
+          FROM d WHERE kind NOT IN ('pdf', 'pdf_rot', 'pdf_prop')),
         pw AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws FROM d WHERE kind = 'pdf'),
         pw2 AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws
                 FROM d WHERE kind = 'pdf_rot'),
@@ -671,9 +683,55 @@ def _media_features_sql(norm: str) -> str:
                  e'\\n')
             || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
           FROM pw),
+        pw3 AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws
+                FROM d WHERE kind = 'pdf_prop'),
+        ppl AS (SELECT url, ws,
+                       unnest(generate_series(1,
+                         CASE WHEN nm = '' THEN 0 ELSE (len(ws) + 7) // 8 END)) AS i
+                FROM pw3),
+        ppl2 AS (SELECT url, i, ws[(i-1)*8+1:(i-1)*8+8] AS wl FROM ppl),
+        ppl3 AS (SELECT url, i, wl, len(wl) // 2 AS k,
+                        700 - 14 * (i - 1) AS yy
+                 FROM ppl2),
+        ppl4 AS (SELECT url, i, wl, k, yy,
+                        array_to_string(wl[1:k], ' ') AS run1,
+                        array_to_string(wl[k+1:len(wl)], ' ') AS run2
+                 FROM ppl3),
+        ppl5 AS (SELECT url, i, wl, k, yy, run1, run2,
+                        CASE WHEN k >= 1 AND len(wl) > k THEN
+                          list_sum(list_transform(
+                            generate_series(1, strlen(run1)),
+                            j -> CASE WHEN substr(run1, j, 1) IN ({narrow_in}) THEN 30
+                                      WHEN substr(run1, j, 1) IN ({wide_in}) THEN 60
+                                      ELSE NULL END))
+                        ELSE NULL END AS units
+                 FROM ppl4),
+        ppl6 AS (SELECT url, i,
+                        CASE WHEN units IS NOT NULL
+                               AND 72 * strlen(run1) - units >= {PROP_MIN_OVERSHOOT_UNITS}
+                        THEN '1 0 0 1 72 ' || yy || ' Tm ('
+                             || {esc_pdf.format(x="run1")} || e') Tj\\n'
+                             || '1 0 0 1 ' || (72 + units // 10 + {PROP_GAP}) || ' '
+                             || yy || ' Tm (' || {esc_pdf.format(x="run2")} || ') Tj'
+                        ELSE '1 0 0 1 72 ' || yy || ' Tm ('
+                             || {esc_pdf.format(x="array_to_string(wl, ' ')")} || ') Tj'
+                        END AS op
+                 FROM ppl5),
+        ppagg AS (SELECT url, list(op ORDER BY i) AS ops FROM ppl6 GROUP BY url),
+        pdf3 AS (
+          SELECT pw3.url,
+            e'%PDF-1.4\\n1 0 obj << /Type /Catalog >> endobj\\nstream\\n'
+            || e'BT\\n/F1 12 Tf\\n'
+            || array_to_string(
+                 list_prepend('1 0 0 1 72 760 Tm (Document ' || doc_id || ') Tj',
+                              COALESCE(ppagg.ops, [])),
+                 e'\\n')
+            || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
+          FROM pw3 LEFT JOIN ppagg ON pw3.url = ppagg.url),
         p AS (SELECT url, payload FROM htm
               UNION ALL SELECT url, payload FROM pdf
-              UNION ALL SELECT url, payload FROM pdf2),
+              UNION ALL SELECT url, payload FROM pdf2
+              UNION ALL SELECT url, payload FROM pdf3),
         tot AS (SELECT url, strlen(payload) AS n_bytes FROM p),
         c AS (SELECT url, substr(payload, CAST(i AS INT), 1) AS ch
               FROM (SELECT url, payload,
@@ -812,16 +870,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         # golden text is branch-aware for short docs: the PDF branch has
         # no link/boiler context and keeps ANY non-empty body, while the
-        # HTML classify drops bodies under min_words=3 (kernel-verified)
+        # HTML classify drops bodies under min_words=3 (kernel-verified).
+        # pdf kinds = %17=3 (pdf) | %19=4 (pdf_rot, re-flowed watermark
+        # appends a DRAFT line) | %29=8 (pdf_prop — flat-heuristic merge
+        # keeps it text-identical to pdf); CASE order mirrors page_kind.
         "extract_text": f"""
             SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                    'Document ' || doc_id ||
-                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4) AND {norm} <> ''
+                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                            AND {norm} <> ''
                           THEN chr(10) || {norm}
-                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4)
+                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
                             AND {norm} <> ''
                             AND len(str_split({norm}, ' ')) >= 3
-                          THEN chr(10) || {norm} ELSE '' END AS text,
+                          THEN chr(10) || {norm} ELSE '' END ||
+                     CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
+                          THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text,
                    lang
             FROM documents
         """,
@@ -837,17 +901,18 @@ def oracle_sql() -> dict[str, str]:
                               ELSE len(str_split(nm, ' ')) END AS nw
                   FROM d)
             SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
-                   CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4
-                        THEN 1 + CAST(ceil(nw / 8.0) AS BIGINT)
+                   CASE WHEN doc_id % 17 = 3 THEN 1 + CAST(ceil(nw / 8.0) AS BIGINT)
+                        WHEN doc_id % 19 = 4 THEN 2 + CAST(ceil(nw / 8.0) AS BIGINT)
+                        WHEN doc_id % 29 = 8 THEN 1 + CAST(ceil(nw / 8.0) AS BIGINT)
                         WHEN nw >= 3 THEN 2 ELSE 1 END AS n_spans,
-                   CASE WHEN doc_id % 17 = 3 THEN 0
-                        WHEN doc_id % 19 = 4 THEN 1
+                   CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8
+                        THEN 0
                         WHEN nw >= 3 OR nw = 0 THEN 6
                         ELSE 7 END AS n_residuals
             FROM w
         """,
         "sniff_kinds": """
-            SELECT CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4
+            SELECT CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8
                         THEN 'pdf' ELSE 'html' END AS doc_kind,
                    count(*) AS n
             FROM documents GROUP BY 1
@@ -855,12 +920,16 @@ def oracle_sql() -> dict[str, str]:
         "extract_by_lang": f"""
             SELECT lang, count(*) AS n,
                    CAST(sum(len('Document ' || doc_id) + len(
-                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4) AND {norm} <> ''
+                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                            AND {norm} <> ''
                           THEN chr(10) || {norm}
-                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4)
+                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
                             AND {norm} <> ''
                             AND len(str_split({norm}, ' ')) >= 3
-                          THEN chr(10) || {norm} ELSE '' END)) AS BIGINT) AS text_chars
+                          THEN chr(10) || {norm} ELSE '' END) + len(
+                     CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
+                          THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END))
+                     AS BIGINT) AS text_chars
             FROM documents GROUP BY lang
         """,
         "doc_stats": f"""
@@ -1099,12 +1168,15 @@ def oracle_sql() -> dict[str, str]:
             WITH gold AS (
               SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                      'Document ' || doc_id ||
-                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4) AND {norm} <> ''
+                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                              AND {norm} <> ''
                             THEN chr(10) || {norm}
-                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4)
+                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
                               AND {norm} <> ''
                               AND len(str_split({norm}, ' ')) >= 3
-                            THEN chr(10) || {norm} ELSE '' END AS text
+                            THEN chr(10) || {norm} ELSE '' END ||
+                       CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
+                            THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text
               FROM documents),
             dedup AS (SELECT md5(text) AS fp, min(url) AS url,
                              min(len(text)) AS text_chars

@@ -45,6 +45,12 @@ class ExtractConfig:
     # than this starts a new column segment (projection-profile analog,
     # core_helper.clj:395-444)
     pdf_col_gap: float = 200.0
+    # per-glyph advance table {char: fraction-of-font-size} — the
+    # learned-width analog (citaj consumption core_helper.clj:324-361,
+    # taught by the nauci-slova analog state/bundle.learn_glyph_widths).
+    # None = the flat GLYPH_WIDTH_FRACTION heuristic (frozen default
+    # behavior); taught tables usually arrive via ClassifierBundle.
+    pdf_glyph_widths: dict | None = None
 
     # -- skew routing (analog of the band split for big pages,
     #    core.clj:1460-1481): documents with len(html) above this go to

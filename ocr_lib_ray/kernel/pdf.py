@@ -65,6 +65,11 @@ class GlyphRun:
     end: int
     size: float = 12.0  # current Tf font size (glyph-width basis)
     rotated: bool = False  # Tm with b≠0 or c≠0 (rotation/shear)
+    #: baseline angle of a PURE rotation (radians in [0, 2π), quantized
+    #: to 1e-6 for grouping); None for upright runs AND for non-rigid
+    #: (sheared) runs — the latter cannot be re-flowed and reject to
+    #: residuals.
+    angle: float | None = None
 
 
 def tokenize_pdf(data: str) -> list:
@@ -79,10 +84,17 @@ def tokenize_pdf(data: str) -> list:
     strings concatenated, kerning numbers ignored), bracketed by
     ``BT``/``ET``.
     """
+    import math
+
     runs: list = []
     x = y = 0.0
+    # full text matrix [ma mb; mc md] — Td/TD/T*/' line moves translate
+    # WITHIN this matrix, so rotated text advances along its own
+    # baseline (identity for upright text: behavior unchanged)
+    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
     size = 12.0
     rotated = False
+    angle: float | None = None
     leading = 14.0
     in_text = False
 
@@ -90,7 +102,14 @@ def tokenize_pdf(data: str) -> list:
         if s and not s.isspace():
             runs.append(
                 GlyphRun(
-                    x=x, y=y, text=s, start=start, end=end, size=size, rotated=rotated
+                    x=x,
+                    y=y,
+                    text=s,
+                    start=start,
+                    end=end,
+                    size=size,
+                    rotated=rotated,
+                    angle=angle,
                 )
             )
 
@@ -98,7 +117,9 @@ def tokenize_pdf(data: str) -> list:
         if m.group("bt"):
             in_text = True
             x = y = 0.0
+            ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
             rotated = False
+            angle = None
         elif m.group("et"):
             in_text = False
         elif m.group("tl"):
@@ -109,20 +130,30 @@ def tokenize_pdf(data: str) -> list:
             x, y = float(m.group("tmx")), float(m.group("tmy"))
             # rotation/shear detection: b or c ≠ 0.  Rotation persists
             # until the next Tm or BT (Td/TD translate WITHIN the
-            # current matrix).
-            rotated = (
-                abs(float(m.group("tmb"))) > 1e-9 or abs(float(m.group("tmc"))) > 1e-9
-            )
+            # current matrix).  A PURE rotation (a≈d, b≈-c) carries its
+            # baseline angle for re-flow; a non-rigid matrix (shear /
+            # anisotropic scale) carries angle=None and rejects to
+            # residuals downstream.
+            ma, mb = float(m.group("tma")), float(m.group("tmb"))
+            mc, md = float(m.group("tmc")), float(m.group("tmd"))
+            rotated = abs(mb) > 1e-9 or abs(mc) > 1e-9
+            if rotated and abs(ma - md) <= 1e-6 and abs(mb + mc) <= 1e-6:
+                angle = round(math.atan2(mb, ma) % (2.0 * math.pi), 6)
+            else:
+                angle = None
         elif m.group("td"):
-            x += float(m.group("tdx"))
-            y += float(m.group("tdy"))
+            tdx, tdy = float(m.group("tdx")), float(m.group("tdy"))
+            x += tdx * ma + tdy * mc
+            y += tdx * mb + tdy * md
             if m.group(0).endswith("TD"):
-                leading = -float(m.group("tdy"))
+                leading = -tdy
         elif m.group("tstar"):
-            y -= leading
+            x += -leading * mc
+            y += -leading * md
         elif m.group("tj") and in_text:
             if m.group("show") == "'":
-                y -= leading
+                x += -leading * mc
+                y += -leading * md
             emit(
                 _unescape_pdf(m.group("str")[1:-1]),
                 m.start("str") + 1,
@@ -153,9 +184,18 @@ GLYPH_WIDTH_FRACTION = 0.6
 LINE_TOL_FRACTION = 0.2
 
 
-def run_advance(r: GlyphRun) -> float:
-    """Estimated x-advance (width) of a run from its font size."""
-    return GLYPH_WIDTH_FRACTION * r.size * len(r.text)
+def run_advance(r: GlyphRun, widths: dict | None = None) -> float:
+    """Estimated x-advance (width) of a run from its font size.
+
+    ``widths`` is the taught per-glyph table {char: fraction-of-font-
+    size} (the learned-width analog, core_helper.clj:324-361; taught by
+    state/bundle.learn_glyph_widths, the nauci-slova analog) — chars
+    missing from the table fall back to the flat heuristic, and
+    ``widths=None`` (untaught) is exactly the frozen flat behavior.
+    """
+    if widths is None:
+        return GLYPH_WIDTH_FRACTION * r.size * len(r.text)
+    return r.size * sum(widths.get(ch, GLYPH_WIDTH_FRACTION) for ch in r.text)
 
 
 def cluster_lines(runs: list, cfg: ExtractConfig) -> list:
@@ -203,7 +243,7 @@ def split_columns(line_runs: list, cfg: ExtractConfig) -> list:
         return []
     segs = [[line_runs[0]]]
     for prev, r in zip(line_runs, line_runs[1:]):
-        if r.x - (prev.x + run_advance(prev)) > cfg.pdf_col_gap:
+        if r.x - (prev.x + run_advance(prev, cfg.pdf_glyph_widths)) > cfg.pdf_col_gap:
             segs.append([r])
         else:
             segs[-1].append(r)
@@ -257,62 +297,100 @@ def extract_pdf(data: str, cfg: ExtractConfig):
     )
 
 
+def _layout_blocks(runs: list, cfg: ExtractConfig, block_base: int):
+    """Reading-frame runs → (block text parts, spans, n_blocks).
+
+    Lines are grouped into blocks on y-gap > ``pdf_block_gap``; within a
+    block lines join with a single space, blocks join with ``\\n`` at
+    the caller (the row-``\\n`` / word-gap-space assembly rules,
+    core.clj:1620-1690).  Spans: one per column segment, kind
+    "pdf-line", offsets into the content stream; block_id starts at
+    ``block_base``.
+    """
+    lines = cluster_lines(runs, cfg)
+    out_parts: list = []
+    spans: list = []
+    if not lines:
+        return out_parts, spans, 0
+    blocks: list = []  # list of list-of-lines
+    cur = [lines[0]]
+    for prev, ln in zip(lines, lines[1:]):
+        if prev[0] - ln[0] > cfg.pdf_block_gap:
+            blocks.append(cur)
+            cur = [ln]
+        else:
+            cur.append(ln)
+    blocks.append(cur)
+    for bid, blk in enumerate(blocks):
+        line_texts = []
+        for _y, rs in blk:
+            for seg in split_columns(rs, cfg):
+                line_texts.append(collapse_ws(" ".join(r.text for r in seg)))
+                spans.append(
+                    {
+                        "start": min(r.start for r in seg),
+                        "end": max(r.end for r in seg),
+                        "block_id": block_base + bid,
+                        "kind": "pdf-line",
+                    }
+                )
+        out_parts.append(" ".join(line_texts))
+    return out_parts, spans, len(blocks)
+
+
 def _extract_pdf_page(data: str, cfg: ExtractConfig):
     """One page's content stream → (text, spans, residuals, texts,
     n_blocks).
 
-    UPRIGHT runs: lines are grouped into blocks on y-gap >
-    ``pdf_block_gap``; within a block lines join with a single space,
-    blocks join with ``\\n`` (the row-``\\n`` / word-gap-space assembly
-    rules, core.clj:1620-1690).  Spans: one per line, kind "pdf-line",
-    offsets into the content stream; block_id = the block the line
-    belongs to.
+    UPRIGHT runs lay out via :func:`_layout_blocks`.
 
-    ROTATED runs (Tm with b/c ≠ 0 — watermarks, stamps, vertical
-    labels) are NOT reading-order content: they are rejected into the
-    residual stream in a deterministic fallback order (-y, x, start),
-    one residual per run, ids continuing after the content blocks and
-    capped at ``cfg.residual_cap`` (texts kept under
-    ``cfg.keep_residual_texts``) — the unknown-sign-reject analog,
-    core.clj:1637-1672.
+    PURE-ROTATION runs (Tm with a≈d, b≈-c ≠ 0 — watermarks, stamps,
+    vertical labels) are RE-FLOWED along their own baseline (the
+    reference's baseline-tracking machinery is the spec,
+    core_helper.clj:780-892): each angle group's coordinates rotate
+    into the run frame (x' = x·cosθ + y·sinθ, y' = -x·sinθ + y·cosθ —
+    baseline horizontal again) and the same line/column/block
+    clustering applies.  Rotated blocks append AFTER the upright blocks
+    in ascending-angle order (deterministic reading order: upright
+    content first, then each rotated layer).
+
+    NON-RIGID runs (shear / anisotropic scale — angle is None) cannot
+    be re-flowed: they reject into the residual stream in deterministic
+    (-y, x, start) fallback order, one residual per run, ids continuing
+    after ALL content blocks and capped at ``cfg.residual_cap`` (texts
+    kept under ``cfg.keep_residual_texts``) — the unknown-sign-reject
+    analog, core.clj:1637-1672.
     """
+    import math
+    from dataclasses import replace
+
     runs = tokenize_pdf(data)
     upright = [r for r in runs if not r.rotated]
-    rotated = sorted(
-        (r for r in runs if r.rotated), key=lambda r: (-r.y, r.x, r.start)
+    out_parts, spans, n_blocks = _layout_blocks(upright, cfg, 0)
+
+    # re-flow each pure-rotation angle group in its own frame
+    by_angle: dict = {}
+    for r in runs:
+        if r.rotated and r.angle is not None:
+            by_angle.setdefault(r.angle, []).append(r)
+    for theta in sorted(by_angle):
+        cos_t, sin_t = math.cos(theta), math.sin(theta)
+        frame = [
+            replace(r, x=r.x * cos_t + r.y * sin_t, y=-r.x * sin_t + r.y * cos_t)
+            for r in by_angle[theta]
+        ]
+        parts, sp, nb = _layout_blocks(frame, cfg, n_blocks)
+        out_parts.extend(parts)
+        spans.extend(sp)
+        n_blocks += nb
+
+    sheared = sorted(
+        (r for r in runs if r.rotated and r.angle is None),
+        key=lambda r: (-r.y, r.x, r.start),
     )
-    lines = cluster_lines(upright, cfg)
-    out_parts = []
-    spans = []
-    n_blocks = 0
-    if lines:
-        blocks: list = []  # list of list-of-lines
-        cur = [lines[0]]
-        for prev, ln in zip(lines, lines[1:]):
-            if prev[0] - ln[0] > cfg.pdf_block_gap:
-                blocks.append(cur)
-                cur = [ln]
-            else:
-                cur.append(ln)
-        blocks.append(cur)
-        n_blocks = len(blocks)
-        for bid, blk in enumerate(blocks):
-            line_texts = []
-            for y, rs in blk:
-                for seg in split_columns(rs, cfg):
-                    line_texts.append(collapse_ws(" ".join(r.text for r in seg)))
-                    spans.append(
-                        {
-                            "start": min(r.start for r in seg),
-                            "end": max(r.end for r in seg),
-                            "block_id": bid,
-                            "kind": "pdf-line",
-                        }
-                    )
-            out_parts.append(" ".join(line_texts))
     residuals = []
     residual_texts = []
-    for i, r in enumerate(rotated):
+    for i, r in enumerate(sheared):
         if len(residuals) >= cfg.residual_cap:
             break
         residuals.append(n_blocks + i)

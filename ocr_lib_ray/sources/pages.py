@@ -11,18 +11,26 @@ Each row of the driver's ``documents`` table becomes one page (or
 lang:string)``.  The page kind is a pure function of ``doc_id``:
 
 * ``doc_id % 17 == 3``  → ``pdf``       (content-stream branch)
-* ``doc_id % 19 == 4``  → ``pdf_rot``   (two-font + rotated watermark;
-  rotation detection drops the watermark → same golden text)
+* ``doc_id % 19 == 4``  → ``pdf_rot``   (two-font + 45°-rotated
+  watermark; the rotation RE-FLOWS along its own baseline and appends
+  as the final block → golden gains a trailing ``DRAFT {id}`` line)
+* ``doc_id % 29 == 8``  → ``pdf_prop``  (proportional-font content
+  stream: body lines emitted as two abutting runs positioned with the
+  :data:`PROP_WIDTHS` table; the flat width heuristic still merges them
+  → same golden/spans as ``pdf``, while a bundle taught with
+  PROP_WIDTHS splits them — the learned-width discriminator)
 * ``doc_id % 13 == 5``  → ``malformed`` (unclosed/mis-nested tags; the
   tag-stack recovery rules neutralize them → same golden text)
 * ``doc_id % 11 == 7``  → ``noisy``     (comments, tracking pixels,
   empty tags; noise rules drop them → same golden text)
 * otherwise             → ``plain``
 
-All kinds share ONE golden: ``"Document {doc_id}\\n" + collapse_ws(text)``
-(title heading block + body content block), which keeps the DuckDB
-oracle SQL uniform while still exercising error recovery, noise
-removal, boilerplate rejection and both branch dispatches.
+All kinds share ONE golden, ``"Document {doc_id}\\n" + collapse_ws(text)``
+(title heading block + body content block) — except ``pdf_rot``, whose
+re-flowed watermark appends ``"\\nDRAFT {doc_id}"`` — which keeps the
+DuckDB oracle SQL a closed form while still exercising error recovery,
+noise removal, boilerplate rejection, both branch dispatches and the
+rotation re-flow.
 """
 
 from __future__ import annotations
@@ -51,6 +59,8 @@ def page_kind(doc_id: int) -> str:
         return "pdf"
     if doc_id % 19 == 4:
         return "pdf_rot"  # two-font + rotated-watermark content stream
+    if doc_id % 29 == 8:
+        return "pdf_prop"  # proportional-font two-run lines
     if doc_id % 13 == 5:
         return "malformed"
     if doc_id % 11 == 7:
@@ -142,9 +152,10 @@ def make_pdf_rot(doc_id: int, text: str) -> bytes:
     fixture): title at /F2 24pt (font-size-aware line tolerance), body
     at /F1 12pt, plus a 45°-rotated ``DRAFT {doc_id}`` watermark placed
     mid-page (y=320 — inside the body's y-range on long documents, so a
-    rotation-detection failure would corrupt the golden text).  The
-    extractor must drop the watermark into the residual stream, keeping
-    the golden identical to every other kind.
+    rotation-detection failure would corrupt the golden text).  Round 3:
+    the extractor RE-FLOWS the pure rotation along its own baseline and
+    appends it as the final block — the golden is every other kind's
+    golden plus a trailing ``DRAFT {doc_id}`` line (see golden_text).
     """
     words = collapse_ws(text).split(" ") if collapse_ws(text) else []
     lines = [
@@ -166,10 +177,103 @@ def make_pdf_rot(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+#: Proportional-font advance table (fraction of font size) — the public
+#: metrics of the ``pdf_prop`` fixture font and the table a deployment
+#: teaches through ``build_bundle(glyph_widths=PROP_WIDTHS)``.  Widths
+#: are DYADIC (0.25 / 0.5) so every advance at 12pt is an exact integer
+#: number of points (3 / 6) — the x2 position in the generated stream
+#: is integer, hence byte-reconstructable in SQL with no float
+#: formatting hazards.  Every width ≤ 0.5 < the flat 0.6 heuristic, so
+#: the flat estimate always OVERSHOOTS a covered run's true extent —
+#: that overshoot guarantees the default-config merge (make_pdf_prop).
+PROP_NARROW_CHARS = "filjrt.,:;'!()- "
+PROP_WIDTHS = {
+    **{
+        c: 0.5
+        for c in "abcdeghkmnopqsuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    },
+    **{c: 0.25 for c in PROP_NARROW_CHARS},
+}
+
+#: true (proportional) gap in points between a pdf_prop line's two
+#: runs; > the 200.0 pdf_col_gap, so a width-taught extractor splits
+#: the line into two column segments while the flat heuristic's
+#: overshoot merges it.
+PROP_GAP = 210
+
+#: minimum flat-vs-true overshoot (in 0.1pt units: 200 = 20pt) the
+#: generator requires before emitting a split line — guarantees the
+#: untaught apparent gap ≤ 190 < pdf_col_gap for EVERY emitted split.
+PROP_MIN_OVERSHOOT_UNITS = 200
+
+
+def _prop_adv_units(s: str) -> int | None:
+    """Advance of a run at 12pt in 0.1pt integer units (narrow 30,
+    other 60); None when any char is outside the table (the generator
+    then falls back to a single-run line — no split whose geometry the
+    SQL oracle could not reproduce exactly)."""
+    total = 0
+    for c in s:
+        w = PROP_WIDTHS.get(c)
+        if w is None:
+            return None
+        total += 30 if w == 0.25 else 60
+    return total
+
+
+def make_pdf_prop(doc_id: int, text: str) -> bytes:
+    """Proportional-font content stream: each body line whose first
+    half is table-covered and narrow enough is emitted as TWO runs, the
+    second positioned at the first's TRUE (PROP_WIDTHS) extent plus
+    :data:`PROP_GAP` points.
+
+    Untaught (flat 0.6) extraction overestimates run 1's extent by at
+    least 20pt (the generator only splits when the table guarantees
+    that margin), so the apparent gap is ≤ 190 < pdf_col_gap and the
+    runs MERGE — text and span counts equal the plain ``pdf`` kind,
+    keeping the driver oracle a closed form.  A bundle taught with
+    PROP_WIDTHS measures the true gap (210 > 200) and SPLITS the line —
+    the per-glyph-width discriminator, exercised in pytest.  All
+    geometry is integer points (dyadic widths), so the payload is
+    byte-reconstructable in the media_features SQL oracle.
+    """
+    words = collapse_ws(text).split(" ") if collapse_ws(text) else []
+    lines = [
+        " ".join(words[i : i + PDF_WORDS_PER_LINE])
+        for i in range(0, len(words), PDF_WORDS_PER_LINE)
+    ]
+    ops = [f"1 0 0 1 72 760 Tm (Document {doc_id}) Tj"]
+    y = 700
+    for ln in lines:
+        ws = ln.split(" ")
+        k = len(ws) // 2
+        run1 = " ".join(ws[:k])
+        units = _prop_adv_units(run1) if k >= 1 and len(ws) > k else None
+        # flat estimate in the same 0.1pt units: 0.6 × 12pt = 72/char
+        if units is not None and 72 * len(run1) - units >= PROP_MIN_OVERSHOOT_UNITS:
+            run2 = " ".join(ws[k:])
+            x2 = 72 + units // 10 + PROP_GAP
+            ops.append(f"1 0 0 1 72 {y} Tm ({_esc_pdf(run1)}) Tj")
+            ops.append(f"1 0 0 1 {x2} {y} Tm ({_esc_pdf(run2)}) Tj")
+        else:
+            ops.append(f"1 0 0 1 72 {y} Tm ({_esc_pdf(ln)}) Tj")
+        y -= 14
+    stream = "BT\n/F1 12 Tf\n" + "\n".join(ops) + "\nET\n"
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
+        "stream\n" + stream + "endstream\n%%EOF\n"
+    ).encode("utf-8")
+
+
 def golden_text(doc_id: int, text: str) -> str:
-    """The frozen expected extraction for every page kind."""
+    """The frozen expected extraction per page kind: shared golden for
+    every kind, plus the re-flowed watermark line for ``pdf_rot``."""
     body = collapse_ws(text)
-    return f"Document {doc_id}" + ("\n" + body if body else "")
+    golden = f"Document {doc_id}" + ("\n" + body if body else "")
+    if page_kind(doc_id) == "pdf_rot":
+        golden += f"\nDRAFT {doc_id}"
+    return golden
 
 
 def synthesize_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
@@ -189,6 +293,8 @@ def synthesize_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
             payload = make_pdf(doc_id, text)
         elif kind == "pdf_rot":
             payload = make_pdf_rot(doc_id, text)
+        elif kind == "pdf_prop":
+            payload = make_pdf_prop(doc_id, text)
         else:
             payload = make_html(doc_id, text, lang, source, kind)
         for rep in range(repeat):

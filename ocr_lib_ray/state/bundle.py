@@ -43,6 +43,11 @@ class ClassifierBundle:
     link_density_num: int | None = None
     link_density_den: int | None = None
     residual_cap: int | None = None
+    #: taught per-glyph advance table {char: fraction-of-font-size} —
+    #: the learned-width store (nauci-slova width teaching,
+    #: core_helper.clj:1833-1989; consumed by run_advance, the citaj
+    #: analog core_helper.clj:324-361).  None = the flat heuristic.
+    glyph_widths: dict | None = None
 
     def apply_to(self, cfg):
         """ExtractConfig with this bundle's threshold overrides applied
@@ -54,6 +59,8 @@ class ClassifierBundle:
             for k in ("min_words", "link_density_num", "link_density_den", "residual_cap")
             if (v := getattr(self, k)) is not None
         }
+        if getattr(self, "glyph_widths", None) is not None:
+            overrides["pdf_glyph_widths"] = self.glyph_widths
         return replace(cfg, **overrides) if overrides else cfg
 
 
@@ -64,6 +71,7 @@ def build_bundle(
     link_density_num=None,
     link_density_den=None,
     residual_cap=None,
+    glyph_widths=None,
 ) -> ClassifierBundle:
     """Driver-side bundle construction (the ``nauci-slova`` analog,
     core_helper.clj:1833-1989 — run once, offline)."""
@@ -78,7 +86,43 @@ def build_bundle(
         link_density_num=link_density_num,
         link_density_den=link_density_den,
         residual_cap=residual_cap,
+        glyph_widths=dict(glyph_widths) if glyph_widths else None,
     )
+
+
+def learn_glyph_widths(samples, min_count: int = 1) -> dict:
+    """Teach per-glyph advance fractions from measured run extents —
+    the ``nauci-slova`` width-teaching analog (core_helper.clj:1833-1989,
+    where glyph widths come from the taught template crops).
+
+    ``samples``: iterable of ``(text, font_size, measured_advance)`` —
+    e.g. from a PDF whose runs carry known extents (two abutting runs
+    give run 1's true advance as ``x2 - x1``).  Solves the
+    least-squares system ``Σ_c count(c, text) · w_c = advance / size``
+    per sample with numpy lstsq (deterministic); glyphs observed fewer
+    than ``min_count`` times are omitted (they fall back to the flat
+    heuristic at use time).  Returns {char: fraction-of-font-size}.
+    """
+    import numpy as np
+
+    chars = sorted({ch for text, _s, _a in samples for ch in text})
+    idx = {ch: i for i, ch in enumerate(chars)}
+    if not chars:
+        return {}
+    a = np.zeros((len(samples), len(chars)), dtype=np.float64)
+    b = np.zeros(len(samples), dtype=np.float64)
+    counts = np.zeros(len(chars), dtype=np.int64)
+    for row, (text, size, adv) in enumerate(samples):
+        for ch in text:
+            a[row, idx[ch]] += 1.0
+            counts[idx[ch]] += 1
+        b[row] = adv / float(size)
+    w, *_ = np.linalg.lstsq(a, b, rcond=None)
+    return {
+        ch: round(float(w[i]), 6)
+        for ch, i in idx.items()
+        if counts[i] >= min_count and np.isfinite(w[i]) and w[i] > 0
+    }
 
 
 def broadcast_bundle(bundle: ClassifierBundle):

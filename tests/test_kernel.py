@@ -170,16 +170,20 @@ def test_pdf_tj_array_and_line_ops():
 
 
 def test_pdf_tf_and_rotation():
-    """Round-2 PDF depth: /Tf sizes ride on runs, rotated Tm runs (b/c
-    ≠ 0) leave reading order and become residuals in deterministic
-    (-y, x) fallback order."""
+    """Round-3 PDF depth: /Tf sizes ride on runs; PURE-rotation Tm runs
+    re-flow along their own baseline and append as trailing blocks in
+    ascending-angle order; NON-RIGID (sheared) runs reject to residuals
+    in deterministic (-y, x) fallback order."""
+    import math
+
     from ocr_lib_ray.kernel.pdf import extract_pdf, tokenize_pdf
 
     data = (
         "BT /F2 24 Tf 1 0 0 1 72 760 Tm (Big Title) Tj\n"
         "/F1 12 Tf 1 0 0 1 72 700 Tm (body text here) Tj\n"
         "0.707107 0.707107 -0.707107 0.707107 180 400 Tm (WATERMARK) Tj\n"
-        "0 1 -1 0 500 100 Tm (vertical label) Tj ET"
+        "0 1 -1 0 500 100 Tm (vertical label) Tj\n"
+        "1 0.5 0 1 300 200 Tm (skewed stamp) Tj ET"
     )
     runs = tokenize_pdf(data)
     assert [(r.text, r.size, r.rotated) for r in runs] == [
@@ -187,19 +191,34 @@ def test_pdf_tf_and_rotation():
         ("body text here", 12.0, False),
         ("WATERMARK", 12.0, True),
         ("vertical label", 12.0, True),
+        ("skewed stamp", 12.0, True),
     ]
+    # pure rotations carry their baseline angle; shear carries None
+    assert runs[2].angle == round(math.pi / 4, 6)
+    assert runs[3].angle == round(math.pi / 2, 6)
+    assert runs[4].angle is None
     text, spans, residuals, _ = extract_pdf(data, CFG)
-    assert text == "Big Title\nbody text here"
-    assert residuals == [2, 3]  # ids continue after the 2 content blocks
+    # upright blocks first, then rotated layers by ascending angle
+    # (45° watermark before the 90° vertical label); shear → residual
+    assert text == "Big Title\nbody text here\nWATERMARK\nvertical label"
+    assert residuals == [4]  # id continues after the 4 content blocks
     rt_cfg = ExtractConfig(keep_residual_texts=True)
     _, _, _, rtexts = extract_pdf(data, rt_cfg)
-    assert rtexts == ["WATERMARK", "vertical label"]  # -y order: 400 then 100
+    assert rtexts == ["skewed stamp"]
     # rotation persists across Td until the next Tm/BT
     runs = tokenize_pdf("BT 0 1 -1 0 100 100 Tm (a) Tj 0 -14 Td (b) Tj ET")
     assert [r.rotated for r in runs] == [True, True]
-    # residual cap applies
+    # two runs of one 90° layer re-flow as ONE line in baseline order:
+    # device (100,100)→(100,86) is top-to-bottom ALONG the rotated
+    # baseline (Td moves within the matrix), so the layer reads "a b"
+    text_r, _, res_r, _ = extract_pdf(
+        "BT 0 1 -1 0 100 100 Tm (a) Tj 0 -14 Td (b) Tj ET", CFG
+    )
+    assert res_r == []
+    assert text_r == "a b"
+    # residual cap applies to sheared runs
     many = "BT " + " ".join(
-        f"0 1 -1 0 {100 + i} 100 Tm (w{i}) Tj" for i in range(20)
+        f"1 0.5 0 1 {100 + i} 100 Tm (w{i}) Tj" for i in range(20)
     ) + " ET"
     _, _, res, _ = extract_pdf(many, ExtractConfig(residual_cap=3))
     assert len(res) == 3
@@ -227,20 +246,19 @@ def test_pdf_font_size_line_tolerance():
 
 
 def test_pdf_rot_fixture_golden():
-    """pdf_rot pages (two-font + mid-page rotated watermark) extract the
-    SAME golden as every other kind; the watermark lands in residuals."""
+    """pdf_rot pages (two-font + mid-page rotated watermark): the pure
+    45° rotation RE-FLOWS along its own baseline and appends as the
+    final block — golden_text carries the trailing DRAFT line; the
+    residual stream stays empty (nothing is rejected any more)."""
     from ocr_lib_ray.sources.pages import golden_text, make_pdf_rot
 
     text = "many words flow here across several synthetic lines " * 10
     res = extract_document(make_pdf_rot(23, text))
     assert res.doc_kind == "pdf"
     assert res.text == golden_text(23, text)
+    assert res.text.endswith("\nDRAFT 23")
     assert res.title == "Document 23"
-    assert len(res.residuals) == 1
-    res2 = extract_document(
-        make_pdf_rot(23, text), ExtractConfig(keep_residual_texts=True)
-    )
-    assert res2.residual_texts == ["DRAFT 23"]
+    assert len(res.residuals) == 0
 
 
 def test_pdf_multipage_streams():
@@ -307,12 +325,13 @@ def test_chunked_extraction_identical(chunked):
 
 
 def test_pdf_multipage_residual_ids_disjoint():
-    """A page-1 rotated watermark's residual id must not collide with
-    page 2's content block ids (shared id space per document)."""
+    """A page-1 SHEARED stamp's residual id must not collide with
+    page 2's content block ids (shared id space per document; pure
+    rotations re-flow, so only non-rigid runs reject now)."""
     data = (
         "stream\nBT 1 0 0 1 72 760 Tm (p1 title words) Tj "
         "1 0 0 1 72 700 Tm (p1 body words) Tj "
-        "0 1 -1 0 200 400 Tm (WM) Tj ET\nendstream\n"
+        "1 0.5 0 1 200 400 Tm (WM) Tj ET\nendstream\n"
         "stream\nBT 1 0 0 1 72 760 Tm (p2 title words) Tj "
         "1 0 0 1 72 700 Tm (p2 body words) Tj ET\nendstream\n"
     )
@@ -321,3 +340,53 @@ def test_pdf_multipage_residual_ids_disjoint():
     assert res.residuals == [2]  # after page 1's two blocks
     assert set(res.residuals).isdisjoint(span_ids)
     assert span_ids == [0, 1, 3, 4]  # page 2 skips the residual id
+
+
+def test_pdf_prop_fixture_default_merges_and_taught_splits():
+    """pdf_prop discriminator: untaught (flat heuristic) extraction
+    merges each line's two runs (golden + span counts equal the pdf
+    kind); a width-taught config measures the true 210pt gap and splits
+    them — MORE spans, IDENTICAL text."""
+    from ocr_lib_ray.sources.pages import (
+        PROP_WIDTHS,
+        golden_text,
+        make_pdf_prop,
+        page_kind,
+    )
+
+    assert page_kind(66) == "pdf_prop"  # 66 % 29 == 8, not pdf/pdf_rot
+    text = "some sensible words make each generated line split across runs " * 4
+    payload = make_pdf_prop(66, text)
+    res = extract_document(payload)
+    assert res.doc_kind == "pdf"
+    assert res.text == golden_text(66, text)  # merged — shared golden
+    nw = len(res.text.split("\n")[1].split(" "))
+    assert len(res.spans) == 1 + -(-nw // 8)  # the pdf-kind closed form
+    taught = extract_document(
+        payload, ExtractConfig(pdf_glyph_widths=dict(PROP_WIDTHS))
+    )
+    assert taught.text == res.text  # text invariant under column split
+    assert len(taught.spans) > len(res.spans)
+
+
+def test_learn_glyph_widths_recovers_table():
+    """nauci-slova width-teaching analog: solving measured run extents
+    recovers the true table, and the bundle threads it into the
+    config's pdf_glyph_widths."""
+    from ocr_lib_ray.sources.pages import PROP_WIDTHS
+    from ocr_lib_ray.state.bundle import build_bundle, learn_glyph_widths
+
+    chars = "filmastoner "
+    samples = [(c * 4, 12.0, 48.0 * PROP_WIDTHS[c]) for c in chars]
+    samples += [
+        (w, 12.0, 12.0 * sum(PROP_WIDTHS[c] for c in w))
+        for w in ("fill mass", "til moon", "rift loom", "rates stone")
+    ]
+    learned = learn_glyph_widths(samples)
+    assert set(learned) == set(chars)
+    for c in chars:
+        assert abs(learned[c] - PROP_WIDTHS[c]) < 1e-5
+    bundle = build_bundle(glyph_widths=learned)
+    cfg = bundle.apply_to(ExtractConfig())
+    assert cfg.pdf_glyph_widths == learned
+    assert ExtractConfig().pdf_glyph_widths is None  # untaught default
