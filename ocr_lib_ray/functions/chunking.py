@@ -69,6 +69,16 @@ def chunk_documents(docs_ds, size: int = 32, overlap: int = 8):
 PACK_ROWS_PER_PARTITION = 100_000
 
 
+def pack_partition(doc_id, num_partitions: int) -> int:
+    """Stable pack-partition key: md5 lower 64 bits of str(doc_id),
+    little-endian — byte-identical to DuckDB's ``md5_number_lower``,
+    so the SQL oracle reproduces the partitioning exactly."""
+    import hashlib
+
+    digest = hashlib.md5(str(doc_id).encode("utf-8")).digest()
+    return int.from_bytes(digest[8:], "little") % num_partitions
+
+
 def pack_sequences(
     chunks_ds,
     budget: int,
@@ -79,9 +89,11 @@ def pack_sequences(
     sequences — deterministic and distributed.
 
     Packing is inherently order-dependent, so the order is pinned:
-    chunks are hash-partitioned by doc_id (crc32 % P — sequences never
-    straddle partitions, so a resumed/re-run job packs identically),
-    and within each partition packed in (doc_id, chunk_id) order.
+    chunks are hash-partitioned by doc_id (md5 lower 64 bits % P — a
+    stable hash DuckDB can reproduce via md5_number_lower, making the
+    whole operator SQL-oracle-able; sequences never straddle
+    partitions, so a resumed/re-run job packs identically), and within
+    each partition packed in (doc_id, chunk_id) order.
     Output: one row per sequence
     (partition_id, seq_id, n_chunks, total_tokens ≤ budget).
 
@@ -94,8 +106,6 @@ def pack_sequences(
     P — but chunk COVERAGE is P-invariant: every chunk lands in exactly
     one sequence at any P (tested).
     """
-    import zlib
-
     import pandas as pd
 
     if num_partitions is None:
@@ -107,7 +117,7 @@ def pack_sequences(
 
     def add_pid(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        pids = [zlib.crc32(str(i).encode()) % num_partitions for i in ids]
+        pids = [pack_partition(i, num_partitions) for i in ids]
         return batch.append_column("partition_id", pa.array(pids, pa.int32()))
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:

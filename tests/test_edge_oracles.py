@@ -55,16 +55,16 @@ QUERIES = [
     "top_tokens",
     "ngram_jaccard",
     "sample_split",
+    "dedup_minhash",
+    "pack_sequences",
+    "training_data",
 ]
 
 #: document-table queries with NO SQL oracle (order-dependent packing /
 #: LSH recall<1 / sketch) — excluded with reason, pinned by pytest
 NO_ORACLE_DOC = {
     "minhash_pairs",
-    "dedup_minhash",
     "simhash_pairs",
-    "pack_sequences",
-    "training_data",
 }
 
 #: embedding-table queries (edge corpus is documents-only)
