@@ -64,6 +64,15 @@ class ExtractConfig:
     #    core.clj:398-501,1392-1458): parse in bounded passes that carry
     #    the tag-stack across the seam; must equal unchunked parse.
     chunk_size: int = 256 * 1024
+    # -- intra-document PARALLEL band parse (the pcalls analog,
+    #    core.clj:1460-1514): opt-in — a state-only skeleton scan finds
+    #    each band's entry state, then bands parse as independent Ray
+    #    tasks.  Only worth it when ONE page exceeds a worker (the
+    #    sequential chunked parse already bounds memory); nested tasks
+    #    also hold the parent's CPU while blocked, so enable it on the
+    #    giant route only, where parents are few.
+    giant_band_parallel: bool = False
+    band_size: int = 32 * 1024 * 1024  # 32 MiB per band task
 
     # -- partitioning (north_rule: partition by url-hash)
     num_partitions: int = 16

@@ -118,6 +118,7 @@ def extract_document(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     chunked: bool = False,
     tags: TagConfig = DEFAULT_TAGS,
+    tokenizer=None,
 ) -> ExtractResult:
     """bytes → (text, spans, residuals).  Pure; no I/O, no clock, no RNG.
 
@@ -126,6 +127,12 @@ def extract_document(
     join with "\\n" in reading order; rejected block ids become residuals
     capped at ``cfg.residual_cap`` per document (per-DOCUMENT, unlike the
     reference's per-thread cap — see config.py).
+
+    ``tokenizer`` (decoded str → TokenizedDoc) overrides the HTML
+    tokenize step — the injection point for the Ray band-parallel parse
+    (pipelines.extract.tokenize_giant_parallel); the kernel itself stays
+    Ray-free.  Any injected tokenizer must be output-equivalent to
+    :func:`tokenize` (the banded one is, property-tested).
     """
     if html:
         html = maybe_decode_base64(html)
@@ -146,11 +153,12 @@ def extract_document(
             residuals=residuals,
             residual_texts=residual_texts,
         )
-    doc = (
-        tokenize_chunked(data, cfg.chunk_size, tags)
-        if chunked or len(data) > cfg.giant_threshold
-        else tokenize(data, tags)
-    )
+    if tokenizer is not None:
+        doc = tokenizer(data)
+    elif chunked or len(data) > cfg.giant_threshold:
+        doc = tokenize_chunked(data, cfg.chunk_size, tags)
+    else:
+        doc = tokenize(data, tags)
     blocks = segment(doc, tags.entities)
     parts = []
     spans = []

@@ -92,12 +92,75 @@ class ExtractDocuments:
         return extract_batch(batch, self.cfg, self.tags)
 
 
-def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG, tags=None) -> pa.Table:
-    """Pure batch transform (usable as a stateless task too)."""
+def _band_task_fn():
+    """Lazily-decorated remote band parser (module import stays Ray-free
+    until the parallel path is actually used)."""
+    global _BAND_TASK
+    if _BAND_TASK is None:
+        import ray
+
+        from ..kernel.tokenizer import tokenize_band
+
+        @ray.remote(num_cpus=1)
+        def band_task(html, start, limit, state, tags):
+            return tokenize_band(html, start, limit, state, tags)
+
+        _BAND_TASK = band_task
+    return _BAND_TASK
+
+
+_BAND_TASK = None
+
+
+def tokenize_giant_parallel(data: str, cfg: ExtractConfig, tags):
+    """Intra-document parallel parse of ONE giant page — the ``pcalls``
+    analog (core.clj:1460-1514 band fan-out + core.clj:1392-1458 seam
+    merge, run up front as a state-only skeleton scan instead of a
+    post-merge): the scan records each ``cfg.band_size`` band's exact
+    entry TagState sequentially (cheap — no output is collected), the
+    bands then parse as INDEPENDENT Ray tasks against one ``ray.put``
+    copy of the page, and outputs concatenate in band order.
+
+    Output-equivalent to the sequential chunked parse (tested).  Nested
+    tasks hold the calling worker's CPU while it blocks on ray.get —
+    use from the giant route only, where concurrent parents are few.
+    Falls back to the in-process banded parse when Ray is not
+    initialized or the page fits one band.
+    """
+    import ray
+
+    from ..kernel.tokenizer import merge_docs, scan_band_states, tokenize_band
+
+    bands = scan_band_states(data, cfg.band_size, tags)
+    if len(bands) <= 1 or not ray.is_initialized():
+        return merge_docs([tokenize_band(data, s, e, st, tags) for s, e, st in bands])
+    href = ray.put(data)
+    task = _band_task_fn()
+    refs = [task.remote(href, s, e, st, tags) for s, e, st in bands]
+    return merge_docs(ray.get(refs))
+
+
+def extract_batch(
+    batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG, tags=None
+) -> pa.Table:
+    """Pure batch transform (usable as a stateless task too).
+
+    With ``cfg.giant_band_parallel`` set, rows larger than
+    ``cfg.band_size`` parse via the intra-document parallel band path
+    (one Ray task per band) instead of the sequential chunked loop.
+    """
     from ..kernel.tokenizer import DEFAULT_TAGS
 
     if tags is None:
         tags = DEFAULT_TAGS
+    if cfg.giant_band_parallel:
+        def tokenizer_for(data_len: int):
+            if data_len <= cfg.band_size:
+                return None
+            return lambda d: tokenize_giant_parallel(d, cfg, tags)
+    else:
+        def tokenizer_for(data_len: int):
+            return None
     urls = batch.column("url")
     htmls = batch.column("html")
     langs = (
@@ -113,7 +176,9 @@ def extract_batch(batch: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG, tags=Non
     texts, titles, spans, kinds, residuals, res_texts = [], [], [], [], [], []
     raw = htmls.to_pylist()
     for i in range(batch.num_rows):
-        res = extract_document(raw[i], cfg, tags=tags)
+        res = extract_document(
+            raw[i], cfg, tags=tags, tokenizer=tokenizer_for(len(raw[i] or b""))
+        )
         texts.append(res.text)
         titles.append(res.title)
         spans.append(res.spans)

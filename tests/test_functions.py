@@ -110,8 +110,39 @@ def test_media_stub_features_deterministic():
 
 
 def test_media_real_decode_gated():
+    """No codec installed → real_decode raises at actor construction
+    (informative, not per batch); with a codec the next test runs."""
+    from ocr_lib_ray.functions.multimodal import probe_image_decoder
+
+    if probe_image_decoder() is not None:
+        pytest.skip("Pillow installed: gate does not apply")
     with pytest.raises(NotImplementedError):
         MediaDecodeStub(real_decode=True)
+
+
+def test_media_real_decode_with_codec():
+    """Skipped-if-no-codec: with Pillow present the probed decoder
+    yields 16 thumbnail pixels in [0,1] for a real image and falls back
+    to byte features for undecodable payloads."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    batch = pa.Table.from_arrays(
+        [
+            pa.array(["img", "junk"], pa.string()),
+            pa.array([png, b"\x01\x02\x03"], pa.binary()),
+        ],
+        names=["url", "html"],
+    )
+    out = MediaDecodeStub(real_decode=True)(batch)
+    feat = out.column("feature").to_pylist()
+    assert len(feat[0]) == 16 and all(0.0 <= v <= 1.0 for v in feat[0])
+    assert abs(feat[0][0] - 128 / 255) < 1e-6
+    # undecodable payload → deterministic byte-feature fallback
+    assert feat[1] == MediaDecodeStub()(batch).column("feature").to_pylist()[1]
 
 
 def test_canonicalize_url():

@@ -547,3 +547,38 @@ def test_build_training_data_join_dedup_equivalent(sf_small):
     # tokens of the singleton corpus (one winner per content survives)
     c = build_training_data(build_pages_dataset(sf_small), line_max_df=10).to_pandas()
     assert a["total_tokens"].sum() == c["total_tokens"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_giant_band_parallel_extraction_equivalent():
+    """cfg.giant_band_parallel: a multi-MB page parsed via one Ray task
+    per band (skeleton-scan entry states) must extract identically to
+    the sequential chunked kernel path."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.stages.extract_stage import extract_batch
+
+    html = (
+        "<main>"
+        + "".join(
+            f"<article><h1>Doc section {i}</h1><p>content words for section {i} "
+            + "more filler text " * 60
+            + "</p></article>"
+            for i in range(2500)
+        )
+        + "</main>"
+    ).encode()
+    assert len(html) > 2_000_000
+    batch = pa.Table.from_arrays(
+        [
+            pa.array(["https://x/giant"], pa.string()),
+            pa.array([html], pa.binary()),
+        ],
+        names=["url", "html"],
+    )
+    seq = extract_batch(batch, ExtractConfig())
+    par = extract_batch(
+        batch, ExtractConfig(giant_band_parallel=True, band_size=256 * 1024)
+    )
+    assert seq.equals(par)
+    assert len(seq.column("text")[0].as_py()) > 100_000

@@ -116,3 +116,45 @@ def test_tagstate_counters_balanced():
     tokenize_range(html, doc, st, 0, len(html))
     assert (st.boiler_depth, st.link_depth, st.li_depth, st.heading_depth) == (0, 0, 0, 0)
     assert st.stack == [] and st.block_tag_stack == []
+
+
+@pytest.mark.parametrize("band", [3, 64, 4096])
+def test_banded_equals_oneshot(band):
+    """Intra-document parallel band parse (pcalls analog): skeleton
+    scan + independent per-band parses + merge must be identical to
+    the one-shot AND the sequential chunked parse at any band size."""
+    from ocr_lib_ray.kernel.tokenizer import tokenize_banded
+
+    html = FIXTURE * 3 + "<p>tail   with \n spaces</p>"
+    a = tokenize(html)
+    b = tokenize_banded(html, band)
+    assert a.__dict__ == b.__dict__
+    c = tokenize_chunked(html, band)
+    assert b.__dict__ == c.__dict__
+
+
+def test_banded_multi_mb_page():
+    """Multi-MB giant page: band entry states recorded by the skeleton
+    scan make every band independent; output equals the sequential
+    chunked parse byte-for-byte (the VERDICT #6 done-criterion)."""
+    from ocr_lib_ray.kernel.tokenizer import scan_band_states, tokenize_banded
+
+    html = (
+        "<main>"
+        + "".join(
+            f"<div><h2>Section {i}</h2><p>body text for block {i} "
+            + "filler words here " * 40
+            + "</p><ul><li>item a</li><li>item b</li></ul></div>"
+            for i in range(3000)
+        )
+        + "</main>"
+    )
+    assert len(html) > 2_000_000
+    bands = scan_band_states(html, 256 * 1024)
+    assert len(bands) > 4  # genuinely multi-band
+    # bands tile the document: each ends where the next starts
+    for (s1, _l1, _st1), (s2, _l2, _st2) in zip(bands, bands[1:]):
+        assert s1 < s2
+    a = tokenize_chunked(html, 256 * 1024)
+    b = tokenize_banded(html, 256 * 1024)
+    assert a.__dict__ == b.__dict__
