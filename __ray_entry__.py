@@ -199,24 +199,22 @@ def _q_quality_basic(sf_dir: str):
 
 
 def _q_quality_score(sf_dir: str):
-    from ocr_lib_ray.functions.text_stats import QualityScore
+    """Stateless tasks (thin state, cached per worker process): fuses
+    with the read and skips actor-pool ramp-up — the repo's measured
+    thin-state rule; the CLASS form remains for bundle-taught state."""
+    from ocr_lib_ray.functions.text_stats import quality_score_batch
 
-    from ocr_lib_ray.pool import autoscale_pool
-
-    return _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pyarrow", concurrency=autoscale_pool()
-    )
+    return _docs(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
 
 
 def _q_lang_id(sf_dir: str):
+    """Stateless tasks — see _q_quality_score for the rationale."""
     import ray.data as rd
 
-    from ocr_lib_ray.functions.text_stats import LangId
-
-    from ocr_lib_ray.pool import autoscale_pool
+    from ocr_lib_ray.functions.text_stats import lang_id_batch
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=autoscale_pool())
+    return docs.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 def _q_ngram_jaccard(sf_dir: str):

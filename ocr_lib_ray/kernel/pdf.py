@@ -56,7 +56,7 @@ def _unescape_pdf(s: str) -> str:
     return _STR_ESC_RE.sub(sub, s)
 
 
-@dataclass
+@dataclass(slots=True)
 class GlyphRun:
     x: float
     y: float
