@@ -617,7 +617,11 @@ def _q_heavy_hitters(sf_dir: str):
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HLL sketch — approximate; rows-only (accuracy pinned in tests)."""
+    """HLL sketch.  Hash-oracled (round 3): the md5-upper64 value hash
+    is DuckDB-reproducible, so the oracle rebuilds the registers and
+    estimator in SQL — the APPROXIMATION is deterministic and both
+    sides compute the identical estimate (accuracy still pinned in
+    tests)."""
     import ray.data as rd
 
     from ocr_lib_ray.functions.sketches import approx_distinct_users_per_type
@@ -1471,8 +1475,43 @@ def oracle_sql() -> dict[str, str]:
                         FROM sc),
             {_pack_tail_sql(budget=128, num_partitions=16)}
         """,
-        # minhash_pairs, simhash_pairs (blake2b hashing), knn_lsh,
-        # knn_ivf, cosine_dups_lsh (recall < 1 — audited round 3, see
-        # the query docstrings), approx_distinct (HLL estimate): not
-        # SQL-expressible with honest semantics → rows-only.
+        # The HLL sketch itself replicated in SQL (round 3): md5-upper64
+        # hash → register index (top 12 bits) + rank (leading zeros of
+        # the low 52 bits, via floor(log2) — exact because the low bits
+        # fit a double), max per register, standard estimator + linear
+        # counting.  The approximation is deterministic, so the oracle
+        # reproduces the exact integer estimate.
+        "approx_distinct": """
+            WITH h AS (SELECT event_type,
+                              md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+                       FROM events),
+            r AS (SELECT event_type,
+                         CAST(h >> 52 AS BIGINT) AS idx,
+                         CAST(h % 4503599627370496 AS BIGINT) AS low
+                  FROM h),
+            rk AS (SELECT event_type, idx,
+                          max(CASE WHEN low = 0 THEN 53
+                                   ELSE 52 - CAST(floor(log2(low)) AS BIGINT)
+                              END) AS rank
+                   FROM r GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                         sum(pow(2.0, -rank)) AS sum_present,
+                         count(*) AS n_present
+                  FROM rk GROUP BY 1),
+            e AS (SELECT event_type,
+                         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                           / (sum_present + (4096 - n_present)) AS raw,
+                         4096 - n_present AS zeros
+                  FROM s)
+            SELECT event_type,
+                   CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                                   THEN 4096 * ln(4096 * 1.0 / zeros)
+                                   ELSE raw END, 0) AS BIGINT)
+                     AS approx_distinct_users
+            FROM e
+        """,
+        # minhash_pairs, simhash_pairs (blake2b hashing + spanning pair
+        # set), knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 — audited
+        # round 3, see the query docstrings): not SQL-expressible with
+        # honest semantics → rows-only.
     }

@@ -1,12 +1,17 @@
 """Mergeable sketches as custom Ray Data aggregates.
 
-HyperLogLog (dense, 2^p registers, blake2b-hashed, fully deterministic)
+HyperLogLog (dense, 2^p registers, md5-hashed, fully deterministic)
 wired through ``ray.data.aggregate.AggregateFn`` with
 ``accumulate_block`` — each block updates a register array vectorized in
 numpy, partial sketches merge with an elementwise max, and only the
 finalize step estimates.  The groupby therefore shuffles 2^p-byte
 sketches, never rows — the sketch-combiner pattern from the Ray guide
 ("sketches are designed to be mergeable").
+
+The value hash is the md5 UPPER 64 bits little-endian — exactly DuckDB's
+``md5_number_upper`` — so the whole sketch (registers, estimator, linear
+counting) is reproducible in SQL and the approx_distinct driver query
+carries a full hash oracle (round 3; was blake2b + rows-only).
 """
 
 from __future__ import annotations
@@ -21,12 +26,12 @@ DEFAULT_P = 12  # 4096 registers, ~1.6% standard error
 
 
 def _hash64(values) -> np.ndarray:
-    """Stable 64-bit hashes (blake2b) for arbitrary values."""
+    """Stable 64-bit hashes: md5 upper half, little-endian — byte-equal
+    to DuckDB ``md5_number_upper(CAST(v AS VARCHAR))`` (the SQL-oracle
+    parity requirement; see module docstring)."""
     return np.fromiter(
         (
-            int.from_bytes(
-                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
-            )
+            int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:8], "little")
             for v in values
         ),
         dtype=np.uint64,

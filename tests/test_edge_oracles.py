@@ -190,6 +190,7 @@ EVENT_QUERIES = [
     "asof_join",
     "range_join",
     "heavy_hitters",
+    "approx_distinct",  # round 3: HLL replicated in SQL (md5-upper64)
 ]
 
 
