@@ -938,6 +938,65 @@ def _lang_id_sql(norm: str) -> str:
         """
 
 
+def _simhash_pairs_sql(norm: str) -> str:
+    """simhash_pairs replicated in SQL (round 3): the md5-upper64 token
+    hash (== DuckDB md5_number_upper) makes the bit sums, the four
+    16-bit band keys, the per-(band, key) clique-chain compression
+    (identical fingerprints chain consecutively by doc_id at hamming 0;
+    cross pairs run rep-vs-rep) and the hamming verify all exactly
+    reproducible.  Unlike minhash-LSH this banding is EXHAUSTIVE for
+    hamming ≤ 3 (pigeonhole over 4 bands), so the oracle asserts true
+    semantics, not a recall gamble."""
+    return f"""
+        WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+        tok AS (SELECT doc_id, w
+                FROM (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+                     unnest(ws) AS u(w)),
+        th AS (SELECT doc_id, md5_number_upper(w) AS h FROM tok),
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+                 FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+                 GROUP BY 1, 2),
+        bk AS (SELECT doc_id, CAST(b // 16 AS INTEGER) AS band,
+                      CAST(sum(CASE WHEN acc > 0
+                                    THEN (CAST(1 AS BIGINT) << (b % 16))
+                                    ELSE 0 END) AS BIGINT) AS key
+               FROM bits GROUP BY 1, 2),
+        bands AS (SELECT doc_id, band FROM (SELECT doc_id FROM d),
+                  (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS band)),
+        keys AS (SELECT bands.doc_id, bands.band, COALESCE(bk.key, 0) AS key
+                 FROM bands LEFT JOIN bk
+                   ON bands.doc_id = bk.doc_id AND bands.band = bk.band),
+        fp AS (SELECT doc_id,
+                      max(CASE WHEN band = 0 THEN key END) AS k0,
+                      max(CASE WHEN band = 1 THEN key END) AS k1,
+                      max(CASE WHEN band = 2 THEN key END) AS k2,
+                      max(CASE WHEN band = 3 THEN key END) AS k3
+               FROM keys GROUP BY 1),
+        bb AS (SELECT k.doc_id, k.band, k.key, f.k0, f.k1, f.k2, f.k3
+               FROM keys k JOIN fp f USING (doc_id)),
+        chain AS (SELECT doc_id,
+                         lag(doc_id) OVER (PARTITION BY band, key, k0, k1, k2, k3
+                                           ORDER BY doc_id) AS prev
+                  FROM bb),
+        cpairs AS (SELECT prev AS d1, doc_id AS d2, 0 AS hamming
+                   FROM chain WHERE prev IS NOT NULL),
+        reps AS (SELECT band, key, k0, k1, k2, k3, min(doc_id) AS rep
+                 FROM bb GROUP BY 1, 2, 3, 4, 5, 6),
+        rpairs AS (SELECT least(a.rep, b.rep) AS d1, greatest(a.rep, b.rep) AS d2,
+                          bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+                          bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+                            AS hamming
+                   FROM reps a JOIN reps b
+                     ON a.band = b.band AND a.key = b.key AND a.rep < b.rep
+                   WHERE (a.k0, a.k1, a.k2, a.k3) <> (b.k0, b.k1, b.k2, b.k3)),
+        allp AS (SELECT * FROM cpairs UNION ALL
+                 SELECT * FROM rpairs WHERE hamming <= 3)
+        SELECT d1, d2, CAST(min(hamming) AS BIGINT) AS hamming
+        FROM allp GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     norm = _NORM
     return {
@@ -1510,8 +1569,10 @@ def oracle_sql() -> dict[str, str]:
                      AS approx_distinct_users
             FROM e
         """,
-        # minhash_pairs, simhash_pairs (blake2b hashing + spanning pair
-        # set), knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 — audited
-        # round 3, see the query docstrings): not SQL-expressible with
-        # honest semantics → rows-only.
+        "simhash_pairs": _simhash_pairs_sql(norm),
+        # minhash_pairs (splitmix64 signature mixing needs wrapping
+        # uint64 multiply — DuckDB UBIGINT * overflows instead of
+        # wrapping), knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 —
+        # audited round 3, see the query docstrings): not
+        # SQL-expressible with honest semantics → rows-only.
     }

@@ -566,15 +566,19 @@ def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partition
 # --- simhash ---------------------------------------------------------------
 
 
-def _blake64(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+def _token_hash64(token: str) -> int:
+    """md5 upper 64 bits little-endian — byte-equal to DuckDB
+    ``md5_number_upper`` (was blake2b; switched round 3 so the whole
+    simhash — bit sums, band keys, hamming — is SQL-reproducible and
+    simhash_pairs carries a full hash oracle)."""
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little")
 
 
 def simhash64(text: str) -> int:
     toks = text.split(" ") if text else []
     if not toks:
         return 0
-    hs = np.fromiter((_blake64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    hs = np.fromiter((_token_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
     acc = (2 * bits - 1).sum(axis=0)
     fp = np.uint64(0)

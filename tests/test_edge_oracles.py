@@ -58,13 +58,13 @@ QUERIES = [
     "dedup_minhash",
     "pack_sequences",
     "training_data",
+    "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
 ]
 
 #: document-table queries with NO SQL oracle (order-dependent packing /
 #: LSH recall<1 / sketch) — excluded with reason, pinned by pytest
 NO_ORACLE_DOC = {
     "minhash_pairs",
-    "simhash_pairs",
 }
 
 #: embedding-table queries (edge corpus is documents-only)
