@@ -245,6 +245,26 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_connected(docs, pairs).select_columns(["doc_id"])
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Crawl-over-crawl dedup: the even-doc_id half of the corpus plays
+    the PRIOR crawl (its fingerprints are the published snapshot); the
+    full corpus dedups against it via the bucketed anti-join (nothing
+    collected — the reference side is corpus-sized by definition)."""
+    import pyarrow.compute as pc
+
+    from ocr_lib_ray.functions.dedup import dedup_against_reference, doc_fingerprints
+
+    docs = _docs(sf_dir)
+    prior = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    ref = doc_fingerprints(prior)
+    return dedup_against_reference(docs, ref, num_partitions=8).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     from ocr_lib_ray.functions.dedup import simhash_pairs
 
@@ -832,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_incremental": _q_dedup_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
@@ -1570,6 +1591,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "simhash_pairs": _simhash_pairs_sql(norm),
+        # incremental crawl-over-crawl dedup: survivors are docs whose
+        # normalized-content md5 is absent from the prior-crawl (even
+        # doc_id) fingerprint snapshot
+        "dedup_incremental": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ref AS (SELECT md5(nm) AS f FROM d WHERE doc_id % 2 = 0)
+            SELECT doc_id FROM d
+            WHERE md5(nm) NOT IN (SELECT f FROM ref)
+        """,
         # minhash_pairs (splitmix64 signature mixing needs wrapping
         # uint64 multiply — DuckDB UBIGINT * overflows instead of
         # wrapping), knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 —

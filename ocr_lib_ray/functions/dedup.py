@@ -563,6 +563,107 @@ def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partition
     return union.groupby("bucket").map_groups(anti, batch_format="pandas")
 
 
+# --- incremental (crawl-over-crawl) dedup ----------------------------------
+
+
+def doc_fingerprints(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, fingerprint) rows: md5 hex of the NORMALIZED text — the
+    snapshot artifact one crawl publishes for the next crawl's
+    :func:`dedup_against_reference` pass (same form as
+    text_stats.fingerprint_batch, re-exported here as the incremental-
+    dedup contract)."""
+
+    def fp(b: pa.Table) -> pa.Table:
+        norm = normalize_expr(b.column(text_col)).to_pylist()
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
+        return pa.Table.from_arrays(
+            [b.column(id_col), pa.array(fps, pa.string())],
+            names=[id_col, "fingerprint"],
+        )
+
+    return docs_ds.map_batches(fp, batch_format="pyarrow")
+
+
+def dedup_against_reference(
+    docs_ds,
+    ref_fps_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "join",
+    num_partitions: int = 32,
+):
+    """Incremental dedup: drop documents whose content fingerprint
+    already exists in a REFERENCE snapshot (the fingerprints of a prior
+    crawl / the corpus already trained on) — the crawl-over-crawl dedup
+    every continuously-refreshed training corpus needs.
+
+    ``ref_fps_ds``: Dataset with a ``fingerprint`` column (md5 hex of
+    normalized text — :func:`doc_fingerprints` of the prior corpus).
+
+    ``mode``:
+
+    * ``"join"`` (default — the 100 TB path, because the reference set
+      is BY DEFINITION corpus-sized): nothing is collected; both sides
+      tag ``crc32(fp) % num_partitions`` and one same-bucket groupby
+      drops new docs whose fp appears on the reference side (the
+      dedup_by_pairs_join pattern keyed on the fingerprint).
+    * ``"broadcast"``: the reference fp set ships once via ``ray.put``
+      into a vectorized filter — for genuinely small reference sets
+      (a blocklist, a eval-contamination set), NOT a prior crawl.
+
+    Output: the surviving rows of ``docs_ds``, all columns intact.
+    Within the NEW corpus nothing is deduped (compose with
+    :func:`dedup_exact`-style passes for that); two new docs sharing a
+    fingerprint either both survive or both drop.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .joins import _union_bucketed
+
+    def with_fp(b: pa.Table) -> pa.Table:
+        norm = normalize_expr(b.column(text_col)).to_pylist()
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
+        return b.append_column("_fp", pa.array(fps, pa.string()))
+
+    tagged = docs_ds.map_batches(with_fp, batch_format="pyarrow")
+
+    if mode == "broadcast":
+        ref = set(ref_fps_ds.unique("fingerprint") or [])
+        ref_handle = ray.put(ref)
+
+        def drop_seen(b: pa.Table) -> pa.Table:
+            seen = ray.get(ref_handle)
+            keep = [f not in seen for f in b.column("_fp").to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_())).drop_columns(["_fp"])
+
+        return tagged.map_batches(drop_seen, batch_format="pyarrow")
+    if mode != "join":
+        raise ValueError(f"mode must be 'join' or 'broadcast', got {mode!r}")
+
+    ref = ref_fps_ds.select_columns(["fingerprint"]).map_batches(
+        lambda b: b.rename_columns(["_fp"]), batch_format="pyarrow"
+    )
+    # materialize the fps-only reference (object store, spills): executed
+    # once, emptiness becomes a metadata check (an empty reference has no
+    # schema and would break the union), and the shuffle re-reads blocks
+    # instead of re-running the reference lineage.
+    ref = ref.materialize()
+    if ref.count() == 0:
+        return docs_ds
+    doc_cols = list(docs_ds.schema().names) + ["_fp"]
+    union, _cols = _union_bucketed(tagged, ref, "_fp", num_partitions)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        seen = set(g.loc[g["side"] == 1, "_fp"])
+        out = left.loc[~left["_fp"].isin(seen), doc_cols]
+        return out.drop(columns=["_fp"])
+
+    return union.groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
 # --- simhash ---------------------------------------------------------------
 
 

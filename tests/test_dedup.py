@@ -267,3 +267,44 @@ def test_exact_ngram_pairs_batch_no_ray_broadcast():
     pairs = list(zip(out.column("d1").to_pylist(), out.column("d2").to_pylist()))
     assert (1, 2) in pairs
     assert all(d2 != 3 for _, d2 in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_against_reference_modes_agree(sf_small):
+    """Incremental crawl-over-crawl dedup: the bucketed anti-join (the
+    corpus-sized-reference scale path) must keep exactly the same docs
+    as the broadcast filter, and behavior must be correct on planted
+    overlaps and an empty reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dedup_against_reference, doc_fingerprints
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    prior = rd.from_pandas(
+        docs.to_pandas().query("doc_id % 3 == 0")[["doc_id", "text"]]
+    )
+    ref = doc_fingerprints(prior)
+    a = sorted(
+        dedup_against_reference(docs, ref, mode="broadcast").to_pandas()["doc_id"]
+    )
+    b = sorted(
+        dedup_against_reference(docs, ref, mode="join", num_partitions=8)
+        .to_pandas()["doc_id"]
+    )
+    assert a == b and len(a) > 0
+    assert all(i % 3 != 0 for i in a)  # every prior doc drops (self-match)
+
+    # planted cross-crawl duplicate: a NEW doc with an old doc's content drops
+    old = docs.to_pandas().query("doc_id % 3 == 0").iloc[0]
+    new = rd.from_pandas(
+        pd.DataFrame({"doc_id": [10_001, 10_002], "text": [old["text"], "fresh unseen text"]})
+    )
+    kept = sorted(dedup_against_reference(new, ref).to_pandas()["doc_id"])
+    assert kept == [10_002]
+
+    # empty reference → everything survives, columns intact
+    empty_ref = rd.from_pandas(pd.DataFrame({"fingerprint": pd.array([], dtype="string")}))
+    out = dedup_against_reference(new, empty_ref).to_pandas()
+    assert sorted(out["doc_id"]) == [10_001, 10_002]
+    assert sorted(out.columns) == ["doc_id", "text"]

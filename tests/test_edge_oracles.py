@@ -59,6 +59,7 @@ QUERIES = [
     "pack_sequences",
     "training_data",
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
+    "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
 ]
 
 #: document-table queries with NO SQL oracle (order-dependent packing /
