@@ -564,7 +564,10 @@ def _q_chunk_documents(sf_dir: str):
 
 def _q_training_data(sf_dir: str):
     """Full 8-operator composition (extract→redact→line-dedup→dedup→
-    quality→chunk→pack) — packing is order-dependent → rows-only.
+    quality→chunk→pack) — fully SQL-oracled end-to-end (round 3; the
+    oracle chains golden extract → redact → line-df → md5 dedup →
+    logistic gate → chunk → recursive-CTE pack).  The oracle pins
+    pack P=16 (= max(16, DEFAULT_CONFIG.num_partitions) used here).
 
     Runs with a checkpoint (the multi-pass 100TB pattern): the dedup key
     passes re-read the extracted-docs parquet instead of re-parsing
@@ -575,13 +578,17 @@ def _q_training_data(sf_dir: str):
     # driver gate and a bench on the same corpus) must not share one
     # checkpoint dir — one would wipe it while the other is mid-read.
     # Single-writer semantics per process; the same process reuses its
-    # dir instead of leaking a corpus-sized parquet copy per call.
+    # dir, and an atexit hook removes it so repeated gate/bench rounds
+    # don't each leak a corpus-sized parquet copy into /tmp.
+    import atexit
     import os
+    import shutil
 
     tag = sf_dir.strip("/").replace("/", "_")
-    return build_training_data(
-        _pages(sf_dir), checkpoint_dir=f"/tmp/graft_td_ckpt_{tag}_{os.getpid()}"
-    )
+    ckpt = f"/tmp/graft_td_ckpt_{tag}_{os.getpid()}"
+    if not os.path.exists(ckpt):
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return build_training_data(_pages(sf_dir), checkpoint_dir=ckpt)
 
 
 def _q_model_score(sf_dir: str):
@@ -594,11 +601,17 @@ def _q_model_score(sf_dir: str):
 
 
 def _q_pack_sequences(sf_dir: str):
-    """Greedy packing is order-dependent (deterministically pinned) but
-    not SQL-expressible → rows-only; invariants pinned in tests."""
+    """Greedy packing, fully SQL-oracled (round 3): md5-lower64
+    partition key + a recursive-CTE greedy loop reproduce it exactly.
+    P is pinned to 16 EXPLICITLY because the oracle SQL is a fixed
+    expression — the derive-from-corpus default (which the composed
+    pipelines use) is P-scaling-tested in pytest instead; at gate scale
+    the derived value is the same 16."""
     from ocr_lib_ray.functions.chunking import chunk_documents, pack_sequences
 
-    return pack_sequences(chunk_documents(_docs(sf_dir), 32, 8), budget=128)
+    return pack_sequences(
+        chunk_documents(_docs(sf_dir), 32, 8), budget=128, num_partitions=16
+    )
 
 
 def _q_line_dedup(sf_dir: str):
@@ -786,15 +799,23 @@ def _media_features_sql(norm: str) -> str:
                         array_to_string(wl[1:k], ' ') AS run1,
                         array_to_string(wl[k+1:len(wl)], ' ') AS run2
                  FROM ppl3),
-        ppl5 AS (SELECT url, i, wl, k, yy, run1, run2,
+        ppl5u AS (SELECT url, i, wl, k, yy, run1, run2,
                         CASE WHEN k >= 1 AND len(wl) > k THEN
-                          list_sum(list_transform(
+                          list_transform(
                             generate_series(1, strlen(run1)),
                             j -> CASE WHEN substr(run1, j, 1) IN ({narrow_in}) THEN 30
                                       WHEN substr(run1, j, 1) IN ({wide_in}) THEN 60
-                                      ELSE NULL END))
-                        ELSE NULL END AS units
+                                      ELSE NULL END)
+                        ELSE NULL END AS ulist
                  FROM ppl4),
+        -- ANY unknown char disqualifies the split (Python
+        -- _prop_adv_units returns None); list_sum alone would SKIP the
+        -- NULL placeholders and reconstruct a split Python never emits
+        ppl5 AS (SELECT url, i, wl, k, yy, run1, run2,
+                        CASE WHEN ulist IS NOT NULL
+                               AND len(list_filter(ulist, x -> x IS NULL)) = 0
+                             THEN list_sum(ulist) ELSE NULL END AS units
+                 FROM ppl5u),
         ppl6 AS (SELECT url, i,
                         CASE WHEN units IS NOT NULL
                                AND 72 * strlen(run1) - units >= {PROP_MIN_OVERSHOOT_UNITS}
@@ -1569,11 +1590,25 @@ def oracle_sql() -> dict[str, str]:
                          CAST(h >> 52 AS BIGINT) AS idx,
                          CAST(h % 4503599627370496 AS BIGINT) AS low
                   FROM h),
-            rk AS (SELECT event_type, idx,
-                          max(CASE WHEN low = 0 THEN 53
-                                   ELSE 52 - CAST(floor(log2(low)) AS BIGINT)
-                              END) AS rank
-                   FROM r GROUP BY 1, 2),
+            -- exact integer bit length: floor(log2(x)) in a double can
+            -- round UP for x within half an ulp below a power of two
+            -- (e.g. 2^52-1), so the estimate is post-corrected with two
+            -- exact shift compares — bl is then exact for any x
+            rl AS (SELECT event_type, idx, low,
+                          CAST(floor(log2(low)) AS BIGINT) AS k0
+                   FROM r WHERE low > 0),
+            rbl AS (SELECT event_type, idx,
+                           CASE WHEN (CAST(1 AS BIGINT) << CAST(k0 AS INTEGER)) > low
+                                THEN k0 - 1
+                                WHEN (CAST(1 AS BIGINT) << CAST(k0 + 1 AS INTEGER)) <= low
+                                THEN k0 + 1
+                                ELSE k0 END AS k
+                    FROM rl),
+            rk AS (SELECT event_type, idx, max(rank) AS rank FROM (
+                       SELECT event_type, idx, 52 - k AS rank FROM rbl
+                       UNION ALL
+                       SELECT event_type, idx, 53 AS rank FROM r WHERE low = 0
+                   ) GROUP BY 1, 2),
             s AS (SELECT event_type,
                          sum(pow(2.0, -rank)) AS sum_present,
                          count(*) AS n_present

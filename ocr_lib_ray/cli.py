@@ -164,6 +164,7 @@ def main(argv=None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             dedup=args.dedup,
             line_max_df=args.line_max_df,
+            overwrite=args.overwrite,
         ).write_parquet(args.output, partition_cols=["partition_id"])
         print(
             json.dumps(

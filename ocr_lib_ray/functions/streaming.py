@@ -34,6 +34,18 @@ assumptions documented:
   end-of-log ``flush`` path is exactly-once.
 * Closed sessions are emitted incrementally (drainable mid-stream via
   ``take_closed``); ``flush`` closes whatever remains at end-of-log.
+* **Storage assumption (multi-node)**: ``log_dir`` and
+  ``checkpoint_dir`` must be on storage visible to every node (NFS /
+  object-store mount) — layout tasks, feeders and workers run wherever
+  Ray schedules them.  The single-host sandbox satisfies this with
+  /tmp; a real cluster points both at shared paths, exactly like the
+  parquet corpus itself.
+* Checkpoints embed their feed parameters (chunk_rows / num_buckets /
+  gap / bucket id): offsets are batch counts, so restoring under
+  different parameters would silently skip/replay events — ``restore``
+  refuses a mismatched snapshot instead.  (The log path itself is NOT
+  pinned: the layout is deterministic for the same events, so a rerun's
+  fresh temp log carries identical batch boundaries.)
 
 Output and semantics are identical to the batch ``sessionize``
 (equivalence-tested, and the driver query shares its SQL oracle);
@@ -134,13 +146,16 @@ class SessionBucketWorker:
             self._close(u)
         return self.take_closed()
 
-    def checkpoint(self, path: str) -> int:
+    def checkpoint(self, path: str, meta: dict | None = None) -> int:
         """Atomic (offset, open, undrained-closed) snapshot; returns the
-        batch offset the snapshot covers (feed from there on recovery)."""
+        batch offset the snapshot covers (feed from there on recovery).
+        ``meta`` records the feed parameters the offset is only valid
+        under (chunk_rows / num_buckets / log path)."""
         state = {
             "batches_consumed": self.batches_consumed,
             "open": self.open,
             "closed": self.closed,
+            "meta": meta or {},
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -148,13 +163,26 @@ class SessionBucketWorker:
         os.replace(tmp, path)
         return self.batches_consumed
 
-    def restore(self, path: str) -> int:
+    def restore(self, path: str, meta: dict | None = None) -> int:
         """Load a snapshot; returns the batch offset to resume the feed
-        from (0 when no checkpoint exists — feed from the start)."""
+        from (0 when no checkpoint exists — feed from the start).
+
+        The offset is a BATCH COUNT: it only addresses the same events
+        when the log layout and chunking match the checkpointing run,
+        so a snapshot whose recorded meta differs from ``meta`` is
+        REFUSED (silently skipping/replaying the wrong events would
+        corrupt session counts with no error)."""
         if not os.path.exists(path):
             return 0
         with open(path, "rb") as f:
             state = pickle.load(f)
+        if meta is not None and state.get("meta") and state["meta"] != meta:
+            raise ValueError(
+                f"checkpoint {path!r} was written under feed parameters "
+                f"{state['meta']!r} but restore was asked for {meta!r} — "
+                "batch offsets do not transfer; delete the checkpoint or "
+                "rerun with the original parameters"
+            )
         self.batches_consumed = state["batches_consumed"]
         self.open = state["open"]
         self.closed = state["closed"]
@@ -234,6 +262,7 @@ def feed_bucket(
     ckpt_every: int = 0,
     start_batches: int = 0,
     max_batches: int | None = None,
+    ckpt_meta: dict | None = None,
 ) -> int:
     """Stream one bucket's ordered partition to its worker.
 
@@ -266,7 +295,7 @@ def feed_bucket(
         )
         fed += 1
         if ckpt_path and ckpt_every and fed % ckpt_every == 0:
-            ray.get(worker.checkpoint.remote(ckpt_path))
+            ray.get(worker.checkpoint.remote(ckpt_path, ckpt_meta))
     return fed
 
 
@@ -308,11 +337,29 @@ def streaming_sessionize(
         workers = [SessionBucketWorker.remote(gap_us) for _ in range(num_buckets)]
         starts = [0] * num_buckets
         ckpts = [None] * num_buckets
+        metas = [None] * num_buckets
         if checkpoint_dir is not None:
             os.makedirs(checkpoint_dir, exist_ok=True)
             ckpts = [bucket_ckpt_path(checkpoint_dir, w) for w in range(num_buckets)]
+            # batch offsets only transfer under identical feed params —
+            # recorded per bucket, enforced by restore
+            # (no log PATH in the meta: an owns-log rerun lays out an
+            # identical log at a fresh temp path — offsets transfer
+            # because the layout is deterministic for the same events)
+            metas = [
+                {
+                    "chunk_rows": chunk_rows,
+                    "num_buckets": num_buckets,
+                    "gap_us": gap_us,
+                    "bucket": w,
+                }
+                for w in range(num_buckets)
+            ]
             starts = ray.get(
-                [workers[w].restore.remote(ckpts[w]) for w in range(num_buckets)]
+                [
+                    workers[w].restore.remote(ckpts[w], metas[w])
+                    for w in range(num_buckets)
+                ]
             )
         feeds = [
             feed_bucket.remote(
@@ -322,6 +369,8 @@ def streaming_sessionize(
                 ckpts[w],
                 checkpoint_every_chunks if checkpoint_dir else 0,
                 starts[w],
+                None,
+                metas[w],
             )
             for w in range(num_buckets)
         ]

@@ -94,6 +94,7 @@ def build_training_data(
     checkpoint_dir: str | None = None,
     dedup: str = "broadcast",
     line_max_df: int = 1,
+    overwrite: bool = False,
 ) -> rd.Dataset:
     """The full web-corpus → training-data pipeline, every stage one of
     this repo's operators on a single streaming Dataset:
@@ -154,10 +155,13 @@ def build_training_data(
         # checkpoint path would silently double the corpus, so the dir
         # is wiped first (the checkpoint is an artifact of THIS run).
         # Guarded wipe: refuses a non-empty dir that isn't a prior
-        # checkpoint of ours (mistyped path protection).
+        # checkpoint of ours (mistyped path protection); ``overwrite``
+        # (the CLI --overwrite) force-wipes — and is honored HERE, not
+        # only on --output, so the refusal can't fire after the output
+        # dir was already emptied.
         from ..stages.manifest import safe_wipe_output
 
-        safe_wipe_output(checkpoint_dir)
+        safe_wipe_output(checkpoint_dir, overwrite=overwrite)
         docs.write_parquet(checkpoint_dir)
         docs = rd.read_parquet(checkpoint_dir)
     # line_max_df: C4-style hot-line threshold.  NOTE the ordering

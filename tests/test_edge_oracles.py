@@ -23,9 +23,14 @@ EDGE_DOCS = [
     (5, "tiny doc", "en", "srcB"),            # malformed kind
     (6, "three word body", "fr", "srcB"),
     (7, "x", "en", "srcC"),                   # noisy kind
+    (8, "", "en", "srcA"),                    # pdf_prop kind (8 % 29 == 8), empty
     (20, "the quick brown fox jumps over the lazy dog", "en", "srcC"),  # pdf
     (23, "a longer body with more than eight words to span pdf lines", "en", "srcC"),  # pdf_rot
     (9, "plain document with a normal number of words inside it", "es", "srcC"),
+    # pdf_prop with enough words for split-eligible lines AND a char
+    # outside PROP_WIDTHS ('?') — pins the unknown-char no-split rule on
+    # BOTH sides of the media_features payload reconstruction
+    (66, "does the proportional branch keep its golden when lines carry many words? yes it must stay identical", "en", "srcB"),
 ]
 
 QUERIES = [

@@ -164,3 +164,25 @@ def test_streaming_checkpoint_replay_after_kill(tmp_path):
         .reset_index(drop=True)[ref.columns.tolist()]
     )
     assert ref.equals(got)  # bit-identical, floats included (same add order)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_refuses_mismatched_feed_params(tmp_path):
+    """A checkpoint's batch offset only addresses the same events under
+    the same feed parameters — restore must refuse, not silently
+    skip/replay the wrong events."""
+    from ocr_lib_ray.functions.streaming import SessionBucketWorker
+
+    w = SessionBucketWorker.remote(0)
+    ray.get(w.process.remote([1], [10], [1.0]))
+    meta = {"chunk_rows": 64, "num_buckets": 2, "gap_us": 0, "bucket": 0}
+    path = str(tmp_path / "b0.ckpt")
+    ray.get(w.checkpoint.remote(path, meta))
+
+    w2 = SessionBucketWorker.remote(0)
+    assert ray.get(w2.restore.remote(path, meta)) == 1  # same params: fine
+    w3 = SessionBucketWorker.remote(0)
+    bad = dict(meta, chunk_rows=32)
+    with pytest.raises(Exception) as ei:
+        ray.get(w3.restore.remote(path, bad))
+    assert "feed parameters" in str(ei.value)
