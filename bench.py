@@ -128,6 +128,7 @@ def run_bench() -> dict:
         "fingerprint",
         "winnow_fingerprint",
         "dedup_exact",
+        "dedup_incremental",
         "minhash_pairs",
         "simhash_pairs",
         "ngram_jaccard",

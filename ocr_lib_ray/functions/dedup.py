@@ -18,13 +18,14 @@ Four families, each Ray-Data-first and shuffle-conscious:
                    small-corpus oracle / verifier; at scale use the
                    minhash path (documented).
 
-All hashing is seeded/stable (crc32 / blake2b) — never Python ``hash``.
+All hashing is seeded/stable — never Python ``hash``; the minhash
+family uses md5-64 halves + splitmix64 (DuckDB-reproducible: the
+minhash_pairs driver query carries a bit-exact SQL oracle).
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -87,9 +88,17 @@ def _rows_estimate(ds) -> int:
 
 
 def _stable_token_hashes(tokens) -> np.ndarray:
-    """crc32 per token (stable across runs/processes)."""
+    """md5 lower 64 bits little-endian per token (stable across
+    runs/processes AND byte-equal to DuckDB ``md5_number_lower`` — the
+    minhash_pairs SQL-oracle parity requirement; was crc32, switched
+    round 3: 64-bit hashes also shrink shingle collisions)."""
     return np.fromiter(
-        (zlib.crc32(t.encode("utf-8")) for t in tokens), dtype=np.uint64, count=len(tokens)
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
     )
 
 
@@ -171,9 +180,14 @@ def minhash_band_rows(
         sig = hasher.signature(text)
         sig_bytes = sig.tobytes()
         for b in range(bands):
-            chunk = sig_bytes[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8]
+            # band key = md5-lower64 of the comma-joined band values
+            # (mod 2^32) — DuckDB-reproducible (was crc32 of raw bytes)
+            chunk = ",".join(str(v) for v in sig[b * rows_per_band : (b + 1) * rows_per_band])
             out_band.append(b)
-            out_hash.append(zlib.crc32(chunk))
+            out_hash.append(
+                int.from_bytes(hashlib.md5(chunk.encode()).digest()[8:], "little")
+                & 0xFFFFFFFF
+            )
             out_id.append(doc_id)
             out_sig.append(sig_bytes)
     hash_arr = np.asarray(out_hash, dtype=np.uint32)

@@ -65,13 +65,12 @@ QUERIES = [
     "training_data",
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
+    "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
 ]
 
-#: document-table queries with NO SQL oracle (order-dependent packing /
-#: LSH recall<1 / sketch) — excluded with reason, pinned by pytest
-NO_ORACLE_DOC = {
-    "minhash_pairs",
-}
+#: document-table queries with NO SQL oracle — empty since round 3:
+#: every deterministic document operator is hash-oracled
+NO_ORACLE_DOC: set = set()
 
 #: embedding-table queries (edge corpus is documents-only)
 EMBEDDING_QUERIES = {"knn_brute", "knn_lsh", "knn_ivf", "cosine_dups", "cosine_dups_lsh"}
