@@ -540,6 +540,47 @@ def _q_sample_split(sf_dir: str):
     )
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-source deterministic mixture downsampling (map-only)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return stratified_sample(
+        docs, "doc_id", "source", {"src0": 0.25, "src1": 0.0}, default_rate=0.6
+    )
+
+
+def _q_sample_fixed_k(sf_dir: str):
+    """Exactly-k hash-bottom-k uniform sample (per-block prune + tiny sort)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import sample_fixed_k
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return sample_fixed_k(docs, "doc_id", k=100)
+
+
+def _q_topk_per_group(sf_dir: str):
+    """Top-5 largest docs per source — per-block prune, no global sort."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ranking import topk_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return topk_per_group(docs, "source", "n_chars", k=5, id_col="doc_id")
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (vocab partials + broadcast df)."""
+    from ocr_lib_ray.functions.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=5)
+
+
 def _q_cosine_dups_lsh(sf_dir: str):
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs_lsh
 
@@ -894,6 +935,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "sliding_window": _q_sliding_window,
         "sample_split": _q_sample_split,
+        "stratified_sample": _q_stratified_sample,
+        "sample_fixed_k": _q_sample_fixed_k,
+        "topk_per_group": _q_topk_per_group,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
         "chunk_documents": _q_chunk_documents,
@@ -1451,6 +1496,49 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'train' END AS split
                FROM documents)
             SELECT split, count(*) AS n FROM s GROUP BY split
+        """,
+        # thresholds are hex(int(rate * 2^32)) — the exact strings
+        # sampling._hex_threshold emits (0.25 → 40000000, 0.6 → 99999999);
+        # rate 0 compares against '00000000' (never true), rate >= 1
+        # would keep unconditionally (not exercised here)
+        "stratified_sample": """
+            WITH t AS (SELECT doc_id, source,
+                   substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+               FROM documents)
+            SELECT doc_id, source FROM t
+            WHERE CASE source WHEN 'src0' THEN h < '40000000'
+                              WHEN 'src1' THEN h < '00000000'
+                              ELSE h < '99999999' END
+        """,
+        "sample_fixed_k": """
+            SELECT doc_id,
+                   substr(md5('fixk' || CAST(doc_id AS VARCHAR)), 1, 16) AS sample_h
+            FROM documents ORDER BY sample_h, doc_id LIMIT 100
+        """,
+        "topk_per_group": """
+            WITH r AS (SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rk
+               FROM documents)
+            SELECT source, doc_id, n_chars FROM r WHERE rk <= 5
+        """,
+        # score = tf * ln(N/df): division and ln are single IEEE ops on
+        # both sides (math.log == DuckDB ln on the same libm); tfidf is
+        # the raw double rounded ONCE to 6 (float-oracle discipline)
+        "tfidf_top_terms": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            tok AS (SELECT doc_id, w AS token
+                    FROM d, unnest(str_split(nm, ' ')) AS u(w) WHERE nm <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf,
+                         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+                  FROM tf JOIN df USING (token) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token ASC) AS term_rank FROM s)
+            SELECT doc_id, term_rank, token, tf, round(score, 6) AS tfidf
+            FROM r WHERE term_rank <= 5
         """,
         "corpus_clean": f"""
             WITH gold AS (

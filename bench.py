@@ -155,6 +155,10 @@ def run_bench() -> dict:
         "line_dedup",
         "line_dedup_join",
         "redact_pii",
+        "stratified_sample",
+        "sample_fixed_k",
+        "topk_per_group",
+        "tfidf_top_terms",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

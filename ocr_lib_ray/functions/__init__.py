@@ -14,7 +14,8 @@ from .dedup import (
 from .joins import asof_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .redact import bpe_token_count_batch, redact_batch, redact_text
-from .sampling import split_dataset, take_split
+from .ranking import tfidf_top_terms, topk_per_group
+from .sampling import sample_fixed_k, split_dataset, stratified_sample, take_split
 from .scoring import score_documents
 from .similarity import (
     cosine_dup_pairs,
@@ -62,6 +63,10 @@ __all__ = [
     "redact_text",
     "split_dataset",
     "take_split",
+    "stratified_sample",
+    "sample_fixed_k",
+    "tfidf_top_terms",
+    "topk_per_group",
     "score_documents",
     "cosine_dup_pairs",
     "cosine_dup_pairs_lsh",

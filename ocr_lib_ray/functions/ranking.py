@@ -1,0 +1,182 @@
+"""Distributed ranking ops: per-group top-k and corpus TF-IDF.
+
+Both follow the repo's shuffle-discipline:
+
+- :func:`topk_per_group` never globally sorts — each block prunes
+  itself to its own per-group top-k (map-only), then one groupby over
+  the pruned candidates finishes the ranking.  The shuffle carries at
+  most ``k x n_blocks`` rows per group, never the corpus.
+- :func:`tfidf_top_terms` computes document frequencies as per-batch
+  DISTINCT partials (one small row per distinct token per batch — the
+  same pre-aggregation as ``tokens.token_counts``), broadcasts the
+  vocabulary once with ``ray.put``, and scores every document in a
+  single map-only second pass (per-doc top-k needs no shuffle: a
+  document is whole within its batch row).
+
+Reference parity: the top-k pattern is the `sort-rows` + take analog
+(core.clj:753-785 ordering + argmax discipline, core.clj:1020-1069)
+lifted to a corpus-wide grouped operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["topk_per_group", "tfidf_top_terms"]
+
+
+def topk_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+):
+    """Top-k rows per group by ``order_col`` — no global sort.
+
+    Deterministic total order: (order_col desc|asc, id_col asc) — the
+    id tie-break makes the selected SET stable across batch sizes and
+    cluster layouts, not just the ordering.
+
+    Two stages: (1) map-only per-block prune — each block keeps its own
+    per-group top-k, so the shuffle sees at most k rows per group per
+    block; (2) ``groupby(group_col).map_groups`` final top-k over the
+    pruned candidates.  With B blocks a group's candidate set is <= k*B;
+    for k*B beyond group-task memory, run the prune twice (tree
+    combine) — at k<=100 and 10^5 blocks that is still only 10^7 rows,
+    so a single level is the right default.
+
+    Output columns: (group_col, id_col, order_col).
+    """
+    cols = [group_col, id_col, order_col]
+    ascending = [not descending, True]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        top = (
+            df.sort_values([order_col, id_col], ascending=ascending)
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([order_col, id_col], ascending=ascending).head(k)[cols]
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby(group_col).map_groups(finish, batch_format="pandas")
+
+
+def _df_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """(token, nd=1) per DISTINCT token per document, plus one sentinel
+    row (token='', nd=1) per document WITH at least one token — the
+    sentinel rides the same aggregate so corpus size N needs no second
+    corpus pass.  '' can never collide with a real token (collapse_ws
+    output split on single spaces yields no empty strings)."""
+    from .text_stats import normalize_expr
+
+    tokens, counts = [], []
+    for t in normalize_expr(batch.column(text_col)).to_pylist():
+        if not t:
+            continue
+        tokens.extend(set(t.split(" ")))
+        tokens.append("")
+    return pa.Table.from_arrays(
+        [
+            pa.array(tokens, pa.string()),
+            pa.array([1] * len(tokens), pa.int64()),
+        ],
+        names=["token", "nd"],
+    )
+
+
+def tfidf_top_terms(
+    docs_ds,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 5_000_000,
+):
+    """Top-k TF-IDF terms per document: (id, term_rank, token, tf, tfidf).
+
+    score = tf * ln(N / df) over whitespace tokens of the normalized
+    text; N = documents with >= 1 token; order (score desc, token asc);
+    tfidf emitted rounded to 6 (raw double rounded ONCE — the repo's
+    float-oracle discipline).  ``ln`` goes through ``math.log`` (libm)
+    so DuckDB's ``ln`` reproduces it bit-for-bit on the same host.
+
+    Scale: pass 1 aggregates per-batch DISTINCT (token, 1) partials —
+    the shuffle carries vocabulary-sized partials, never raw tokens.
+    The aggregated vocabulary (heavy-tailed, ~millions of rows for
+    web-scale corpora after normalization) is broadcast once via
+    ``ray.put``; ``max_vocab`` guards the driver collection — beyond
+    it, rebuild this op with the same-key-bucket join rewrite of
+    ``linedup.remove_common_lines_join`` (explode (doc, token) rows,
+    bucket by token hash, regroup by doc).  Pass 2 is map-only.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        docs_ds.map_batches(
+            lambda b: _df_partials(b, text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("token")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .materialize()
+    )
+    n_vocab = df_tbl.count()  # metadata-only on a materialized dataset
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds max_vocab={max_vocab}; use a "
+            "bucketed join variant (see linedup.remove_common_lines_join) "
+            "instead of the broadcast path"
+        )
+    df_map: dict = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b.column("token").to_pylist(), b.column("nd").to_pylist()))
+    n_docs = df_map.pop("", 0)
+    ref = ray.put((df_map, n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .text_stats import normalize_expr
+
+        dfm, n = ray.get(ref)
+        ids, ranks, toks, tfs, scores = [], [], [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            normalize_expr(batch.column(text_col)).to_pylist(),
+        ):
+            if not t:
+                continue
+            tf: dict = {}
+            for w in t.split(" "):
+                tf[w] = tf.get(w, 0) + 1
+            scored = sorted(
+                ((tok, c, c * math.log(n / dfm[tok])) for tok, c in tf.items()),
+                key=lambda x: (-x[2], x[0]),
+            )[:k]
+            for r, (tok, c, s) in enumerate(scored, 1):
+                ids.append(i)
+                ranks.append(r)
+                toks.append(tok)
+                tfs.append(c)
+                scores.append(round(s, 6))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.schema.field(id_col).type),
+                pa.array(ranks, pa.int64()),
+                pa.array(toks, pa.string()),
+                pa.array(tfs, pa.int64()),
+                pa.array(scores, pa.float64()),
+            ],
+            names=[id_col, "term_rank", "token", "tf", "tfidf"],
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

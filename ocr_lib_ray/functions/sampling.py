@@ -70,6 +70,84 @@ def add_split_column_md5(
     return batch.append_column("split", pa.array(split, pa.string()))
 
 
+def _md5_hex(salt: str, key) -> str:
+    import hashlib
+
+    return hashlib.md5((salt + str(key)).encode("utf-8")).hexdigest()
+
+
+def _hex_threshold(frac: float) -> str:
+    """First-8-hex-chars threshold for ``md5 < t`` keep-with-prob-frac.
+
+    Valid only for frac < 1 (frac >= 1 must keep unconditionally: the
+    9-char hex of 2**32 compares LOWER than most 8-char hashes)."""
+    return format(int(frac * (1 << 32)), "08x")
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    group_col: str,
+    rates: dict,
+    default_rate: float = 1.0,
+    salt: str = "strat",
+):
+    """Per-stratum deterministic downsampling (corpus mixture control).
+
+    Keeps a row iff ``md5(salt || key)[:8] < hex(rate[group] * 2^32)`` —
+    the same md5-threshold discipline as :func:`add_split_column_md5`,
+    so the decision is key-stable (same doc kept on every run / cluster
+    size / partition layout) and bit-reproducible in DuckDB SQL.  This
+    is the "mixture weights" op of a training-data pipeline: e.g.
+    ``rates={"web": 0.1, "wiki": 1.0}`` rebalances sources without RNG.
+
+    Map-only (no shuffle): scale-safe at any corpus size.  Rates >= 1
+    keep every row of the stratum; unknown strata use ``default_rate``.
+    """
+    import pyarrow as pa
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        mask = []
+        for k, g in zip(keys, groups):
+            rate = rates.get(g, default_rate)
+            mask.append(rate >= 1.0 or _md5_hex(salt, k)[:8] < _hex_threshold(rate))
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_fixed_k(ds, key_col: str, k: int, salt: str = "fixk"):
+    """Deterministic uniform sample of EXACTLY k rows (hash bottom-k).
+
+    The k rows with the smallest ``md5(salt || key)[:16]`` — a
+    key-stable analog of reservoir sampling (same k rows on every run
+    and cluster size, unlike reservoir which is order-dependent).
+
+    Scale path: each block first prunes itself to its own k smallest
+    (map-only), so the final ``sort().limit(k)`` runs over at most
+    k x n_blocks pruned rows — never the corpus.  Ties broken by key.
+    Output: input columns + ``sample_h``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prune(batch: pa.Table) -> pa.Table:
+        h = pa.array(
+            [_md5_hex(salt, x)[:16] for x in batch.column(key_col).to_pylist()],
+            pa.string(),
+        )
+        t = batch.append_column("sample_h", h)
+        idx = pc.sort_indices(
+            t, sort_keys=[("sample_h", "ascending"), (key_col, "ascending")]
+        )
+        return t.take(idx[: min(k, len(idx))])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.sort(["sample_h", key_col]).limit(k)
+
+
 def split_dataset(ds, key_col: str, test_frac: float = 0.1, val_frac: float = 0.0):
     """Dataset → Dataset with a deterministic ``split`` column."""
     return ds.map_batches(

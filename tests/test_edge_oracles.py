@@ -66,6 +66,10 @@ QUERIES = [
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
+    "stratified_sample",
+    "sample_fixed_k",
+    "topk_per_group",
+    "tfidf_top_terms",
 ]
 
 #: document-table queries with NO SQL oracle — empty since round 3:

@@ -1,0 +1,177 @@
+"""Unit gates for the sampling/ranking operators (stratified_sample,
+sample_fixed_k, topk_per_group, tfidf_top_terms): reference equality on
+hand-built corpora + block-layout invariance (the determinism the ops
+promise: same output at any batch size / partition count)."""
+
+import math
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_lib_ray.functions.ranking import tfidf_top_terms, topk_per_group
+from ocr_lib_ray.functions.sampling import sample_fixed_k, stratified_sample
+
+
+def _docs_table(rows):
+    ids, texts, sources = zip(*rows)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(texts, pa.string()),
+            pa.array(sources, pa.string()),
+        ],
+        names=["doc_id", "text", "source"],
+    )
+
+
+ROWS = [(i, f"word{i % 7} common tail", f"src{i % 3}") for i in range(60)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_rates_and_block_invariance():
+    import ray.data as rd
+
+    t = _docs_table(ROWS)
+    rates = {"src0": 0.0, "src1": 1.0}
+
+    def kept(num_blocks):
+        ds = rd.from_arrow(t).repartition(num_blocks)
+        out = stratified_sample(ds, "doc_id", "source", rates, default_rate=0.5)
+        return sorted(r["doc_id"] for r in out.take_all())
+
+    one = kept(1)
+    # rate 0: no src0 rows survive; rate 1: every src1 row survives
+    srcs = {i: s for i, _, s in ROWS}
+    assert all(srcs[i] != "src0" for i in one)
+    assert [i for i in one if srcs[i] == "src1"] == [
+        i for i, _, s in ROWS if s == "src1"
+    ]
+    # default-rate stratum is a strict, non-empty subsample
+    src2 = [i for i in one if srcs[i] == "src2"]
+    assert 0 < len(src2) < sum(1 for _, _, s in ROWS if s == "src2")
+    # block layout cannot change the kept set (key-stable hash decision)
+    assert kept(7) == one
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_fixed_k_exact_nested_and_layout_stable():
+    import ray.data as rd
+
+    t = _docs_table(ROWS)
+
+    def sample(k, num_blocks):
+        ds = rd.from_arrow(t).repartition(num_blocks)
+        return [r["doc_id"] for r in sample_fixed_k(ds, "doc_id", k).take_all()]
+
+    s20, s50 = sample(20, 1), sample(50, 1)
+    assert len(s20) == 20 and len(s50) == 50
+    # bottom-k property: smaller samples nest inside larger ones
+    assert s20 == s50[:20]
+    # per-block prune cannot change the winners
+    assert sample(20, 9) == s20
+    # k > corpus degrades to the full corpus
+    assert sorted(sample(100, 3)) == sorted(i for i, _, _ in ROWS)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_per_group_matches_pandas_with_ties():
+    import ray.data as rd
+
+    # heavy ties on the order column force the doc_id tie-break
+    rows = [(i, i % 4, f"g{i % 2}") for i in range(40)]
+    t = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.int64()),
+            pa.array([r[2] for r in rows], pa.string()),
+        ],
+        names=["doc_id", "score", "grp"],
+    )
+    expect = (
+        t.to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .groupby("grp", sort=False)
+        .head(3)
+    )
+    expect = expect.sort_values(["grp", "doc_id"]).reset_index(drop=True)
+
+    for num_blocks in (1, 6):
+        ds = rd.from_arrow(t).repartition(num_blocks)
+        got = (
+            topk_per_group(ds, "grp", "score", k=3, id_col="doc_id")
+            .to_pandas()
+            .sort_values(["grp", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["grp", "doc_id", "score"]], expect[["grp", "doc_id", "score"]]
+        )
+
+
+def _tfidf_reference(rows, k):
+    texts = {i: t.split() for i, t, _ in rows if t.strip()}
+    n = len(texts)
+    df: dict = {}
+    for ws in texts.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    out = []
+    for i, ws in texts.items():
+        tf: dict = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        top = sorted(
+            ((w, c, c * math.log(n / df[w])) for w, c in tf.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:k]
+        for r, (w, c, s) in enumerate(top, 1):
+            out.append((i, r, w, c, round(s, 6)))
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_matches_reference_and_layout_stable():
+    import ray.data as rd
+
+    rows = [
+        (1, "apple banana apple", "s"),
+        (2, "banana cherry", "s"),
+        (3, "", "s"),  # empty: contributes nothing, emits nothing
+        (4, "cherry cherry cherry durian", "s"),
+        (5, "apple durian unique", "s"),
+    ]
+    expect = _tfidf_reference(rows, k=2)
+    for num_blocks in (1, 4):
+        ds = rd.from_arrow(_docs_table(rows)).repartition(num_blocks)
+        got = sorted(
+            (r["doc_id"], r["term_rank"], r["token"], r["tf"], r["tfidf"])
+            for r in tfidf_top_terms(ds, k=2).take_all()
+        )
+        assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_identical_docs_score_zero_tiebreak_token_asc():
+    import ray.data as rd
+
+    rows = [(i, "same words here", "s") for i in range(1, 4)]
+    ds = rd.from_arrow(_docs_table(rows))
+    out = tfidf_top_terms(ds, k=3).to_pandas()
+    # df == N for every token → score exactly 0; rank order = token asc
+    assert (out["tfidf"] == 0.0).all()
+    for i in range(1, 4):
+        assert list(out[out["doc_id"] == i].sort_values("term_rank")["token"]) == [
+            "here",
+            "same",
+            "words",
+        ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_max_vocab_guard():
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table([(1, "a b c d e", "s")]))
+    with pytest.raises(ValueError, match="max_vocab"):
+        tfidf_top_terms(ds, k=2, max_vocab=3)
