@@ -581,6 +581,20 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=5)
 
 
+def _q_dup_ngram_stats(sf_dir: str):
+    """Per-doc duplicated-span coverage (ExactSubstr-style, 3-gram)."""
+    from ocr_lib_ray.functions.ngramdup import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(sf_dir), n=3, min_df=2)
+
+
+def _q_dedup_ngram_spans(sf_dir: str):
+    """Rewrite: tokens covered by cross-doc duplicated 3-grams removed."""
+    from ocr_lib_ray.functions.ngramdup import remove_dup_ngrams
+
+    return remove_dup_ngrams(_docs(sf_dir), n=3, min_df=2)
+
+
 def _q_cosine_dups_lsh(sf_dir: str):
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs_lsh
 
@@ -939,6 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fixed_k": _q_sample_fixed_k,
         "topk_per_group": _q_topk_per_group,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "dedup_ngram_spans": _q_dedup_ngram_spans,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
         "chunk_documents": _q_chunk_documents,
@@ -1539,6 +1555,55 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, token ASC) AS term_rank FROM s)
             SELECT doc_id, term_rank, token, tf, round(score, 6) AS tfidf
             FROM r WHERE term_rank <= 5
+        """,
+        # gram identity = md5 of the space-joined tokens on BOTH sides;
+        # slice ws[i : i+n-1] is DuckDB 1-based INCLUSIVE; positions
+        # covered by overlapping hot grams dedup via DISTINCT
+        "dup_ngram_stats": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            gi AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 2)) AS i FROM ta),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(ws[i : i + 2], ' ')) AS gh FROM gi),
+            hot AS (SELECT gh FROM grams GROUP BY gh
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hotg AS (SELECT g.doc_id, g.i FROM grams g JOIN hot USING (gh)),
+            cov AS (SELECT DISTINCT doc_id, p FROM
+                    (SELECT doc_id, unnest(generate_series(i, i + 2)) AS p FROM hotg)),
+            per AS (SELECT t.doc_id, len(t.ws) AS n_tokens,
+                   (SELECT count(*) FROM hotg h WHERE h.doc_id = t.doc_id) AS n_hot_grams,
+                   (SELECT count(*) FROM cov c WHERE c.doc_id = t.doc_id) AS n_dup_tokens
+                    FROM ta t)
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0) AS n_tokens,
+                   coalesce(per.n_hot_grams, 0) AS n_hot_grams,
+                   coalesce(per.n_dup_tokens, 0) AS n_dup_tokens,
+                   CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0.0
+                        ELSE round(per.n_dup_tokens * 1.0 / per.n_tokens, 6)
+                   END AS dup_frac
+            FROM d LEFT JOIN per USING (doc_id)
+        """,
+        "dedup_ngram_spans": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            gi AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 2)) AS i FROM ta),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(ws[i : i + 2], ' ')) AS gh FROM gi),
+            hot AS (SELECT gh FROM grams GROUP BY gh
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT doc_id, p FROM
+                    (SELECT g.doc_id, unnest(generate_series(g.i, g.i + 2)) AS p
+                     FROM grams g JOIN hot USING (gh))),
+            tok AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM ta),
+            kept AS (SELECT t.doc_id, t.p, t.ws[t.p] AS w FROM tok t
+                     WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                       WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+            joined AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+                       FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(j.text, '') AS text
+            FROM d LEFT JOIN joined j USING (doc_id)
         """,
         "corpus_clean": f"""
             WITH gold AS (

@@ -159,6 +159,8 @@ def run_bench() -> dict:
         "sample_fixed_k",
         "topk_per_group",
         "tfidf_top_terms",
+        "dup_ngram_stats",
+        "dedup_ngram_spans",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

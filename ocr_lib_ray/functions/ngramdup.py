@@ -1,0 +1,187 @@
+"""Cross-document duplicated-span detection and removal (word n-grams).
+
+The exact-substring dedup of "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., 2022), expressed at word-n-gram
+granularity so it distributes as two shuffle-light passes:
+
+1. gram document-frequency: per-batch DISTINCT (gram_hash, 1) partials
+   per document → ``groupby(gram_hash).Sum`` → grams in >= ``min_df``
+   DISTINCT documents form the *hot set* (duplicated spans).  The
+   partial-combine means the shuffle carries one row per distinct gram
+   per batch — never every gram occurrence.
+2. map-only rewrite/stats: a token position is *duplicated* iff some
+   hot gram covers it; each document marks covered positions against
+   the broadcast hot set and emits stats (:func:`dup_ngram_stats`) or
+   the text with covered tokens removed (:func:`remove_dup_ngrams`).
+
+Gram identity = md5 of the space-joined normalized tokens — stable
+across runs and bit-reproducible in DuckDB SQL (the driver oracle
+rebuilds the same hot set with ``md5(array_to_string(...))``).
+
+The hot set is broadcast via ``ray.put`` behind a ``max_hot`` guard;
+on a dup-heavy crawl where duplicated grams are corpus-scale, rebuild
+on the same-key-bucket join pattern of
+``linedup.remove_common_lines_join`` (explode (doc, pos, gram) rows,
+bucket by gram hash, regroup by doc).  Stats here intentionally count
+df over DISTINCT documents: intra-document repetition is not
+cross-document duplication.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+__all__ = ["dup_ngram_stats", "remove_dup_ngrams", "hot_ngrams"]
+
+
+def _gram_hash(tokens: list, i: int, n: int) -> str:
+    return hashlib.md5(" ".join(tokens[i : i + n]).encode("utf-8")).hexdigest()
+
+
+def _norm_tokens(batch: pa.Table, text_col: str):
+    from .text_stats import normalize_expr
+
+    for t in normalize_expr(batch.column(text_col)).to_pylist():
+        yield t.split(" ") if t else []
+
+
+def _gram_df_partials(batch: pa.Table, text_col: str, n: int) -> pa.Table:
+    """(gram_hash, nd=1) per DISTINCT gram per document."""
+    hashes = []
+    for toks in _norm_tokens(batch, text_col):
+        seen = set()
+        for i in range(len(toks) - n + 1):
+            h = _gram_hash(toks, i, n)
+            if h not in seen:
+                seen.add(h)
+                hashes.append(h)
+    return pa.Table.from_arrays(
+        [pa.array(hashes, pa.string()), pa.array([1] * len(hashes), pa.int64())],
+        names=["gram_hash", "nd"],
+    )
+
+
+def hot_ngrams(
+    ds, text_col: str = "text", n: int = 3, min_df: int = 2, max_hot: int = 50_000_000
+) -> set:
+    """Hashes of n-grams present in >= min_df distinct documents."""
+    import pyarrow.compute as pc
+
+    counts = (
+        ds.map_batches(
+            lambda b: _gram_df_partials(b, text_col, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("gram_hash")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("nd"), min_df)).select(
+                ["gram_hash"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_hot = counts.count()  # metadata-only on a materialized dataset
+    if n_hot > max_hot:
+        raise ValueError(
+            f"hot n-gram set {n_hot} exceeds max_hot={max_hot}; use a "
+            "bucketed join rewrite (see linedup.remove_common_lines_join) "
+            "instead of the broadcast path"
+        )
+    out: set = set()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        out.update(b.column("gram_hash").to_pylist())
+    return out
+
+
+def _covered(toks: list, n: int, hot: set):
+    """Boolean coverage per token position + hot-gram position count."""
+    import numpy as np
+
+    L = len(toks)
+    cov = np.zeros(L, dtype=bool)
+    n_hot_grams = 0
+    for i in range(L - n + 1):
+        if _gram_hash(toks, i, n) in hot:
+            n_hot_grams += 1
+            cov[i : i + n] = True
+    return cov, n_hot_grams
+
+
+def dup_ngram_stats(
+    docs_ds,
+    n: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hot: int = 50_000_000,
+):
+    """(id, n_tokens, n_hot_grams, n_dup_tokens, dup_frac) per document.
+
+    dup_frac = duplicated tokens / tokens, rounded once to 6 (0.0 for
+    empty docs).  One row per input document, empty docs included.
+    """
+    import ray
+
+    hot_ref = ray.put(hot_ngrams(docs_ds, text_col, n, min_df, max_hot))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        n_toks, n_hot, n_dup, fracs = [], [], [], []
+        for toks in _norm_tokens(batch, text_col):
+            cov, hot_grams = _covered(toks, n, hot)
+            dup = int(cov.sum())
+            n_toks.append(len(toks))
+            n_hot.append(hot_grams)
+            n_dup.append(dup)
+            fracs.append(round(dup / len(toks), 6) if toks else 0.0)
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(n_toks, pa.int64()),
+                pa.array(n_hot, pa.int64()),
+                pa.array(n_dup, pa.int64()),
+                pa.array(fracs, pa.float64()),
+            ],
+            names=[id_col, "n_tokens", "n_hot_grams", "n_dup_tokens", "dup_frac"],
+        )
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def remove_dup_ngrams(
+    docs_ds,
+    n: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hot: int = 50_000_000,
+):
+    """(id, text) with every token covered by a duplicated n-gram removed.
+
+    Output text is the NORMALIZED form (collapse_ws) minus covered
+    tokens, space-joined — span removal operates on the token stream,
+    so the normalized stream is the faithful unit (same contract as the
+    chunking ops).  Documents whose every token is duplicated emit ''.
+    """
+    import ray
+
+    hot_ref = ray.put(hot_ngrams(docs_ds, text_col, n, min_df, max_hot))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        out = []
+        for toks in _norm_tokens(batch, text_col):
+            cov, _ = _covered(toks, n, hot)
+            out.append(" ".join(t for t, c in zip(toks, cov) if not c))
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(out, pa.string())],
+            names=[id_col, text_col],
+        )
+
+    return docs_ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)

@@ -70,6 +70,8 @@ QUERIES = [
     "sample_fixed_k",
     "topk_per_group",
     "tfidf_top_terms",
+    "dup_ngram_stats",
+    "dedup_ngram_spans",
 ]
 
 #: document-table queries with NO SQL oracle — empty since round 3:

@@ -1,0 +1,96 @@
+"""Gates for cross-document duplicated-span detection/removal
+(functions/ngramdup): planted-span semantics, intra-doc repetition NOT
+counted as duplication, overlap coverage, block-layout invariance."""
+
+import pyarrow as pa
+import pytest
+
+from ocr_lib_ray.functions.ngramdup import (
+    dup_ngram_stats,
+    hot_ngrams,
+    remove_dup_ngrams,
+)
+
+
+def _ds(rows, num_blocks=1):
+    import ray.data as rd
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+    return rd.from_arrow(t).repartition(num_blocks)
+
+
+# the 3-gram "shared boiler plate" is planted in docs 1 and 2 only
+ROWS = [
+    (1, "alpha shared boiler plate omega"),
+    (2, "start shared boiler plate end unique2"),
+    (3, "totally different words entirely here"),
+    (4, ""),  # empty doc: row emitted, zeros
+    (5, "repeat repeat repeat repeat repeat"),  # intra-doc only: NOT dup
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_planted_span_coverage_and_empty_doc():
+    stats = {
+        r["doc_id"]: r
+        for r in dup_ngram_stats(_ds(ROWS), n=3, min_df=2).take_all()
+    }
+    assert len(stats) == 5
+    # docs 1,2: exactly the 3 tokens of the planted gram are covered
+    assert stats[1]["n_dup_tokens"] == 3 and stats[1]["n_hot_grams"] == 1
+    assert stats[2]["n_dup_tokens"] == 3
+    assert stats[1]["dup_frac"] == round(3 / 5, 6)
+    # doc 3 shares nothing; doc 4 empty; doc 5 repeats only within itself
+    for i in (3, 4, 5):
+        assert stats[i]["n_dup_tokens"] == 0 and stats[i]["dup_frac"] == 0.0
+    assert stats[4]["n_tokens"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rewrite_removes_exactly_covered_tokens():
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_dup_ngrams(_ds(ROWS), n=3, min_df=2).take_all()
+    }
+    assert out[1] == "alpha omega"
+    assert out[2] == "start end unique2"
+    assert out[3] == "totally different words entirely here"
+    assert out[4] == ""
+    assert out[5] == "repeat repeat repeat repeat repeat"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlapping_hot_grams_union_coverage():
+    # "a b c d" in both docs → grams (a b c) and (b c d) both hot in
+    # doc 1; coverage is the UNION (4 tokens), not 6
+    rows = [(1, "x a b c d y"), (2, "a b c d")]
+    stats = {
+        r["doc_id"]: r for r in dup_ngram_stats(_ds(rows), n=3, min_df=2).take_all()
+    }
+    assert stats[1]["n_hot_grams"] == 2 and stats[1]["n_dup_tokens"] == 4
+    assert stats[2]["n_dup_tokens"] == 4 and stats[2]["dup_frac"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_block_layout_invariance_and_min_df():
+    one = sorted(
+        tuple(r.values()) for r in dup_ngram_stats(_ds(ROWS, 1), n=3, min_df=2).take_all()
+    )
+    many = sorted(
+        tuple(r.values()) for r in dup_ngram_stats(_ds(ROWS, 5), n=3, min_df=2).take_all()
+    )
+    assert one == many
+    # min_df=3: the planted pair no longer qualifies → empty hot set
+    assert hot_ngrams(_ds(ROWS), n=3, min_df=3) == set()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_hot_guard():
+    with pytest.raises(ValueError, match="max_hot"):
+        hot_ngrams(_ds(ROWS), n=3, min_df=2, max_hot=0)
