@@ -595,6 +595,20 @@ def _q_dedup_ngram_spans(sf_dir: str):
     return remove_dup_ngrams(_docs(sf_dir), n=3, min_df=2)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Eval-set 5-gram decontamination flags (eval = doc_id % 41 == 0)."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.ngramdup import decontaminate
+
+    def only_eval(b: "pa.Table") -> "pa.Table":
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 41 == 0))
+
+    eval_ds = _docs(sf_dir).map_batches(only_eval, batch_format="pyarrow")
+    return decontaminate(_docs(sf_dir), eval_ds, n=5)
+
+
 def _q_cosine_dups_lsh(sf_dir: str):
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs_lsh
 
@@ -955,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_ngram_stats": _q_dup_ngram_stats,
         "dedup_ngram_spans": _q_dedup_ngram_spans,
+        "decontaminate": _q_decontaminate,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
         "chunk_documents": _q_chunk_documents,
@@ -1604,6 +1619,22 @@ def oracle_sql() -> dict[str, str]:
                        FROM kept GROUP BY doc_id)
             SELECT d.doc_id, coalesce(j.text, '') AS text
             FROM d LEFT JOIN joined j USING (doc_id)
+        """,
+        "decontaminate": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            gi AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 4)) AS i FROM ta),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(ws[i : i + 4], ' ')) AS gh FROM gi),
+            ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 41 = 0),
+            hits AS (SELECT g.doc_id, count(DISTINCT g.gh) AS n_eval_grams
+                     FROM grams g JOIN ev USING (gh) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+                   CAST(CASE WHEN coalesce(h.n_eval_grams, 0) > 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM d LEFT JOIN hits h USING (doc_id)
         """,
         "corpus_clean": f"""
             WITH gold AS (

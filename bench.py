@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "tfidf_top_terms",
         "dup_ngram_stats",
         "dedup_ngram_spans",
+        "decontaminate",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

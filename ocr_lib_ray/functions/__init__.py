@@ -13,7 +13,7 @@ from .dedup import (
 )
 from .joins import asof_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
-from .ngramdup import dup_ngram_stats, hot_ngrams, remove_dup_ngrams
+from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .ranking import tfidf_top_terms, topk_per_group
 from .sampling import sample_fixed_k, split_dataset, stratified_sample, take_split
@@ -59,6 +59,7 @@ __all__ = [
     "range_join_count",
     "remove_common_lines",
     "remove_common_lines_join",
+    "decontaminate",
     "dup_ngram_stats",
     "hot_ngrams",
     "remove_dup_ngrams",

@@ -34,7 +34,7 @@ import hashlib
 import pyarrow as pa
 from ray.data.aggregate import Sum
 
-__all__ = ["dup_ngram_stats", "remove_dup_ngrams", "hot_ngrams"]
+__all__ = ["decontaminate", "dup_ngram_stats", "remove_dup_ngrams", "hot_ngrams"]
 
 
 def _gram_hash(tokens: list, i: int, n: int) -> str:
@@ -152,6 +152,78 @@ def dup_ngram_stats(
         )
 
     return docs_ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate(
+    docs_ds,
+    eval_ds,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_eval_grams: int = 50_000_000,
+):
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation set (the GPT-3/PaLM 13-gram-overlap
+    protocol, n configurable).
+
+    Returns one row per training document:
+    (id, n_eval_grams = DISTINCT eval grams the doc contains,
+    contaminated = 0/1).  Filtering is then a trivial map; keeping the
+    counts makes the contamination-rate audit free.
+
+    Scale shape: the eval side is small BY DEFINITION (benchmarks are
+    thousands of docs, not billions) — its distinct gram-hash set
+    builds distributed, collects once (``max_eval_grams`` guard) and
+    broadcasts via ``ray.put``; the corpus pass is map-only.  This is
+    the n-gram-level sibling of ``dedup.dedup_against_reference``
+    (whole-doc fingerprint anti-join): use that when the reference side
+    is corpus-sized, this when it is an eval set.
+    """
+    import ray
+
+    eval_grams = (
+        eval_ds.map_batches(
+            lambda b: _gram_df_partials(b, text_col, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("gram_hash")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .materialize()
+    )
+    n_grams = eval_grams.count()  # metadata-only on materialized data
+    if n_grams > max_eval_grams:
+        raise ValueError(
+            f"eval gram set {n_grams} exceeds max_eval_grams="
+            f"{max_eval_grams}; the eval side is not eval-set-sized — "
+            "use dedup.dedup_against_reference's bucketed anti-join"
+        )
+    hot: set = set()
+    for b in eval_grams.iter_batches(batch_format="pyarrow"):
+        hot.update(b.column("gram_hash").to_pylist())
+    hot_ref = ray.put(hot)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ev = ray.get(hot_ref)
+        hits, flags = [], []
+        for toks in _norm_tokens(batch, text_col):
+            doc_hits = {
+                h
+                for i in range(len(toks) - n + 1)
+                if (h := _gram_hash(toks, i, n)) in ev
+            }
+            hits.append(len(doc_hits))
+            flags.append(1 if doc_hits else 0)
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(hits, pa.int64()),
+                pa.array(flags, pa.int64()),
+            ],
+            names=[id_col, "n_eval_grams", "contaminated"],
+        )
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def remove_dup_ngrams(

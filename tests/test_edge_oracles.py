@@ -72,6 +72,7 @@ QUERIES = [
     "tfidf_top_terms",
     "dup_ngram_stats",
     "dedup_ngram_spans",
+    "decontaminate",
 ]
 
 #: document-table queries with NO SQL oracle — empty since round 3:

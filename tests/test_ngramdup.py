@@ -94,3 +94,36 @@ def test_block_layout_invariance_and_min_df():
 def test_max_hot_guard():
     with pytest.raises(ValueError, match="max_hot"):
         hot_ngrams(_ds(ROWS), n=3, min_df=2, max_hot=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_eval_overlap_only():
+    from ocr_lib_ray.functions.ngramdup import decontaminate
+
+    eval_rows = [(100, "the secret benchmark answer is forty two")]
+    train = [
+        (1, "clean text with no overlap at all"),
+        # contains one eval 5-gram ("secret benchmark answer is forty")
+        (2, "leaked prefix the secret benchmark answer is forty something"),
+        (3, ""),  # empty: never contaminated
+        # full eval doc verbatim → 3 distinct 5-grams hit
+        (4, "the secret benchmark answer is forty two"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(_ds(train), _ds(eval_rows), n=5).take_all()
+    }
+    assert out[1]["contaminated"] == 0 and out[1]["n_eval_grams"] == 0
+    assert out[2]["contaminated"] == 1 and out[2]["n_eval_grams"] == 2
+    assert out[3]["contaminated"] == 0
+    assert out[4]["n_eval_grams"] == 3 and out[4]["contaminated"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_eval_guard():
+    from ocr_lib_ray.functions.ngramdup import decontaminate
+
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        decontaminate(
+            _ds(ROWS), _ds([(9, "a b c d e f g")]), n=5, max_eval_grams=1
+        ).take_all()
