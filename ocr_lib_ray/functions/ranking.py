@@ -56,13 +56,26 @@ def topk_per_group(
     ascending = [not descending, True]
 
     def prune(batch: pa.Table) -> pa.Table:
+        # fail loudly on null group keys: pandas groupby would silently
+        # drop them here and Ray's sort-shuffle groupby cannot order
+        # None against strings downstream — either way the SQL analog
+        # (which ranks the NULL partition) would silently diverge
+        if batch.column(group_col).null_count:
+            raise ValueError(
+                f"topk_per_group: null keys in group column {group_col!r} "
+                "are unsupported (Ray sort-based groupby cannot shuffle "
+                "them); filter or fill them first"
+            )
+        schema = batch.select(cols).schema
         df = batch.select(cols).to_pandas()
         top = (
             df.sort_values([order_col, id_col], ascending=ascending)
             .groupby(group_col, sort=False)
             .head(k)
         )
-        return pa.Table.from_pandas(top, preserve_index=False)
+        # explicit schema: from_pandas on an EMPTY block would infer
+        # `null` types and break downstream schema unification
+        return pa.Table.from_pandas(top, schema=schema, preserve_index=False)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values([order_col, id_col], ascending=ascending).head(k)[cols]

@@ -8,6 +8,7 @@ split on every run, machine and cluster size.  So splits key on
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -15,6 +16,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 SPLIT_DENOM = 10_000
+
+
+def _md5_hex(salt: str, key) -> str:
+    return hashlib.md5((salt + str(key)).encode("utf-8")).hexdigest()
+
+
+def _hex_threshold(frac: float) -> str:
+    """First-8-hex-chars threshold for ``md5 < t`` keep-with-prob-frac.
+
+    Valid only for frac < 1 (frac >= 1 must keep unconditionally: the
+    9-char hex of 2**32 compares LOWER than most 8-char hashes)."""
+    return format(int(frac * (1 << 32)), "08x")
 
 
 def add_split_column(
@@ -55,33 +68,14 @@ def add_split_column_md5(
     thresholds — bit-identical to the SQL
     ``substr(md5('salt' || key), 1, 8) < '<hex>'`` (DuckDB-oracleable,
     unlike crc32 which DuckDB lacks)."""
-    import hashlib
-
-    def hex_threshold(frac: float) -> str:
-        return format(int(frac * (1 << 32)), "08x")
-
-    t_test = hex_threshold(test_frac)
-    t_val = hex_threshold(test_frac + val_frac)
+    t_test = _hex_threshold(test_frac)
+    t_val = _hex_threshold(test_frac + val_frac)
     keys = batch.column(key_col).to_pylist()
     split = []
     for k in keys:
-        h = hashlib.md5((salt + str(k)).encode("utf-8")).hexdigest()[:8]
+        h = _md5_hex(salt, k)[:8]
         split.append("test" if h < t_test else ("val" if h < t_val else "train"))
     return batch.append_column("split", pa.array(split, pa.string()))
-
-
-def _md5_hex(salt: str, key) -> str:
-    import hashlib
-
-    return hashlib.md5((salt + str(key)).encode("utf-8")).hexdigest()
-
-
-def _hex_threshold(frac: float) -> str:
-    """First-8-hex-chars threshold for ``md5 < t`` keep-with-prob-frac.
-
-    Valid only for frac < 1 (frac >= 1 must keep unconditionally: the
-    9-char hex of 2**32 compares LOWER than most 8-char hashes)."""
-    return format(int(frac * (1 << 32)), "08x")
 
 
 def stratified_sample(
@@ -106,13 +100,25 @@ def stratified_sample(
     """
     import pyarrow as pa
 
+    # one threshold per distinct rate, computed once (not per row);
+    # None marks the rate>=1 keep-all / rate<=0 drop-all short circuits
+    thr_cache: dict = {}
+
+    def threshold(g):
+        if g not in thr_cache:
+            rate = rates.get(g, default_rate)
+            thr_cache[g] = (
+                True if rate >= 1.0 else (False if rate <= 0.0 else _hex_threshold(rate))
+            )
+        return thr_cache[g]
+
     def keep_mask(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_pylist()
         groups = batch.column(group_col).to_pylist()
         mask = []
         for k, g in zip(keys, groups):
-            rate = rates.get(g, default_rate)
-            mask.append(rate >= 1.0 or _md5_hex(salt, k)[:8] < _hex_threshold(rate))
+            t = threshold(g)
+            mask.append(t if isinstance(t, bool) else _md5_hex(salt, k)[:8] < t)
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)

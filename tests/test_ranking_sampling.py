@@ -109,6 +109,37 @@ def test_topk_per_group_matches_pandas_with_ties():
         )
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_topk_per_group_null_groups_and_empty_blocks():
+    import ray.data as rd
+
+    # 3 rows spread over 8 blocks → empty blocks hit the prune (the
+    # from_pandas null-type trap)
+    t = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array([10, 20, 30], pa.int64()),
+            pa.array(["a", "b", "a"], pa.string()),
+        ],
+        names=["doc_id", "score", "grp"],
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    got = (
+        topk_per_group(ds, "grp", "score", k=1, id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [2, 3]
+
+    # null group keys: loud error, not a silent drop (Ray's sort-based
+    # groupby cannot shuffle None against strings; SQL would rank the
+    # NULL partition — divergence must be explicit)
+    t_null = t.set_column(2, "grp", pa.array(["a", None, "a"], pa.string()))
+    with pytest.raises(Exception, match="null keys"):
+        topk_per_group(rd.from_arrow(t_null), "grp", "score", k=1, id_col="doc_id").take_all()
+
+
 def _tfidf_reference(rows, k):
     texts = {i: t.split() for i, t, _ in rows if t.strip()}
     n = len(texts)
