@@ -95,6 +95,11 @@ def build_training_data(
     dedup: str = "broadcast",
     line_max_df: int = 1,
     overwrite: bool = False,
+    mixture_rates: dict | None = None,
+    mixture_key=None,
+    mixture_default_rate: float = 1.0,
+    eval_docs: rd.Dataset | None = None,
+    decontam_n: int = 5,
 ) -> rd.Dataset:
     """The full web-corpus → training-data pipeline, every stage one of
     this repo's operators on a single streaming Dataset:
@@ -123,6 +128,22 @@ def build_training_data(
       dup map itself is corpus-sized.  Output-equivalent (tested on a
       dup-heavy fixture).
 
+    Opt-in curation stages (defaults leave the pipeline byte-identical):
+
+    * ``mixture_rates``: per-stratum deterministic downsampling
+      (:func:`ocr_lib_ray.functions.sampling.stratified_sample`) applied
+      right after extraction+redaction — the corpus-mixture-control
+      step of a training-data build.  Strata come from
+      ``mixture_key(url)`` (default: the url netloc, the natural
+      per-site key for a web crawl); unknown strata keep
+      ``mixture_default_rate``.  Runs BEFORE the checkpoint/dedup
+      passes so downsampled docs never cost another stage.
+    * ``eval_docs``: benchmark decontamination — any doc sharing a
+      ``decontam_n``-gram with the eval set's ``text`` column is
+      dropped after exact dedup, before the quality gate (the
+      :func:`ocr_lib_ray.functions.ngramdup.decontaminate` membership
+      rule, filtered inline so text rides along).
+
     Multi-pass note: line-dedup and exact-dedup each drive a small
     keys-only pass over ``docs`` before the streaming rewrite, and Ray
     re-executes upstream lineage per pass — extraction would run 3×.
@@ -150,6 +171,26 @@ def build_training_data(
         )
 
     docs = extracted.map_batches(redact_extracted, batch_format="pyarrow")
+
+    if mixture_rates is not None:
+        from urllib.parse import urlsplit
+
+        from ..functions.sampling import stratified_sample
+
+        key_fn = mixture_key or (lambda u: urlsplit(u).netloc)
+
+        def add_mix_group(b: pa.Table) -> pa.Table:
+            groups = [key_fn(u) for u in b.column("doc_id").to_pylist()]
+            return b.append_column("mix_group", pa.array(groups, pa.string()))
+
+        docs = stratified_sample(
+            docs.map_batches(add_mix_group, batch_format="pyarrow"),
+            key_col="doc_id",
+            group_col="mix_group",
+            rates=mixture_rates,
+            default_rate=mixture_default_rate,
+        ).drop_columns(["mix_group"])
+
     if checkpoint_dir is not None:
         # write_parquet APPENDS into an existing dir: a reused
         # checkpoint path would silently double the corpus, so the dir
@@ -229,6 +270,28 @@ def build_training_data(
         deduped = docs.map_batches(_keep_winners, batch_format="pyarrow")
     else:
         raise ValueError(f"dedup must be 'broadcast' or 'join', got {dedup!r}")
+
+    if eval_docs is not None:
+        # benchmark decontamination: drop any doc sharing a decontam_n-
+        # gram with the eval set (filtered inline — same membership rule
+        # as functions.ngramdup.decontaminate)
+        from ..functions.ngramdup import _collect_gram_digests, _covered, _norm_tokens
+
+        ev_ref = ray.put(
+            _collect_gram_digests(
+                eval_docs, "text", decontam_n, 1, 20_000_000, "max_eval_grams"
+            )
+        )
+
+        def drop_contaminated(b: pa.Table) -> pa.Table:
+            ev = ray.get(ev_ref)
+            keep = []
+            for toks in _norm_tokens(b, "text"):
+                cov, hits = _covered(toks, decontam_n, ev)
+                keep.append(hits == 0)
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        deduped = deduped.map_batches(drop_contaminated, batch_format="pyarrow")
 
     # model quality gate: score and filter INLINE so text rides along —
     # no corpus-sized keep-set broadcast, no join

@@ -582,3 +582,82 @@ def test_giant_band_parallel_extraction_equivalent():
     )
     assert seq.equals(par)
     assert len(seq.column("text")[0].as_py()) > 100_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_training_data_mixture_and_decontam_defaults_are_noops(sf_small):
+    """mixture at rate 1.0 and an eval set overlapping nothing must both
+    leave the packed output byte-identical to the default pipeline."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    key = ["partition_id", "seq_id"]
+    base = (
+        build_training_data(build_pages_dataset(sf_small))
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    no_overlap_eval = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(["zz qq xx ww vv uu tt ss rr"], pa.string())], names=["text"]
+        )
+    )
+    same = (
+        build_training_data(
+            build_pages_dataset(sf_small),
+            mixture_rates={},  # every stratum takes the default rate 1.0
+            eval_docs=no_overlap_eval,
+        )
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert base.equals(same)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_training_data_mixture_downsamples_by_source(sf_small):
+    """Zero-rating one source stratum removes its docs (fewer packed
+    tokens), deterministically across runs."""
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    def src_of(url: str) -> str:
+        return url.split("/")[3]  # https://corpus.test/<source>/<doc_id>
+
+    kw = dict(
+        mixture_rates={"src0": 0.0, "src1": 0.0},
+        mixture_key=src_of,
+        mixture_default_rate=1.0,
+    )
+    a = build_training_data(build_pages_dataset(sf_small), **kw).to_pandas()
+    base = build_training_data(build_pages_dataset(sf_small)).to_pandas()
+    assert a["total_tokens"].sum() < base["total_tokens"].sum()
+    b = build_training_data(build_pages_dataset(sf_small), **kw).to_pandas()
+    key = ["partition_id", "seq_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_training_data_decontam_drops_planted_eval_doc(sf_small):
+    """An eval set copied from a real document's text removes that
+    document's tokens from the packed output."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+    from ocr_lib_ray.pipelines.extract import build_pages_dataset
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    rich = docs[docs["text"].str.split().str.len() >= 8].iloc[0]
+    eval_ds = rd.from_arrow(
+        pa.Table.from_arrays([pa.array([rich["text"]], pa.string())], names=["text"])
+    )
+    base = build_training_data(build_pages_dataset(sf_small)).to_pandas()
+    decon = build_training_data(
+        build_pages_dataset(sf_small), eval_docs=eval_ds, decontam_n=5
+    ).to_pandas()
+    assert decon["total_tokens"].sum() < base["total_tokens"].sum()
