@@ -71,6 +71,128 @@ def _pack_tail_sql(budget: int = 128, num_partitions: int = 16) -> str:
             FROM rec GROUP BY 1, 2"""
 
 
+def _training_data_sql(mixture: bool = False, decontam: bool = False) -> str:
+    """End-to-end SQL oracle of pipelines.corpus.build_training_data:
+    golden extract → PII redact → C4 line-dedup (df over distinct docs
+    per line) → exact dedup (md5, min-url winner) → logistic quality
+    gate (z ≥ 0 ⇔ prob ≥ 0.5, same rounded signals as model_score) →
+    32/8 chunking → recursive greedy packing.
+
+    ``mixture`` folds in the opt-in per-source downsampling stage
+    (stratified_sample's md5-threshold keyed on the url, salt 'strat';
+    rates src0/srcA = 0.5 → hex threshold '80000000', src1 = 0.0,
+    default 1.0) — applied before line-df so dropped docs never count.
+    ``decontam`` folds in eval-set n-gram decontamination: the eval set
+    is the doc_id % 20 = 0 slice of raw documents, and any deduped doc
+    sharing a normalized 5-gram with it is dropped before the quality
+    gate (functions/ngramdup membership rule; list slice ws[i:i+4] is
+    DuckDB-inclusive = 5 tokens)."""
+    mix_where = (
+        f"""
+              WHERE CASE source
+                    WHEN 'src1' THEN FALSE
+                    WHEN 'src0' THEN substr(md5('strat' ||
+                        'https://corpus.test/' || source || '/' || doc_id),
+                        1, 8) < '80000000'
+                    WHEN 'srcA' THEN substr(md5('strat' ||
+                        'https://corpus.test/' || source || '/' || doc_id),
+                        1, 8) < '80000000'
+                    ELSE TRUE END"""
+        if mixture
+        else ""
+    )
+    decontam_ctes = (
+        f"""
+            evn AS (SELECT {_NORM} AS nm FROM documents WHERE doc_id % 20 = 0),
+            evg AS (SELECT DISTINCT md5(array_to_string(ws[i : i + 4], ' ')) AS gh
+                    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 4)) AS i
+                          FROM (SELECT str_split(nm, ' ') AS ws
+                                FROM evn WHERE nm <> ''))),
+            dn AS (SELECT url, {_NORM_T.format(x="text")} AS nm FROM ded),
+            dg AS (SELECT url, md5(array_to_string(ws[i : i + 4], ' ')) AS gh
+                   FROM (SELECT url, ws,
+                                unnest(generate_series(1, len(ws) - 4)) AS i
+                         FROM (SELECT url, str_split(nm, ' ') AS ws
+                               FROM dn WHERE nm <> ''))),
+            contam AS (SELECT DISTINCT url FROM dg JOIN evg USING (gh)),
+            dec AS (SELECT url, text FROM ded
+                    WHERE url NOT IN (SELECT url FROM contam)),"""
+        if decontam
+        else ""
+    )
+    ded_src = "dec" if decontam else "ded"
+    return f"""
+            WITH RECURSIVE gold AS (
+              SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
+                     'Document ' || doc_id ||
+                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                              AND {_NORM} <> ''
+                            THEN chr(10) || {_NORM}
+                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                              AND {_NORM} <> ''
+                              AND len(str_split({_NORM}, ' ')) >= 3
+                            THEN chr(10) || {_NORM} ELSE '' END ||
+                       CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
+                            THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text
+              FROM documents{mix_where}),
+            red AS (SELECT url, {_REDACT_T.format(x="text")} AS text FROM gold),
+            lx AS (SELECT url, ls, unnest(generate_series(1, len(ls))) AS i
+                   FROM (SELECT url, str_split(text, chr(10)) AS ls FROM red)),
+            ln0 AS (SELECT url, i, ls[i] AS line FROM lx),
+            ldf AS (SELECT line, count(DISTINCT url) AS df FROM ln0
+                    WHERE line <> '' GROUP BY line),
+            keptl AS (SELECT ln0.url, ln0.i, ln0.line
+                      FROM ln0 LEFT JOIN ldf ON ln0.line = ldf.line
+                      WHERE COALESCE(ldf.df, 0) <= 1),
+            lagg AS (SELECT url, string_agg(line, chr(10) ORDER BY i) AS text
+                     FROM keptl GROUP BY url),
+            ldd AS (SELECT red.url, COALESCE(lagg.text, '') AS text
+                    FROM red LEFT JOIN lagg ON red.url = lagg.url),
+            fp AS (SELECT url, text, md5(text) AS f FROM ldd),
+            win AS (SELECT f, min(url) AS w FROM fp GROUP BY f),
+            ded AS (SELECT url, text FROM fp JOIN win
+                    ON fp.f = win.f AND fp.url = win.w),{decontam_ctes}
+            qt AS (SELECT url, text,
+                          str_split(lower({_NORM_T.format(x="text")}), ' ') AS ws
+                   FROM {ded_src}),
+            uq AS (SELECT url, w, count(*) AS c FROM qt, unnest(ws) AS q(w)
+                   GROUP BY 1, 2),
+            mq AS (SELECT url, max(c) AS mc FROM uq GROUP BY 1),
+            feats AS (SELECT qt.url, qt.text,
+                   round(len(list_filter(ws, w -> list_contains(
+                       {_en_stop_sql()}, w))) * 1.0 / len(ws), 6) AS stop_ratio,
+                   round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
+                     AS mean_word_len,
+                   round(list_sum(list_transform(ws, w ->
+                       len(regexp_replace(w, '[^a-zA-Z]', '', 'g')))) * 1.0 /
+                     greatest(list_sum(list_transform(ws, w -> len(w))), 1), 6)
+                     AS alpha_ratio,
+                   CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0.0
+                        ELSE round(mq.mc * 1.0 / len(ws), 6) END AS top_word_ratio,
+                   ln(1.0 + length(qt.text)) AS log_len
+              FROM qt JOIN mq ON qt.url = mq.url),
+            scored AS (SELECT url, text FROM feats
+                       WHERE 2.0 * stop_ratio + 0.15 * mean_word_len
+                             + 3.0 * alpha_ratio - 4.0 * top_word_ratio
+                             + 0.25 * log_len - 1.5 >= 0),
+            st AS (SELECT url, str_split({_NORM_T.format(x="text")}, ' ') AS ws,
+                          len(str_split({_NORM_T.format(x="text")}, ' ')) AS n
+                   FROM scored WHERE {_NORM_T.format(x="text")} <> ''),
+            sk AS (SELECT url, n,
+                          CASE WHEN n <= 32 THEN 1
+                               ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT)
+                          END AS nchunks
+                   FROM st),
+            sc AS (SELECT url, n,
+                          unnest(generate_series(1, nchunks)) - 1 AS cid
+                   FROM sk),
+            pchunks AS (SELECT url AS k, cid,
+                               least(cid * 24 + 32, n) - cid * 24 AS n_tokens
+                        FROM sc),
+            {_pack_tail_sql(budget=128, num_partitions=16)}
+        """
+
+
 def _pages(sf_dir: str, repeat: int = 1):
     from ocr_lib_ray.pipelines.extract import build_pages_dataset
 
@@ -664,6 +786,36 @@ def _q_training_data(sf_dir: str):
     return build_training_data(_pages(sf_dir), checkpoint_dir=ckpt)
 
 
+def _q_training_data_curated(sf_dir: str):
+    """Curation-stage variant of the flagship pipeline: per-source
+    mixture downsampling (stratified_sample md5-threshold keyed on the
+    url; src0/srcA at 0.5, src1 zero-rated) plus eval-set 5-gram
+    decontamination (eval set = the raw doc_id % 20 = 0 slice), both
+    folded into the end-to-end SQL oracle (_training_data_sql with
+    mixture+decontam on).  No checkpoint: the gate corpus is small and
+    the re-executed lineage is itself deterministic."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.corpus import build_training_data
+
+    def _eval_slice(b: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        return b.filter(pa.array(np.asarray(b.column("doc_id")) % 20 == 0))
+
+    eval_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_eval_slice, batch_format="pyarrow")
+    return build_training_data(
+        _pages(sf_dir),
+        mixture_rates={"src0": 0.5, "src1": 0.0, "srcA": 0.5},
+        mixture_key=lambda u: u.split("/")[3],
+        eval_docs=eval_ds,
+        decontam_n=5,
+    )
+
+
 def _q_model_score(sf_dir: str):
     """Batched model scoring (deterministic logistic with fixed public
     weights over the rounded quality signals — SQL-expressible, full
@@ -976,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "model_score": _q_model_score,
         "training_data": _q_training_data,
+        "training_data_curated": _q_training_data_curated,
         "line_dedup": _q_line_dedup,
         "line_dedup_join": _q_line_dedup_join,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1772,81 +1925,13 @@ def oracle_sql() -> dict[str, str]:
                         FROM cc),
             {_pack_tail_sql(budget=128, num_partitions=16)}
         """,
-        # The full 8-operator composition, oracled end-to-end (round 3):
-        # golden extract → PII redact → C4 line-dedup (df over distinct
-        # docs per line) → exact dedup (md5, min-url winner) → logistic
-        # quality gate (z ≥ 0 ⇔ prob ≥ 0.5, same rounded signals as
-        # model_score) → 32/8 chunking → recursive greedy packing.
-        "training_data": f"""
-            WITH RECURSIVE gold AS (
-              SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
-                     'Document ' || doc_id ||
-                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
-                              AND {norm} <> ''
-                            THEN chr(10) || {norm}
-                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
-                              AND {norm} <> ''
-                              AND len(str_split({norm}, ' ')) >= 3
-                            THEN chr(10) || {norm} ELSE '' END ||
-                       CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
-                            THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text
-              FROM documents),
-            red AS (SELECT url, {_REDACT_T.format(x="text")} AS text FROM gold),
-            lx AS (SELECT url, ls, unnest(generate_series(1, len(ls))) AS i
-                   FROM (SELECT url, str_split(text, chr(10)) AS ls FROM red)),
-            ln0 AS (SELECT url, i, ls[i] AS line FROM lx),
-            ldf AS (SELECT line, count(DISTINCT url) AS df FROM ln0
-                    WHERE line <> '' GROUP BY line),
-            keptl AS (SELECT ln0.url, ln0.i, ln0.line
-                      FROM ln0 LEFT JOIN ldf ON ln0.line = ldf.line
-                      WHERE COALESCE(ldf.df, 0) <= 1),
-            lagg AS (SELECT url, string_agg(line, chr(10) ORDER BY i) AS text
-                     FROM keptl GROUP BY url),
-            ldd AS (SELECT red.url, COALESCE(lagg.text, '') AS text
-                    FROM red LEFT JOIN lagg ON red.url = lagg.url),
-            fp AS (SELECT url, text, md5(text) AS f FROM ldd),
-            win AS (SELECT f, min(url) AS w FROM fp GROUP BY f),
-            ded AS (SELECT url, text FROM fp JOIN win
-                    ON fp.f = win.f AND fp.url = win.w),
-            qt AS (SELECT url, text,
-                          str_split(lower({_NORM_T.format(x="text")}), ' ') AS ws
-                   FROM ded),
-            uq AS (SELECT url, w, count(*) AS c FROM qt, unnest(ws) AS q(w)
-                   GROUP BY 1, 2),
-            mq AS (SELECT url, max(c) AS mc FROM uq GROUP BY 1),
-            feats AS (SELECT qt.url, qt.text,
-                   round(len(list_filter(ws, w -> list_contains(
-                       {_en_stop_sql()}, w))) * 1.0 / len(ws), 6) AS stop_ratio,
-                   round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 6)
-                     AS mean_word_len,
-                   round(list_sum(list_transform(ws, w ->
-                       len(regexp_replace(w, '[^a-zA-Z]', '', 'g')))) * 1.0 /
-                     greatest(list_sum(list_transform(ws, w -> len(w))), 1), 6)
-                     AS alpha_ratio,
-                   CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0.0
-                        ELSE round(mq.mc * 1.0 / len(ws), 6) END AS top_word_ratio,
-                   ln(1.0 + length(qt.text)) AS log_len
-              FROM qt JOIN mq ON qt.url = mq.url),
-            scored AS (SELECT url, text FROM feats
-                       WHERE 2.0 * stop_ratio + 0.15 * mean_word_len
-                             + 3.0 * alpha_ratio - 4.0 * top_word_ratio
-                             + 0.25 * log_len - 1.5 >= 0),
-            st AS (SELECT url, str_split({_NORM_T.format(x="text")}, ' ') AS ws,
-                          len(str_split({_NORM_T.format(x="text")}, ' ')) AS n
-                   FROM scored WHERE {_NORM_T.format(x="text")} <> ''),
-            sk AS (SELECT url, n,
-                          CASE WHEN n <= 32 THEN 1
-                               ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT)
-                          END AS nchunks
-                   FROM st),
-            sc AS (SELECT url, n,
-                          unnest(generate_series(1, nchunks)) - 1 AS cid
-                   FROM sk),
-            pchunks AS (SELECT url AS k, cid,
-                               least(cid * 24 + 32, n) - cid * 24 AS n_tokens
-                        FROM sc),
-            {_pack_tail_sql(budget=128, num_partitions=16)}
-        """,
+        # The full 8-operator composition, oracled end-to-end (round 3);
+        # see _training_data_sql for the stage-by-stage chain.
+        "training_data": _training_data_sql(),
+        # The curated variant: same chain with the opt-in per-source
+        # mixture downsampling and eval-set 5-gram decontamination
+        # stages folded in (round 3).
+        "training_data_curated": _training_data_sql(mixture=True, decontam=True),
         # The HLL sketch itself replicated in SQL (round 3): md5-upper64
         # hash → register index (top 12 bits) + rank (leading zeros of
         # the low 52 bits, via floor(log2) — exact because the low bits

@@ -63,6 +63,7 @@ QUERIES = [
     "dedup_minhash",
     "pack_sequences",
     "training_data",
+    "training_data_curated",  # round 3: mixture + decontam folded in
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
