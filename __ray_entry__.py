@@ -347,6 +347,18 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
 
 
+def _q_dup_components(sf_dir: str):
+    """Distributed connected components (bucketed min-label
+    propagation, two pair-sized shuffles per round — nothing
+    driver-resident) over the exact ngram-Jaccard near-dup pairs:
+    (doc_id, component) with component = min doc_id reachable.  Oracle
+    = recursive-CTE transitive closure over the same pair SQL."""
+    from ocr_lib_ray.functions.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), n=3, threshold=0.5)
+    return connected_components(pairs, node_col="doc_id")
+
+
 def _q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs.  Hash-oracled (round 3): the whole
     pipeline — md5-lower64 shingles, xor-seed + splitmix64 permutations,
@@ -1096,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_components": _q_dup_components,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_incremental": _q_dedup_incremental,
@@ -1490,6 +1503,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             {_ngram_pairs_cte(norm)}
             SELECT d1, d2, jaccard FROM pairs
+        """,
+        # distributed CC over the same pair set; oracle = recursive
+        # transitive closure, component = min reachable id
+        "dup_components": f"""
+            {_ngram_pairs_cte(norm, recursive=True)},
+            edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                      UNION SELECT d2, d1 FROM pairs),
+            walk AS (
+                SELECT a AS doc_id, a AS reach FROM edges
+                UNION
+                SELECT w.doc_id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+            )
+            SELECT doc_id, min(reach) AS component FROM walk GROUP BY doc_id
         """,
         # dedup through the hash-JOIN anti-filter over exact-Jaccard
         # pairs (dedup_by_pairs_join — the no-broadcast loser path)

@@ -2,6 +2,7 @@
 
 from .chunking import chunk_documents, pack_sequences
 from .dedup import (
+    connected_components,
     dedup_by_pairs,
     dedup_by_pairs_join,
     dedup_connected,
@@ -54,6 +55,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    "connected_components",
     "union_find_components",
     "asof_join",
     "range_join_count",

@@ -516,6 +516,150 @@ def expand_components(pairs_ds, max_component: int = 100_000):
     )
 
 
+def connected_components(
+    pairs_ds,
+    node_col: str = "doc_id",
+    component_col: str = "component",
+    num_buckets: int = 64,
+    max_rounds: int = 64,
+):
+    """Distributed connected components over a (d1, d2) pair Dataset:
+    one (node, component) row per node appearing in any pair, with
+    component = the MIN node id reachable from it (ints or strings).
+
+    This is the scale path :func:`union_find_components` /
+    :func:`expand_components` cannot take — those collect the full pair
+    list onto the driver, which breaks when the dup graph itself is
+    corpus-sized (crawl snapshots with 40%+ duplication).  Here the
+    label state stays a Dataset end-to-end: min-label propagation where
+    each round (a) unions the (node, label) state with the static
+    directed edge list under ``crc32(node) % num_buckets`` tags — the
+    same bucketed-groupby join discipline as
+    :func:`dedup_by_pairs_join`, NOT ``Dataset.join`` — so a
+    groupby(bucket) ``map_groups`` can look up each edge source's label
+    and send it to the peer, and (b) a second bucketed groupby takes
+    the min candidate per node.  Two pair-set-sized shuffles per round,
+    nothing driver-resident.
+
+    Labels only ever decrease, so the fixpoint is certified by an exact
+    count of changed labels per round (scalar aggregate over the
+    materialized state — per-round materialization is REQUIRED for any
+    iterative Dataset algorithm; without it lineage re-executes all
+    prior rounds).  Rounds needed ≈ graph diameter: near-dup components
+    are near-cliques (2–3 rounds); ``max_rounds`` guards pathological
+    chains — raising it is safe, just slow, and the raise names the
+    knob.
+    """
+    import zlib
+
+    import ray.data as rd
+
+    from .joins import _union_bucketed
+
+    sch = pairs_ds.schema()
+    id_type = sch.types[sch.names.index("d1")]
+    if not isinstance(id_type, pa.DataType):
+        # pandas-backed blocks surface numpy dtypes / python types
+        id_type = (
+            pa.string()
+            if id_type in (str, object)
+            else pa.from_numpy_dtype(np.dtype(id_type))
+        )
+    empty = pa.Table.from_arrays(
+        [pa.array([], id_type), pa.array([], id_type)],
+        names=[node_col, component_col],
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        d1 = b.column("d1").combine_chunks()
+        d2 = b.column("d2").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([d1, d2]), pa.concat_arrays([d2, d1])],
+            names=["node", "peer"],
+        )
+
+    # materialized once: every round re-reads blocks instead of
+    # re-executing the (possibly expensive) pair lineage
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b.column("node").to_pylist()
+        return b.append_column(
+            "bucket",
+            pa.array(
+                [zlib.crc32(str(k).encode()) % num_buckets for k in keys],
+                pa.int32(),
+            ),
+        )
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node", sort=False)["cand"].min()
+        # groupby-min (not set_index) on the self rows: the init pass
+        # carries one self row per INCIDENT EDGE, the loop exactly one
+        old = g.loc[g["is_self"] == 1].groupby("node")["cand"].min()
+        changed = (new < old.reindex(new.index)).astype("int32")
+        return pd.DataFrame(
+            {"node": new.index, "label": new.values, "changed": changed.values}
+        )
+
+    def min_round(cands):
+        return (
+            cands.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(take_min, batch_format="pandas")
+            .materialize()
+        )
+
+    # init = the first propagation hop: label(node) = min(self, peers)
+    def init_cands(b: pa.Table) -> pa.Table:
+        node = b.column("node").combine_chunks()
+        peer = b.column("peer").combine_chunks()
+        n = len(node)
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([node, node]),
+                pa.concat_arrays([node, peer]),
+                pa.array([1] * n + [0] * n, pa.int8()),
+            ],
+            names=["node", "cand", "is_self"],
+        )
+
+    labels = min_round(edges.map_batches(init_cands, batch_format="pyarrow"))
+
+    for _ in range(max_rounds):
+        state = labels.select_columns(["node", "label"])
+        union, _cols = _union_bucketed(state, edges, "node", num_buckets)
+
+        def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["side"] == 0]
+            ed = g[g["side"] == 1]
+            lmap = dict(zip(lab["node"], lab["label"]))
+            cands = [lmap[s] for s in ed["node"]]
+            return pd.DataFrame(
+                {
+                    "node": list(ed["peer"]) + list(lab["node"]),
+                    "cand": cands + list(lab["label"]),
+                    "is_self": [0] * len(ed) + [1] * len(lab),
+                }
+            )
+
+        labels = min_round(union.groupby("bucket").map_groups(emit_msgs, batch_format="pandas"))
+        if labels.sum("changed") == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in max_rounds={max_rounds} "
+            "(graph diameter exceeds it) — raise max_rounds deliberately"
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.select(["node", "label"]).rename_columns([node_col, component_col])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
 def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
     """Remove every doc that has a smaller near-dup partner.
 

@@ -197,6 +197,69 @@ def test_expand_components_full_cliques():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_connected_components_matches_union_find():
+    """Distributed min-label propagation == driver union-find on a
+    chain + clique + isolated-pair graph, at two bucket counts (the
+    partitioning must not leak into the result)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import (
+        connected_components,
+        union_find_components,
+    )
+
+    d1 = [1, 2, 3, 50, 51, 50, 90]
+    d2 = [2, 3, 4, 51, 52, 52, 91]
+    pairs = rd.from_pandas(pd.DataFrame({"d1": d1, "d2": d2}))
+    want = union_find_components(d1, d2)
+    for buckets in (1, 7):
+        out = (
+            connected_components(pairs, num_buckets=buckets)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = dict(zip(out["doc_id"], out["component"]))
+        assert got == want, buckets
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_string_ids_and_long_chain():
+    """String node ids work (min = lexicographic); a diameter-9 chain
+    converges; max_rounds=1 on it raises instead of returning a wrong
+    fixpoint."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import connected_components
+
+    urls = [f"https://x/{c}" for c in "abcdefghij"]
+    pairs = rd.from_pandas(
+        pd.DataFrame({"d1": urls[:-1], "d2": urls[1:]})
+    )
+    out = connected_components(pairs, node_col="url").to_pandas()
+    assert set(out["component"]) == {urls[0]}
+    assert len(out) == len(urls)
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        connected_components(pairs, max_rounds=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_empty_pairs():
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import connected_components
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"d1": pd.array([], dtype="int64"), "d2": pd.array([], dtype="int64")})
+    )
+    out = connected_components(pairs)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "component"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_by_pairs_keeps_min(sf_small):
     import ray.data as rd
 

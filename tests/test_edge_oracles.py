@@ -59,6 +59,7 @@ QUERIES = [
     "token_counts",
     "top_tokens",
     "ngram_jaccard",
+    "dup_components",  # round 3: distributed CC over jaccard pairs
     "sample_split",
     "dedup_minhash",
     "pack_sequences",
