@@ -284,6 +284,24 @@ def _q_doc_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(doc_stats_batch, batch_format="pyarrow")
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Exact corpus-length percentiles via the distributed-histogram
+    path (map-side value_counts → distinct-values-sized groupby →
+    driver cumsum): never a corpus-wide sort.  Matches DuckDB
+    quantile_disc bit-for-bit (index max(0, ceil(q*n) - 1))."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.quantiles import histogram_quantiles
+    from ocr_lib_ray.functions.text_stats import normalize_expr, token_count
+
+    def counts(b: "pa.Table") -> "pa.Table":
+        n = token_count(normalize_expr(b.column("text"))).cast(pa.int64())
+        return pa.Table.from_arrays([n], names=["n_tokens"])
+
+    ds = _docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+    return histogram_quantiles(ds, "n_tokens", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_fingerprint(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import fingerprint_batch
 
@@ -1101,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sniff_kinds": _q_sniff_kinds,
         "extract_by_lang": _q_extract_by_lang,
         "doc_stats": _q_doc_stats,
+        "token_quantiles": _q_token_quantiles,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1445,6 +1464,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((len(nm) - (nt - 1)) * 1.0 / nt, 6)
                         ELSE 0.0 END AS avg_token_len
             FROM t
+        """,
+        # exact length percentiles; quantile_disc == the histogram
+        # path's max(0, ceil(q*n) - 1) order statistic
+        "token_quantiles": f"""
+            WITH d AS (SELECT {norm} AS nm FROM documents),
+            n AS (SELECT CASE WHEN nm = '' THEN 0
+                              ELSE len(str_split(nm, ' ')) END AS n
+                  FROM d),
+            agg AS (SELECT quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])
+                      AS vals FROM n)
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(vals) AS n_tokens
+            FROM agg
         """,
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
         # bottom-k winnowing sketch over distinct 3-gram md5 hashes

@@ -162,6 +162,9 @@ def run_bench() -> dict:
         "dup_ngram_stats",
         "dedup_ngram_spans",
         "decontaminate",
+        "dup_components",
+        "token_quantiles",
+        "training_data_curated",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

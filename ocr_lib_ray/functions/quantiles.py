@@ -1,0 +1,99 @@
+"""Distributed exact quantiles over a bounded-domain numeric column.
+
+The standard corpus-curation question — "what is the P50/P90/P99
+document length?" — needs exact quantiles over 10^12 rows.  A global
+``sort`` is an all-to-all shuffle of every row; sampling sketches are
+approximate.  For the columns this actually gets asked of (token
+counts, line counts, chunk counts — small-integer domains), the scale
+answer is a HISTOGRAM: a map-side ``value_counts`` per batch, one tiny
+``groupby(value)`` shuffle of (value, count) partials — distinct-
+values-sized, not corpus-sized — then a driver cumulative sum over the
+collected histogram to read the order statistics off exactly.
+
+The quantile definition matches DuckDB ``quantile_disc`` bit-for-bit
+(index ``max(0, ceil(q*n) - 1)`` into the sorted values, the discrete
+lower-order statistic; verified empirically and pinned by the oracle):
+both sides compute ``ceil`` of the same IEEE double product, so the
+driver query hash-verifies.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def histogram_quantiles(
+    ds,
+    col: str,
+    qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+    max_distinct: int = 1_000_000,
+):
+    """Exact quantiles of ``ds[col]`` → pyarrow Table (q, <col>).
+
+    ``max_distinct`` guards the driver-collected histogram: the method
+    is for bounded-domain columns (counts, sizes, years).  A column
+    with more distinct values than that (float scores, timestamps)
+    needs a sort-based or sketch path instead — the raise says so
+    rather than silently melting the driver.
+
+    Nulls are ignored (SQL aggregate semantics).  Returns an empty
+    table when every value is null / the dataset is empty.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column(col).drop_null().combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=[col, "cnt"],
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"{n_distinct} distinct values exceeds max_distinct="
+            f"{max_distinct}: histogram_quantiles is for bounded-domain "
+            "columns — use a sort-based quantile for continuous data"
+        )
+    rows = sorted(
+        (r[col], r["cnt"]) for b in hist.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    try:
+        sch = hist.schema()
+        val_type = sch.types[sch.names.index(col)]
+        if not isinstance(val_type, pa.DataType):
+            val_type = pa.int64()
+    except Exception:  # empty dataset: no schema to read
+        val_type = pa.int64()
+    if not rows:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.float64()), pa.array([], val_type)],
+            names=["q", col],
+        )
+    total = sum(c for _, c in rows)
+    out = []
+    for q in qs:
+        # DuckDB quantile_disc: sorted index max(0, ceil(q*n) - 1);
+        # same IEEE double product on both sides, so boundary cases
+        # (q*n landing on an integer ± 1 ulp) agree bit-for-bit
+        target = max(0, math.ceil(q * total) - 1)
+        cum = 0
+        for v, c in rows:
+            cum += c
+            if cum > target:
+                out.append(v)
+                break
+    return pa.Table.from_arrays(
+        [pa.array(list(qs), pa.float64()), pa.array(out, val_type)],
+        names=["q", col],
+    )

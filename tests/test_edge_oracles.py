@@ -40,6 +40,7 @@ QUERIES = [
     "sniff_kinds",
     "extract_by_lang",
     "doc_stats",
+    "token_quantiles",  # round 3: distributed-histogram quantile_disc
     "fingerprint",
     "winnow_fingerprint",
     "dedup_exact",

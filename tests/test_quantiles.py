@@ -1,0 +1,77 @@
+"""histogram_quantiles: distributed-histogram exact quantiles must match
+DuckDB quantile_disc bit-for-bit across sizes, ties and q boundaries —
+the index arithmetic (ceil of an IEEE product) is the part that can
+silently diverge, so it is cross-checked directly here."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+QS = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+
+def duck_quantiles(vals, qs=QS):
+    con = duckdb.connect()
+    df = pd.DataFrame({"v": vals})  # noqa: F841 (registered by name)
+    return con.execute(
+        f"SELECT quantile_disc(v, {list(qs)}) FROM df"
+    ).fetchone()[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [7],
+        [3, 1, 2],
+        [0, 0, 0, 5],                      # heavy tie at the bottom
+        list(range(10)),
+        list(range(11)) + [5] * 7,         # tie in the middle
+        [(i * 13) % 40 for i in range(100)],
+        [2] * 50,                          # all equal
+    ],
+    ids=["one", "three", "tie0", "ten", "tiemid", "mod40", "const"],
+)
+def test_histogram_quantiles_match_duckdb(vals):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import histogram_quantiles
+
+    ds = rd.from_arrow(
+        pa.Table.from_arrays([pa.array(vals, pa.int64())], names=["n"])
+    )
+    out = histogram_quantiles(ds, "n", qs=QS)
+    assert out.column("q").to_pylist() == list(QS)
+    assert out.column("n").to_pylist() == duck_quantiles(vals)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_histogram_quantiles_nulls_empty_and_guard():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import histogram_quantiles
+
+    # nulls ignored (SQL aggregate semantics)
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([None, 4, None, 1, 3], pa.int64())], names=["n"]
+        )
+    )
+    out = histogram_quantiles(ds, "n", qs=(0.5,))
+    assert out.column("n").to_pylist() == duck_quantiles([4, 1, 3], (0.5,))
+
+    # all-null → empty result, stable schema
+    allnull = rd.from_arrow(
+        pa.Table.from_arrays([pa.array([None, None], pa.int64())], names=["n"])
+    )
+    empty = histogram_quantiles(allnull, "n")
+    assert empty.num_rows == 0
+    assert empty.column_names == ["q", "n"]
+
+    # distinct-domain guard raises instead of melting the driver
+    wide = rd.from_arrow(
+        pa.Table.from_arrays([pa.array(range(100), pa.int64())], names=["n"])
+    )
+    with pytest.raises(ValueError, match="max_distinct"):
+        histogram_quantiles(wide, "n", max_distinct=10)
