@@ -302,6 +302,31 @@ def _q_token_quantiles(sf_dir: str):
     return histogram_quantiles(ds, "n_tokens", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_token_quantiles_by_lang(sf_dir: str):
+    """Per-language length percentiles via the fully distributed
+    per-group histogram (groupby(lang, n) partial counts → per-lang
+    map_groups order statistics — the driver never sees data, so both
+    group count and per-group domain are unbounded)."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.quantiles import group_quantiles
+    from ocr_lib_ray.functions.text_stats import normalize_expr, token_count
+
+    def counts(b: "pa.Table") -> "pa.Table":
+        n = token_count(normalize_expr(b.column("text"))).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("lang"), n], names=["lang", "n_tokens"]
+        )
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    ds = docs.map_batches(counts, batch_format="pyarrow")
+    return group_quantiles(ds, "lang", "n_tokens", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_fingerprint(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import fingerprint_batch
 
@@ -1120,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_by_lang": _q_extract_by_lang,
         "doc_stats": _q_doc_stats,
         "token_quantiles": _q_token_quantiles,
+        "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1475,6 +1501,19 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])
                       AS vals FROM n)
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(vals) AS n_tokens
+            FROM agg
+        """,
+        # per-group variant: the Ray side is fully distributed
+        # (per-lang map_groups over a (lang, n) histogram)
+        "token_quantiles_by_lang": f"""
+            WITH d AS (SELECT lang, {norm} AS nm FROM documents),
+            n AS (SELECT lang, CASE WHEN nm = '' THEN 0
+                                    ELSE len(str_split(nm, ' ')) END AS n
+                  FROM d),
+            agg AS (SELECT lang, quantile_disc(n, [0.25, 0.5, 0.75, 0.9, 0.99])
+                      AS vals FROM n GROUP BY lang)
+            SELECT lang, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
             FROM agg
         """,

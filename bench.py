@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "decontaminate",
         "dup_components",
         "token_quantiles",
+        "token_quantiles_by_lang",
         "training_data_curated",
     ):
         # min-of-2, same protocol as the headline: the shared host's

@@ -16,7 +16,7 @@ from .joins import asof_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .redact import bpe_token_count_batch, redact_batch, redact_text
-from .quantiles import histogram_quantiles
+from .quantiles import group_quantiles, histogram_quantiles
 from .ranking import tfidf_top_terms, topk_per_group
 from .sampling import sample_fixed_k, split_dataset, stratified_sample, take_split
 from .scoring import score_documents
@@ -57,6 +57,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "connected_components",
+    "group_quantiles",
     "histogram_quantiles",
     "union_find_components",
     "asof_join",

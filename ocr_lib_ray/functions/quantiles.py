@@ -97,3 +97,64 @@ def histogram_quantiles(
         [pa.array(list(qs), pa.float64()), pa.array(out, val_type)],
         names=["q", col],
     )
+
+
+def group_quantiles(
+    ds,
+    group_col: str,
+    col: str,
+    qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """Per-group exact quantiles → Dataset (group_col, q, <col>).
+
+    Same histogram discipline as :func:`histogram_quantiles` but fully
+    distributed end-to-end: map-side (group, value) counts, one
+    groupby(group, value) partial-sum shuffle (distinct-pairs-sized),
+    then a groupby(group) ``map_groups`` reads each group's order
+    statistics off its own histogram — the driver never sees data, so
+    group count AND per-group domain size are both unbounded.  The
+    quantile definition is the same DuckDB-quantile_disc index
+    ``max(0, ceil(q*n) - 1)``.  Null values are ignored; a group whose
+    values are all null disappears (SQL aggregate semantics).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, col]).drop_null()
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [
+                g.column(group_col),
+                g.column(col),
+                g.column("count_all").cast(pa.int64()),
+            ],
+            names=[group_col, col, "cnt"],
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    qlist = list(qs)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        counts = g["cnt"].to_numpy()
+        cum = counts.cumsum()
+        total = int(cum[-1])
+        vals = []
+        for q in qlist:
+            target = max(0, math.ceil(q * total) - 1)
+            vals.append(g[col].iloc[int((cum <= target).sum())])
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]] * len(qlist),
+                "q": qlist,
+                col: vals,
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(finish, batch_format="pandas")

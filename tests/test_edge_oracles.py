@@ -41,6 +41,7 @@ QUERIES = [
     "extract_by_lang",
     "doc_stats",
     "token_quantiles",  # round 3: distributed-histogram quantile_disc
+    "token_quantiles_by_lang",  # round 3: per-group variant
     "fingerprint",
     "winnow_fingerprint",
     "dedup_exact",

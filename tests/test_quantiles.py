@@ -47,6 +47,42 @@ def test_histogram_quantiles_match_duckdb(vals):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_group_quantiles_match_duckdb_per_group():
+    """Fully distributed per-group histogram quantiles == DuckDB
+    quantile_disc GROUP BY, including a tie-heavy group, a singleton
+    group, and an all-null group (which must disappear)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import group_quantiles
+
+    groups = ["a"] * 20 + ["b"] * 7 + ["c"] + ["d"] * 3
+    vals = [(i * 7) % 5 for i in range(20)] + [9] * 7 + [42] + [None] * 3
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(groups, pa.string()), pa.array(vals, pa.int64())],
+            names=["g", "v"],
+        )
+    )
+    qs = (0.1, 0.5, 0.9, 1.0)
+    out = (
+        group_quantiles(ds, "g", "v", qs=qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    df = pd.DataFrame({"g": groups, "v": pd.array(vals, dtype="Int64")})  # noqa: F841
+    want = con.execute(
+        f"""SELECT g, unnest({list(qs)}) AS q,
+                   unnest(quantile_disc(v, {list(qs)})) AS v
+            FROM df WHERE v IS NOT NULL GROUP BY g ORDER BY g, q"""
+    ).df()
+    assert list(out["g"]) == list(want["g"])
+    assert list(out["v"]) == list(want["v"])
+    assert "d" not in set(out["g"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_histogram_quantiles_nulls_empty_and_guard():
     import ray.data as rd
 
