@@ -327,6 +327,20 @@ def _q_token_quantiles_by_lang(sf_dir: str):
     return group_quantiles(ds, "lang", "n_tokens", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_cap_per_source(sf_dir: str):
+    """Per-domain document cap (≤3 docs per source, deterministic
+    hash-uniform within the group) — topk_per_group's prune+finish path
+    under an md5 order column, never a global sort."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import cap_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return cap_per_group(docs, "source", "doc_id", k=3)
+
+
 def _q_fingerprint(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import fingerprint_batch
 
@@ -1146,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "token_quantiles": _q_token_quantiles,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
+        "cap_per_source": _q_cap_per_source,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1516,6 +1531,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
             FROM agg
+        """,
+        # per-domain cap: row_number over the same md5[:16] order the
+        # Ray op uses, tie-broken by key
+        "cap_per_source": """
+            WITH h AS (SELECT source, doc_id,
+                              substr(md5('cap' || CAST(doc_id AS VARCHAR)),
+                                     1, 16) AS hh
+                       FROM documents),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hh, doc_id) AS rn
+                  FROM h)
+            SELECT source, doc_id FROM r WHERE rn <= 3
         """,
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
         # bottom-k winnowing sketch over distinct 3-gram md5 hashes

@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "redact_pii",
         "stratified_sample",
         "sample_fixed_k",
+        "cap_per_source",
         "topk_per_group",
         "tfidf_top_terms",
         "dup_ngram_stats",

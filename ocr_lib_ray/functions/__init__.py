@@ -18,7 +18,13 @@ from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngr
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .quantiles import group_quantiles, histogram_quantiles
 from .ranking import tfidf_top_terms, topk_per_group
-from .sampling import sample_fixed_k, split_dataset, stratified_sample, take_split
+from .sampling import (
+    cap_per_group,
+    sample_fixed_k,
+    split_dataset,
+    stratified_sample,
+    take_split,
+)
 from .scoring import score_documents
 from .similarity import (
     cosine_dup_pairs,
@@ -57,6 +63,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "connected_components",
+    "cap_per_group",
     "group_quantiles",
     "histogram_quantiles",
     "union_find_components",

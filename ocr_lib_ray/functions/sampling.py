@@ -124,6 +124,35 @@ def stratified_sample(
     return ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cap_per_group(ds, group_col: str, key_col: str, k: int, salt: str = "cap"):
+    """Keep at most ``k`` rows per group — the per-domain document cap
+    of a crawl-curation pipeline (no domain may dominate the corpus).
+
+    The choice WITHIN a group is a deterministic uniform sample, not
+    "first k seen": rows with the k smallest ``md5(salt || key)[:16]``
+    win (key-stable across runs / cluster size / block layout, same
+    discipline as :func:`sample_fixed_k`), ties broken by key.  Built
+    on ranking.topk_per_group's per-block prune + grouped finish, so
+    the shuffle carries at most k rows per group per block — never a
+    global sort, never a corpus-sized group task.
+
+    Output: (group_col, key_col) of the survivors.
+    """
+    import pyarrow as pa
+
+    from .ranking import topk_per_group
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = [_md5_hex(salt, x)[:16] for x in batch.column(key_col).to_pylist()]
+        return batch.append_column("cap_h", pa.array(h, pa.string()))
+
+    keyed = ds.map_batches(add_h, batch_format="pyarrow")
+    top = topk_per_group(
+        keyed, group_col, "cap_h", k, id_col=key_col, descending=False
+    )
+    return top.select_columns([group_col, key_col])
+
+
 def sample_fixed_k(ds, key_col: str, k: int, salt: str = "fixk"):
     """Deterministic uniform sample of EXACTLY k rows (hash bottom-k).
 

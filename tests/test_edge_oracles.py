@@ -71,6 +71,7 @@ QUERIES = [
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
     "stratified_sample",
+    "cap_per_source",  # round 3: per-domain doc cap (srcA capped at 3)
     "sample_fixed_k",
     "topk_per_group",
     "tfidf_top_terms",

@@ -206,3 +206,40 @@ def test_tfidf_max_vocab_guard():
     ds = rd.from_arrow(_docs_table([(1, "a b c d e", "s")]))
     with pytest.raises(ValueError, match="max_vocab"):
         tfidf_top_terms(ds, k=2, max_vocab=3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cap_per_group_caps_and_is_block_invariant():
+    """At most k per group, survivor SET = the k smallest md5 hashes
+    (verified against a direct computation), identical across block
+    layouts."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import cap_per_group
+
+    rows = pd.DataFrame(
+        {
+            "g": ["a"] * 9 + ["b"] * 2 + ["c"],
+            "doc_id": list(range(9)) + [100, 101] + [200],
+        }
+    )
+
+    def direct(k):
+        want = {}
+        for g, sub in rows.groupby("g"):
+            ranked = sorted(
+                sub["doc_id"],
+                key=lambda x: (hashlib.md5(f"cap{x}".encode()).hexdigest()[:16], x),
+            )
+            want[g] = set(ranked[:k])
+        return want
+
+    for nblocks in (1, 4):
+        ds = rd.from_pandas(rows).repartition(nblocks)
+        out = cap_per_group(ds, "g", "doc_id", k=3).to_pandas()
+        got = {g: set(sub["doc_id"]) for g, sub in out.groupby("g")}
+        assert got == direct(3), nblocks
+        assert out.columns.tolist() == ["g", "doc_id"]
