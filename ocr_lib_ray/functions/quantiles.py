@@ -25,6 +25,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _check_qs(qs) -> None:
+    bad = [q for q in qs if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(
+            f"quantile fractions must be in [0, 1], got {bad} — an out-of-"
+            "range q would otherwise surface as an opaque length mismatch"
+        )
+
+
 def histogram_quantiles(
     ds,
     col: str,
@@ -43,6 +52,8 @@ def histogram_quantiles(
     table when every value is null / the dataset is empty.
     """
     from ray.data.aggregate import Sum
+
+    _check_qs(qs)
 
     def partials(b: pa.Table) -> pa.Table:
         vc = pc.value_counts(b.column(col).drop_null().combine_chunks())
@@ -114,13 +125,26 @@ def group_quantiles(
     statistics off its own histogram — the driver never sees data, so
     group count AND per-group domain size are both unbounded.  The
     quantile definition is the same DuckDB-quantile_disc index
-    ``max(0, ceil(q*n) - 1)``.  Null values are ignored; a group whose
-    values are all null disappears (SQL aggregate semantics).
+    ``max(0, ceil(q*n) - 1)``.  Null VALUES are ignored; a group whose
+    values are all null disappears (SQL aggregate semantics).  Null
+    GROUP keys raise (SQL would keep a NULL group — silently dropping
+    it would diverge from the oracle).
     """
     import pandas as pd
     from ray.data.aggregate import Sum
 
+    _check_qs(qs)
+
     def partials(b: pa.Table) -> pa.Table:
+        # loud raise on null GROUP keys (same discipline as
+        # ranking.topk_per_group): the SQL analog keeps a NULL group,
+        # drop_null below would silently lose it, and Ray's sort-based
+        # groupby cannot shuffle None keys anyway
+        if b.column(group_col).null_count:
+            raise ValueError(
+                f"group_quantiles: null keys in group column {group_col!r} "
+                "are unsupported — filter or fill them first"
+            )
         t = b.select([group_col, col]).drop_null()
         g = t.group_by([group_col, col]).aggregate([([], "count_all")])
         return pa.Table.from_arrays(

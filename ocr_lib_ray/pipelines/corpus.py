@@ -100,6 +100,7 @@ def build_training_data(
     mixture_default_rate: float = 1.0,
     eval_docs: rd.Dataset | None = None,
     decontam_n: int = 5,
+    max_eval_grams: int = 20_000_000,
 ) -> rd.Dataset:
     """The full web-corpus → training-data pipeline, every stage one of
     this repo's operators on a single streaming Dataset:
@@ -275,20 +276,31 @@ def build_training_data(
         # benchmark decontamination: drop any doc sharing a decontam_n-
         # gram with the eval set (filtered inline — same membership rule
         # as functions.ngramdup.decontaminate)
-        from ..functions.ngramdup import _collect_gram_digests, _covered, _norm_tokens
+        from ..functions.ngramdup import (
+            _collect_gram_digests,
+            _gram_digest,
+            _norm_tokens,
+        )
 
         ev_ref = ray.put(
             _collect_gram_digests(
-                eval_docs, "text", decontam_n, 1, 20_000_000, "max_eval_grams"
+                eval_docs, "text", decontam_n, 1, max_eval_grams, "max_eval_grams"
             )
         )
 
         def drop_contaminated(b: pa.Table) -> pa.Table:
             ev = ray.get(ev_ref)
+            n = decontam_n
             keep = []
             for toks in _norm_tokens(b, "text"):
-                cov, hits = _covered(toks, decontam_n, ev)
-                keep.append(hits == 0)
+                # any-hit with early exit: only membership is consumed
+                # here, not the coverage mask _covered builds
+                keep.append(
+                    not any(
+                        _gram_digest(toks, i, n) in ev
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
             return b.filter(pa.array(keep, pa.bool_()))
 
         deduped = deduped.map_batches(drop_contaminated, batch_format="pyarrow")

@@ -111,3 +111,27 @@ def test_histogram_quantiles_nulls_empty_and_guard():
     )
     with pytest.raises(ValueError, match="max_distinct"):
         histogram_quantiles(wide, "n", max_distinct=10)
+
+    # out-of-range q raises up front, not as an Arrow length mismatch
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        histogram_quantiles(wide, "n", qs=(0.5, 1.5))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_quantiles_null_group_keys_raise():
+    """Null GROUP keys raise loudly (SQL keeps a NULL group — silently
+    dropping it would diverge from the oracle)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import group_quantiles
+
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(["a", None], pa.string()), pa.array([1, 2], pa.int64())],
+            names=["g", "v"],
+        )
+    )
+    with pytest.raises(Exception, match="null keys"):
+        group_quantiles(ds, "g", "v").materialize()
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        group_quantiles(ds, "g", "v", qs=(-0.1,))
