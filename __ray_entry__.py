@@ -426,6 +426,18 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def _q_minhash_components(sf_dir: str):
+    """The scale-path dedup composition: MinHash-LSH candidate pairs →
+    distributed connected components (bucketed min-label propagation).
+    The LSH pair output is a SPANNING set per component — exactly what
+    CC needs — and the oracle chains the bit-exact minhash pair SQL
+    into a recursive transitive closure."""
+    from ocr_lib_ray.functions.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+    return connected_components(pairs, node_col="doc_id")
+
+
 def _q_dedup_minhash(sf_dir: str):
     """Transitive-closure near-dup dedup over minhash-LSH pairs.
 
@@ -1169,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
+        "minhash_components": _q_minhash_components,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_incremental": _q_dedup_incremental,
@@ -1360,7 +1373,9 @@ def _mulmod64_sql(v: str, const: int) -> str:
     )
 
 
-def _minhash_pairs_sql(norm: str, threshold: float = 0.5) -> str:
+def _minhash_pairs_sql(
+    norm: str, threshold: float = 0.5, components: bool = False
+) -> str:
     """minhash_lsh_pairs replicated bit-for-bit in SQL (round 3).
 
     Everything the implementation computes is reproduced: md5-lower64
@@ -1384,8 +1399,24 @@ def _minhash_pairs_sql(norm: str, threshold: float = 0.5) -> str:
     empty_sig = "[" + ", ".join(f"'{maxu}'" for _ in range(n_perm)) + "]"
     m1 = _mulmod64_sql("xor(v, v >> 30)", 0xBF58476D1CE4E5B9)
     m2 = _mulmod64_sql("xor(v, v >> 27)", 0x94D049BB133111EB)
+    if components:
+        # connected components over the pair set: recursive transitive
+        # closure, component = min reachable doc_id (the SQL analog of
+        # functions.dedup.connected_components)
+        tail = """,
+        mp AS (SELECT DISTINCT d1, d2 FROM allp),
+        edges AS (SELECT d1 AS a, d2 AS b FROM mp
+                  UNION SELECT d2, d1 FROM mp),
+        walk AS (
+            SELECT a AS doc_id, a AS reach FROM edges
+            UNION
+            SELECT w.doc_id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+        )
+        SELECT doc_id, min(reach) AS component FROM walk GROUP BY doc_id"""
+    else:
+        tail = "SELECT d1, d2, max(est) AS est_jaccard FROM allp GROUP BY 1, 2"
     return f"""
-        WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+        WITH RECURSIVE d AS (SELECT doc_id, {norm} AS nm FROM documents),
         t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
         g AS (SELECT doc_id,
                      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -1413,7 +1444,12 @@ def _minhash_pairs_sql(norm: str, threshold: float = 0.5) -> str:
                          lag(doc_id) OVER (PARTITION BY b, bh, sv ORDER BY doc_id)
                            AS prev
                   FROM bk),
-        cpairs AS (SELECT prev AS d1, doc_id AS d2, 1.0 AS est
+        cpairs AS (SELECT prev AS d1, doc_id AS d2,
+                          -- DOUBLE, explicitly: under WITH RECURSIVE
+                          -- DuckDB resolves the allp UNION's est type
+                          -- from this literal (DECIMAL(2,1)) and would
+                          -- round every rpairs estimate to one decimal
+                          CAST(1.0 AS DOUBLE) AS est
                    FROM chain WHERE prev IS NOT NULL),
         reps AS (SELECT b, bh, sv, min(doc_id) AS rep FROM bk GROUP BY 1, 2, 3),
         rpairs AS (SELECT least(a.rep, c.rep) AS d1, greatest(a.rep, c.rep) AS d2,
@@ -1424,7 +1460,7 @@ def _minhash_pairs_sql(norm: str, threshold: float = 0.5) -> str:
                    WHERE a.sv <> c.sv),
         allp AS (SELECT * FROM cpairs UNION ALL
                  SELECT * FROM rpairs WHERE est >= {threshold})
-        SELECT d1, d2, max(est) AS est_jaccard FROM allp GROUP BY 1, 2
+        {tail}
     """
 
 
@@ -2107,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "simhash_pairs": _simhash_pairs_sql(norm),
+        "minhash_components": _minhash_pairs_sql(norm, components=True),
         # incremental crawl-over-crawl dedup: survivors are docs whose
         # normalized-content md5 is absent from the prior-crawl (even
         # doc_id) fingerprint snapshot

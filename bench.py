@@ -164,6 +164,7 @@ def run_bench() -> dict:
         "dedup_ngram_spans",
         "decontaminate",
         "dup_components",
+        "minhash_components",
         "token_quantiles",
         "token_quantiles_by_lang",
         "training_data_curated",

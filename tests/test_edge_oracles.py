@@ -70,6 +70,7 @@ QUERIES = [
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
+    "minhash_components",  # round 3: distributed CC over LSH pairs
     "stratified_sample",
     "cap_per_source",  # round 3: per-domain doc cap (srcA capped at 3)
     "sample_fixed_k",
