@@ -327,6 +327,36 @@ def _q_token_quantiles_by_lang(sf_dir: str):
     return group_quantiles(ds, "lang", "n_tokens", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_doc_embedding_join(sf_dir: str):
+    """General bucketed hash equi-join (functions.joins.hash_join —
+    NOT Dataset.join, see its Ray-2.49 hazard note): documents enriched
+    with their embedding's dimensionality on doc_id = vec_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+    from ocr_lib_ray.functions.text_stats import normalize_expr, token_count
+
+    def left_side(b: "pa.Table") -> "pa.Table":
+        n = token_count(normalize_expr(b.column("text"))).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), n], names=["doc_id", "n_tokens"]
+        )
+
+    def right_side(b: "pa.Table") -> "pa.Table":
+        dim = pc.list_value_length(b.column("embedding")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("vec_id"), dim], names=["doc_id", "dim"]
+        )
+
+    left = _docs(sf_dir).map_batches(left_side, batch_format="pyarrow")
+    right = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(right_side, batch_format="pyarrow")
+    return hash_join(left, right, "doc_id", ["dim"], how="inner")
+
+
 def _q_cap_per_source(sf_dir: str):
     """Per-domain document cap (≤3 docs per source, deterministic
     hash-uniform within the group) — topk_per_group's prune+finish path
@@ -1173,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "cap_per_source": _q_cap_per_source,
+        "doc_embedding_join": _q_doc_embedding_join,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1567,6 +1598,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
             FROM agg
+        """,
+        # general hash equi-join: documents × embeddings on id
+        "doc_embedding_join": f"""
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN nm = '' THEN 0
+                                   ELSE len(str_split(nm, ' ')) END AS n_tokens
+                       FROM (SELECT doc_id, {norm} AS nm FROM documents)),
+            e AS (SELECT vec_id AS doc_id, len(embedding) AS dim_r
+                  FROM embeddings)
+            SELECT d.doc_id, d.n_tokens, e.dim_r
+            FROM d JOIN e USING (doc_id)
         """,
         # per-domain cap: row_number over the same md5[:16] order the
         # Ray op uses, tie-broken by key

@@ -143,6 +143,7 @@ def run_bench() -> dict:
         "sessionize_salted",
         "asof_join",
         "range_join",
+        "doc_embedding_join",
         "token_counts",
         "lang_id",
         "quality_score",

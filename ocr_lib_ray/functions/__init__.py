@@ -12,7 +12,7 @@ from .dedup import (
     simhash_pairs,
     union_find_components,
 )
-from .joins import asof_join, range_join_count
+from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .redact import bpe_token_count_batch, redact_batch, redact_text
@@ -65,6 +65,7 @@ __all__ = [
     "connected_components",
     "cap_per_group",
     "group_quantiles",
+    "hash_join",
     "histogram_quantiles",
     "union_find_components",
     "asof_join",

@@ -143,6 +143,64 @@ def asof_join(
     return union.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    right_value_cols: list,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int = 32,
+):
+    """General equi-join: left rows matched to right rows on
+    ``key_col``.  ``how`` = ``inner`` (unmatched left rows dropped) or
+    ``left`` (kept, joined columns NaN → every joined column is cast
+    float64 unconditionally so the schema is not group-dependent; with
+    ``inner`` the right columns keep their own dtypes).  A right key
+    matched by several right rows multiplies (standard SQL join
+    semantics).
+
+    Deliberately NOT ``Dataset.join``: in Ray 2.49 a join whose output
+    feeds another hash shuffle silently emits zero rows (see
+    dedup_by_pairs_join).  Same-bucket hash-partition discipline
+    instead: both sides tagged ``crc32(key) % num_partitions``, one
+    union + groupby(bucket), in-group vectorized ``pd.merge`` — per-
+    task memory is bounded by the bucket, works for any key dtype, and
+    the output is safe to shuffle again.  Size ``num_partitions`` ≈
+    total_bytes / 512 MB.  For a SMALL right side prefer a ``ray.put``
+    broadcast + map-side lookup (no shuffle at all) — this operator is
+    for right sides too big to broadcast.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    clash = set(right_value_cols) & set(left_ds.schema().names)
+    if clash:
+        raise ValueError(
+            f"right_value_cols {sorted(clash)} collide with left columns — "
+            "rename the right side before joining (the union would merge "
+            "them into one column)"
+        )
+    right = right_ds.select_columns([key_col] + list(right_value_cols))
+    union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
+    r_cols = [key_col] + list(right_value_cols)
+    rename = {c: c + suffix for c in right_value_cols}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][left_cols]
+        r = g[g["side"] == 1][r_cols].rename(columns=rename)
+        # deterministic output order regardless of block arrival order
+        out = pd.merge(l, r, on=key_col, how=how).sort_values(
+            [key_col] + [c + suffix for c in right_value_cols],
+            kind="mergesort",
+        )
+        if how == "left":
+            for c in right_value_cols:
+                out[c + suffix] = out[c + suffix].astype("float64")
+        return out
+
+    return union.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
 def range_join_count(
     left_ds,
     right_ds,

@@ -86,7 +86,14 @@ QUERIES = [
 NO_ORACLE_DOC: set = set()
 
 #: embedding-table queries (edge corpus is documents-only)
-EMBEDDING_QUERIES = {"knn_brute", "knn_lsh", "knn_ivf", "cosine_dups", "cosine_dups_lsh"}
+EMBEDDING_QUERIES = {
+    "knn_brute",
+    "knn_lsh",
+    "knn_ivf",
+    "cosine_dups",
+    "cosine_dups_lsh",
+    "doc_embedding_join",  # round 3: general bucketed hash equi-join
+}
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is
 #: the HLL sketch — no oracle)

@@ -170,3 +170,53 @@ def test_asof_join_dtype_stable_when_every_row_matches():
     assert types["ts_us_r"] == "double"
     df = out.to_pandas()
     assert df["rv_r"].tolist() == [7.0, 7.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_inner_and_left_match_pandas():
+    """Bucketed equi-join == pandas merge on a key set with unmatched
+    rows on both sides and a multiplying right key, at two partition
+    counts (bucketing must not leak into the result)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "lv": [10, 20, 30, 40, 41]})
+    right = pd.DataFrame({"k": [2, 2, 4, 9], "rv": [200, 201, 400, 900]})
+    for how in ("inner", "left"):
+        want = pd.merge(left, right.rename(columns={"rv": "rv_r"}), on="k", how=how)
+        if how == "left":
+            want["rv_r"] = want["rv_r"].astype("float64")
+        want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+        for nparts in (1, 5):
+            got = (
+                hash_join(
+                    rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(right),
+                    "k",
+                    ["rv"],
+                    how=how,
+                    num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["k", "lv"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_guards():
+    import pandas as pd
+    import pytest as pt
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    with pt.raises(ValueError, match="collide"):
+        hash_join(l, r, "k", ["v"])
+    with pt.raises(ValueError, match="how"):
+        hash_join(l, r, "k", ["w"], how="outer")
