@@ -75,6 +75,29 @@ def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
     return union, left_names
 
 
+def _check_right_cols(left_ds, right_value_cols, suffix: str, extra=()) -> None:
+    """Shared join-guard: right value columns must not collide with
+    left columns, neither bare (the bucketed union would merge them)
+    nor under their suffixed OUTPUT names (pandas would emit _x/_y
+    mangles and the in-group sort/rename would KeyError deep inside a
+    Ray task instead of failing here)."""
+    left_names = set(left_ds.schema().names)
+    clash = set(right_value_cols) & left_names
+    if clash:
+        raise ValueError(
+            f"right_value_cols {sorted(clash)} collide with left columns — "
+            "rename the right side before joining (the union would merge "
+            "them into one column)"
+        )
+    sclash = {c + suffix for c in list(right_value_cols) + list(extra)} & left_names
+    if sclash:
+        raise ValueError(
+            f"left columns {sorted(sclash)} collide with the suffixed join "
+            f"output columns (suffix {suffix!r}) — rename them or pick "
+            "another suffix"
+        )
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -95,13 +118,7 @@ def asof_join(
     value column with ``suffix`` + the matched right ts as
     ``ts_col + suffix`` (float64, NaN when unmatched).
     """
-    clash = set(right_value_cols) & set(left_ds.schema().names)
-    if clash:
-        raise ValueError(
-            f"right_value_cols {sorted(clash)} collide with left columns — "
-            "rename the right side before joining (the union would merge "
-            "them into one column)"
-        )
+    _check_right_cols(left_ds, right_value_cols, suffix, extra=(ts_col,))
     # the matched right ts is part of the output: carry it as an
     # explicit value column (merge_asof consumes the join ts)
     right = right_ds.select_columns(
@@ -154,11 +171,16 @@ def hash_join(
 ):
     """General equi-join: left rows matched to right rows on
     ``key_col``.  ``how`` = ``inner`` (unmatched left rows dropped) or
-    ``left`` (kept, joined columns NaN → every joined column is cast
-    float64 unconditionally so the schema is not group-dependent; with
-    ``inner`` the right columns keep their own dtypes).  A right key
-    matched by several right rows multiplies (standard SQL join
-    semantics).
+    ``left`` (kept, joined columns NaN on miss — NUMERIC right columns
+    are cast float64 so the schema is not group-dependent, which means
+    int ids ≥ 2^53 would lose precision under ``left``: use ``inner``
+    or string columns for those; non-numeric right columns stay
+    object-typed with NaN holes, a stable dtype either way).  A right
+    key matched by several right rows multiplies (standard SQL join
+    semantics).  The result SET is deterministic; row ORDER is not
+    part of the contract (rows are key-sorted per bucket for locality,
+    ties follow block arrival order — the driver-gate compare and any
+    SQL-equivalent consumer are order-insensitive).
 
     Deliberately NOT ``Dataset.join``: in Ray 2.49 a join whose output
     feeds another hash shuffle silently emits zero rows (see
@@ -173,13 +195,7 @@ def hash_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    clash = set(right_value_cols) & set(left_ds.schema().names)
-    if clash:
-        raise ValueError(
-            f"right_value_cols {sorted(clash)} collide with left columns — "
-            "rename the right side before joining (the union would merge "
-            "them into one column)"
-        )
+    _check_right_cols(left_ds, right_value_cols, suffix)
     right = right_ds.select_columns([key_col] + list(right_value_cols))
     union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
     r_cols = [key_col] + list(right_value_cols)
@@ -188,14 +204,24 @@ def hash_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["side"] == 0][left_cols]
         r = g[g["side"] == 1][r_cols].rename(columns=rename)
-        # deterministic output order regardless of block arrival order
+        # key-sorted per bucket for output locality; row ORDER among
+        # ties is NOT a contract (see docstring) — only the SET is
         out = pd.merge(l, r, on=key_col, how=how).sort_values(
-            [key_col] + [c + suffix for c in right_value_cols],
-            kind="mergesort",
+            key_col, kind="mergesort"
         )
         if how == "left":
             for c in right_value_cols:
-                out[c + suffix] = out[c + suffix].astype("float64")
+                jc = c + suffix
+                # dtype decided by the RIGHT side's declared dtype, not
+                # the merged output (an empty-right bucket would
+                # otherwise yield all-NaN float64 even for strings,
+                # making the schema group-dependent)
+                if pd.api.types.is_numeric_dtype(r.dtypes[jc]):
+                    # stable float64 for numerics (see docstring for
+                    # the >= 2^53 precision caveat)
+                    out[jc] = out[jc].astype("float64")
+                else:
+                    out[jc] = out[jc].astype(object)
         return out
 
     return union.groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -220,3 +220,32 @@ def test_hash_join_guards():
         hash_join(l, r, "k", ["v"])
     with pt.raises(ValueError, match="how"):
         hash_join(l, r, "k", ["w"], how="outer")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_suffixed_collision_and_string_left():
+    """A left column named <col>+suffix fails up front (not as a
+    KeyError in a Ray task); left-join with a STRING right column keeps
+    object dtype with NaN holes."""
+    import pandas as pd
+    import pytest as pt
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "rv_r": [5]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1], "rv": [7]}))
+    with pt.raises(ValueError, match="suffixed"):
+        hash_join(l, r, "k", ["rv"])
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [10, 20]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "name": ["x"]}))
+    out = (
+        hash_join(left, right, "k", ["name"], how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["name_r"].tolist()[0] == "x"
+    assert pd.isna(out["name_r"].tolist()[1])
+    assert out["name_r"].dtype == object
