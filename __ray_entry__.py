@@ -936,6 +936,19 @@ def _q_model_score(sf_dir: str):
     return score_documents(_docs(sf_dir))
 
 
+def _q_score_quantiles(sf_dir: str):
+    """Exact quantiles of the (continuous) model quality score via the
+    distributed-sort path (functions.quantiles.sort_quantiles — one
+    all-to-all sort, per-quantile reads via split_at_indices; the
+    histogram path's max_distinct raise points here)."""
+    from ocr_lib_ray.functions.quantiles import sort_quantiles
+    from ocr_lib_ray.functions.scoring import score_documents
+
+    return sort_quantiles(
+        score_documents(_docs(sf_dir)), "quality_prob", qs=(0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy packing, fully SQL-oracled (round 3): md5-lower64
     partition key + a recursive-CTE greedy loop reproduce it exactly.
@@ -1202,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "token_quantiles": _q_token_quantiles,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
+        "score_quantiles": _q_score_quantiles,
         "cap_per_source": _q_cap_per_source,
         "doc_embedding_join": _q_doc_embedding_join,
         "fingerprint": _q_fingerprint,
@@ -1497,7 +1511,7 @@ def _minhash_pairs_sql(
 
 def oracle_sql() -> dict[str, str]:
     norm = _NORM
-    return {
+    d = {
         # golden text is branch-aware for short docs: the PDF branch has
         # no link/boiler context and keeps ANY non-empty body, while the
         # HTML classify drops bodies under min_words=3 (kernel-verified).
@@ -2200,3 +2214,16 @@ def oracle_sql() -> dict[str, str]:
         # 3, see the query docstrings): the ONLY rows-only queries left;
         # every deterministic operator now carries a full hash oracle.
     }
+    # exact continuous-domain quantiles via the distributed sort path:
+    # the oracle wraps the model_score SQL so the score definition has
+    # a single source of truth
+    d["score_quantiles"] = f"""
+        WITH scored AS ({d["model_score"]}),
+        agg AS (SELECT quantile_disc(quality_prob,
+                       [0.25, 0.5, 0.75, 0.9, 0.99]) AS vals FROM scored)
+        SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+               unnest(vals) AS quality_prob
+        FROM agg
+    """
+    return d
+

@@ -168,6 +168,7 @@ def run_bench() -> dict:
         "minhash_components",
         "token_quantiles",
         "token_quantiles_by_lang",
+        "score_quantiles",
         "training_data_curated",
     ):
         # min-of-2, same protocol as the headline: the shared host's

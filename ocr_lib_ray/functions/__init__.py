@@ -16,7 +16,7 @@ from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .redact import bpe_token_count_batch, redact_batch, redact_text
-from .quantiles import group_quantiles, histogram_quantiles
+from .quantiles import group_quantiles, histogram_quantiles, sort_quantiles
 from .ranking import tfidf_top_terms, topk_per_group
 from .sampling import (
     cap_per_group,
@@ -67,6 +67,7 @@ __all__ = [
     "group_quantiles",
     "hash_join",
     "histogram_quantiles",
+    "sort_quantiles",
     "union_find_components",
     "asof_join",
     "range_join_count",

@@ -110,6 +110,61 @@ def histogram_quantiles(
     )
 
 
+def sort_quantiles(
+    ds,
+    col: str,
+    qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """Exact quantiles of a CONTINUOUS-domain column (float scores,
+    timestamps) — the path :func:`histogram_quantiles`' ``max_distinct``
+    raise points at.
+
+    One distributed ``sort(col)`` (the unavoidable all-to-all for exact
+    order statistics on an unbounded domain), then each target index is
+    read via ``split_at_indices`` + ``limit(1)`` — per-quantile cost is
+    one block read, never a driver-side scan of the sorted data.  The
+    quantile definition matches DuckDB ``quantile_disc`` exactly
+    (sorted index ``max(0, ceil(q*n) - 1)``).  Nulls are dropped first
+    (SQL aggregate semantics).  Prefer :func:`histogram_quantiles`
+    whenever the domain is bounded — it does the same job with a
+    distinct-values-sized shuffle instead of a full sort.
+    """
+    _check_qs(qs)
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        return b.select([col]).drop_null()
+
+    ordered = (
+        ds.map_batches(drop_nulls, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(col)
+        .materialize()
+    )
+    total = ordered.count()  # metadata-only on a materialized dataset
+    if total == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.float64()), pa.array([], pa.int64())],
+            names=["q", col],
+        )
+    # one split pass shared by every quantile: split at each distinct
+    # target index; the first row of each following split is the value
+    targets = [max(0, math.ceil(q * total) - 1) for q in qs]
+    uniq = sorted(set(targets))
+    splits = ordered.split_at_indices(uniq)
+    at: dict = {}
+    for idx, part in zip(uniq, splits[1:]):
+        at[idx] = part.limit(1).take(1)[0][col]
+    vals = [at[t] for t in targets]
+    sch = ordered.schema()
+    vt = sch.types[sch.names.index(col)]
+    return pa.Table.from_arrays(
+        [
+            pa.array(list(qs), pa.float64()),
+            pa.array(vals, vt if isinstance(vt, pa.DataType) else None),
+        ],
+        names=["q", col],
+    )
+
+
 def group_quantiles(
     ds,
     group_col: str,

@@ -42,6 +42,7 @@ QUERIES = [
     "doc_stats",
     "token_quantiles",  # round 3: distributed-histogram quantile_disc
     "token_quantiles_by_lang",  # round 3: per-group variant
+    "score_quantiles",  # round 3: sort-path continuous-domain quantiles
     "fingerprint",
     "winnow_fingerprint",
     "dedup_exact",

@@ -135,3 +135,45 @@ def test_group_quantiles_null_group_keys_raise():
         group_quantiles(ds, "g", "v").materialize()
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         group_quantiles(ds, "g", "v", qs=(-0.1,))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [0.5],
+        [3.25, 1.5, 2.75, 2.75, 9.0],
+        [float(x % 7) / 3 for x in range(50)],
+    ],
+    ids=["one", "ties", "fifty"],
+)
+def test_sort_quantiles_match_duckdb(vals):
+    """Sort-path quantiles == DuckDB quantile_disc on continuous
+    float domains, including nulls dropped and multi-block layouts."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import sort_quantiles
+
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(vals + [None], pa.float64())], names=["v"]
+        )
+    ).repartition(3)
+    out = sort_quantiles(ds, "v", qs=QS)
+    assert out.column("q").to_pylist() == list(QS)
+    assert out.column("v").to_pylist() == duck_quantiles(vals)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_quantiles_empty_and_qs_guard():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import sort_quantiles
+
+    allnull = rd.from_arrow(
+        pa.Table.from_arrays([pa.array([None], pa.float64())], names=["v"])
+    )
+    empty = sort_quantiles(allnull, "v")
+    assert empty.num_rows == 0
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        sort_quantiles(allnull, "v", qs=(2.0,))
