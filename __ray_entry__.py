@@ -357,6 +357,44 @@ def _q_doc_embedding_join(sf_dir: str):
     return hash_join(left, right, "doc_id", ["dim"], how="inner")
 
 
+def _semi_anti_sides(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    left = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keys(b: "pa.Table") -> "pa.Table":
+        kept = b.filter(pc.less(b.column("label"), 3))
+        return pa.Table.from_arrays([kept.column("vec_id")], names=["doc_id"])
+
+    right = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(keys, batch_format="pyarrow")
+    return left, right
+
+
+def _q_doc_semi_join(sf_dir: str):
+    """Bucketed hash SEMI join (EXISTS filter): documents whose id has
+    an embedding labelled < 3 — only the right KEY ships through the
+    shuffle, left rows never multiply."""
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left, right = _semi_anti_sides(sf_dir)
+    return hash_join(left, right, "doc_id", how="semi")
+
+
+def _q_doc_anti_join(sf_dir: str):
+    """Bucketed hash ANTI join (NOT EXISTS) — the general form of the
+    dedup/decontamination loser filter."""
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left, right = _semi_anti_sides(sf_dir)
+    return hash_join(left, right, "doc_id", how="anti")
+
+
 def _q_cap_per_source(sf_dir: str):
     """Per-domain document cap (≤3 docs per source, deterministic
     hash-uniform within the group) — topk_per_group's prune+finish path
@@ -414,6 +452,14 @@ def _q_quality_score(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import quality_score_batch
 
     return _docs(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher intra-doc repetition filters — stateless tasks (pure
+    map, no state at all)."""
+    from ocr_lib_ray.functions.text_stats import repetition_stats_batch
+
+    return _docs(sf_dir).map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
 def _q_lang_id(sf_dir: str):
@@ -1218,11 +1264,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_quantiles": _q_score_quantiles,
         "cap_per_source": _q_cap_per_source,
         "doc_embedding_join": _q_doc_embedding_join,
+        "doc_semi_join": _q_doc_semi_join,
+        "doc_anti_join": _q_doc_anti_join,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "quality_basic": _q_quality_basic,
         "quality_score": _q_quality_score,
+        "repetition_stats": _q_repetition_stats,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -1624,6 +1673,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_tokens, e.dim_r
             FROM d JOIN e USING (doc_id)
         """,
+        # semi/anti hash join: key-existence filters against the
+        # label<3 embedding subset
+        "doc_semi_join": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label < 3)
+        """,
+        "doc_anti_join": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label < 3)
+        """,
         # per-domain cap: row_number over the same md5[:16] order the
         # Ray op uses, tie-broken by key
         "cap_per_source": """
@@ -1689,6 +1748,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(ws) = 1 AND ws[1] = '' THEN 0.0
                         ELSE round(m.mc * 1.0 / len(ws), 6) END AS top_word_ratio
             FROM t JOIN m ON t.doc_id = m.doc_id
+        """,
+        # Gopher intra-doc repetition: n-gram identity = space-joined
+        # tokens (tokens never contain spaces post-collapse_ws, so the
+        # join is injective); bigram chars = len(g)-1, trigram len(g)-2
+        "repetition_stats": f"""
+            WITH b AS (
+              SELECT doc_id, str_split({norm}, ' ') AS ws,
+                     len(str_split({norm}, ' ')) AS L,
+                     list_sum(list_transform(str_split({norm}, ' '), w -> len(w)))
+                       AS total
+              FROM documents WHERE {norm} <> ''
+            ),
+            g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                   FROM (SELECT doc_id, ws, unnest(range(1, L)) AS i FROM b)),
+            t2 AS (SELECT doc_id, max(c * (len(g) - 1)) AS m
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+                   GROUP BY 1),
+            g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                   FROM (SELECT doc_id, ws, unnest(range(1, L - 1)) AS i FROM b)),
+            t3 AS (SELECT doc_id, max(c * (len(g) - 2)) AS m
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+                   GROUP BY 1),
+            g5 AS (SELECT doc_id, i,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                            ws[i+3] || ' ' || ws[i+4] AS g
+                   FROM (SELECT doc_id, ws, unnest(range(1, L - 3)) AS i FROM b)),
+            d5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT doc_id, i + k AS p
+                    FROM (SELECT g5.doc_id, g5.i, unnest(range(0, 5)) AS k
+                          FROM g5 JOIN d5 USING (doc_id, g))),
+            dupc AS (SELECT cov.doc_id, sum(len(b.ws[cov.p])) AS dchars
+                     FROM cov JOIN b USING (doc_id) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(round(t2.m * 1.0 / b.total, 6), 0.0)
+                     AS top_2gram_char_frac,
+                   coalesce(round(t3.m * 1.0 / b.total, 6), 0.0)
+                     AS top_3gram_char_frac,
+                   coalesce(round(dupc.dchars * 1.0 / b.total, 6), 0.0)
+                     AS dup_5gram_char_frac
+            FROM documents d
+            LEFT JOIN b USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN dupc USING (doc_id)
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""

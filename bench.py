@@ -144,9 +144,11 @@ def run_bench() -> dict:
         "asof_join",
         "range_join",
         "doc_embedding_join",
+        "doc_anti_join",
         "token_counts",
         "lang_id",
         "quality_score",
+        "repetition_stats",
         "corpus_clean",
         "training_data",
         "chunk_documents",

@@ -164,7 +164,7 @@ def hash_join(
     left_ds,
     right_ds,
     key_col: str,
-    right_value_cols: list,
+    right_value_cols: list | None = None,
     how: str = "inner",
     suffix: str = "_r",
     num_partitions: int = 32,
@@ -182,6 +182,14 @@ def hash_join(
     ties follow block arrival order — the driver-gate compare and any
     SQL-equivalent consumer are order-insensitive).
 
+    ``how`` = ``semi`` / ``anti`` filter the left side by key existence
+    on the right (EXISTS / NOT EXISTS): output is the left rows and
+    columns unchanged — never multiplied, no joined columns, so
+    ``right_value_cols`` must be empty (only the right KEY column
+    ships through the shuffle).  ``anti`` is the dedup/decontamination
+    filter shape (see dedup_by_pairs_join, dedup_against_reference for
+    the specialized forms).
+
     Deliberately NOT ``Dataset.join``: in Ray 2.49 a join whose output
     feeds another hash shuffle silently emits zero rows (see
     dedup_by_pairs_join).  Same-bucket hash-partition discipline
@@ -193,8 +201,26 @@ def hash_join(
     broadcast + map-side lookup (no shuffle at all) — this operator is
     for right sides too big to broadcast.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be 'inner'/'left'/'semi'/'anti', got {how!r}")
+    right_value_cols = list(right_value_cols or [])
+    if how in ("semi", "anti"):
+        if right_value_cols:
+            raise ValueError(
+                f"how={how!r} emits left columns only — right_value_cols "
+                f"{right_value_cols} would be silently dropped; pass none"
+            )
+        right = right_ds.select_columns([key_col])
+        union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
+
+        def filter_keys(g: pd.DataFrame) -> pd.DataFrame:
+            l = g[g["side"] == 0][left_cols]
+            mask = l[key_col].isin(g[g["side"] == 1][key_col])
+            out = l[mask] if how == "semi" else l[~mask]
+            return out.sort_values(key_col, kind="mergesort")
+
+        return union.groupby("bucket").map_groups(filter_keys, batch_format="pandas")
+
     _check_right_cols(left_ds, right_value_cols, suffix)
     right = right_ds.select_columns([key_col] + list(right_value_cols))
     union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)

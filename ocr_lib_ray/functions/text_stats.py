@@ -205,6 +205,86 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     return _LANG_ID(batch)
 
 
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style INTRA-document repetition signals (the Rae et al.
+    2021 appendix-A repetition filters), per document over normalized
+    tokens:
+
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: repetition
+      mass of the heaviest word n-gram — max over n-grams of
+      occurrences × n-gram characters (spaces excluded) / total token
+      characters.  (The published filter takes the most FREQUENT
+      n-gram's char share; the max-mass form is identical except under
+      exact count ties, where it is deterministic without a
+      lexicographic tie-break — documented variant.)
+    - ``dup_5gram_char_frac``: fraction of token characters covered by
+      any 5-gram occurring MORE THAN ONCE within the document
+      (position-marked, each character counted once — the duplicated-
+      n-gram coverage rule).
+
+    Intra-document only — cross-document duplicated spans are
+    ``ngramdup.dup_ngram_stats``.  Map-only: no shuffle at any scale;
+    the per-doc token loop is inherent (same class as QualityScore).
+    Empty documents emit 0.0 everywhere.
+
+    Rounding is HALF-UP (not Python banker's): the fracs are small-
+    denominator rationals (char counts), so exact 1e-6 halves occur in
+    practice (e.g. 17/128) and DuckDB ``round`` — the oracle — rounds
+    half away from zero.
+    """
+    import math
+    from collections import Counter
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    norms = normalize_expr(batch.column("text")).to_pylist()
+    top2, top3, dup5 = [], [], []
+    for t in norms:
+        toks = t.split(" ") if t else []
+        lens = np.array([len(w) for w in toks], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            top2.append(0.0)
+            top3.append(0.0)
+            dup5.append(0.0)
+            continue
+
+        def top_mass(n: int) -> float:
+            if len(toks) < n:
+                return 0.0
+            counts = Counter(zip(*(toks[i:] for i in range(n))))
+            mass = max(c * sum(len(w) for w in g) for g, c in counts.items())
+            return r6(mass / total)
+
+        top2.append(top_mass(2))
+        top3.append(top_mass(3))
+        if len(toks) < 5:
+            dup5.append(0.0)
+        else:
+            grams = list(zip(*(toks[i:] for i in range(5))))
+            counts5 = Counter(grams)
+            cov = np.zeros(len(toks), dtype=bool)
+            for i, g in enumerate(grams):
+                if counts5[g] > 1:
+                    cov[i : i + 5] = True
+            dup5.append(r6(float(lens[cov].sum()) / total))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(top2, pa.float64()),
+            pa.array(top3, pa.float64()),
+            pa.array(dup5, pa.float64()),
+        ],
+        names=[
+            "doc_id",
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "dup_5gram_char_frac",
+        ],
+    )
+
+
 _QUALITY = None
 
 

@@ -80,6 +80,7 @@ QUERIES = [
     "dup_ngram_stats",
     "dedup_ngram_spans",
     "decontaminate",
+    "repetition_stats",  # round 3: Gopher intra-doc repetition filters
 ]
 
 #: document-table queries with NO SQL oracle — empty since round 3:
@@ -94,6 +95,8 @@ EMBEDDING_QUERIES = {
     "cosine_dups",
     "cosine_dups_lsh",
     "doc_embedding_join",  # round 3: general bucketed hash equi-join
+    "doc_semi_join",  # round 3: hash_join how="semi"
+    "doc_anti_join",  # round 3: hash_join how="anti"
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is

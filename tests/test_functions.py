@@ -10,6 +10,7 @@ from ocr_lib_ray.functions.text_stats import (
     QualityScore,
     doc_stats_batch,
     fingerprint_batch,
+    repetition_stats_batch,
 )
 
 
@@ -89,6 +90,48 @@ def test_quality_score_signals():
     assert top[0] == 1.0 and top[1] == 0.25 and top[2] == 0.0
     stop = out.column("stop_ratio").to_pylist()
     assert stop[0] == 1.0 and stop[1] == 0.0
+
+
+def test_repetition_stats_golden():
+    out = repetition_stats_batch(
+        docs_batch(
+            [
+                "a b a b a b",
+                # no repeated bigram: top mass = 1 occurrence of heaviest pair
+                "xx yy z",
+                "",
+                # planted duplicated 5-gram at positions 0 and 5
+                "one two three four five one two three four five tail",
+            ]
+        )
+    )
+    t2 = out.column("top_2gram_char_frac").to_pylist()
+    t3 = out.column("top_3gram_char_frac").to_pylist()
+    d5 = out.column("dup_5gram_char_frac").to_pylist()
+    # doc1: bigram ('a','b') ×3 → mass 6 / 6 chars = 1.0
+    assert t2[0] == 1.0
+    # trigram ('a','b','a') ×2 → 6/6
+    assert t3[0] == 1.0
+    # 5-grams: ('a','b','a','b','a') at 0 and ('b','a','b','a','b') at 1 —
+    # each occurs once → no duplicated 5-gram
+    assert d5[0] == 0.0
+    # doc2: heaviest bigram 'xx yy' = 4 chars ×1 / 5 token chars (spaces
+    # excluded from the denominator)
+    assert t2[1] == 0.8
+    assert d5[1] == 0.0
+    # empty doc → all zeros
+    assert (t2[2], t3[2], d5[2]) == (0.0, 0.0, 0.0)
+    # doc4: ('one','two','three','four','five') occurs at 0 and 5 → covers
+    # tokens 0..9 of 11; covered chars = 2×(3+3+5+4+4)=38 of total 42
+    assert d5[3] == round(38 / 42, 6)
+
+
+def test_repetition_stats_overlapping_dup_5grams():
+    # 'w w w w w w' : every 5-gram is ('w',)*5, occurs 2× → all 6 tokens
+    # covered → 1.0; top bigram mass = 5 occurrences × 2 chars / 6 chars
+    out = repetition_stats_batch(docs_batch(["w w w w w w"]))
+    assert out.column("dup_5gram_char_frac").to_pylist() == [1.0]
+    assert out.column("top_2gram_char_frac").to_pylist() == [round(10 / 6, 6)]
 
 
 def test_media_stub_features_deterministic():

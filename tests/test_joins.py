@@ -207,6 +207,43 @@ def test_hash_join_inner_and_left_match_pandas():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hash_join_semi_anti():
+    """semi/anti = EXISTS / NOT EXISTS key filters: left columns only,
+    no multiplication from duplicate right keys, partition-count
+    invariant; right value columns are rejected up front."""
+    import pandas as pd
+    import pytest as pt
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "lv": [10, 20, 30, 40, 41]})
+    right = pd.DataFrame({"k": [2, 2, 4, 9], "rv": [200, 201, 400, 900]})
+    want_semi = left[left["k"].isin(right["k"])]
+    want_anti = left[~left["k"].isin(right["k"])]
+    for how, want in (("semi", want_semi), ("anti", want_anti)):
+        want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+        for nparts in (1, 5):
+            got = (
+                hash_join(
+                    rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(right),
+                    "k",
+                    how=how,
+                    num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["k", "lv"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    with pt.raises(ValueError, match="left columns only"):
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", ["rv"], how="semi"
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_join_guards():
     import pandas as pd
     import pytest as pt
