@@ -302,6 +302,25 @@ def _q_token_quantiles(sf_dir: str):
     return histogram_quantiles(ds, "n_tokens", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_quality_band(sf_dir: str):
+    """Percentile outlier trim: docs inside the [P10, P90] token-count
+    band — distributed-histogram bounds (two scalars) broadcast into a
+    map-only filter; no sort, no corpus-sized shuffle."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.quantiles import quantile_band_filter
+    from ocr_lib_ray.functions.text_stats import normalize_expr, token_count
+
+    def stats(b: "pa.Table") -> "pa.Table":
+        n = token_count(normalize_expr(b.column("text"))).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), n], names=["doc_id", "n_tokens"]
+        )
+
+    ds = _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+    return quantile_band_filter(ds, "n_tokens", lo_q=0.1, hi_q=0.9)
+
+
 def _q_token_quantiles_by_lang(sf_dir: str):
     """Per-language length percentiles via the fully distributed
     per-group histogram (groupby(lang, n) partial counts → per-lang
@@ -1260,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_by_lang": _q_extract_by_lang,
         "doc_stats": _q_doc_stats,
         "token_quantiles": _q_token_quantiles,
+        "quality_band": _q_quality_band,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "score_quantiles": _q_score_quantiles,
         "cap_per_source": _q_cap_per_source,
@@ -1648,6 +1668,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
             FROM agg
+        """,
+        # percentile band trim: inclusive [P10, P90] token-count filter
+        "quality_band": f"""
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN nm = '' THEN 0
+                                   ELSE len(str_split(nm, ' ')) END AS n_tokens
+                       FROM (SELECT doc_id, {norm} AS nm FROM documents)),
+            b AS (SELECT quantile_disc(n_tokens, 0.1) AS lo,
+                         quantile_disc(n_tokens, 0.9) AS hi FROM t)
+            SELECT t.doc_id, t.n_tokens FROM t, b
+            WHERE t.n_tokens BETWEEN b.lo AND b.hi
         """,
         # per-group variant: the Ray side is fully distributed
         # (per-lang map_groups over a (lang, n) histogram)

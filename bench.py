@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "lang_id",
         "quality_score",
         "repetition_stats",
+        "quality_band",
         "corpus_clean",
         "training_data",
         "chunk_documents",

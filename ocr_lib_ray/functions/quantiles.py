@@ -110,6 +110,44 @@ def histogram_quantiles(
     )
 
 
+def quantile_band_filter(
+    ds,
+    col: str,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+    max_distinct: int = 1_000_000,
+):
+    """Keep rows whose ``col`` lies inside the corpus-level
+    ``[lo_q, hi_q]`` exact quantile band (inclusive) — the percentile
+    outlier trim ("drop the shortest 10% and longest 10%") used to cut
+    boilerplate stubs and concatenation monsters before training.
+
+    Two passes over ``ds`` (quantile bounds, then a map-only filter):
+    pass a cheap projection — or a materialized stats dataset — when
+    upstream lineage is expensive to re-execute.  The bounds are two
+    scalars, broadcast by closure capture (no shuffle in pass 2).
+    Null values never match the band (SQL BETWEEN semantics); an
+    all-null/empty column yields an empty result for the same reason.
+    """
+    _check_qs([lo_q, hi_q])
+    if lo_q > hi_q:
+        raise ValueError(f"lo_q {lo_q} > hi_q {hi_q}")
+    bounds = histogram_quantiles(ds, col, (lo_q, hi_q), max_distinct)
+    if bounds.num_rows == 0:
+        lo, hi = None, None  # BETWEEN NULL — matches nothing
+    else:
+        lo = bounds.column(col)[0].as_py()
+        hi = bounds.column(col)[1].as_py()
+
+    def keep(b: pa.Table) -> pa.Table:
+        if lo is None:
+            return b.slice(0, 0)
+        c = b.column(col)
+        return b.filter(pc.and_kleene(pc.greater_equal(c, lo), pc.less_equal(c, hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sort_quantiles(
     ds,
     col: str,

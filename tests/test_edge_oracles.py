@@ -81,6 +81,7 @@ QUERIES = [
     "dedup_ngram_spans",
     "decontaminate",
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
+    "quality_band",  # round 3: [P10,P90] percentile outlier trim
 ]
 
 #: document-table queries with NO SQL oracle — empty since round 3:

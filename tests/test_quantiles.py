@@ -177,3 +177,43 @@ def test_sort_quantiles_empty_and_qs_guard():
     assert empty.num_rows == 0
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         sort_quantiles(allnull, "v", qs=(2.0,))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_band_filter_matches_duckdb_between():
+    """[P10,P90] band == SQL BETWEEN over quantile_disc bounds; nulls
+    never match; empty/all-null input yields zero rows."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import quantile_band_filter
+
+    vals = [(i * 13) % 40 for i in range(100)]
+    ds = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(range(100), pa.int64()), pa.array(vals, pa.int64())],
+            names=["rid", "n"],
+        )
+    )
+    lo, hi = duck_quantiles(vals, (0.1, 0.9))
+    got = sorted(quantile_band_filter(ds, "n").to_pandas()["rid"])
+    want = sorted(r for r, v in zip(range(100), vals) if lo <= v <= hi)
+    assert got == want
+
+    withnull = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([1, 2, 3], pa.int64()), pa.array([5, None, 5], pa.int64())],
+            names=["rid", "n"],
+        )
+    )
+    assert sorted(quantile_band_filter(withnull, "n").to_pandas()["rid"]) == [1, 3]
+
+    allnull = rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([1], pa.int64()), pa.array([None], pa.int64())],
+            names=["rid", "n"],
+        )
+    )
+    assert quantile_band_filter(allnull, "n").count() == 0
+
+    with pytest.raises(ValueError, match="lo_q"):
+        quantile_band_filter(ds, "n", lo_q=0.9, hi_q=0.1)
