@@ -886,6 +886,15 @@ def _q_dup_ngram_stats(sf_dir: str):
     return dup_ngram_stats(_docs(sf_dir), n=3, min_df=2)
 
 
+def _q_dup_ngram_stats_join(sf_dir: str):
+    """Same stats with NO broadcast anywhere (the dup-heavy-crawl
+    scale path): hot grams stay a dataset, occurrences semi-join it
+    bucketed by gram hash, the stitch is a Sum aggregate."""
+    from ocr_lib_ray.functions.ngramdup import dup_ngram_stats_join
+
+    return dup_ngram_stats_join(_docs(sf_dir), n=3, min_df=2)
+
+
 def _q_dedup_ngram_spans(sf_dir: str):
     """Rewrite: tokens covered by cross-doc duplicated 3-grams removed."""
     from ocr_lib_ray.functions.ngramdup import remove_dup_ngrams
@@ -1320,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": _q_topk_per_group,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "dup_ngram_stats_join": _q_dup_ngram_stats_join,
         "dedup_ngram_spans": _q_dedup_ngram_spans,
         "decontaminate": _q_decontaminate,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
@@ -2079,6 +2089,31 @@ def oracle_sql() -> dict[str, str]:
         # slice ws[i : i+n-1] is DuckDB 1-based INCLUSIVE; positions
         # covered by overlapping hot grams dedup via DISTINCT
         "dup_ngram_stats": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            gi AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 2)) AS i FROM ta),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(ws[i : i + 2], ' ')) AS gh FROM gi),
+            hot AS (SELECT gh FROM grams GROUP BY gh
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hotg AS (SELECT g.doc_id, g.i FROM grams g JOIN hot USING (gh)),
+            cov AS (SELECT DISTINCT doc_id, p FROM
+                    (SELECT doc_id, unnest(generate_series(i, i + 2)) AS p FROM hotg)),
+            per AS (SELECT t.doc_id, len(t.ws) AS n_tokens,
+                   (SELECT count(*) FROM hotg h WHERE h.doc_id = t.doc_id) AS n_hot_grams,
+                   (SELECT count(*) FROM cov c WHERE c.doc_id = t.doc_id) AS n_dup_tokens
+                    FROM ta t)
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0) AS n_tokens,
+                   coalesce(per.n_hot_grams, 0) AS n_hot_grams,
+                   coalesce(per.n_dup_tokens, 0) AS n_dup_tokens,
+                   CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0.0
+                        ELSE round(per.n_dup_tokens * 1.0 / per.n_tokens, 6)
+                   END AS dup_frac
+            FROM d LEFT JOIN per USING (doc_id)
+        """,
+"dup_ngram_stats_join": f"""
             WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
             ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
             gi AS (SELECT doc_id, ws,

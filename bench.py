@@ -165,6 +165,7 @@ def run_bench() -> dict:
         "topk_per_group",
         "tfidf_top_terms",
         "dup_ngram_stats",
+        "dup_ngram_stats_join",
         "dedup_ngram_spans",
         "decontaminate",
         "dup_components",

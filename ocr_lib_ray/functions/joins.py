@@ -30,8 +30,23 @@ def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
     Columns a side lacks are ZERO-FILLED (see default_array) so pandas
     group frames keep exact dtypes.  Returns (union_ds, left_cols).
     """
-    left_names = list(left_ds.schema().names)
-    right_names = list(right_ds.schema().names)
+    def names_of(ds):
+        sch = ds.schema()
+        if sch is None:
+            # a lazy dataset whose first sampled block is one of the
+            # empty zero-column blocks Ray's sort-groupby emits can
+            # report no schema — materializing unions block schemas
+            ds = ds.materialize()
+            sch = ds.schema()
+        if sch is None:
+            raise ValueError(
+                "dataset schema unavailable even after materialize() — "
+                "cannot align the bucketed union"
+            )
+        return ds, list(sch.names)
+
+    left_ds, left_names = names_of(left_ds)
+    right_ds, right_names = names_of(right_ds)
     all_cols = left_names + [c for c in right_names if c not in left_names]
     types = {
         c: _pa_col_type(left_ds if c in left_names else right_ds, c) for c in all_cols

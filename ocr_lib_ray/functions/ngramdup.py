@@ -35,7 +35,13 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Sum
 
-__all__ = ["decontaminate", "dup_ngram_stats", "remove_dup_ngrams", "hot_ngrams"]
+__all__ = [
+    "decontaminate",
+    "dup_ngram_stats",
+    "dup_ngram_stats_join",
+    "remove_dup_ngrams",
+    "hot_ngrams",
+]
 
 
 def _gram_hash(tokens: list, i: int, n: int) -> str:
@@ -175,6 +181,170 @@ def dup_ngram_stats(
         )
 
     return docs_ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hot_ngrams_ds(ds, text_col: str, n: int, min_df: int):
+    """Distributed hot-gram set as a DATASET (never collected): grams
+    in >= min_df distinct documents — the join-path sibling of
+    :func:`hot_ngrams`."""
+    import pyarrow.compute as pc
+
+    return (
+        ds.map_batches(
+            lambda b: _gram_df_partials(b, text_col, n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("gram_hash")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("nd"), min_df)).select(
+                ["gram_hash"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def dup_ngram_stats_join(
+    docs_ds,
+    n: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+):
+    """:func:`dup_ngram_stats` with NO driver-side hot set — the scale
+    path the broadcast docstring points at, for dup-heavy crawls where
+    duplicated grams are corpus-scale (> max_hot).
+
+    Same output, different shape: (1) the hot-gram set stays a DATASET;
+    (2) every gram occurrence explodes to a (doc, pos, gram_hash) row,
+    bucketed BY GRAM HASH through ``hash_join(how="semi")`` — only hot
+    occurrences survive; (3) one doc-side ``groupby(id).map_groups``
+    merges the covered [pos, pos+n) intervals vectorized (numpy min of
+    sorted-start gaps — no per-position rows ever exist); (4) the
+    per-doc partials and the (id, n_tokens) base union under ONE
+    schema (each zero-filling the other's columns) and a native
+    ``groupby(id).aggregate(Sum)`` stitches them — an aggregate, not a
+    join, so an all-unique corpus (empty hot side) degrades to the
+    base rows with zeros instead of a schema-less right side.  Four
+    bounded shuffles total, nothing collected: every stage is sized by
+    its keys, not the corpus.  Prefer the broadcast form while the hot
+    set fits ``max_hot`` — it is two shuffles cheaper.
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum as AggSum
+
+    from .joins import hash_join
+
+    hot = _hot_ngrams_ds(docs_ds, text_col, n, min_df)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids, poss, hashes = [], [], []
+        id_vals = batch.column(id_col).to_pylist()
+        for did, toks in zip(id_vals, _norm_tokens(batch, text_col)):
+            for i in range(len(toks) - n + 1):
+                ids.append(did)
+                poss.append(i)
+                hashes.append(_gram_hash(toks, i, n))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.column(id_col).type),
+                pa.array(poss, pa.int64()),
+                pa.array(hashes, pa.string()),
+            ],
+            names=[id_col, "pos", "gram_hash"],
+        )
+
+    occ = docs_ds.map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hot_occ = hash_join(
+        occ, hot, "gram_hash", how="semi", num_partitions=num_partitions
+    )
+
+    def merge_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        starts = np.sort(g["pos"].to_numpy(np.int64))
+        # covered tokens = union of [s, s+n): new coverage per start is
+        # n minus the overlap with the previous interval
+        gaps = np.diff(starts)
+        covered = int(n + np.minimum(gaps, n).sum()) if len(starts) else 0
+        return pd.DataFrame(
+            {
+                id_col: [g[id_col].iloc[0]],
+                "n_hot_grams": [len(starts)],
+                "n_dup_tokens": [covered],
+            }
+        )
+
+    def typed(b: pa.Table) -> pa.Table:
+        # pin arrow types after the pandas map_groups AND zero-fill the
+        # base side's column so both union sides share one schema
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                b.column(id_col),
+                pa.array([0] * n, pa.int64()),
+                b.column("n_hot_grams").cast(pa.int64()),
+                b.column("n_dup_tokens").cast(pa.int64()),
+            ],
+            names=[id_col, "n_tokens", "n_hot_grams", "n_dup_tokens"],
+        )
+
+    per_doc = (
+        hot_occ.groupby(id_col)
+        .map_groups(merge_intervals, batch_format="pandas")
+        .map_batches(typed, batch_format="pyarrow")
+    )
+
+    def base(batch: pa.Table) -> pa.Table:
+        n_toks = [len(t) for t in _norm_tokens(batch, text_col)]
+        zeros = pa.array([0] * batch.num_rows, pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(n_toks, pa.int64()), zeros, zeros],
+            names=[id_col, "n_tokens", "n_hot_grams", "n_dup_tokens"],
+        )
+
+    stitched = (
+        docs_ds.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
+        .union(per_doc)
+        .groupby(id_col)
+        .aggregate(
+            AggSum("n_tokens", alias_name="n_tokens"),
+            AggSum("n_hot_grams", alias_name="n_hot_grams"),
+            AggSum("n_dup_tokens", alias_name="n_dup_tokens"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_toks = b.column("n_tokens")
+        frac = pc.if_else(
+            pc.greater(n_toks, 0),
+            pc.round(
+                pc.divide(
+                    b.column("n_dup_tokens").cast(pa.float64()),
+                    n_toks.cast(pa.float64()),
+                ),
+                ndigits=6,
+            ),
+            pa.scalar(0.0),
+        )
+        return pa.Table.from_arrays(
+            [
+                b.column(id_col),
+                n_toks,
+                b.column("n_hot_grams"),
+                b.column("n_dup_tokens"),
+                frac,
+            ],
+            names=[id_col, "n_tokens", "n_hot_grams", "n_dup_tokens", "dup_frac"],
+        )
+
+    return stitched.map_batches(finish, batch_format="pyarrow")
 
 
 def decontaminate(

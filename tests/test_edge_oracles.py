@@ -78,6 +78,7 @@ QUERIES = [
     "topk_per_group",
     "tfidf_top_terms",
     "dup_ngram_stats",
+    "dup_ngram_stats_join",  # round 3: no-broadcast scale path
     "dedup_ngram_spans",
     "decontaminate",
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters

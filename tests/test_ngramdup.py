@@ -127,3 +127,40 @@ def test_decontaminate_eval_guard():
         decontaminate(
             _ds(ROWS), _ds([(9, "a b c d e f g")]), n=5, max_eval_grams=1
         ).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_path_equals_broadcast():
+    """dup_ngram_stats_join (no driver hot set — semi join + Sum-
+    aggregate stitch) must equal the broadcast path row-for-row on the
+    planted corpus, at two partition counts, on a no-duplicates corpus
+    (empty hot side) and on an overlap-heavy one."""
+    import pandas as pd
+
+    from ocr_lib_ray.functions.ngramdup import dup_ngram_stats_join
+
+    def both(rows, **kw):
+        b = (
+            dup_ngram_stats(_ds(rows, num_blocks=2), n=3, min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        j = (
+            dup_ngram_stats_join(_ds(rows, num_blocks=2), n=3, min_df=2, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(b, j[b.columns.tolist()])
+
+    both(ROWS, num_partitions=1)
+    both(ROWS, num_partitions=7)
+    both([(1, "p q r"), (2, "s t u")])  # no hot grams at all
+    both(
+        [
+            (1, "w w w w w w"),
+            (2, "a w w w b w w w"),
+            (3, ""),
+        ]
+    )  # overlapping hot-gram coverage + empty doc
