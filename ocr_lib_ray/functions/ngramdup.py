@@ -183,23 +183,45 @@ def dup_ngram_stats(
     return docs_ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _gram_h64(tokens: list, i: int, n: int) -> int:
+    """Signed-int64 view of the md5 digest's low 8 bytes — 4× fewer
+    shuffle bytes than the hex form for the join path, same md5-64
+    identity discipline the pack/HLL operators already accept (doc:
+    birthday collisions become material only near ~2^32 DISTINCT
+    grams; at that scale conflating two grams adds one spurious hot
+    gram, it does not corrupt the pipeline)."""
+    import struct
+
+    return struct.unpack("<q", _gram_digest(tokens, i, n)[:8])[0]
+
+
 def _hot_ngrams_ds(ds, text_col: str, n: int, min_df: int):
     """Distributed hot-gram set as a DATASET (never collected): grams
     in >= min_df distinct documents — the join-path sibling of
-    :func:`hot_ngrams`."""
+    :func:`hot_ngrams`, keyed by the int64 gram hash."""
     import pyarrow.compute as pc
 
-    return (
-        ds.map_batches(
-            lambda b: _gram_df_partials(b, text_col, n),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    def partials(batch: pa.Table) -> pa.Table:
+        hashes = []
+        for toks in _norm_tokens(batch, text_col):
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                h = _gram_h64(toks, i, n)
+                if h not in seen:
+                    seen.add(h)
+                    hashes.append(h)
+        return pa.Table.from_arrays(
+            [pa.array(hashes, pa.int64()), pa.array([1] * len(hashes), pa.int64())],
+            names=["gram_h64", "nd"],
         )
-        .groupby("gram_hash")
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram_h64")
         .aggregate(Sum("nd", alias_name="nd"))
         .map_batches(
             lambda b: b.filter(pc.greater_equal(b.column("nd"), min_df)).select(
-                ["gram_hash"]
+                ["gram_h64"]
             ),
             batch_format="pyarrow",
         )
@@ -248,21 +270,21 @@ def dup_ngram_stats_join(
             for i in range(len(toks) - n + 1):
                 ids.append(did)
                 poss.append(i)
-                hashes.append(_gram_hash(toks, i, n))
+                hashes.append(_gram_h64(toks, i, n))
         return pa.Table.from_arrays(
             [
                 pa.array(ids, batch.column(id_col).type),
                 pa.array(poss, pa.int64()),
-                pa.array(hashes, pa.string()),
+                pa.array(hashes, pa.int64()),
             ],
-            names=[id_col, "pos", "gram_hash"],
+            names=[id_col, "pos", "gram_h64"],
         )
 
     occ = docs_ds.map_batches(
         occurrences, batch_format="pyarrow", zero_copy_batch=True
     )
     hot_occ = hash_join(
-        occ, hot, "gram_hash", how="semi", num_partitions=num_partitions
+        occ, hot, "gram_h64", how="semi", num_partitions=num_partitions
     )
 
     def merge_intervals(g: pd.DataFrame) -> pd.DataFrame:
