@@ -1113,12 +1113,20 @@ def _q_media_features(sf_dir: str):
     return media_features(_pages(sf_dir)).map_batches(view, batch_format="pyarrow")
 
 
-def _media_features_sql(norm: str) -> str:
+def _q_frame_sample(sf_dir: str):
+    """Video-pipeline stage shape: actor-pool frame sampling (every
+    4th 256-byte frame, max 8 per doc) over the binary payloads."""
+    from ocr_lib_ray.functions.multimodal import frame_sample
+
+    return frame_sample(_pages(sf_dir))
+
+
+def _payload_cte_sql(norm: str) -> str:
     """Reconstructs the synthetic page PAYLOAD BYTES in SQL (the page
     generator's templates are part of the frozen spec, sources/pages.py)
-    and computes n_bytes + byte-distribution entropy over them — a full
-    hash oracle for the multimodal feature stage (ASCII corpus ⇒ char
-    distribution == byte distribution)."""
+    as a WITH prefix ending in ``p(url, payload)`` — shared by the
+    media_features and frame_sample oracles (ASCII corpus ⇒ char ops ==
+    byte ops)."""
     esc = (
         "replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     )
@@ -1264,7 +1272,15 @@ def _media_features_sql(norm: str) -> str:
         p AS (SELECT url, payload FROM htm
               UNION ALL SELECT url, payload FROM pdf
               UNION ALL SELECT url, payload FROM pdf2
-              UNION ALL SELECT url, payload FROM pdf3),
+              UNION ALL SELECT url, payload FROM pdf3)
+    """
+
+
+def _media_features_sql(norm: str) -> str:
+    """n_bytes + byte-distribution entropy over the reconstructed
+    payloads — the multimodal feature-stage hash oracle."""
+    return f"""
+        {_payload_cte_sql(norm)},
         tot AS (SELECT url, strlen(payload) AS n_bytes FROM p),
         c AS (SELECT url, substr(payload, CAST(i AS INT), 1) AS ch
               FROM (SELECT url, payload,
@@ -1347,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -2262,6 +2279,23 @@ def oracle_sql() -> dict[str, str]:
         # a full hash oracle on (url, n_bytes, byte_entropy); crc32 has
         # no DuckDB builtin and is pytest-pinned instead
         "media_features": _media_features_sql(norm),
+        # frame sampling over the same reconstructed payloads: frame i
+        # = 256-byte window, sampled every 4th, first 8 samples
+        "frame_sample": f"""
+            {_payload_cte_sql(norm)},
+            fr AS (SELECT url, payload,
+                          CAST((strlen(payload) + 255) // 256 AS BIGINT)
+                            AS n_frames
+                   FROM p WHERE strlen(payload) > 0),
+            idx AS (SELECT url, payload, n_frames,
+                           unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4))
+                             AS frame_idx
+                    FROM fr)
+            SELECT url, frame_idx, n_frames,
+                   md5(substr(payload, CAST(frame_idx * 256 + 1 AS INT), 256))
+                     AS frame_md5
+            FROM idx WHERE frame_idx // 4 < 8
+        """,
         # logistic over the ROUNDED quality signals (featurize reads
         # QualityScore's round-6 outputs) + log1p(raw length) + bias,
         # weights frozen in scoring._DEFAULT_WEIGHTS

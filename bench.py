@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "pack_sequences",
         "model_score",
         "media_features",
+        "frame_sample",
         "line_dedup",
         "line_dedup_join",
         "redact_pii",

@@ -126,6 +126,124 @@ class MediaDecodeStub:
         )
 
 
+def probe_video_decoder():
+    """Optional-dependency probe for a video demuxer (PyAV, else
+    OpenCV); None in this container — the deterministic byte-window
+    framing below is the codec-free stand-in."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        pass
+    try:
+        import cv2  # noqa: PLC0415
+
+        return cv2
+    except ImportError:
+        return None
+
+
+FRAME_SAMPLE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("frame_idx", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("frame_md5", pa.string()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame sampler over binary "video" payloads — the
+    1-row-in / k-rows-out stage shape of a real video pipeline (demux →
+    sample every ``stride``-th frame, cap ``max_frames`` per doc →
+    per-frame artifact), with the demux step behind
+    :func:`probe_video_decoder`.
+
+    Codec-free default: a payload "frame" is the fixed ``frame_size``-
+    byte window at index i (last frame may be short), n_frames =
+    ceil(len/frame_size); the per-frame artifact is its md5 hex —
+    deterministic and DuckDB-oracle-able, so the WHOLE Ray shape
+    (actor pool, flat output, schema, batch sizing) is verified even
+    though no codec exists here.  ``real_decode=True`` raises at actor
+    construction when the probe finds no demuxer (same honesty contract
+    as MediaDecodeStub).  Empty payloads emit no rows.
+    """
+
+    def __init__(
+        self,
+        frame_size: int = 256,
+        stride: int = 4,
+        max_frames: int = 8,
+        real_decode: bool = False,
+    ):
+        if frame_size <= 0 or stride <= 0 or max_frames <= 0:
+            raise ValueError("frame_size, stride and max_frames must be positive")
+        if real_decode and probe_video_decoder() is None:
+            raise NotImplementedError(
+                "real_decode requested but no video demuxer is available "
+                "(pip install av or opencv-python); the byte-window framing "
+                "(real_decode=False) needs no codec"
+            )
+        self.frame_size = frame_size
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        urls_out, idxs, totals, md5s = [], [], [], []
+        urls = batch.column("url").to_pylist()
+        for url, v in zip(urls, batch.column("html").to_pylist()):
+            data = v or b""
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            fs = self.frame_size
+            n_frames = (len(data) + fs - 1) // fs
+            for k, i in enumerate(range(0, n_frames, self.stride)):
+                if k >= self.max_frames:
+                    break
+                urls_out.append(url)
+                idxs.append(i)
+                totals.append(n_frames)
+                md5s.append(hashlib.md5(data[i * fs : (i + 1) * fs]).hexdigest())
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls_out, pa.string()),
+                pa.array(idxs, pa.int64()),
+                pa.array(totals, pa.int64()),
+                pa.array(md5s, pa.string()),
+            ],
+            schema=FRAME_SAMPLE_SCHEMA,
+        )
+
+
+def frame_sample(
+    pages_ds,
+    frame_size: int = 256,
+    stride: int = 4,
+    max_frames: int = 8,
+    batch_size: int = 16,
+    concurrency=None,
+    real_decode: bool = False,
+):
+    """Actor-pool frame sampling over binary payload rows (small
+    batches; output is a flat (url, frame_idx, n_frames, frame_md5)
+    table, ≤ max_frames rows per input row)."""
+    from ..pool import autoscale_pool
+
+    if concurrency is None:
+        concurrency = autoscale_pool()
+    return pages_ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(frame_size, stride, max_frames, real_decode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def media_features(pages_ds, batch_size: int = 16, concurrency=None, real_decode: bool = False):
     """Actor-pool decode stage over binary payload rows (small batches —
     payload rows are wide).  ``concurrency=None`` autoscales the pool to

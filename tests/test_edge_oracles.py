@@ -59,6 +59,7 @@ QUERIES = [
     "corpus_clean",
     "chunk_documents",
     "media_features",
+    "frame_sample",  # round 3: video-shape frame sampling
     "token_counts",
     "top_tokens",
     "ngram_jaccard",

@@ -545,3 +545,49 @@ def test_sessionize_salted_equivalent(sf_small):
         assert (a["n_events"] == b["n_events"]).all()
         # partial sums re-associate → compare within float tolerance
         assert np.allclose(a["value_sum"], b["value_sum"])
+
+
+def test_frame_sampler_windows_and_caps():
+    from ocr_lib_ray.functions.multimodal import FrameSampler
+
+    batch = pa.Table.from_arrays(
+        [
+            pa.array(["u1", "u2", "u3"], pa.string()),
+            # 1000 bytes → 4 frames (last short); 10 bytes → 1 frame; empty
+            pa.array([bytes(range(256)) * 3 + b"x" * 232, b"0123456789", b""], pa.binary()),
+        ],
+        names=["url", "html"],
+    )
+    s = FrameSampler(frame_size=256, stride=2, max_frames=8)
+    out = s(batch)
+    rows = list(zip(*[out.column(c).to_pylist() for c in out.column_names]))
+    # u1: frames 0..3, stride 2 → idx 0 and 2, n_frames 4
+    u1 = [r for r in rows if r[0] == "u1"]
+    assert [(r[1], r[2]) for r in u1] == [(0, 4), (2, 4)]
+    import hashlib
+    data = bytes(range(256)) * 3 + b"x" * 232
+    assert u1[0][3] == hashlib.md5(data[0:256]).hexdigest()
+    assert u1[1][3] == hashlib.md5(data[512:768]).hexdigest()
+    # u2: single short frame
+    u2 = [r for r in rows if r[0] == "u2"]
+    assert [(r[1], r[2]) for r in u2] == [(0, 1)]
+    assert u2[0][3] == hashlib.md5(b"0123456789").hexdigest()
+    # u3 empty: no rows
+    assert not [r for r in rows if r[0] == "u3"]
+    # max_frames cap
+    capped = FrameSampler(frame_size=1, stride=1, max_frames=3)(batch)
+    assert len([u for u in capped.column("url").to_pylist() if u == "u2"]) == 3
+    # determinism
+    assert s(batch).equals(out)
+
+
+def test_frame_sampler_guards_and_codec_probe():
+    from ocr_lib_ray.functions.multimodal import FrameSampler, probe_video_decoder
+
+    with pytest.raises(ValueError):
+        FrameSampler(frame_size=0)
+    if probe_video_decoder() is None:
+        with pytest.raises(NotImplementedError):
+            FrameSampler(real_decode=True)
+    else:
+        FrameSampler(real_decode=True)
