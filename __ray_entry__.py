@@ -902,6 +902,14 @@ def _q_dedup_ngram_spans(sf_dir: str):
     return remove_dup_ngrams(_docs(sf_dir), n=3, min_df=2)
 
 
+def _q_dedup_ngram_spans_join(sf_dir: str):
+    """Rewrite via the no-broadcast join path (hot grams stay a
+    dataset; text crosses one doc-keyed shuffle)."""
+    from ocr_lib_ray.functions.ngramdup import remove_dup_ngrams_join
+
+    return remove_dup_ngrams_join(_docs(sf_dir), n=3, min_df=2)
+
+
 def _q_decontaminate(sf_dir: str):
     """Eval-set 5-gram decontamination flags (eval = doc_id % 41 == 0)."""
     import pyarrow as pa
@@ -1347,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": _q_dup_ngram_stats,
         "dup_ngram_stats_join": _q_dup_ngram_stats_join,
         "dedup_ngram_spans": _q_dedup_ngram_spans,
+        "dedup_ngram_spans_join": _q_dedup_ngram_spans_join,
         "decontaminate": _q_decontaminate,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
@@ -2156,6 +2165,27 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN per USING (doc_id)
         """,
         "dedup_ngram_spans": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            gi AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 2)) AS i FROM ta),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(ws[i : i + 2], ' ')) AS gh FROM gi),
+            hot AS (SELECT gh FROM grams GROUP BY gh
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT doc_id, p FROM
+                    (SELECT g.doc_id, unnest(generate_series(g.i, g.i + 2)) AS p
+                     FROM grams g JOIN hot USING (gh))),
+            tok AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM ta),
+            kept AS (SELECT t.doc_id, t.p, t.ws[t.p] AS w FROM tok t
+                     WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                       WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+            joined AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+                       FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(j.text, '') AS text
+            FROM d LEFT JOIN joined j USING (doc_id)
+        """,
+"dedup_ngram_spans_join": f"""
             WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
             ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
             gi AS (SELECT doc_id, ws,

@@ -168,6 +168,7 @@ def run_bench() -> dict:
         "dup_ngram_stats",
         "dup_ngram_stats_join",
         "dedup_ngram_spans",
+        "dedup_ngram_spans_join",
         "decontaminate",
         "dup_components",
         "minhash_components",

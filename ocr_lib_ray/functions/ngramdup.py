@@ -40,6 +40,7 @@ __all__ = [
     "dup_ngram_stats",
     "dup_ngram_stats_join",
     "remove_dup_ngrams",
+    "remove_dup_ngrams_join",
     "hot_ngrams",
 ]
 
@@ -228,6 +229,35 @@ def _hot_ngrams_ds(ds, text_col: str, n: int, min_df: int):
     )
 
 
+def _hot_occurrences(docs_ds, hot_ds, n, id_col, text_col, num_partitions):
+    """(id, pos, gram_h64) rows for HOT gram occurrences only: explode
+    every occurrence, semi-join the distributed hot set bucketed by the
+    int64 gram hash.  Shared by the stats and rewrite join paths."""
+    from .joins import hash_join
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids, poss, hashes = [], [], []
+        id_vals = batch.column(id_col).to_pylist()
+        for did, toks in zip(id_vals, _norm_tokens(batch, text_col)):
+            for i in range(len(toks) - n + 1):
+                ids.append(did)
+                poss.append(i)
+                hashes.append(_gram_h64(toks, i, n))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, batch.column(id_col).type),
+                pa.array(poss, pa.int64()),
+                pa.array(hashes, pa.int64()),
+            ],
+            names=[id_col, "pos", "gram_h64"],
+        )
+
+    occ = docs_ds.map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_join(occ, hot_ds, "gram_h64", how="semi", num_partitions=num_partitions)
+
+
 def dup_ngram_stats_join(
     docs_ds,
     n: int = 3,
@@ -259,33 +289,8 @@ def dup_ngram_stats_join(
     import pandas as pd
     from ray.data.aggregate import Sum as AggSum
 
-    from .joins import hash_join
-
     hot = _hot_ngrams_ds(docs_ds, text_col, n, min_df)
-
-    def occurrences(batch: pa.Table) -> pa.Table:
-        ids, poss, hashes = [], [], []
-        id_vals = batch.column(id_col).to_pylist()
-        for did, toks in zip(id_vals, _norm_tokens(batch, text_col)):
-            for i in range(len(toks) - n + 1):
-                ids.append(did)
-                poss.append(i)
-                hashes.append(_gram_h64(toks, i, n))
-        return pa.Table.from_arrays(
-            [
-                pa.array(ids, batch.column(id_col).type),
-                pa.array(poss, pa.int64()),
-                pa.array(hashes, pa.int64()),
-            ],
-            names=[id_col, "pos", "gram_h64"],
-        )
-
-    occ = docs_ds.map_batches(
-        occurrences, batch_format="pyarrow", zero_copy_batch=True
-    )
-    hot_occ = hash_join(
-        occ, hot, "gram_h64", how="semi", num_partitions=num_partitions
-    )
+    hot_occ = _hot_occurrences(docs_ds, hot, n, id_col, text_col, num_partitions)
 
     def merge_intervals(g: pd.DataFrame) -> pd.DataFrame:
         starts = np.sort(g["pos"].to_numpy(np.int64))
@@ -367,6 +372,76 @@ def dup_ngram_stats_join(
         )
 
     return stitched.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_dup_ngrams_join(
+    docs_ds,
+    n: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+):
+    """:func:`remove_dup_ngrams` with NO driver-side hot set — the
+    rewrite sibling of :func:`dup_ngram_stats_join` for dup-heavy
+    crawls.
+
+    The hot occurrences (id, pos) regroup WITH the document text under
+    one schema: the text side contributes a single ``pos = -1`` row per
+    document carrying its normalized text, the occurrence side rows
+    carry ``payload = ''`` — a union, then one ``groupby(id)``
+    ``map_groups`` drops the covered tokens.  Text crosses exactly one
+    doc-keyed shuffle (inherent for a rewrite: the output IS text);
+    positions cross the gram-keyed semi join.  Nothing collected.
+    """
+    import pandas as pd
+
+    hot = _hot_ngrams_ds(docs_ds, text_col, n, min_df)
+    hot_occ = _hot_occurrences(docs_ds, hot, n, id_col, text_col, num_partitions)
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        from .text_stats import normalize_expr
+
+        norm = normalize_expr(batch.column(text_col))
+        m = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array([-1] * m, pa.int64()),
+                norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm,
+            ],
+            names=[id_col, "pos", "payload"],
+        )
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                batch.column("pos"),
+                pa.array([""] * m, pa.string()),
+            ],
+            names=[id_col, "pos", "payload"],
+        )
+
+    union = docs_ds.map_batches(
+        text_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(hot_occ.map_batches(occ_rows, batch_format="pyarrow"))
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        text = g.loc[g["pos"] == -1, "payload"].iloc[0]
+        toks = text.split(" ") if text else []
+        starts = g.loc[g["pos"] >= 0, "pos"].to_numpy()
+        if len(starts):
+            cov = np.zeros(len(toks), dtype=bool)
+            for s in starts:
+                cov[s : s + n] = True
+            toks = [t for t, c in zip(toks, cov) if not c]
+        return pd.DataFrame(
+            {id_col: [g[id_col].iloc[0]], text_col: [" ".join(toks)]}
+        )
+
+    return union.groupby(id_col).map_groups(rewrite, batch_format="pandas")
 
 
 def decontaminate(

@@ -81,6 +81,7 @@ QUERIES = [
     "dup_ngram_stats",
     "dup_ngram_stats_join",  # round 3: no-broadcast scale path
     "dedup_ngram_spans",
+    "dedup_ngram_spans_join",  # round 3: rewrite via the join path
     "decontaminate",
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
     "quality_band",  # round 3: [P10,P90] percentile outlier trim

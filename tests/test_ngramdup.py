@@ -164,3 +164,31 @@ def test_join_path_equals_broadcast():
             (3, ""),
         ]
     )  # overlapping hot-gram coverage + empty doc
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rewrite_join_path_equals_broadcast():
+    """remove_dup_ngrams_join == remove_dup_ngrams on the planted
+    corpus, a no-duplicates corpus, and an all-covered document."""
+    import pandas as pd
+
+    from ocr_lib_ray.functions.ngramdup import remove_dup_ngrams_join
+
+    for rows in (
+        ROWS,
+        [(1, "p q r"), (2, "s t u")],
+        [(1, "w w w w"), (2, "w w w w"), (3, "")],
+    ):
+        b = (
+            remove_dup_ngrams(_ds(rows, num_blocks=2), n=3, min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        j = (
+            remove_dup_ngrams_join(_ds(rows, num_blocks=2), n=3, min_df=2, num_partitions=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(b, j[b.columns.tolist()])
