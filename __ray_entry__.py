@@ -701,6 +701,17 @@ def _q_range_join(sf_dir: str):
     return range_join_count(left, right, "user_id", "ts_us", window=3_600_000_000)
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Exact per-window distinct users (two-phase pair dedup — the
+    exact sibling of the approx_distinct HLL)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import window_distinct_users
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return window_distinct_users(events, window_seconds=3600)
+
+
 def _q_tumbling_window(sf_dir: str):
     import ray.data as rd
 
@@ -1340,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
+        "window_distinct_users": _q_window_distinct_users,
         "sessionize": _q_sessionize,
         "sessionize_stream": _q_sessionize_stream,
         "sessionize_salted": _q_sessionize_salted,
@@ -1959,6 +1971,11 @@ def oracle_sql() -> dict[str, str]:
               ON r.user_id = l.user_id AND r.ts_us > l.ts_us
              AND r.ts_us <= l.ts_us + 3600000000
             GROUP BY 1, 2, 3
+        """,
+        "window_distinct_users": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "tumbling_window": """
             SELECT event_type,

@@ -137,6 +137,7 @@ def run_bench() -> dict:
         "knn_ivf",
         "cosine_dups",
         "tumbling_window",
+        "window_distinct_users",
         "sliding_window",
         "sessionize",
         "sessionize_stream",

@@ -31,6 +31,49 @@ def partial_window_agg(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def window_distinct_users(events_ds, window_seconds: int = 3600):
+    """Exact distinct users per tumbling window → (window_start_us,
+    n_users) — the exact sibling of the HLL ``approx_distinct`` sketch
+    (use the sketch when per-window cardinalities are huge and ±2% is
+    fine; this when the answer must be exact).
+
+    Two-phase distinct: per-batch DISTINCT (window, user) pairs first
+    (the combiner — the shuffle carries one row per distinct pair per
+    batch, never per event), one groupby over the pair key to finish
+    the dedup, then a count per window.  Both shuffle keys are bounded
+    by distinct pairs, not event volume.
+    """
+    window_us = window_seconds * 1_000_000
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        b = add_window_id(batch, window_us)
+        t = b.select(["window_start_us", "user_id"])
+        return t.group_by(["window_start_us", "user_id"]).aggregate([])
+
+    pairs = (
+        events_ds.map_batches(
+            pair_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["window_start_us", "user_id"])
+        .aggregate(Count(alias_name="dup"))
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("window_start_us"),
+                pa.array([1] * batch.num_rows, pa.int64()),
+            ],
+            names=["window_start_us", "one"],
+        )
+
+    return (
+        pairs.map_batches(ones, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Sum("one", alias_name="n_users"))
+    )
+
+
 def heavy_hitters(events_ds, k: int = 10):
     """Top-k users by total value — partial per-batch combine, small
     groupby over partials, sort/limit on the aggregate only.  Returns

@@ -107,6 +107,7 @@ EMBEDDING_QUERIES = {
 #: the HLL sketch — no oracle)
 EVENT_SIDE = {
     "tumbling_window",
+    "window_distinct_users",  # round 3: exact per-window distinct
     "sessionize_salted",
     "sliding_window",
     "sessionize",
@@ -216,6 +217,7 @@ EDGE_EVENTS = [
 
 EVENT_QUERIES = [
     "tumbling_window",
+    "window_distinct_users",  # round 3: exact per-window distinct
     "sessionize_salted",
     "sliding_window",
     "sessionize",
