@@ -1755,12 +1755,14 @@ def oracle_sql() -> dict[str, str]:
         # semi/anti hash join: key-existence filters against the
         # label<3 embedding subset
         "doc_semi_join": """
-            SELECT doc_id, source FROM documents
-            WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label < 3)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE EXISTS (SELECT 1 FROM embeddings e
+                          WHERE e.vec_id = d.doc_id AND e.label < 3)
         """,
         "doc_anti_join": """
-            SELECT doc_id, source FROM documents
-            WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label < 3)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                              WHERE e.vec_id = d.doc_id AND e.label < 3)
         """,
         # per-domain cap: row_number over the same md5[:16] order the
         # Ray op uses, tie-broken by key
@@ -1841,13 +1843,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
                    FROM (SELECT doc_id, ws, unnest(range(1, L)) AS i FROM b)),
-            t2 AS (SELECT doc_id, max(c * (len(g) - 1)) AS m
-                   FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+            -- most frequent gram, ties -> longer chars: mc = max count,
+            -- then max charlen among count == mc (mass = mc * that cl)
+            c2 AS (SELECT doc_id, g, count(*) AS c, len(g) - 1 AS cl
+                   FROM g2 GROUP BY 1, 2),
+            m2 AS (SELECT doc_id, max(c) AS mc FROM c2 GROUP BY 1),
+            t2 AS (SELECT c2.doc_id, max(c2.c * c2.cl) AS m
+                   FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.c = m2.mc
                    GROUP BY 1),
             g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
                    FROM (SELECT doc_id, ws, unnest(range(1, L - 1)) AS i FROM b)),
-            t3 AS (SELECT doc_id, max(c * (len(g) - 2)) AS m
-                   FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+            c3 AS (SELECT doc_id, g, count(*) AS c, len(g) - 2 AS cl
+                   FROM g3 GROUP BY 1, 2),
+            m3 AS (SELECT doc_id, max(c) AS mc FROM c3 GROUP BY 1),
+            t3 AS (SELECT c3.doc_id, max(c3.c * c3.cl) AS m
+                   FROM c3 JOIN m3 ON c3.doc_id = m3.doc_id AND c3.c = m3.mc
                    GROUP BY 1),
             g5 AS (SELECT doc_id, i,
                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||

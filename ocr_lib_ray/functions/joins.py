@@ -20,15 +20,22 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
+import pyarrow.compute as pc
 
 from ..schema_utils import pa_col_type as _pa_col_type
 
 
-def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
+def _union_bucketed(
+    left_ds, right_ds, key_col: str, num_partitions: int, right_prebatch=None
+):
     """Union both sides under one schema with (bucket, side) tags.
     Columns a side lacks are ZERO-FILLED (see default_array) so pandas
     group frames keep exact dtypes.  Returns (union_ds, left_cols).
+
+    ``right_prebatch`` (batch → batch, same columns) is fused into the
+    right aligner — schema is derived from the PRE-transform dataset,
+    so a transform that Ray cannot infer a schema through (map_batches
+    over a possibly-empty side) costs neither a pass nor the metadata.
     """
     def names_of(ds):
         sch = ds.schema()
@@ -67,6 +74,8 @@ def _union_bucketed(left_ds, right_ds, key_col: str, num_partitions: int):
 
     def aligner(present: list, side: int):
         def align(batch: pa.Table) -> pa.Table:
+            if side == 1 and right_prebatch is not None:
+                batch = right_prebatch(batch)
             n = batch.num_rows
             arrays = [
                 batch.column(c) if c in present else default_array(n, types[c])
@@ -198,12 +207,17 @@ def hash_join(
     SQL-equivalent consumer are order-insensitive).
 
     ``how`` = ``semi`` / ``anti`` filter the left side by key existence
-    on the right (EXISTS / NOT EXISTS): output is the left rows and
-    columns unchanged — never multiplied, no joined columns, so
-    ``right_value_cols`` must be empty (only the right KEY column
-    ships through the shuffle).  ``anti`` is the dedup/decontamination
-    filter shape (see dedup_by_pairs_join, dedup_against_reference for
-    the specialized forms).
+    on the right (EXISTS / NOT EXISTS semantics, exactly: null right
+    keys are ignored, a null-key left row matches nothing — so semi
+    DROPS it and anti KEEPS it; this is NOT the ``NOT IN`` footgun
+    where one right-side null empties the result): output is the left
+    rows and columns unchanged — never multiplied, no joined columns,
+    so ``right_value_cols`` must be empty.  Only the right KEY column
+    ships through the shuffle, deduped per batch first (shuffle bytes
+    bounded by distinct keys per block, not right-side rows).
+    ``anti`` is the dedup/decontamination filter shape (see
+    dedup_by_pairs_join, dedup_against_reference for the specialized
+    forms).
 
     Deliberately NOT ``Dataset.join``: in Ray 2.49 a join whose output
     feeds another hash shuffle silently emits zero rows (see
@@ -225,12 +239,24 @@ def hash_join(
                 f"how={how!r} emits left columns only — right_value_cols "
                 f"{right_value_cols} would be silently dropped; pass none"
             )
+        def distinct_keys(b: pa.Table) -> pa.Table:
+            # per-batch combiner: nulls never match under EXISTS, drop
+            # them here; dedup so the shuffle carries distinct keys
+            t = b.filter(pc.is_valid(b.column(key_col)))
+            return t.group_by([key_col]).aggregate([])
+
         right = right_ds.select_columns([key_col])
-        union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
+        union, left_cols = _union_bucketed(
+            left_ds, right, key_col, num_partitions, right_prebatch=distinct_keys
+        )
 
         def filter_keys(g: pd.DataFrame) -> pd.DataFrame:
             l = g[g["side"] == 0][left_cols]
-            mask = l[key_col].isin(g[g["side"] == 1][key_col])
+            # EXISTS: a null left key matches nothing (pandas isin
+            # would match NaN to NaN — mask it out explicitly)
+            mask = l[key_col].notna() & l[key_col].isin(
+                g[g["side"] == 1][key_col].dropna()
+            )
             out = l[mask] if how == "semi" else l[~mask]
             return out.sort_values(key_col, kind="mergesort")
 

@@ -127,19 +127,15 @@ class MediaDecodeStub:
 
 
 def probe_video_decoder():
-    """Optional-dependency probe for a video demuxer (PyAV, else
-    OpenCV); None in this container — the deterministic byte-window
-    framing below is the codec-free stand-in."""
+    """Optional-dependency probe for a video demuxer: PyAV (the only
+    candidate that demuxes from an in-memory buffer — cv2.VideoCapture
+    needs a file path, so it is deliberately NOT probed); None in this
+    container — the deterministic byte-window framing below is the
+    codec-free stand-in."""
     try:
         import av  # noqa: PLC0415
 
         return av
-    except ImportError:
-        pass
-    try:
-        import cv2  # noqa: PLC0415
-
-        return cv2
     except ImportError:
         return None
 
@@ -165,10 +161,13 @@ class FrameSampler:
     byte window at index i (last frame may be short), n_frames =
     ceil(len/frame_size); the per-frame artifact is its md5 hex —
     deterministic and DuckDB-oracle-able, so the WHOLE Ray shape
-    (actor pool, flat output, schema, batch sizing) is verified even
-    though no codec exists here.  ``real_decode=True`` raises at actor
-    construction when the probe finds no demuxer (same honesty contract
-    as MediaDecodeStub).  Empty payloads emit no rows.
+    (flat output, schema, batch sizing) is verified even though no
+    codec exists here.  ``real_decode=True`` raises at actor
+    construction when the probe finds no demuxer; when PyAV is present
+    it genuinely demuxes (frame list from the container, per-frame md5
+    of the decoded pixel bytes), falling back to byte windows for
+    undecodable payloads — the exact contract MediaDecodeStub has for
+    images.  Empty payloads emit no rows.
     """
 
     def __init__(
@@ -180,34 +179,62 @@ class FrameSampler:
     ):
         if frame_size <= 0 or stride <= 0 or max_frames <= 0:
             raise ValueError("frame_size, stride and max_frames must be positive")
-        if real_decode and probe_video_decoder() is None:
-            raise NotImplementedError(
-                "real_decode requested but no video demuxer is available "
-                "(pip install av or opencv-python); the byte-window framing "
-                "(real_decode=False) needs no codec"
-            )
+        self._av = None
+        if real_decode:
+            self._av = probe_video_decoder()
+            if self._av is None:
+                raise NotImplementedError(
+                    "real_decode requested but no video demuxer is available "
+                    "(pip install av); the byte-window framing "
+                    "(real_decode=False) needs no codec"
+                )
         self.frame_size = frame_size
         self.stride = stride
         self.max_frames = max_frames
+
+    def _byte_frames(self, data: bytes):
+        """(n_frames, frame-bytes iterator by index) for the codec-free
+        byte-window framing."""
+        fs = self.frame_size
+        n_frames = (len(data) + fs - 1) // fs
+        return n_frames, lambda i: data[i * fs : (i + 1) * fs]
+
+    def _real_frames(self, data: bytes):
+        """PyAV demux: decoded video frames' pixel bytes; undecodable
+        payloads (every synthetic fixture here) fall back to byte
+        windows — a crawl always contains corrupt media."""
+        import io
+
+        try:
+            container = self._av.open(io.BytesIO(data))
+            frames = [
+                bytes(f.to_ndarray().tobytes())
+                for f in container.decode(video=0)
+            ]
+        except Exception:
+            return self._byte_frames(data)
+        if not frames:
+            return self._byte_frames(data)
+        return len(frames), lambda i: frames[i]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
         urls_out, idxs, totals, md5s = [], [], [], []
         urls = batch.column("url").to_pylist()
+        framing = self._real_frames if self._av is not None else self._byte_frames
         for url, v in zip(urls, batch.column("html").to_pylist()):
             data = v or b""
             if isinstance(data, str):
                 data = data.encode("utf-8")
-            fs = self.frame_size
-            n_frames = (len(data) + fs - 1) // fs
+            n_frames, frame_at = framing(data)
             for k, i in enumerate(range(0, n_frames, self.stride)):
                 if k >= self.max_frames:
                     break
                 urls_out.append(url)
                 idxs.append(i)
                 totals.append(n_frames)
-                md5s.append(hashlib.md5(data[i * fs : (i + 1) * fs]).hexdigest())
+                md5s.append(hashlib.md5(frame_at(i)).hexdigest())
         return pa.Table.from_arrays(
             [
                 pa.array(urls_out, pa.string()),
@@ -219,6 +246,9 @@ class FrameSampler:
         )
 
 
+_FRAME_SAMPLERS: dict = {}
+
+
 def frame_sample(
     pages_ds,
     frame_size: int = 256,
@@ -228,19 +258,39 @@ def frame_sample(
     concurrency=None,
     real_decode: bool = False,
 ):
-    """Actor-pool frame sampling over binary payload rows (small
-    batches; output is a flat (url, frame_idx, n_frames, frame_md5)
-    table, ≤ max_frames rows per input row)."""
-    from ..pool import autoscale_pool
+    """Frame sampling over binary payload rows (small batches; output
+    is a flat (url, frame_idx, n_frames, frame_md5) table, ≤ max_frames
+    rows per input row).
 
-    if concurrency is None:
-        concurrency = autoscale_pool()
+    Stage shape follows the measured thin-state rule (CLAUDE perf
+    notes): the codec-free byte-window framing holds three ints —
+    stateless tasks with a process-cached instance, which fuse with
+    the read and skip actor-pool ramp-up; ``real_decode=True`` (codec
+    = genuinely heavy state) becomes an actor pool with the demuxer
+    probed once per actor in ``__init__``."""
+    if real_decode:
+        from ..pool import autoscale_pool
+
+        if concurrency is None:
+            concurrency = autoscale_pool()
+        return pages_ds.map_batches(
+            FrameSampler,
+            fn_constructor_args=(frame_size, stride, max_frames, True),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    key = (frame_size, stride, max_frames)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        s = _FRAME_SAMPLERS.get(key)
+        if s is None:
+            s = _FRAME_SAMPLERS[key] = FrameSampler(*key)
+        return s(batch)
+
     return pages_ds.map_batches(
-        FrameSampler,
-        fn_constructor_args=(frame_size, stride, max_frames, real_decode),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        sample, batch_format="pyarrow", batch_size=batch_size
     )
 
 

@@ -210,13 +210,11 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     2021 appendix-A repetition filters), per document over normalized
     tokens:
 
-    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: repetition
-      mass of the heaviest word n-gram — max over n-grams of
-      occurrences × n-gram characters (spaces excluded) / total token
-      characters.  (The published filter takes the most FREQUENT
-      n-gram's char share; the max-mass form is identical except under
-      exact count ties, where it is deterministic without a
-      lexicographic tie-break — documented variant.)
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: the published
+      filter's definition — the MOST FREQUENT word n-gram's character
+      share: occurrences × n-gram characters (spaces excluded) / total
+      token characters, most-frequent chosen by (count desc, gram
+      chars desc) so exact count ties break deterministically.
     - ``dup_5gram_char_frac``: fraction of token characters covered by
       any 5-gram occurring MORE THAN ONCE within the document
       (position-marked, each character counted once — the duplicated-
@@ -254,8 +252,9 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             if len(toks) < n:
                 return 0.0
             counts = Counter(zip(*(toks[i:] for i in range(n))))
-            mass = max(c * sum(len(w) for w in g) for g, c in counts.items())
-            return r6(mass / total)
+            # most frequent gram; ties → the longer gram (deterministic)
+            c, cl = max((c, sum(len(w) for w in g)) for g, c in counts.items())
+            return r6(c * cl / total)
 
         top2.append(top_mass(2))
         top3.append(top_mass(3))

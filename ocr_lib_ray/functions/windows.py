@@ -57,21 +57,9 @@ def window_distinct_users(events_ds, window_seconds: int = 3600):
         .groupby(["window_start_us", "user_id"])
         .aggregate(Count(alias_name="dup"))
     )
-
-    def ones(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                batch.column("window_start_us"),
-                pa.array([1] * batch.num_rows, pa.int64()),
-            ],
-            names=["window_start_us", "one"],
-        )
-
-    return (
-        pairs.map_batches(ones, batch_format="pyarrow")
-        .groupby("window_start_us")
-        .aggregate(Sum("one", alias_name="n_users"))
-    )
+    # each surviving row IS one distinct (window, user) pair — count
+    # rows per window directly (the dup column is never read)
+    return pairs.groupby("window_start_us").aggregate(Count(alias_name="n_users"))
 
 
 def heavy_hitters(events_ds, k: int = 10):

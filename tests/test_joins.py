@@ -241,6 +241,19 @@ def test_hash_join_semi_anti():
         hash_join(
             rd.from_pandas(left), rd.from_pandas(right), "k", ["rv"], how="semi"
         )
+    # EXISTS/NOT EXISTS null semantics: a null left key matches nothing
+    # (semi drops it, anti keeps it); null right keys are ignored — NOT
+    # the SQL `NOT IN` footgun where one right null empties the result
+    lnull = pd.DataFrame({"k": [1.0, None, 3.0], "lv": [10, 20, 30]})
+    rnull = pd.DataFrame({"k": [1.0, None]})
+    semi = hash_join(
+        rd.from_pandas(lnull), rd.from_pandas(rnull), "k", how="semi"
+    ).to_pandas()
+    assert semi["lv"].tolist() == [10]
+    anti = hash_join(
+        rd.from_pandas(lnull), rd.from_pandas(rnull), "k", how="anti"
+    ).to_pandas()
+    assert sorted(anti["lv"].tolist()) == [20, 30]
 
 
 @pytest.mark.usefixtures("ray_session")
