@@ -35,6 +35,23 @@ REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "200"))
 SHARDS = 128
 
 
+def host_alloc_probe() -> float:
+    """Seconds to fault-in a fresh 100 MB allocation — the sandbox
+    host's known failure mode is a hypervisor-degraded page-fault path
+    (measured 2026-08-17: 0.5 s vs 0.02 s healthy, while pre-touched
+    STREAM bandwidth stayed 6.6 GB/s and scalar CPU was unaffected).
+    Recorded in the bench JSON so a slow run is attributable: values
+    ≳ 0.15 s mean allocation-heavy stages (every Arrow buffer, every
+    object-store write) are host-throttled and the timing is not an
+    engine number."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.zeros(100_000_000 // 8)
+    a[::512] = 1.0  # touch every page
+    return round(time.time() - t0, 3)
+
+
 def pages_shard_dir() -> str:
     # cache key hashes the generator source AND the tokenizer module it
     # imports (collapse_ws shapes the synthesized payload) — a change to
@@ -100,6 +117,7 @@ def run_bench() -> dict:
 
     from ocr_lib_ray.pipelines.extract import extract_pipeline
 
+    probe_before = host_alloc_probe()
     pages_dir = pages_shard_dir()
     prepare_pages(pages_dir)
 
@@ -200,6 +218,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "repeat": REPEAT,
+        "host_alloc_probe_sec": [probe_before, host_alloc_probe()],
     }
 
 
@@ -270,6 +289,7 @@ def run_headline_only() -> dict:
 
     from ocr_lib_ray.pipelines.extract import extract_pipeline
 
+    probe_before = host_alloc_probe()
     pages_dir = pages_shard_dir()
     prepare_pages(pages_dir)
     extract_pipeline(rd.read_parquet(pages_dir).limit(5000)).count()
@@ -284,6 +304,7 @@ def run_headline_only() -> dict:
         "docs_per_sec": round(out_rows / headline, 1),
         "n_pages": out_rows,
         "num_cpus": NUM_CPUS,
+        "host_alloc_probe_sec": [probe_before, host_alloc_probe()],
     }
 
 
