@@ -473,6 +473,15 @@ def _q_quality_score(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
 
 
+def _q_lm_bigram_score(sf_dir: str):
+    """Corpus-trained bigram-LM scoring (the perplexity-filter shape):
+    one vocabulary-sized count shuffle, broadcast model, map-only
+    scoring; int64 micro-logprob sums for exact order-free compare."""
+    from ocr_lib_ray.functions.lm import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher intra-doc repetition filters — stateless tasks (pure
     map, no state at all)."""
@@ -1336,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_basic": _q_quality_basic,
         "quality_score": _q_quality_score,
         "repetition_stats": _q_repetition_stats,
+        "lm_bigram_score": _q_lm_bigram_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -1881,6 +1891,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t2 USING (doc_id)
             LEFT JOIN t3 USING (doc_id)
             LEFT JOIN dupc USING (doc_id)
+        """,
+        # bigram-LM score: libm ln == DuckDB ln; identical double chain
+        # floor(ln(c_bi/c_uni)*1e6+0.5) then exact int64 sums
+        "lm_bigram_score": f"""
+            WITH t AS (SELECT doc_id, str_split({norm}, ' ') AS ws
+                       FROM documents WHERE {norm} <> ''),
+            pr AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                         FROM t)),
+            uni AS (SELECT w, count(*) AS c
+                    FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+            bi AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+            sc AS (SELECT pr.doc_id, count(*) AS n_pairs,
+                          CAST(sum(CAST(floor(ln(bi.c * 1.0 / uni.c) * 1e6
+                                                + 0.5) AS BIGINT))
+                               AS BIGINT) AS lm
+                   FROM pr JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
+                           JOIN uni ON uni.w = pr.w1
+                   GROUP BY 1)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sc.lm, 0) AS BIGINT) AS logprob_micro
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""

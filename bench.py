@@ -168,6 +168,7 @@ def run_bench() -> dict:
         "lang_id",
         "quality_score",
         "repetition_stats",
+        "lm_bigram_score",
         "quality_band",
         "corpus_clean",
         "training_data",

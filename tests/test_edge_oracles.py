@@ -84,6 +84,7 @@ QUERIES = [
     "dedup_ngram_spans_join",  # round 3: rewrite via the join path
     "decontaminate",
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
+    "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
 ]
 

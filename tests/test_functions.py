@@ -591,3 +591,33 @@ def test_frame_sampler_guards_and_codec_probe():
             FrameSampler(real_decode=True)
     else:
         FrameSampler(real_decode=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_logprob_model_and_edges():
+    """Hand-checked MLE bigram scores on a tiny corpus; short/empty
+    docs emit (0, 0); the max_vocab guard raises."""
+    import math
+
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.lm import bigram_logprob
+
+    # corpus counts: 'a'=3 ('a b' 2x, 'a c' 1x), 'b'=2, pairs: (a,b)x2,
+    # (b,a)x1, (a,c)x1
+    ds = rd.from_arrow(
+        docs_batch(["a b a b", "a c", "x", ""], ids=[1, 2, 3, 4])
+    ).repartition(2)
+    out = {
+        r["doc_id"]: (r["n_pairs"], r["logprob_micro"])
+        for r in bigram_logprob(ds).take_all()
+    }
+    mic = lambda p: math.floor(math.log(p) * 1e6 + 0.5)
+    # doc1 pairs: (a,b): 2/3, (b,a): 1/2, (a,b): 2/3
+    assert out[1] == (3, 2 * mic(2 / 3) + mic(1 / 2))
+    # doc2: (a,c): 1/3
+    assert out[2] == (1, mic(1 / 3))
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)
+    with pytest.raises(ValueError, match="max_vocab"):
+        bigram_logprob(ds, max_vocab=2).take_all()
