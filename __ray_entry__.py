@@ -1051,6 +1051,45 @@ def _q_score_quantiles(sf_dir: str):
     )
 
 
+def _q_percent_rank(sf_dir: str):
+    """Exact percent_rank/cume_dist over doc length WITHOUT the global
+    sort a window function implies: distinct-values histogram shuffle →
+    driver CDF (max_distinct-guarded) → ray.put broadcast → map-only
+    searchsorted stamp (functions.quantiles.ecdf_percent_rank)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import ecdf_percent_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ecdf_percent_rank(ds, "n_chars")
+
+
+def _q_percent_rank_by_lang(sf_dir: str):
+    """Per-language ECDF normalization (PARTITION BY lang) — same
+    histogram/broadcast discipline, per-group CDFs in one broadcast."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import ecdf_percent_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return ecdf_percent_rank(ds, "n_chars", group_col="lang")
+
+
+def _q_latest_event(sf_dir: str):
+    """Keep-newest-per-key dedup (the crawl keep-latest-snapshot-per-URL
+    shape): per-block prune to one row per key, then one groupby — the
+    shuffle carries <= one row per key per block, never the corpus
+    (functions.versions.keep_latest)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import keep_latest
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return keep_latest(ev, key_col="user_id", ts_col="ts", tie_col="event_id")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy packing, fully SQL-oracled (round 3): md5-lower64
     partition key + a recursive-CTE greedy loop reproduce it exactly.
@@ -1335,6 +1374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_band": _q_quality_band,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "score_quantiles": _q_score_quantiles,
+        "percent_rank": _q_percent_rank,
+        "percent_rank_by_lang": _q_percent_rank_by_lang,
+        "latest_event": _q_latest_event,
         "cap_per_source": _q_cap_per_source,
         "doc_embedding_join": _q_doc_embedding_join,
         "doc_semi_join": _q_doc_semi_join,
@@ -1726,6 +1768,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
             FROM agg
+        """,
+        # exact window-function ECDF, computed Ray-side WITHOUT the
+        # global sort (histogram CDF broadcast + searchsorted stamp);
+        # both divisions are the same int->double IEEE ops
+        "percent_rank": """
+            SELECT doc_id, n_chars,
+                   percent_rank() OVER (ORDER BY n_chars) AS pct_rank,
+                   cume_dist()    OVER (ORDER BY n_chars) AS cume_dist
+            FROM documents
+        """,
+        "percent_rank_by_lang": """
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+                     AS pct_rank,
+                   cume_dist()    OVER (PARTITION BY lang ORDER BY n_chars)
+                     AS cume_dist
+            FROM documents
+        """,
+        # keep-newest-snapshot-per-key dedup (row_number window = 1),
+        # Ray-side as per-block prune + one one-row-per-key-per-block
+        # groupby — never a corpus shuffle
+        "latest_event": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id
+                  ) AS rn FROM events)
+            WHERE rn = 1
         """,
         # percentile band trim: inclusive [P10, P90] token-count filter
         "quality_band": f"""

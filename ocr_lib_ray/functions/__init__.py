@@ -16,7 +16,12 @@ from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .redact import bpe_token_count_batch, redact_batch, redact_text
-from .quantiles import group_quantiles, histogram_quantiles, sort_quantiles
+from .quantiles import (
+    ecdf_percent_rank,
+    group_quantiles,
+    histogram_quantiles,
+    sort_quantiles,
+)
 from .ranking import tfidf_top_terms, topk_per_group
 from .sampling import (
     cap_per_group,
@@ -34,6 +39,7 @@ from .similarity import (
     knn_lsh,
 )
 from .streaming import streaming_sessionize
+from .versions import keep_latest
 from .sketches import approx_distinct_users_per_type, hll_aggregate
 from .text_stats import (
     LangId,
@@ -64,9 +70,11 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "cap_per_group",
+    "ecdf_percent_rank",
     "group_quantiles",
     "hash_join",
     "histogram_quantiles",
+    "keep_latest",
     "sort_quantiles",
     "union_find_components",
     "asof_join",

@@ -203,6 +203,136 @@ def sort_quantiles(
     )
 
 
+def ecdf_percent_rank(
+    ds,
+    col: str,
+    group_col: str | None = None,
+    max_distinct: int = 1_000_000,
+    rank_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
+):
+    """Append exact ``percent_rank()`` / ``cume_dist()`` over ``col``
+    (optionally ``PARTITION BY group_col``) to every row — the score-
+    normalization step of a filtering pipeline ("drop everything below
+    the corpus P30 of quality", "keep each language's top decile")
+    wants the corpus-relative rank, not the raw score.
+
+    A window function over 10^12 rows is a global sort; this is the
+    histogram rewrite: map-side ``value_counts`` partials, one
+    distinct-values-sized ``groupby`` shuffle, a driver cumulative sum
+    (``max_distinct``-guarded — for bounded domains like token counts,
+    scores quantized to ints, years), then one broadcast (``ray.put``)
+    and a map-only ``searchsorted`` pass to stamp every row.  For
+    continuous domains beyond ``max_distinct``, quantize first or rank
+    off :func:`sort_quantiles`-style global sort instead — the raise
+    says so.
+
+    Bit-for-bit DuckDB window semantics (pinned by the oracle):
+
+    * ``percent_rank = count(values < x) / (n_total - 1)`` (0.0 when
+      the partition has one row) — ties share the rank;
+    * ``cume_dist = count(values <= x) / n_total``;
+    * NULL values sort LAST: ``percent_rank = n_nonnull/(n_total-1)``,
+      ``cume_dist = 1.0`` (DuckDB default ``NULLS LAST`` order);
+    * both divisions are the same int→double IEEE ops DuckDB performs.
+
+    Null GROUP keys raise (SQL ranks the NULL partition; Ray's
+    sort-based groupby cannot shuffle them — silent drop would diverge
+    from the oracle).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    keys = ([group_col] if group_col else []) + [col, "_isnull"]
+
+    def partials(b: pa.Table) -> pa.Table:
+        if group_col and b.column(group_col).null_count:
+            raise ValueError(
+                f"ecdf_percent_rank: null keys in group column "
+                f"{group_col!r} are unsupported — filter or fill them first"
+            )
+        cols = ([group_col] if group_col else []) + [col]
+        t = b.select(cols)
+        vals = t.column(col)
+        # null values ride the same histogram under a flag column with a
+        # type-valid placeholder value (sort-based groupby cannot
+        # shuffle null keys); the driver reads them back out via _isnull
+        isnull = pc.is_null(vals)
+        filled = pc.fill_null(vals, pa.scalar(0, vals.type))
+        t = t.set_column(t.schema.get_field_index(col), col, filled)
+        t = t.append_column("_isnull", pc.cast(isnull, pa.int64()))
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g.column(k) for k in keys] + [g.column("count_all").cast(pa.int64())],
+            names=keys + ["cnt"],
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"{n_distinct} distinct (group, value) pairs exceeds "
+            f"max_distinct={max_distinct}: ecdf_percent_rank is for "
+            "bounded-domain columns — quantize the score or rank via a "
+            "global sort for continuous data"
+        )
+    per_group: dict = {}
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            gkey = r[group_col] if group_col else None
+            per_group.setdefault(gkey, []).append((bool(r["_isnull"]), r[col], r["cnt"]))
+    cdf: dict = {}
+    for gkey, rows in per_group.items():
+        n_null = sum(c for isn, _, c in rows if isn)
+        nonnull = sorted((v, c) for isn, v, c in rows if not isn)
+        vals = np.array([v for v, _ in nonnull])
+        counts = np.array([c for _, c in nonnull], dtype=np.int64)
+        cum_le = counts.cumsum()
+        cum_less = cum_le - counts
+        n_nonnull = int(cum_le[-1]) if len(cum_le) else 0
+        cdf[gkey] = (vals, cum_less, cum_le, n_nonnull, n_nonnull + n_null)
+    handle = ray.put(cdf)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        table = ray.get(handle)
+        x = b.column(col)
+        pr = np.empty(len(b), dtype=np.float64)
+        cd = np.empty(len(b), dtype=np.float64)
+        if group_col:
+            gvals = b.column(group_col).to_pylist()
+            groups: dict = {}
+            for i, gv in enumerate(gvals):
+                groups.setdefault(gv, []).append(i)
+            items = groups.items()
+        else:
+            items = [(None, range(len(b)))]
+        xn = x.to_numpy(zero_copy_only=False)
+        isnull = pc.is_null(x).to_numpy(zero_copy_only=False)
+        for gkey, idx in items:
+            vals, cum_less, cum_le, n_nonnull, n_total = table[gkey]
+            idx = np.fromiter(idx, dtype=np.int64) if not isinstance(idx, range) else np.arange(idx.start, idx.stop)
+            denom = float(n_total - 1) if n_total > 1 else 1.0
+            gx = xn[idx]
+            gnull = isnull[idx]
+            pos = np.searchsorted(vals, gx[~gnull])
+            nn = idx[~gnull]
+            pr[nn] = cum_less[pos] / denom
+            cd[nn] = cum_le[pos] / float(n_total)
+            ns = idx[gnull]
+            pr[ns] = n_nonnull / denom
+            cd[ns] = 1.0
+        out = b.append_column(rank_col, pa.array(pr, pa.float64()))
+        return out.append_column(cume_col, pa.array(cd, pa.float64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def group_quantiles(
     ds,
     group_col: str,

@@ -1,0 +1,74 @@
+"""Keep-newest-version-per-key dedup.
+
+A continuously refreshed crawl sees the same page many times; the
+curation rule is "keep the newest snapshot per canonical URL" (and the
+same shape answers "latest event per user", "latest revision per doc").
+At corpus scale that is a window function (`row_number() OVER
+(PARTITION BY key ORDER BY ts DESC, id)` = 1) — i.e. a global shuffle
+of every snapshot.
+
+The rewrite here is the ranking.topk_per_group discipline with k=1 and
+full-row carry: (1) a map-only per-block prune keeps each block's own
+latest row per key, so the shuffle sees at most one row per key per
+block, never the corpus; (2) one ``groupby(key).map_groups`` picks the
+final winner.  Deterministic total order: (ts_col DESC, tie_col ASC) —
+``tie_col`` must be a unique id so equal timestamps still select a
+stable row (and therefore stable non-key columns).
+
+Reference parity: the reference keeps one learned template per glyph
+key, newest teaching wins (`core_helper.clj:1833-1989` `nauci-slova`
+swap! semantics) — this is that rule lifted to a corpus-wide operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["keep_latest"]
+
+
+def keep_latest(ds, key_col: str, ts_col: str, tie_col: str):
+    """One row per ``key_col``: max ``ts_col``, ties broken by min
+    ``tie_col``.  All columns survive.
+
+    Null keys and null ``ts_col``/``tie_col`` values raise: SQL ranks a
+    NULL partition and sorts NULL timestamps last (DuckDB default), but
+    Ray's sort-based groupby cannot shuffle null keys and a silently
+    chosen null-ordering would diverge from the oracle — fill or filter
+    first, loudly.
+    """
+    cols = list(ds.schema().names)
+    for c in (key_col, ts_col, tie_col):
+        if c not in cols:
+            raise ValueError(f"keep_latest: column {c!r} not in dataset schema {cols}")
+
+    def _check_nulls(df: pd.DataFrame) -> None:
+        for c in (key_col, ts_col, tie_col):
+            if df[c].isna().any():
+                raise ValueError(
+                    f"keep_latest: null values in {c!r} are unsupported — "
+                    "filter or fill them first"
+                )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        schema = batch.schema
+        df = batch.to_pandas()
+        _check_nulls(df)
+        # mergesort = stable; with a unique tie_col the order is total,
+        # so the kept row (all its columns) is batch-layout-invariant
+        top = (
+            df.sort_values([ts_col, tie_col], ascending=[False, True], kind="mergesort")
+            .drop_duplicates(subset=[key_col], keep="first")
+        )
+        # explicit schema: an empty block would otherwise infer null types
+        return pa.Table.from_pandas(top[cols], schema=schema, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([ts_col, tie_col], ascending=[False, True], kind="mergesort")
+            .head(1)[cols]
+        )
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby(key_col).map_groups(finish, batch_format="pandas")

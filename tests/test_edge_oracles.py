@@ -86,6 +86,8 @@ QUERIES = [
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
     "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
+    "percent_rank",  # round 3: sort-free window-exact ECDF
+    "percent_rank_by_lang",  # round 3: PARTITION BY variant
 ]
 
 #: document-table queries with NO SQL oracle — empty since round 3:
@@ -117,6 +119,7 @@ EVENT_SIDE = {
     "range_join",
     "heavy_hitters",
     "approx_distinct",
+    "latest_event",  # round 3: keep-newest-per-key dedup
 }
 
 
@@ -227,6 +230,7 @@ EVENT_QUERIES = [
     "range_join",
     "heavy_hitters",
     "approx_distinct",  # round 3: HLL replicated in SQL (md5-upper64)
+    "latest_event",  # round 3: ts-tie-heavy keep-latest (ids 2/3/4 tie)
 ]
 
 
