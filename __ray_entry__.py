@@ -576,6 +576,26 @@ def _q_dedup_incremental(sf_dir: str):
     )
 
 
+def _q_dedup_incremental_minhash(sf_dir: str):
+    """Crawl-over-crawl NEAR-dup dedup: same even-half-as-prior-crawl
+    setup as dedup_incremental, but the match is banded minhash
+    (threshold 0.5) instead of exact fingerprints — paraphrases of
+    already-trained pages are caught.  Join-mode anti-filter: nothing
+    collected on either the band or loser side."""
+    import pyarrow.compute as pc
+
+    from ocr_lib_ray.functions.dedup import dedup_minhash_incremental
+
+    docs = _docs(sf_dir)
+    prior = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    return dedup_minhash_incremental(
+        docs, prior, threshold=0.5, mode="join", num_partitions=8
+    ).select_columns(["doc_id"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     from ocr_lib_ray.functions.dedup import simhash_pairs
 
@@ -1395,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "simhash_pairs": _q_simhash_pairs,
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
@@ -1587,48 +1608,18 @@ def _mulmod64_sql(v: str, const: int) -> str:
     )
 
 
-def _minhash_pairs_sql(
-    norm: str, threshold: float = 0.5, components: bool = False
+def _minhash_prefix_sql(
+    norm: str,
+    seeds_sql: str,
+    rows_per_band: int,
+    empty_sig: str,
+    m1: str,
+    m2: str,
 ) -> str:
-    """minhash_lsh_pairs replicated bit-for-bit in SQL (round 3).
-
-    Everything the implementation computes is reproduced: md5-lower64
-    shingle hashes (DuckDB ``md5_number_lower``), the xor-seed +
-    splitmix64 permutations (seeds inlined FROM THE SAME MinHasher the
-    engine uses — single source of truth; the wrapping multiplies via
-    :func:`_mulmod64_sql`), per-doc minima, the md5-derived band keys,
-    the identical-signature chain compression, rep-vs-rep estimated
-    Jaccard (counts of equal minima / 64 — exact in 6 decimals) and the
-    cross-band max.  ~3M intermediate rows at gate scale — fine for
-    DuckDB, and the point is exactness, not speed."""
-    from ocr_lib_ray.functions.dedup import MinHasher
-
-    hasher = MinHasher()  # the engine's own seeds/permutation count
-    seeds_sql = ", ".join(
-        f"({p}, {int(s)}::UBIGINT)" for p, s in enumerate(hasher.seeds)
-    )
-    n_perm = hasher.num_perm
-    rows_per_band = n_perm // 16
-    maxu = "18446744073709551615"
-    empty_sig = "[" + ", ".join(f"'{maxu}'" for _ in range(n_perm)) + "]"
-    m1 = _mulmod64_sql("xor(v, v >> 30)", 0xBF58476D1CE4E5B9)
-    m2 = _mulmod64_sql("xor(v, v >> 27)", 0x94D049BB133111EB)
-    if components:
-        # connected components over the pair set: recursive transitive
-        # closure, component = min reachable doc_id (the SQL analog of
-        # functions.dedup.connected_components)
-        tail = """,
-        mp AS (SELECT DISTINCT d1, d2 FROM allp),
-        edges AS (SELECT d1 AS a, d2 AS b FROM mp
-                  UNION SELECT d2, d1 FROM mp),
-        walk AS (
-            SELECT a AS doc_id, a AS reach FROM edges
-            UNION
-            SELECT w.doc_id, e.b FROM walk w JOIN edges e ON w.reach = e.a
-        )
-        SELECT doc_id, min(reach) AS component FROM walk GROUP BY doc_id"""
-    else:
-        tail = "SELECT d1, d2, max(est) AS est_jaccard FROM allp GROUP BY 1, 2"
+    """Shared CTE prefix of every minhash oracle: normalized shingles →
+    md5-lower64 hashes → xor-seed + splitmix64 permutation minima →
+    per-doc signature (empty docs get the all-max signature, exactly as
+    ``MinHasher.signature('')``) → 16 md5-derived band keys (``bk``)."""
     return f"""
         WITH RECURSIVE d AS (SELECT doc_id, {norm} AS nm FROM documents),
         t AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
@@ -1653,7 +1644,76 @@ def _minhash_pairs_sql(
                       md5_number_lower(array_to_string(
                         sv[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}], ','))
                         % 4294967296 AS bh
-               FROM sigall, (SELECT unnest(generate_series(0, 15)) AS b)),
+               FROM sigall, (SELECT unnest(generate_series(0, 15)) AS b))"""
+
+
+def _minhash_pairs_sql(
+    norm: str,
+    threshold: float = 0.5,
+    components: bool = False,
+    incremental: bool = False,
+) -> str:
+    """minhash_lsh_pairs replicated bit-for-bit in SQL (round 3).
+
+    Everything the implementation computes is reproduced: md5-lower64
+    shingle hashes (DuckDB ``md5_number_lower``), the xor-seed +
+    splitmix64 permutations (seeds inlined FROM THE SAME MinHasher the
+    engine uses — single source of truth; the wrapping multiplies via
+    :func:`_mulmod64_sql`), per-doc minima, the md5-derived band keys,
+    the identical-signature chain compression, rep-vs-rep estimated
+    Jaccard (counts of equal minima / 64 — exact in 6 decimals) and the
+    cross-band max.  ~3M intermediate rows at gate scale — fine for
+    DuckDB, and the point is exactness, not speed."""
+    from ocr_lib_ray.functions.dedup import MinHasher
+
+    hasher = MinHasher()  # the engine's own seeds/permutation count
+    seeds_sql = ", ".join(
+        f"({p}, {int(s)}::UBIGINT)" for p, s in enumerate(hasher.seeds)
+    )
+    n_perm = hasher.num_perm
+    rows_per_band = n_perm // 16
+    maxu = "18446744073709551615"
+    empty_sig = "[" + ", ".join(f"'{maxu}'" for _ in range(n_perm)) + "]"
+    m1 = _mulmod64_sql("xor(v, v >> 30)", 0xBF58476D1CE4E5B9)
+    m2 = _mulmod64_sql("xor(v, v >> 27)", 0x94D049BB133111EB)
+    if incremental:
+        # crawl-over-crawl NEAR-dup: every doc plays the new crawl, the
+        # even-id half plays the prior one; a new doc is dropped when
+        # any same-band-hash reference signature matches >= threshold
+        # (est = k/64 — exactly representable, so >= is bit-identical
+        # on both sides).  No chain/clique machinery: the op emits
+        # survivors, not pairs.
+        tail = f""",
+        rb AS (SELECT doc_id, sv, b, bh FROM bk WHERE doc_id % 2 = 0),
+        hits AS (SELECT DISTINCT n.doc_id
+                 FROM bk n JOIN rb r ON n.b = r.b AND n.bh = r.bh
+                 WHERE len(list_filter(generate_series(1, {n_perm}),
+                           i -> n.sv[i] = r.sv[i])) / {n_perm}.0 >= {threshold})
+        SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM hits)"""
+        # the chain/reps pair machinery is unused here: the shared
+        # prefix ends at bk (per-doc band keys + full signatures)
+        return (
+            _minhash_prefix_sql(norm, seeds_sql, rows_per_band, empty_sig, m1, m2)
+            + tail
+        )
+    if components:
+        # connected components over the pair set: recursive transitive
+        # closure, component = min reachable doc_id (the SQL analog of
+        # functions.dedup.connected_components)
+        tail = """,
+        mp AS (SELECT DISTINCT d1, d2 FROM allp),
+        edges AS (SELECT d1 AS a, d2 AS b FROM mp
+                  UNION SELECT d2, d1 FROM mp),
+        walk AS (
+            SELECT a AS doc_id, a AS reach FROM edges
+            UNION
+            SELECT w.doc_id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+        )
+        SELECT doc_id, min(reach) AS component FROM walk GROUP BY doc_id"""
+    else:
+        tail = "SELECT d1, d2, max(est) AS est_jaccard FROM allp GROUP BY 1, 2"
+    prefix = _minhash_prefix_sql(norm, seeds_sql, rows_per_band, empty_sig, m1, m2)
+    return f"""{prefix},
         chain AS (SELECT doc_id,
                          lag(doc_id) OVER (PARTITION BY b, bh, sv ORDER BY doc_id)
                            AS prev
@@ -2562,6 +2622,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _simhash_pairs_sql(norm),
         "minhash_components": _minhash_pairs_sql(norm, components=True),
+        "dedup_incremental_minhash": _minhash_pairs_sql(
+            norm, threshold=0.5, incremental=True
+        ),
         # incremental crawl-over-crawl dedup: survivors are docs whose
         # normalized-content md5 is absent from the prior-crawl (even
         # doc_id) fingerprint snapshot

@@ -6,6 +6,7 @@ from .dedup import (
     dedup_by_pairs,
     dedup_by_pairs_join,
     dedup_connected,
+    dedup_minhash_incremental,
     expand_components,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -64,6 +65,7 @@ __all__ = [
     "dedup_by_pairs",
     "dedup_by_pairs_join",
     "dedup_connected",
+    "dedup_minhash_incremental",
     "expand_components",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

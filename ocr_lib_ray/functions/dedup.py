@@ -822,6 +822,125 @@ def dedup_against_reference(
     return union.groupby("bucket").map_groups(anti, batch_format="pandas")
 
 
+def dedup_minhash_incremental(
+    new_ds,
+    ref_ds,
+    threshold: float = 0.5,
+    bands: int = 16,
+    group_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "join",
+    num_partitions: int = 32,
+):
+    """NEAR-dup incremental dedup: drop NEW docs whose estimated minhash
+    Jaccard vs ANY reference-corpus doc reaches ``threshold`` — the
+    crawl-over-crawl companion of :func:`dedup_against_reference`
+    (which is exact-fingerprint only; light paraphrases and boilerplate
+    re-wraps of already-trained pages sail through it).
+
+    Both sides run the SAME banded minhash as :func:`minhash_lsh_pairs`
+    (one :class:`MinHasher`, one band-key definition — so the SQL
+    replication discipline carries over verbatim).  Shuffle shape:
+    band rows of both sides union → one groupby on (band, bucket)
+    (bucket = band_hash % group_buckets keeps groups bounded at any
+    corpus size, exactly as in minhash_lsh_pairs); inside a group a new
+    doc is a loser when any same-band-hash reference signature matches
+    >= threshold (est = fraction of equal minima; n_perm = 64 → every
+    estimate is k/64, exactly representable, so the SQL comparison is
+    bit-identical).  New×new and ref×ref collisions are ignored — dedup
+    WITHIN the new crawl is a separate op by design.
+
+    The loser anti-filter follows the dedup_against_reference split:
+    ``mode="join"`` (default — on a dup-heavy crawl the loser set is
+    corpus-scale) bucket-anti-joins with nothing collected;
+    ``mode="broadcast"`` ships the loser id set once via ``ray.put``
+    for corpora where near-dups vs the prior crawl are known-rare.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .joins import _union_bucketed
+
+    if mode not in ("join", "broadcast"):
+        raise ValueError(f"mode must be 'join' or 'broadcast', got {mode!r}")
+    hasher = MinHasher()
+    if group_buckets is None:
+        group_buckets = derive_group_buckets(
+            new_ds, approx_rows=_rows_estimate(new_ds) + _rows_estimate(ref_ds)
+        )
+
+    def band_side(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if text_col != "text":
+                b = b.rename_columns(
+                    [("text" if n == text_col else n) for n in b.schema.names]
+                )
+            t = minhash_band_rows(
+                b, hasher, bands, id_col=id_col, group_buckets=group_buckets
+            )
+            return t.append_column("side", pa.array([side] * len(t), pa.int8()))
+
+        return fn
+
+    nb = new_ds.map_batches(band_side(0), batch_format="pyarrow")
+    rb = ref_ds.map_batches(band_side(1), batch_format="pyarrow")
+
+    def losers_fn(g: pd.DataFrame) -> pd.DataFrame:
+        hit_ids: set = set()
+        # only band_hash buckets holding BOTH sides can produce losers
+        sides = g.groupby("band_hash")["side"].transform("nunique")
+        both = g[sides > 1]
+        for _, sub in both.groupby("band_hash", sort=False):
+            news = sub[sub["side"] == 0].drop_duplicates("doc_id")
+            refs = sub[sub["side"] == 1]
+            if news.empty or refs.empty:
+                continue
+            ref_sigs = np.unique(
+                np.stack([np.frombuffer(s, dtype=np.uint64) for s in refs["signature"]]),
+                axis=0,
+            )
+            new_sigs = np.stack(
+                [np.frombuffer(s, dtype=np.uint64) for s in news["signature"]]
+            )
+            eqf = (new_sigs[:, None, :] == ref_sigs[None, :, :]).mean(axis=2)
+            hit = (eqf >= threshold).any(axis=1)
+            hit_ids.update(news["doc_id"].to_numpy()[hit].tolist())
+        return pd.DataFrame(
+            {id_col: pd.Series(sorted(hit_ids), dtype=g["doc_id"].dtype)}
+        )
+
+    losers = (
+        nb.union(rb)
+        .groupby(["band", "bucket"])
+        .map_groups(losers_fn, batch_format="pandas")
+        .materialize()  # ids-only; emptiness becomes a metadata check
+    )
+    if losers.count() == 0:
+        return new_ds
+    if mode == "broadcast":
+        ids = set()
+        for b in losers.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column(id_col).to_pylist())
+        handle = ray.put(ids)
+
+        def drop(b: pa.Table) -> pa.Table:
+            bad = ray.get(handle)
+            keep = [v not in bad for v in b.column(id_col).to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        return new_ds.map_batches(drop, batch_format="pyarrow")
+    union, doc_cols = _union_bucketed(new_ds, losers, id_col, num_partitions)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        drop = set(g.loc[g["side"] == 1, id_col])
+        return left.loc[~left[id_col].isin(drop), doc_cols]
+
+    return union.groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
 # --- simhash ---------------------------------------------------------------
 
 

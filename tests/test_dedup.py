@@ -371,3 +371,52 @@ def test_dedup_against_reference_modes_agree(sf_small):
     out = dedup_against_reference(new, empty_ref).to_pandas()
     assert sorted(out["doc_id"]) == [10_001, 10_002]
     assert sorted(out.columns) == ["doc_id", "text"]
+
+
+def test_dedup_minhash_incremental(sf_small):
+    """NEAR-dup crawl-over-crawl dedup: a paraphrase of a prior-crawl
+    doc must drop while fresh text survives; broadcast and join modes
+    must keep identical sets; an empty reference is a no-op."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dedup_minhash_incremental
+
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    pdf = docs.to_pandas()
+    prior = rd.from_pandas(pdf.query("doc_id % 2 == 0")[["doc_id", "text"]])
+
+    a = sorted(
+        dedup_minhash_incremental(docs, prior, mode="broadcast")
+        .to_pandas()["doc_id"]
+    )
+    b = sorted(
+        dedup_minhash_incremental(docs, prior, mode="join", num_partitions=8)
+        .to_pandas()["doc_id"]
+    )
+    assert a == b and len(a) > 0
+    assert all(i % 2 != 0 for i in a)  # every prior doc self-matches (est 1.0)
+
+    # planted: near-dup of an old doc (tail tweak — high shingle overlap)
+    old_text = pdf.query("doc_id % 2 == 0").iloc[0]["text"]
+    near = old_text + " extra trailing token"
+    new = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [20_001, 20_002],
+                "text": [near, "completely fresh unseen text about nothing"],
+            }
+        )
+    )
+    kept = sorted(
+        dedup_minhash_incremental(new, prior, mode="broadcast").to_pandas()["doc_id"]
+    )
+    assert kept == [20_002]
+
+    # empty reference → everything survives (no shuffle at all)
+    empty_ref = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "text": pd.array([], dtype="string")})
+    )
+    out = dedup_minhash_incremental(new, empty_ref).to_pandas()
+    assert sorted(out["doc_id"]) == [20_001, 20_002]
+    assert sorted(out.columns) == ["doc_id", "text"]
