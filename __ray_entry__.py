@@ -639,6 +639,27 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(_emb(sf_dir), query_ids=list(range(10)), k=5, n_centroids=16, nprobe=6)
 
 
+def _q_decontaminate_embedding(sf_dir: str):
+    """Embedding-space eval decontamination: the vec_id % 10 == 0 rows
+    play the benchmark suite; corpus rows within cosine 0.4 of any of
+    them drop.  Eval matrix broadcast once, corpus pass map-only (no
+    shuffle).  Threshold matches cosine_dups' known-boundary-safe 0.4
+    on this data (the output is an id SET — no float column hashed)."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.similarity import decontaminate_embedding
+
+    def _eval_rows(b: "pa.Table") -> "pa.Table":
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0, pa.bool_()))
+
+    emb = _emb(sf_dir)
+    evals = emb.map_batches(_eval_rows, batch_format="pyarrow")
+    return decontaminate_embedding(emb, evals, threshold=0.4).select_columns(
+        ["vec_id"]
+    )
+
+
 def _q_cosine_dups(sf_dir: str):
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs
 
@@ -1421,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "cosine_dups": _q_cosine_dups,
+        "decontaminate_embedding": _q_decontaminate_embedding,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
@@ -2116,6 +2138,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS d1, b.vec_id AS d2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # embedding-space eval decontamination: id-set output (the same
+        # no-float-column discipline as cosine_dups); eval rows drop as
+        # self-matches
+        "decontaminate_embedding": """
+            SELECT a.vec_id FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.vec_id % 10 = 0
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            )
         """,
         # value_sum compared in integer cents: double += order differs
         # between engines, and round-to-6 is 1-ulp fragile; cents are exact.

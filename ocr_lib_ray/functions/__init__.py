@@ -35,6 +35,7 @@ from .scoring import score_documents
 from .similarity import (
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
+    decontaminate_embedding,
     knn_brute,
     knn_ivf,
     knn_lsh,
@@ -99,6 +100,7 @@ __all__ = [
     "score_documents",
     "cosine_dup_pairs",
     "cosine_dup_pairs_lsh",
+    "decontaminate_embedding",
     "knn_brute",
     "knn_ivf",
     "knn_lsh",

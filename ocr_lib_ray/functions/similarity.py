@@ -497,3 +497,57 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.95, max_rows: int = COSINE_BRU
         )
 
     return emb_ds.map_batches(_pairs, batch_format="pyarrow")
+
+
+EVAL_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def decontaminate_embedding(
+    emb_ds,
+    eval_ds,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_eval_rows: int = EVAL_BROADCAST_MAX_ROWS,
+):
+    """Embedding-space eval-set decontamination: drop corpus rows whose
+    cosine similarity to ANY eval/benchmark embedding reaches
+    ``threshold`` — the semantic companion of the n-gram
+    :func:`~ocr_lib_ray.functions.ngramdup.decontaminate` (which misses
+    paraphrased benchmark leaks that embed nearly identically).
+
+    Scale shape: the eval side is SMALL by definition (benchmark suites
+    are thousands of rows, the corpus is 10^12) — its normalized matrix
+    ships ONCE via ``ray.put`` (``max_eval_rows``-guarded) and the
+    corpus pass is map-only: one ``batch x eval`` matmul per batch, no
+    shuffle at all.  A corpus row equal to an eval row drops (cos 1.0),
+    mirroring dedup_against_reference's self-match rule.  Zero vectors
+    never match anything (their cosine is 0 under the normalize-guard).
+    """
+    import ray
+
+    eval_batches = list(eval_ds.iter_batches(batch_format="pyarrow"))
+    if not eval_batches:  # empty eval set: nothing to decontaminate against
+        return emb_ds
+    eval_tbl = pa.concat_tables(eval_batches)
+    if eval_tbl.num_rows > max_eval_rows:
+        raise ValueError(
+            f"eval side has {eval_tbl.num_rows} rows > max_eval_rows="
+            f"{max_eval_rows}: the broadcast decontamination path is for "
+            "benchmark-sized eval sets — for corpus-sized references use "
+            "dedup_minhash_incremental or an LSH-bucketed variant"
+        )
+    if eval_tbl.num_rows == 0:
+        return emb_ds
+    eval_mat = _normalize_rows(_as_matrix(eval_tbl.column(emb_col)))
+    ref = ray.put(eval_mat)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        em = ray.get(ref)
+        bmat = _normalize_rows(_as_matrix(batch.column(emb_col)))
+        max_sim = (bmat @ em.T).max(axis=1)
+        return batch.filter(pa.array(max_sim < threshold, pa.bool_()))
+
+    return emb_ds.map_batches(_keep, batch_format="pyarrow")

@@ -102,6 +102,7 @@ EMBEDDING_QUERIES = {
     "knn_ivf",
     "cosine_dups",
     "cosine_dups_lsh",
+    "decontaminate_embedding",  # round 3: eval decontam in embedding space
     "doc_embedding_join",  # round 3: general bucketed hash equi-join
     "doc_semi_join",  # round 3: hash_join how="semi"
     "doc_anti_join",  # round 3: hash_join how="anti"

@@ -107,3 +107,51 @@ def test_cosine_dup_pairs_match_numpy(sf_small):
         for i, j in zip(iu[sims[iu, ju] >= 0.4], ju[sims[iu, ju] >= 0.4])
     }
     assert set(zip(got["d1"], got["d2"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_embedding():
+    """Planted eval leak drops (including an exact copy and a scaled
+    copy — cosine is scale-invariant); orthogonal rows survive; empty
+    eval set is a no-op; the max_eval_rows guard raises."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.similarity import decontaminate_embedding
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    corpus = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3, 4], pa.int64()),
+            pa.array(
+                [
+                    e1,                      # exact eval copy → drop
+                    [2.0, 0.02, 0.0, 0.0],   # scaled near-copy → drop
+                    e2,                      # orthogonal to eval → keep
+                    [0.0, 0.1, 1.0, 0.0],    # far → keep
+                ],
+                pa.list_(pa.float64()),
+            ),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    evals = pa.Table.from_arrays(
+        [pa.array([100], pa.int64()), pa.array([e1], pa.list_(pa.float64()))],
+        names=["vec_id", "embedding"],
+    )
+    out = decontaminate_embedding(
+        rd.from_arrow(corpus), rd.from_arrow(evals), threshold=0.9
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == [3, 4]
+
+    empty = rd.from_arrow(corpus.slice(0, 0))
+    assert sorted(
+        decontaminate_embedding(rd.from_arrow(corpus), empty).to_pandas()["vec_id"]
+    ) == [1, 2, 3, 4]
+
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        decontaminate_embedding(
+            rd.from_arrow(corpus), rd.from_arrow(evals), max_eval_rows=0
+        )
