@@ -1092,6 +1092,22 @@ def _q_score_quantiles(sf_dir: str):
     )
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Continuous-domain quantiles WITHOUT the sort_quantiles global
+    sort: deterministic grid quantization (step=0.01 — money cents) +
+    the exact histogram path on grid ids; error bounded by the step and
+    the whole computation SQL-reproducible (same IEEE divide/floor/
+    multiply on both sides)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import quantized_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantized_quantiles(
+        ev, "value", qs=(0.25, 0.5, 0.75, 0.9, 0.99), step=0.01
+    )
+
+
 def _q_percent_rank(sf_dir: str):
     """Exact percent_rank/cume_dist over doc length WITHOUT the global
     sort a window function implies: distinct-values histogram shuffle →
@@ -1415,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_band": _q_quality_band,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "score_quantiles": _q_score_quantiles,
+        "value_quantiles": _q_value_quantiles,
         "percent_rank": _q_percent_rank,
         "percent_rank_by_lang": _q_percent_rank_by_lang,
         "latest_event": _q_latest_event,
@@ -1849,6 +1866,17 @@ def oracle_sql() -> dict[str, str]:
                       AS vals FROM n)
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
+            FROM agg
+        """,
+        # grid-quantized continuous-domain quantiles: floor(v/step) on
+        # both sides, exact histogram on grid ids, * step on the way out
+        "value_quantiles": """
+            WITH g AS (SELECT floor(value / 0.01) AS gv FROM events
+                       WHERE value IS NOT NULL),
+            agg AS (SELECT quantile_disc(gv, [0.25, 0.5, 0.75, 0.9, 0.99])
+                      AS vals FROM g)
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(vals) * 0.01 AS value
             FROM agg
         """,
         # exact window-function ECDF, computed Ray-side WITHOUT the

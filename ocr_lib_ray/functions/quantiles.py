@@ -203,6 +203,51 @@ def sort_quantiles(
     )
 
 
+def quantized_quantiles(
+    ds,
+    col: str,
+    qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+    step: float = 0.01,
+    max_distinct: int = 1_000_000,
+):
+    """Quantiles of a CONTINUOUS column without the global sort
+    :func:`sort_quantiles` pays: values are floored onto a fixed grid
+    (``g = floor(v / step)``) and the exact histogram path runs on the
+    grid ids — one distinct-grid-values-sized shuffle at any corpus
+    size.  The answer is the lower grid edge (``g * step``), so the
+    error is bounded by ``step`` — DETERMINISTIC and SQL-reproducible
+    (``quantile_disc(floor(v/step)) * step`` — same IEEE divide/floor/
+    multiply on both sides), unlike a sampling or t-digest sketch.
+
+    Pick ``step`` from the column's semantics (0.01 for money, 1.0 for
+    millisecond latencies, …); ``max_distinct`` still guards the grid
+    cardinality (range/step buckets).  Nulls ignored; empty → empty.
+    """
+    _check_qs(qs)
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+
+    def grid(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(col).drop_null().combine_chunks(), pa.float64())
+        return pa.Table.from_arrays(
+            [pc.floor(pc.divide(v, step))], names=[col]
+        )
+
+    t = histogram_quantiles(
+        ds.map_batches(grid, batch_format="pyarrow", zero_copy_batch=True),
+        col,
+        qs,
+        max_distinct,
+    )
+    if t.num_rows == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.float64()), pa.array([], pa.float64())],
+            names=["q", col],
+        )
+    vals = pc.multiply(pc.cast(t.column(col), pa.float64()), step)
+    return t.set_column(1, col, vals)
+
+
 def ecdf_percent_rank(
     ds,
     col: str,

@@ -122,6 +122,7 @@ EVENT_SIDE = {
     "heavy_hitters",
     "approx_distinct",
     "latest_event",  # round 3: keep-newest-per-key dedup
+    "value_quantiles",  # round 3: grid-quantized continuous quantiles
 }
 
 
@@ -233,6 +234,7 @@ EVENT_QUERIES = [
     "heavy_hitters",
     "approx_distinct",  # round 3: HLL replicated in SQL (md5-upper64)
     "latest_event",  # round 3: ts-tie-heavy keep-latest (ids 2/3/4 tie)
+    "value_quantiles",  # round 3: grid quantization on tie-heavy values
 ]
 
 

@@ -217,3 +217,39 @@ def test_quantile_band_filter_matches_duckdb_between():
 
     with pytest.raises(ValueError, match="lo_q"):
         quantile_band_filter(ds, "n", lo_q=0.9, hi_q=0.1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantized_quantiles_bounds_and_edges():
+    """Grid-quantized quantiles: within one step of the exact
+    (quantile_disc) answer, exact when values already sit on the grid,
+    correct floor behavior on negatives, empty/null-only → empty, and
+    the step guard raises."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import quantized_quantiles
+
+    vals = [0.015, -1.237, 2.5, 2.5, 0.999, 7.32, -0.001, 3.111]
+    ds = rd.from_arrow(
+        pa.Table.from_arrays([pa.array(vals, pa.float64())], names=["v"])
+    )
+    qs = (0.1, 0.5, 0.9)
+    out = quantized_quantiles(ds, "v", qs=qs, step=0.01)
+    exact = duck_quantiles(vals, qs)
+    for got, want in zip(out.column("v").to_pylist(), exact):
+        assert want - 0.01 < got <= want  # lower grid edge, error < step
+
+    on_grid = [0.25, 1.75, -3.5, 0.25]
+    ds2 = rd.from_arrow(
+        pa.Table.from_arrays([pa.array(on_grid, pa.float64())], names=["v"])
+    )
+    out2 = quantized_quantiles(ds2, "v", qs=qs, step=0.25)
+    assert out2.column("v").to_pylist() == duck_quantiles(on_grid, qs)
+
+    nulls = rd.from_arrow(
+        pa.Table.from_arrays([pa.array([None, None], pa.float64())], names=["v"])
+    )
+    assert quantized_quantiles(nulls, "v", qs=qs).num_rows == 0
+
+    with pytest.raises(ValueError, match="step"):
+        quantized_quantiles(ds, "v", step=0.0)
