@@ -1878,6 +1878,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) * 0.01 AS value
             FROM agg
+            -- 0 rows (not 5 NULL-padded ones) on an empty/all-null
+            -- column, matching the op's empty-table contract
+            WHERE EXISTS (SELECT 1 FROM g)
         """,
         # exact window-function ECDF, computed Ray-side WITHOUT the
         # global sort (histogram CDF broadcast + searchsorted stamp);

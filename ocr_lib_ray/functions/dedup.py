@@ -832,6 +832,7 @@ def dedup_minhash_incremental(
     text_col: str = "text",
     mode: str = "join",
     num_partitions: int = 32,
+    approx_rows: int | None = None,
 ):
     """NEAR-dup incremental dedup: drop NEW docs whose estimated minhash
     Jaccard vs ANY reference-corpus doc reaches ``threshold`` — the
@@ -856,6 +857,13 @@ def dedup_minhash_incremental(
     corpus-scale) bucket-anti-joins with nothing collected;
     ``mode="broadcast"`` ships the loser id set once via ``ray.put``
     for corpora where near-dups vs the prior crawl are known-rare.
+
+    ``approx_rows``: combined new+ref row estimate for bucket sizing.
+    Leave None only when both sides expose metadata row counts (plain
+    ``read_parquet``): a transformed lineage (e.g. a filtered prior
+    crawl) would otherwise pay a full ``count()`` execution before the
+    real work starts — pass the estimate instead (same contract as
+    ``minhash_lsh_pairs(approx_rows=...)``).
     """
     import pandas as pd
 
@@ -867,9 +875,9 @@ def dedup_minhash_incremental(
         raise ValueError(f"mode must be 'join' or 'broadcast', got {mode!r}")
     hasher = MinHasher()
     if group_buckets is None:
-        group_buckets = derive_group_buckets(
-            new_ds, approx_rows=_rows_estimate(new_ds) + _rows_estimate(ref_ds)
-        )
+        if approx_rows is None:
+            approx_rows = _rows_estimate(new_ds) + _rows_estimate(ref_ds)
+        group_buckets = derive_group_buckets(new_ds, approx_rows=approx_rows)
 
     def band_side(side: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -897,16 +905,31 @@ def dedup_minhash_incremental(
             refs = sub[sub["side"] == 1]
             if news.empty or refs.empty:
                 continue
+            # UNIQUE signatures on BOTH sides (the _pairs_from_band
+            # clique-compression lesson: dense-duplicate buckets are
+            # exactly where this op lives, and an n_new x n_ref x 64
+            # comparison over raw rows melts the worker there), then the
+            # verdicts map back through the inverse index.  The unique x
+            # unique comparison is further tiled so peak scratch stays
+            # ~64 MB regardless of bucket size.
             ref_sigs = np.unique(
                 np.stack([np.frombuffer(s, dtype=np.uint64) for s in refs["signature"]]),
                 axis=0,
             )
-            new_sigs = np.stack(
+            raw_new = np.stack(
                 [np.frombuffer(s, dtype=np.uint64) for s in news["signature"]]
             )
-            eqf = (new_sigs[:, None, :] == ref_sigs[None, :, :]).mean(axis=2)
-            hit = (eqf >= threshold).any(axis=1)
-            hit_ids.update(news["doc_id"].to_numpy()[hit].tolist())
+            uniq_new, inv = np.unique(raw_new, axis=0, return_inverse=True)
+            hit_u = np.zeros(len(uniq_new), dtype=bool)
+            tile = 1024
+            for i in range(0, len(uniq_new), tile):
+                nu = uniq_new[i : i + tile]
+                for j in range(0, len(ref_sigs), tile):
+                    eqf = (nu[:, None, :] == ref_sigs[None, j : j + tile, :]).mean(
+                        axis=2
+                    )
+                    hit_u[i : i + tile] |= (eqf >= threshold).any(axis=1)
+            hit_ids.update(news["doc_id"].to_numpy()[hit_u[inv]].tolist())
         return pd.DataFrame(
             {id_col: pd.Series(sorted(hit_ids), dtype=g["doc_id"].dtype)}
         )

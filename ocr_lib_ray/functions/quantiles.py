@@ -357,8 +357,15 @@ def ecdf_percent_rank(
             items = groups.items()
         else:
             items = [(None, range(len(b)))]
-        xn = x.to_numpy(zero_copy_only=False)
+        # dtype-preserving value array: converting a NULL-carrying int64
+        # chunk straight to numpy floats it, collapsing distinct values
+        # >= 2^53 onto one double BEFORE searchsorted — so extract the
+        # non-null values in their native dtype and scatter them into a
+        # full-length buffer (null slots are never read)
         isnull = pc.is_null(x).to_numpy(zero_copy_only=False)
+        nonnull_np = pc.filter(x, pc.is_valid(x)).to_numpy(zero_copy_only=False)
+        xn = np.empty(len(b), dtype=nonnull_np.dtype)
+        xn[~isnull] = nonnull_np
         for gkey, idx in items:
             vals, cum_less, cum_le, n_nonnull, n_total = table[gkey]
             idx = np.fromiter(idx, dtype=np.int64) if not isinstance(idx, range) else np.arange(idx.start, idx.stop)

@@ -526,17 +526,23 @@ def decontaminate_embedding(
     """
     import ray
 
-    eval_batches = list(eval_ds.iter_batches(batch_format="pyarrow"))
+    eval_batches, n_eval = [], 0
+    for b in eval_ds.iter_batches(batch_format="pyarrow"):
+        n_eval += b.num_rows
+        if n_eval > max_eval_rows:
+            # raise DURING the stream — a corpus-sized eval side (the
+            # misuse this guard exists for) must not be fully pulled
+            # onto the driver before the error fires
+            raise ValueError(
+                f"eval side exceeds max_eval_rows={max_eval_rows}: the "
+                "broadcast decontamination path is for benchmark-sized "
+                "eval sets — for corpus-sized references use "
+                "dedup_minhash_incremental or an LSH-bucketed variant"
+            )
+        eval_batches.append(b)
     if not eval_batches:  # empty eval set: nothing to decontaminate against
         return emb_ds
     eval_tbl = pa.concat_tables(eval_batches)
-    if eval_tbl.num_rows > max_eval_rows:
-        raise ValueError(
-            f"eval side has {eval_tbl.num_rows} rows > max_eval_rows="
-            f"{max_eval_rows}: the broadcast decontamination path is for "
-            "benchmark-sized eval sets — for corpus-sized references use "
-            "dedup_minhash_incremental or an LSH-bucketed variant"
-        )
     if eval_tbl.num_rows == 0:
         return emb_ds
     eval_mat = _normalize_rows(_as_matrix(eval_tbl.column(emb_col)))

@@ -15,6 +15,12 @@ final winner.  Deterministic total order: (ts_col DESC, tie_col ASC) —
 ``tie_col`` must be a unique id so equal timestamps still select a
 stable row (and therefore stable non-key columns).
 
+Value columns never round-trip through pandas: only the three ORDER
+columns are converted to choose indices, and the selected rows are
+``Table.take``-n from the original Arrow block — a nullable int64
+payload would otherwise float (corrupting values >= 2^53), the same
+hazard joins._union_bucketed documents.
+
 Reference parity: the reference keeps one learned template per glyph
 key, newest teaching wins (`core_helper.clj:1833-1989` `nauci-slova`
 swap! semantics) — this is that rule lifted to a corpus-wide operator.
@@ -22,6 +28,7 @@ swap! semantics) — this is that rule lifted to a corpus-wide operator.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -30,7 +37,8 @@ __all__ = ["keep_latest"]
 
 def keep_latest(ds, key_col: str, ts_col: str, tie_col: str):
     """One row per ``key_col``: max ``ts_col``, ties broken by min
-    ``tie_col``.  All columns survive.
+    ``tie_col``.  All columns survive, byte-exact (Arrow ``take``, no
+    pandas round-trip of value columns).
 
     Null keys and null ``ts_col``/``tie_col`` values raise: SQL ranks a
     NULL partition and sorts NULL timestamps last (DuckDB default), but
@@ -43,32 +51,33 @@ def keep_latest(ds, key_col: str, ts_col: str, tie_col: str):
         if c not in cols:
             raise ValueError(f"keep_latest: column {c!r} not in dataset schema {cols}")
 
-    def _check_nulls(df: pd.DataFrame) -> None:
+    def _latest_indices(batch: pa.Table, k_all: bool) -> np.ndarray:
+        """Row indices of each key's (ts DESC, tie ASC) winner; with
+        ``k_all`` False the batch is a final group (single key)."""
+        order = batch.select([key_col, ts_col, tie_col]).to_pandas()
         for c in (key_col, ts_col, tie_col):
-            if df[c].isna().any():
+            if order[c].isna().any():
                 raise ValueError(
                     f"keep_latest: null values in {c!r} are unsupported — "
                     "filter or fill them first"
                 )
-
-    def prune(batch: pa.Table) -> pa.Table:
-        schema = batch.schema
-        df = batch.to_pandas()
-        _check_nulls(df)
+        order = order.reset_index(drop=True)
         # mergesort = stable; with a unique tie_col the order is total,
         # so the kept row (all its columns) is batch-layout-invariant
-        top = (
-            df.sort_values([ts_col, tie_col], ascending=[False, True], kind="mergesort")
-            .drop_duplicates(subset=[key_col], keep="first")
+        ranked = order.sort_values(
+            [ts_col, tie_col], ascending=[False, True], kind="mergesort"
         )
-        # explicit schema: an empty block would otherwise infer null types
-        return pa.Table.from_pandas(top[cols], schema=schema, preserve_index=False)
+        if k_all:
+            keep = ranked.drop_duplicates(subset=[key_col], keep="first")
+        else:
+            keep = ranked.head(1)
+        return keep.index.to_numpy()
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values([ts_col, tie_col], ascending=[False, True], kind="mergesort")
-            .head(1)[cols]
-        )
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.take(_latest_indices(batch, k_all=True))
+
+    def finish(g: pa.Table) -> pa.Table:
+        return g.select(cols).take(_latest_indices(g, k_all=False))
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
-    return pruned.groupby(key_col).map_groups(finish, batch_format="pandas")
+    return pruned.groupby(key_col).map_groups(finish, batch_format="pyarrow")

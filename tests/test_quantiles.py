@@ -253,3 +253,27 @@ def test_quantized_quantiles_bounds_and_edges():
 
     with pytest.raises(ValueError, match="step"):
         quantized_quantiles(ds, "v", step=0.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_quantiles_oracle_empty_column_agreement():
+    """The value_quantiles oracle must emit 0 rows (not 5 NULL-padded
+    ones) on an all-null column, matching the op's empty-table contract
+    (regression — review finding)."""
+    import sys
+
+    import duckdb
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    from ocr_lib_ray.functions.quantiles import quantized_quantiles
+
+    tbl = pa.Table.from_arrays(
+        [pa.array([None, None], pa.float64())], names=["value"]
+    )
+    assert quantized_quantiles(rd.from_arrow(tbl), "value", step=0.01).num_rows == 0
+    con = duckdb.connect()
+    con.register("events", tbl.to_pandas())
+    assert len(con.execute(em.oracle_sql()["value_quantiles"]).df()) == 0

@@ -192,3 +192,72 @@ def test_keep_latest_null_and_missing_columns_raise():
         keep_latest(ds, "user_id", "ts", "event_id").materialize()
     with pytest.raises(ValueError, match="not in dataset schema"):
         keep_latest(ds, "user_id", "nope", "event_id")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keep_latest_preserves_nullable_int64_payload():
+    """Value columns must not round-trip through pandas: a nullable
+    int64 payload would float, corrupting values >= 2^53 (regression —
+    review finding)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import keep_latest
+
+    big = 2**53 + 1
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array([10, 20, 30], pa.int64()),
+            pa.array([7, 7, 8], pa.int64()),
+            pa.array([big, big + 2, None], pa.int64()),  # nullable payload
+        ],
+        names=["event_id", "ts", "user_id", "payload"],
+    )
+    out = pa.concat_tables(
+        list(
+            keep_latest(rd.from_arrow(tbl), "user_id", "ts", "event_id").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    # Arrow-side checks: .to_pandas() itself would float the nullable
+    # int64 and mask exactly the corruption this test guards against
+    assert out.schema.field("payload").type == pa.int64()
+    vals = dict(zip(out["user_id"].to_pylist(), out["payload"].to_pylist()))
+    assert vals[7] == big + 2  # exact, not 2^53-rounded
+    assert vals[8] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percent_rank_int64_above_2_53_with_nulls():
+    """Nulls in the column must not float the int64 values before
+    searchsorted — 2^53 and 2^53+1 are distinct ranks (regression —
+    review finding)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import ecdf_percent_rank
+
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array([2**53, 2**53 + 1, None], pa.int64()),
+        ],
+        names=["id", "x"],
+    )
+    got = (
+        ecdf_percent_rank(rd.from_arrow(tbl), "x")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # register the ARROW table: a pandas round-trip would float the
+    # nullable int64 column and corrupt the oracle side too
+    want = _duck(
+        """SELECT id, x,
+                  percent_rank() OVER (ORDER BY x) AS pct_rank,
+                  cume_dist()    OVER (ORDER BY x) AS cume_dist
+           FROM t ORDER BY id""",
+        t=tbl,
+    )
+    assert got["pct_rank"].tolist() == want["pct_rank"].tolist()
+    assert got["cume_dist"].tolist() == want["cume_dist"].tolist()
