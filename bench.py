@@ -52,6 +52,27 @@ def host_alloc_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def kernel_probe() -> float:
+    """Single-core pure-kernel docs/s (driver-side extract_batch loop,
+    no Ray) — the cleanest host-health discriminator found during the
+    2026-08-17 degradation: ~9,200 healthy vs ~4,500 in the post-reboot
+    phase where the hypervisor delivered roughly half the physical
+    clock per vCPU-second while loadavg, steal AND the alloc probe all
+    read near-normal.  Recorded in every bench JSON line: compare this
+    number before trusting the wall-clocks next to it."""
+    import pyarrow.parquet as pq
+
+    from ocr_lib_ray.sources.pages import synthesize_pages_batch
+    from ocr_lib_ray.stages.extract_stage import extract_batch
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pages = synthesize_pages_batch(docs, repeat=2)
+    extract_batch(pages.slice(0, 100))  # warm imports/caches
+    t0 = time.time()
+    extract_batch(pages)
+    return round(pages.num_rows / (time.time() - t0), 1)
+
+
 def pages_shard_dir() -> str:
     # cache key hashes the generator source AND the tokenizer module it
     # imports (collapse_ws shapes the synthesized payload) — a change to
@@ -195,6 +216,12 @@ def run_bench() -> dict:
         "token_quantiles",
         "token_quantiles_by_lang",
         "score_quantiles",
+        "value_quantiles",
+        "percent_rank",
+        "percent_rank_by_lang",
+        "latest_event",
+        "dedup_incremental_minhash",
+        "decontaminate_embedding",
         "training_data_curated",
     ):
         # min-of-2, same protocol as the headline: the shared host's
@@ -220,6 +247,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "repeat": REPEAT,
         "host_alloc_probe_sec": [probe_before, host_alloc_probe()],
+        "kernel_probe_docs_per_sec": kernel_probe(),
     }
 
 
@@ -306,6 +334,7 @@ def run_headline_only() -> dict:
         "n_pages": out_rows,
         "num_cpus": NUM_CPUS,
         "host_alloc_probe_sec": [probe_before, host_alloc_probe()],
+        "kernel_probe_docs_per_sec": kernel_probe(),
     }
 
 
