@@ -376,6 +376,40 @@ def _q_doc_embedding_join(sf_dir: str):
     return hash_join(left, right, "doc_id", ["dim"], how="inner")
 
 
+def _q_doc_outer_join(sf_dir: str):
+    """FULL OUTER hash_join: odd-id docs vs the vec_id % 3 == 0 third
+    of the embeddings — unmatched rows on BOTH sides, value columns
+    float64-stabilized in both directions (the schema-drift class the
+    asof_join ADVICE fix closed, applied symmetrically)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+    from ocr_lib_ray.functions.text_stats import normalize_expr, token_count
+
+    def left_side(b: "pa.Table") -> "pa.Table":
+        b = b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 1))
+        n = token_count(normalize_expr(b.column("text"))).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), n], names=["doc_id", "n_tokens"]
+        )
+
+    def right_side(b: "pa.Table") -> "pa.Table":
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 3 == 0, pa.bool_()))
+        dim = pc.list_value_length(b.column("embedding")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("vec_id"), dim], names=["doc_id", "dim"]
+        )
+
+    left = _docs(sf_dir).map_batches(left_side, batch_format="pyarrow")
+    right = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(right_side, batch_format="pyarrow")
+    return hash_join(left, right, "doc_id", ["dim"], how="full_outer")
+
+
 def _semi_anti_sides(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1437,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event": _q_latest_event,
         "cap_per_source": _q_cap_per_source,
         "doc_embedding_join": _q_doc_embedding_join,
+        "doc_outer_join": _q_doc_outer_join,
         "doc_semi_join": _q_doc_semi_join,
         "doc_anti_join": _q_doc_anti_join,
         "fingerprint": _q_fingerprint,
@@ -1943,6 +1978,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             SELECT d.doc_id, d.n_tokens, e.dim_r
             FROM d JOIN e USING (doc_id)
+        """,
+        # FULL OUTER hash join: unmatched rows on both sides; value
+        # columns double-typed in both directions (the engine's
+        # stabilized schema)
+        "doc_outer_join": f"""
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN nm = '' THEN 0
+                                   ELSE len(str_split(nm, ' ')) END AS n_tokens
+                       FROM (SELECT doc_id, {norm} AS nm FROM documents)
+                       WHERE doc_id % 2 = 1),
+            e AS (SELECT vec_id AS doc_id, len(embedding) AS dim_r
+                  FROM embeddings WHERE vec_id % 3 = 0)
+            SELECT COALESCE(d.doc_id, e.doc_id) AS doc_id,
+                   CAST(d.n_tokens AS DOUBLE) AS n_tokens,
+                   CAST(e.dim_r AS DOUBLE) AS dim_r
+            FROM d FULL OUTER JOIN e ON d.doc_id = e.doc_id
         """,
         # semi/anti hash join: key-existence filters against the
         # label<3 embedding subset

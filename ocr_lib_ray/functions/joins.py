@@ -194,17 +194,27 @@ def hash_join(
     num_partitions: int = 32,
 ):
     """General equi-join: left rows matched to right rows on
-    ``key_col``.  ``how`` = ``inner`` (unmatched left rows dropped) or
+    ``key_col``.  ``how`` = ``inner`` (unmatched left rows dropped),
     ``left`` (kept, joined columns NaN on miss — NUMERIC right columns
     are cast float64 so the schema is not group-dependent, which means
     int ids ≥ 2^53 would lose precision under ``left``: use ``inner``
     or string columns for those; non-numeric right columns stay
-    object-typed with NaN holes, a stable dtype either way).  A right
-    key matched by several right rows multiplies (standard SQL join
-    semantics).  The result SET is deterministic; row ORDER is not
-    part of the contract (rows are key-sorted per bucket for locality,
-    ties follow block arrival order — the driver-gate compare and any
-    SQL-equivalent consumer are order-insensitive).
+    object-typed with NaN holes, a stable dtype either way),
+    ``right`` (mirror: every right row kept, LEFT value columns get
+    the same float64/object normalization), or ``full_outer`` (both
+    directions kept; value columns on BOTH sides normalized; the key
+    column itself is always present — it comes from whichever side has
+    the row).  A right key matched by several right rows multiplies
+    (standard SQL join semantics).  The result SET is deterministic;
+    row ORDER is not part of the contract (rows are key-sorted per
+    bucket for locality, ties follow block arrival order — the
+    driver-gate compare and any SQL-equivalent consumer are
+    order-insensitive).
+
+    Null JOIN KEYS: SQL never matches them; pandas ``merge`` WOULD
+    match NaN to NaN — so null keys raise here (on whichever side they
+    appear, except under semi/anti which define them away).  Filter or
+    fill null keys first, loudly, as with the groupby operators.
 
     ``how`` = ``semi`` / ``anti`` filter the left side by key existence
     on the right (EXISTS / NOT EXISTS semantics, exactly: null right
@@ -230,8 +240,11 @@ def hash_join(
     broadcast + map-side lookup (no shuffle at all) — this operator is
     for right sides too big to broadcast.
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be 'inner'/'left'/'semi'/'anti', got {how!r}")
+    if how not in ("inner", "left", "right", "full_outer", "semi", "anti"):
+        raise ValueError(
+            "how must be 'inner'/'left'/'right'/'full_outer'/'semi'/'anti',"
+            f" got {how!r}"
+        )
     right_value_cols = list(right_value_cols or [])
     if how in ("semi", "anti"):
         if right_value_cols:
@@ -268,27 +281,42 @@ def hash_join(
     r_cols = [key_col] + list(right_value_cols)
     rename = {c: c + suffix for c in right_value_cols}
 
+    pd_how = {"full_outer": "outer"}.get(how, how)
+    left_value_cols = [c for c in left_cols if c != key_col]
+
+    def _stabilize(out: pd.DataFrame, side_dtypes, cols) -> None:
+        for jc in cols:
+            # dtype decided by the SOURCE side's declared dtype, not
+            # the merged output (an empty opposite-side bucket would
+            # otherwise yield all-NaN float64 even for strings, making
+            # the schema group-dependent)
+            if pd.api.types.is_numeric_dtype(side_dtypes[jc]):
+                # stable float64 for numerics (see docstring for the
+                # >= 2^53 precision caveat)
+                out[jc] = out[jc].astype("float64")
+            else:
+                out[jc] = out[jc].astype(object)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["side"] == 0][left_cols]
         r = g[g["side"] == 1][r_cols].rename(columns=rename)
+        # SQL never matches NULL join keys; pandas merge WOULD match
+        # NaN to NaN — raise instead of silently diverging
+        if l[key_col].isna().any() or r[key_col].isna().any():
+            raise ValueError(
+                f"hash_join: null join keys in {key_col!r} are unsupported "
+                "(SQL never matches them; pandas would) — filter or fill "
+                "them first"
+            )
         # key-sorted per bucket for output locality; row ORDER among
         # ties is NOT a contract (see docstring) — only the SET is
-        out = pd.merge(l, r, on=key_col, how=how).sort_values(
+        out = pd.merge(l, r, on=key_col, how=pd_how).sort_values(
             key_col, kind="mergesort"
         )
-        if how == "left":
-            for c in right_value_cols:
-                jc = c + suffix
-                # dtype decided by the RIGHT side's declared dtype, not
-                # the merged output (an empty-right bucket would
-                # otherwise yield all-NaN float64 even for strings,
-                # making the schema group-dependent)
-                if pd.api.types.is_numeric_dtype(r.dtypes[jc]):
-                    # stable float64 for numerics (see docstring for
-                    # the >= 2^53 precision caveat)
-                    out[jc] = out[jc].astype("float64")
-                else:
-                    out[jc] = out[jc].astype(object)
+        if how in ("left", "full_outer"):
+            _stabilize(out, r.dtypes, [c + suffix for c in right_value_cols])
+        if how in ("right", "full_outer"):
+            _stabilize(out, l.dtypes, left_value_cols)
         return out
 
     return union.groupby("bucket").map_groups(merge, batch_format="pandas")

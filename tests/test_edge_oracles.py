@@ -106,6 +106,7 @@ EMBEDDING_QUERIES = {
     "doc_embedding_join",  # round 3: general bucketed hash equi-join
     "doc_semi_join",  # round 3: hash_join how="semi"
     "doc_anti_join",  # round 3: hash_join how="anti"
+    "doc_outer_join",  # round 3: hash_join how="full_outer"
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is

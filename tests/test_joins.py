@@ -299,3 +299,70 @@ def test_hash_join_suffixed_collision_and_string_left():
     assert out["name_r"].tolist()[0] == "x"
     assert pd.isna(out["name_r"].tolist()[1])
     assert out["name_r"].dtype == object
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_right_and_full_outer_match_duckdb():
+    """right / full_outer == SQL on a key set with unmatched rows on
+    both sides, a multiplying right key, and a STRING left value column
+    (object dtype with None holes, never float64); both value-column
+    directions stabilized; partition-count invariant."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 3, 4, 4], "lv": [10, 20, 30, 40, 41], "ls": list("abcde")}
+    )
+    right = pd.DataFrame({"k": [2, 2, 4, 9], "rv": [200, 201, 400, 900]})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql_how in (("right", "RIGHT"), ("full_outer", "FULL OUTER")):
+        want = con.execute(
+            f"""SELECT COALESCE(l.k, r.k) AS k,
+                       CAST(l.lv AS DOUBLE) AS lv, l.ls,
+                       CAST(r.rv AS DOUBLE) AS rv_r
+                FROM l {sql_how} JOIN r ON l.k = r.k"""
+        ).df().sort_values(["k", "lv", "rv_r"]).reset_index(drop=True)
+        for nparts in (1, 5):
+            got = (
+                hash_join(
+                    rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(right),
+                    "k",
+                    ["rv"],
+                    how=how,
+                    num_partitions=nparts,
+                )
+                .to_pandas()
+                .sort_values(["k", "lv", "rv_r"])
+                .reset_index(drop=True)
+            )
+            assert got["k"].tolist() == want["k"].tolist()
+            assert got["lv"].astype("float64").equals(want["lv"])
+            assert got["rv_r"].astype("float64").equals(want["rv_r"])
+            # string left col: None on right-only rows, never NaN-float
+            got_ls = ["-" if pd.isna(v) else v for v in got["ls"]]
+            want_ls = ["-" if pd.isna(v) else v for v in want["ls"]]
+            assert got_ls == want_ls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_null_keys_raise():
+    """SQL never matches NULL join keys; pandas merge would match NaN
+    to NaN — the join raises instead of silently diverging."""
+    import pandas as pd
+    import pytest as pt
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": [1.0, None], "lv": [10, 20]})
+    right = pd.DataFrame({"k": [1.0, None], "rv": [100, 200]})
+    with pt.raises(Exception, match="null join keys"):
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", ["rv"], how="inner"
+        ).materialize()
