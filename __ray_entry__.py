@@ -1126,6 +1126,21 @@ def _q_score_quantiles(sf_dir: str):
     )
 
 
+def _q_corpus_report(sf_dir: str):
+    """One-pass per-(source, lang) corpus dashboard: per-batch grouped
+    partials (Arrow group_by in C) → one distinct-groups-sized Sum
+    shuffle; avg derived from the sums after the aggregate, never
+    averaged across partials."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.text_stats import corpus_report
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source", "lang"]
+    )
+    return corpus_report(docs)
+
+
 def _q_value_quantiles(sf_dir: str):
     """Continuous-domain quantiles WITHOUT the sort_quantiles global
     sort: deterministic grid quantization (step=0.01 — money cents) +
@@ -1465,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_band": _q_quality_band,
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "score_quantiles": _q_score_quantiles,
+        "corpus_report": _q_corpus_report,
         "value_quantiles": _q_value_quantiles,
         "percent_rank": _q_percent_rank,
         "percent_rank_by_lang": _q_percent_rank_by_lang,
@@ -1902,6 +1918,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                    unnest(vals) AS n_tokens
             FROM agg
+        """,
+        # one-pass corpus dashboard; avg = round(sum/count, 6) — the
+        # doc_stats float-oracle discipline (round the exact rational
+        # ONCE on both sides)
+        "corpus_report": f"""
+            WITH t AS (SELECT source, lang,
+                              CASE WHEN nm = '' THEN 0
+                                   ELSE len(str_split(nm, ' ')) END AS nt,
+                              CASE WHEN nm = '' THEN 1 ELSE 0 END AS emp
+                       FROM (SELECT source, lang, {norm} AS nm FROM documents))
+            SELECT source, lang, count(*) AS n_docs,
+                   -- BIGINT casts: DuckDB sum(int) is HUGEINT, which
+                   -- pandas renders float64 and breaks the repr-hash
+                   CAST(sum(nt) AS BIGINT) AS n_tokens_sum,
+                   CAST(sum(emp) AS BIGINT) AS n_empty,
+                   round(sum(nt) * 1.0 / count(*), 6) AS avg_tokens
+            FROM t GROUP BY 1, 2
         """,
         # grid-quantized continuous-domain quantiles: floor(v/step) on
         # both sides, exact histogram on grid ids, * step on the way out

@@ -328,3 +328,64 @@ class QualityScore:
             out["top_word_ratio"].append(round(max(counts.values()) / n, 6))
         arrays = [batch.column("doc_id")] + [pa.array(v, pa.float64()) for v in out.values()]
         return pa.Table.from_arrays(arrays, names=["doc_id"] + list(out.keys()))
+
+
+def corpus_report(docs_ds, group_cols=("source", "lang")):
+    """One-pass corpus dashboard: per group (default source x lang) the
+    doc count, total/average token count and empty-doc count — the
+    summary a curation run prints before and after each filter stage.
+
+    Shuffle discipline: per-batch grouped PARTIALS (one row per group
+    per batch — Arrow group_by in C) ride a distinct-groups-sized
+    ``groupby().aggregate(Sum)``; the average is derived from the two
+    sums afterwards (never averaged across partials).  ``round 6`` on
+    the exact rational, once — the repo's float-oracle discipline
+    (same as doc_stats_batch.avg_token_len).  Null group keys raise
+    (Ray's sort groupby cannot shuffle them; SQL would keep a NULL
+    group — silence would diverge from the oracle).
+    """
+    from ray.data.aggregate import Sum
+
+    gcols = list(group_cols)
+
+    def partials(b: pa.Table) -> pa.Table:
+        for c in gcols:
+            if b.column(c).null_count:
+                raise ValueError(
+                    f"corpus_report: null keys in group column {c!r} are "
+                    "unsupported — filter or fill them first"
+                )
+        norm = normalize_expr(b.column("text"))
+        nt = token_count(norm).cast(pa.int64())
+        empty = pc.cast(pc.equal(norm, ""), pa.int64())
+        t = pa.Table.from_arrays(
+            [b.column(c) for c in gcols]
+            + [nt, empty, pa.array([1] * len(b), pa.int64())],
+            names=gcols + ["n_tokens_sum", "n_empty", "n_docs"],
+        )
+        g = t.group_by(gcols).aggregate(
+            [("n_tokens_sum", "sum"), ("n_empty", "sum"), ("n_docs", "sum")]
+        )
+        return g.rename_columns(gcols + ["n_tokens_sum", "n_empty", "n_docs"])
+
+    agg = (
+        docs_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(gcols)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens_sum", alias_name="n_tokens_sum"),
+            Sum("n_empty", alias_name="n_empty"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(
+                b.column("n_tokens_sum").cast(pa.float64()),
+                b.column("n_docs").cast(pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return b.append_column("avg_tokens", avg)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

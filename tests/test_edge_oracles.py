@@ -87,6 +87,7 @@ QUERIES = [
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
     "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
+    "corpus_report",  # round 3: one-pass dashboard aggregate
     "percent_rank",  # round 3: sort-free window-exact ECDF
     "percent_rank_by_lang",  # round 3: PARTITION BY variant
 ]

@@ -621,3 +621,51 @@ def test_bigram_logprob_model_and_edges():
     assert out[4] == (0, 0)
     with pytest.raises(ValueError, match="max_vocab"):
         bigram_logprob(ds, max_vocab=2).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_report_matches_duckdb():
+    """One-pass dashboard aggregate == SQL GROUP BY on a corpus with an
+    empty doc, a single-doc group, and multi-batch layout; null group
+    keys raise."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.text_stats import corpus_report
+
+    df = pd.DataFrame(
+        {
+            "text": ["a b c", "", "one two", "x", "deux mots ici", "un"],
+            "source": ["s1", "s1", "s1", "s2", "s2", "s2"],
+            "lang": ["en", "en", "en", "en", "fr", "fr"],
+        }
+    )
+    got = (
+        corpus_report(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    want = con.execute(
+        """WITH t AS (SELECT source, lang,
+                             CASE WHEN text = '' THEN 0
+                                  ELSE len(str_split(text, ' ')) END AS nt,
+                             CASE WHEN text = '' THEN 1 ELSE 0 END AS emp
+                      FROM d)
+           SELECT source, lang, count(*) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens_sum,
+                  CAST(sum(emp) AS BIGINT) AS n_empty,
+                  round(sum(nt) * 1.0 / count(*), 6) AS avg_tokens
+           FROM t GROUP BY 1, 2 ORDER BY source, lang"""
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_exact=True
+    )
+
+    bad = pd.DataFrame({"text": ["x"], "source": [None], "lang": ["en"]})
+    with pytest.raises(Exception, match="null keys"):
+        corpus_report(rd.from_pandas(bad)).materialize()
