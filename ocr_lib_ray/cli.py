@@ -51,6 +51,19 @@ def main(argv=None) -> int:
         action="store_true",
         help="wipe a non-empty --output even without a prior-run marker",
     )
+    rp = sub.add_parser(
+        "report",
+        help="one-pass corpus dashboard over the extracted docs "
+        "(per-group doc/token/empty counts — run before and after a "
+        "filter stage)",
+    )
+    rp.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    rp.add_argument("--sf-dir", help="testdata dir; synthesize fixture pages")
+    rp.add_argument(
+        "--group-cols",
+        default="lang",
+        help="comma-separated group columns of the extracted docs (default: lang)",
+    )
     td = sub.add_parser(
         "training-data",
         help="full 8-operator pipeline: extract → redact → line-dedup → "
@@ -169,6 +182,25 @@ def main(argv=None) -> int:
         print(
             json.dumps(
                 {"rows": _written_rows(args.output), "wall_sec": round(time.time() - t0, 3)}
+            )
+        )
+        if owns_session:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "report":
+        from .functions.text_stats import corpus_report
+
+        docs = extract_pipeline(pages, ExtractConfig())
+        groups = (
+            corpus_report(docs, group_cols=args.group_cols.split(","))
+            .to_pandas()
+            .sort_values(args.group_cols.split(","))
+            .to_dict("records")
+        )
+        print(
+            json.dumps(
+                {"groups": groups, "wall_sec": round(time.time() - t0, 3)}
             )
         )
         if owns_session:

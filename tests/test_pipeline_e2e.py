@@ -661,3 +661,22 @@ def test_build_training_data_decontam_drops_planted_eval_doc(sf_small):
         build_pages_dataset(sf_small), eval_docs=eval_ds, decontam_n=5
     ).to_pandas()
     assert decon["total_tokens"].sum() < base["total_tokens"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_report(sf_small, capsys):
+    """The report subcommand prints one JSON line of per-group corpus
+    stats over the extracted docs (reuses the session's Ray)."""
+    import json
+
+    from ocr_lib_ray.cli import main
+
+    rc = main(["report", "--sf-dir", sf_small])
+    assert rc in (0, None)
+    line = [l for l in capsys.readouterr().out.strip().splitlines() if l][-1]
+    out = json.loads(line)
+    langs = {g["lang"] for g in out["groups"]}
+    assert "en" in langs and len(out["groups"]) >= 3
+    assert sum(g["n_docs"] for g in out["groups"]) == 500
+    for g in out["groups"]:
+        assert g["n_tokens_sum"] > 0 and g["avg_tokens"] > 0
