@@ -1126,6 +1126,20 @@ def _q_score_quantiles(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Quality-proportional deterministic sampling: keep each doc with
+    probability = its model quality score (md5 key hash vs a per-row
+    hex threshold — map-only, no RNG, key-stable; the continuous-weight
+    generalization of stratified_sample)."""
+    from ocr_lib_ray.functions.sampling import weighted_sample
+    from ocr_lib_ray.functions.scoring import score_documents
+
+    scored = score_documents(_docs(sf_dir))
+    return weighted_sample(scored, "doc_id", "quality_prob").select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_corpus_report(sf_dir: str):
     """One-pass per-(source, lang) corpus dashboard: per-batch grouped
     partials (Arrow group_by in C) → one distinct-groups-sized Sum
@@ -1481,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles_by_lang": _q_token_quantiles_by_lang,
         "score_quantiles": _q_score_quantiles,
         "corpus_report": _q_corpus_report,
+        "weighted_sample": _q_weighted_sample,
         "value_quantiles": _q_value_quantiles,
         "percent_rank": _q_percent_rank,
         "percent_rank_by_lang": _q_percent_rank_by_lang,
@@ -2790,6 +2805,16 @@ def oracle_sql() -> dict[str, str]:
     # exact continuous-domain quantiles via the distributed sort path:
     # the oracle wraps the model_score SQL so the score definition has
     # a single source of truth
+    # quality-proportional sampling: per-row md5-vs-printf('%08x') hex
+    # threshold (same IEEE product + floor + string compare as the
+    # engine); weight = the model_score SQL, single source of truth
+    d["weighted_sample"] = f"""
+        WITH scored AS ({d["model_score"]})
+        SELECT doc_id FROM scored
+        WHERE quality_prob > 0 AND (quality_prob >= 1 OR
+              substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', CAST(floor(quality_prob * 4294967296) AS BIGINT)))
+    """
     d["score_quantiles"] = f"""
         WITH scored AS ({d["model_score"]}),
         agg AS (SELECT quantile_disc(quality_prob,

@@ -30,6 +30,7 @@ from .sampling import (
     split_dataset,
     stratified_sample,
     take_split,
+    weighted_sample,
 )
 from .scoring import score_documents
 from .similarity import (
@@ -95,6 +96,7 @@ __all__ = [
     "take_split",
     "stratified_sample",
     "sample_fixed_k",
+    "weighted_sample",
     "tfidf_top_terms",
     "topk_per_group",
     "score_documents",

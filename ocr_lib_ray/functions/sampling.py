@@ -199,3 +199,34 @@ def take_split(ds, key_col: str, which: str, test_frac: float = 0.1, val_frac: f
         lambda b: b.filter(pc.equal(b.column("split"), which)),
         batch_format="pyarrow",
     )
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, scale: float = 1.0, salt: str = "wsamp"):
+    """Keep each row with probability ``clip(weight * scale, 0, 1)``,
+    decided by the KEY hash — deterministic quality-proportional
+    sampling ("keep documents in proportion to their model quality
+    score"), the continuous-weight generalization of
+    :func:`stratified_sample`.
+
+    Same md5-threshold discipline (key-stable across runs / cluster
+    size / partition layout, map-only, no shuffle) with a PER-ROW
+    threshold: ``md5(salt || key)[:8] < printf('%08x',
+    floor(p * 2^32))`` — bit-reproducible in DuckDB SQL (identical
+    IEEE product, floor and hex-string compare).  Null/NaN weights
+    drop the row (SQL NULL-comparison semantics).
+    """
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.clip(np.nan_to_num(w * scale, nan=0.0), 0.0, 1.0)
+        mask = []
+        for k, pi in zip(keys, p):
+            if pi >= 1.0:
+                mask.append(True)
+            elif pi <= 0.0:
+                mask.append(False)
+            else:
+                mask.append(_md5_hex(salt, k)[:8] < format(int(pi * (1 << 32)), "08x"))
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)

@@ -75,6 +75,7 @@ QUERIES = [
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
     "minhash_components",  # round 3: distributed CC over LSH pairs
     "stratified_sample",
+    "weighted_sample",  # round 3: quality-proportional md5 sampling
     "cap_per_source",  # round 3: per-domain doc cap (srcA capped at 3)
     "sample_fixed_k",
     "topk_per_group",

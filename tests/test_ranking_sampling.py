@@ -243,3 +243,52 @@ def test_cap_per_group_caps_and_is_block_invariant():
         got = {g: set(sub["doc_id"]) for g, sub in out.groupby("g")}
         assert got == direct(3), nblocks
         assert out.columns.tolist() == ["g", "doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_determinism_and_edges():
+    """Keep probability = clip(w*scale, 0, 1): w>=1 always kept, w<=0
+    and NaN always dropped, fractional weights match the DuckDB
+    printf-threshold replica row-for-row, and the kept SET is
+    partition-layout invariant."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import weighted_sample
+
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "w": [1.0, 0.0, float("nan"), 0.25, 0.5, 0.75, 0.9, 0.1] * (n // 8),
+        }
+    )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    kept1 = sorted(
+        weighted_sample(rd.from_arrow(tbl), "doc_id", "w").to_pandas()["doc_id"]
+    )
+    kept2 = sorted(
+        weighted_sample(rd.from_arrow(tbl).repartition(7), "doc_id", "w")
+        .to_pandas()["doc_id"]
+    )
+    assert kept1 == kept2  # layout-invariant
+    by_id = dict(zip(df["doc_id"], df["w"]))
+    assert all(by_id[i] == by_id[i] for i in kept1)  # sanity
+    assert all(i in kept1 for i in df[df["w"] >= 1.0]["doc_id"])  # w>=1 kept
+    dropped_always = df[(df["w"] <= 0.0) | (df["w"].isna())]["doc_id"]
+    assert not set(dropped_always) & set(kept1)
+
+    want = duckdb.connect().execute(
+        """SELECT doc_id FROM tbl
+           WHERE w > 0 AND w = w AND (w >= 1 OR
+                 substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < printf('%08x', CAST(floor(w * 4294967296) AS BIGINT)))
+           ORDER BY doc_id"""
+    ).df()["doc_id"].tolist()
+    assert kept1 == want
+
+    # keep-rate sanity: w=0.5 stratum keeps roughly half (md5 uniform)
+    half = [i for i in kept1 if by_id[i] == 0.5]
+    assert 0.3 * n / 8 < len(half) < 0.7 * n / 8
