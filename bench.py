@@ -222,6 +222,9 @@ def run_bench() -> dict:
         "latest_event",
         "dedup_incremental_minhash",
         "decontaminate_embedding",
+        "corpus_report",
+        "doc_outer_join",
+        "weighted_sample",
         "training_data_curated",
     ):
         # min-of-2, same protocol as the headline: the shared host's
