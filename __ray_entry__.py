@@ -610,6 +610,30 @@ def _q_dedup_incremental(sf_dir: str):
     )
 
 
+def _q_dedup_bloom(sf_dir: str):
+    """Crawl-over-crawl dedup through a BLOOM bitmap of the prior crawl
+    (even doc_ids): the prior corpus is reduced once to an m-bit array
+    (mergeable, sharded build — no worker holds the full bitmap) and
+    the filter is a broadcast map_batches with zero shuffle, the
+    constant-memory alternative to dedup_incremental's per-crawl
+    anti-join.  False positives (a deterministic over-drop) are part of
+    the semantics — and of the oracle, which replicates the
+    md5-double-hash probes bit-exactly in SQL."""
+    import pyarrow.compute as pc
+
+    from ocr_lib_ray.functions.sketches import bloom_build, bloom_filter_against
+
+    docs = _docs(sf_dir)
+    prior = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    bitmap = bloom_build(prior, m_bits=1 << 20, k=4, num_shards=8)
+    return bloom_filter_against(docs, bitmap, m_bits=1 << 20, k=4).select_columns(
+        ["doc_id"]
+    )
+
+
 def _q_dedup_incremental_minhash(sf_dir: str):
     """Crawl-over-crawl NEAR-dup dedup: same even-half-as-prior-crawl
     setup as dedup_incremental, but the match is banded minhash
@@ -1519,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_bloom": _q_dedup_bloom,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "simhash_pairs": _q_simhash_pairs,
         "knn_brute": _q_knn_brute,
@@ -2796,6 +2821,28 @@ def oracle_sql() -> dict[str, str]:
             ref AS (SELECT md5(nm) AS f FROM d WHERE doc_id % 2 = 0)
             SELECT doc_id FROM d
             WHERE md5(nm) NOT IN (SELECT f FROM ref)
+        """,
+        # Bloom crawl-over-crawl dedup: the k=4 double-hash probes
+        # (md5_number_lower/upper halves, m = 2^20) are replicated
+        # bit-exactly, so the oracle reproduces the engine's false
+        # positives too — survivors are docs with at least one probe
+        # position absent from the prior-crawl (even doc_id) bit set
+        "dedup_bloom": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            pos AS (
+                SELECT doc_id,
+                       (CAST(md5_number_lower(nm) % 1048576 AS BIGINT)
+                        + t.i * (CAST(md5_number_upper(nm) % 1048575 AS BIGINT) + 1))
+                       % 1048576 AS p
+                FROM d CROSS JOIN range(4) t(i)
+            ),
+            oldpos AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+            hits AS (
+                SELECT pos.doc_id, count(oldpos.p) AS nhit
+                FROM pos LEFT JOIN oldpos ON pos.p = oldpos.p
+                GROUP BY pos.doc_id
+            )
+            SELECT doc_id FROM hits WHERE nhit < 4
         """,
         "minhash_pairs": _minhash_pairs_sql(norm, threshold=0.5),
         # knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 — audited round

@@ -105,3 +105,146 @@ def approx_distinct_users_per_type(events_ds, p: int = DEFAULT_P):
     return events_ds.groupby("event_type").aggregate(
         hll_aggregate("user_id", p, alias_name="approx_distinct_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: constant-memory crawl-over-crawl membership.
+#
+# dedup_against_reference (functions/dedup.py) pays one bucketed
+# all-to-all on the REFERENCE fingerprints every crawl; the Bloom path
+# reduces the prior corpus ONCE to an m-bit array (mergeable by OR,
+# sized to memory: ~10 bits/key at 1% FPR, so 3B keys ~= 4 GiB), ships
+# it via ray.put (zero-copy reads — numpy uint8 over plasma), and makes
+# every subsequent crawl's filter a broadcast map_batches with ZERO
+# shuffle.  The trade is a deterministic false-positive rate: a tiny
+# over-drop of new documents, which is exactly the trade production
+# crawl dedup makes (a dropped unique page costs little; a shuffle of
+# the full historical corpus per crawl costs a lot).
+#
+# Probes are Kirsch-Mitzenmacher double hashing on the md5 halves of
+# the normalized text — DuckDB's md5_number_lower / md5_number_upper —
+#     h1   = md5_lower64(nm) % m
+#     step = md5_upper64(nm) % (m-1) + 1
+#     pos_i = (h1 + i*step) % m          for i in 0..k-1
+# so the whole filter, FALSE POSITIVES INCLUDED, is bit-exactly
+# reproducible in SQL (the dedup_bloom driver oracle).
+#
+# Build is sharded so no worker ever holds the full bitmap: batches
+# emit distinct probe positions (8 B rows — less than shuffling 32 B
+# fingerprints), one groupby(shard) packs each bit-range on its own
+# worker, and the driver assembles the ≤ m/8-byte result from the
+# per-shard binaries.
+# ---------------------------------------------------------------------------
+
+DEFAULT_BLOOM_M = 1 << 20  # 128 KiB — sandbox default; size to memory at scale
+DEFAULT_BLOOM_K = 4
+
+
+def _md5_halves(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(lower64, upper64) md5 halves, little-endian — byte-equal to
+    DuckDB md5_number_lower / md5_number_upper."""
+    lo = np.empty(len(texts), dtype=np.uint64)
+    hi = np.empty(len(texts), dtype=np.uint64)
+    for j, t in enumerate(texts):
+        d = hashlib.md5((t or "").encode("utf-8")).digest()
+        lo[j] = int.from_bytes(d[8:], "little")
+        hi[j] = int.from_bytes(d[:8], "little")
+    return lo, hi
+
+
+def bloom_positions(texts, m_bits: int = DEFAULT_BLOOM_M, k: int = DEFAULT_BLOOM_K) -> np.ndarray:
+    """(n, k) int64 probe positions for each text (double hashing)."""
+    if len(texts) == 0:
+        return np.empty((0, k), dtype=np.int64)
+    lo, hi = _md5_halves(texts)
+    h1 = (lo % np.uint64(m_bits)).astype(np.int64)
+    step = (hi % np.uint64(m_bits - 1)).astype(np.int64) + 1
+    i = np.arange(k, dtype=np.int64)[None, :]
+    return (h1[:, None] + i * step[:, None]) % m_bits
+
+
+def bloom_build(
+    ds,
+    text_col: str = "text",
+    m_bits: int = DEFAULT_BLOOM_M,
+    k: int = DEFAULT_BLOOM_K,
+    num_shards: int = 16,
+) -> np.ndarray:
+    """Build the m-bit Bloom bitmap of ``ds``'s normalized ``text_col``
+    as a uint8 array (LSB-first within each byte).
+
+    Sharded build: batches emit per-batch-DISTINCT positions, a
+    groupby(shard) packs each byte-aligned bit range on its own worker
+    (peak per-worker memory m/(8*num_shards), not m/8), and the driver
+    assembles the final ≤ m/8 + 7*num_shards bytes.  Deterministic for
+    any batch size / shard count (bits are ORed, order-free).
+    """
+    import pandas as pd
+
+    from .text_stats import normalize_expr
+
+    shard_bytes = -(-m_bits // (8 * num_shards))  # ceil, byte-aligned shards
+    shard_bits = shard_bytes * 8
+
+    def pos_rows(b: pa.Table) -> pa.Table:
+        texts = normalize_expr(b.column(text_col)).to_pylist()
+        p = np.unique(bloom_positions(texts, m_bits, k))
+        return pa.Table.from_arrays(
+            [pa.array((p // shard_bits).astype(np.int64)), pa.array(p)],
+            names=["shard", "pos"],
+        )
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["shard"].iloc[0])
+        local = np.zeros(shard_bytes, dtype=np.uint8)
+        rel = g["pos"].to_numpy(dtype=np.int64) - s * shard_bits
+        np.bitwise_or.at(local, rel >> 3, np.uint8(1) << (rel & 7).astype(np.uint8))
+        return pd.DataFrame({"shard": [s], "bits": [local.tobytes()]})
+
+    parts = (
+        ds.map_batches(pos_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+        .take_all()
+    )
+    bitmap = np.zeros(num_shards * shard_bytes, dtype=np.uint8)
+    for row in parts:
+        s = int(row["shard"])
+        bitmap[s * shard_bytes : (s + 1) * shard_bytes] = np.frombuffer(
+            row["bits"], dtype=np.uint8
+        )
+    return bitmap
+
+
+def bloom_test(bitmap: np.ndarray, texts, m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership: True where ALL k probe bits are set
+    (member of the built set, or a deterministic false positive)."""
+    pos = bloom_positions(texts, m_bits, k)
+    if pos.size == 0:
+        return np.zeros(0, dtype=bool)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+def bloom_filter_against(
+    new_ds,
+    bitmap: np.ndarray,
+    text_col: str = "text",
+    m_bits: int = DEFAULT_BLOOM_M,
+    k: int = DEFAULT_BLOOM_K,
+):
+    """Drop rows of ``new_ds`` whose normalized ``text_col`` hits the
+    Bloom bitmap of a prior corpus — broadcast filter, zero shuffle."""
+    import ray
+
+    from .text_stats import normalize_expr
+
+    ref = ray.put(bitmap)
+
+    def flt(b: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        texts = normalize_expr(b.column(text_col)).to_pylist()
+        dup = bloom_test(bm, texts, m_bits, k)
+        return b.filter(pa.array(~dup))
+
+    return new_ds.map_batches(flt, batch_format="pyarrow")

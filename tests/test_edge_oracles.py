@@ -71,6 +71,7 @@ QUERIES = [
     "training_data_curated",  # round 3: mixture + decontam folded in
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
+    "dedup_bloom",  # round 3: Bloom-bitmap crawl-over-crawl dedup
     "dedup_incremental_minhash",  # round 3: NEAR-dup crawl-over-crawl
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
     "minhash_components",  # round 3: distributed CC over LSH pairs

@@ -62,3 +62,89 @@ def test_approx_distinct_vs_exact(sf_small):
             row["approx_distinct_users"],
             true,
         )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (crawl-over-crawl constant-memory dedup)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bitmap(texts, m_bits, k):
+    """Pure-python reference build (no Ray, no sharding)."""
+    from ocr_lib_ray.functions.sketches import bloom_positions
+
+    bm = np.zeros(-(-m_bits // 8), dtype=np.uint8)
+    for row in bloom_positions(texts, m_bits, k):
+        for p in row:
+            bm[p >> 3] |= 1 << (p & 7)
+    return bm
+
+
+def test_bloom_no_false_negatives():
+    from ocr_lib_ray.functions.sketches import bloom_test
+
+    texts = [f"doc body {i} words" for i in range(500)]
+    bm = _ref_bitmap(texts, 1 << 16, 4)
+    assert bloom_test(bm, texts, 1 << 16, 4).all()
+
+
+def test_bloom_fpr_small_and_deterministic():
+    """At 10 bits/key the FPR is ~1%; the hit set is identical run-to-run."""
+    from ocr_lib_ray.functions.sketches import bloom_test
+
+    member = [f"in {i}" for i in range(2000)]
+    other = [f"out {i}" for i in range(5000)]
+    bm = _ref_bitmap(member, 20_000, 4)
+    hits1 = bloom_test(bm, other, 20_000, 4)
+    hits2 = bloom_test(bm, other, 20_000, 4)
+    assert (hits1 == hits2).all()
+    assert hits1.mean() < 0.05, hits1.mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_build_matches_reference_any_sharding(sf_small):
+    """Sharded distributed build == pure-python bitmap, for every
+    (num_shards, override batch size) combination — bits are ORed, so
+    partitioning must not matter."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sketches import bloom_build
+    from ocr_lib_ray.functions.text_stats import normalize_expr
+
+    tbl = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    texts = normalize_expr(tbl.column("text")).to_pylist()
+    m = 1 << 16
+    ref = np.zeros(len(bloom_build(rd.from_arrow(tbl.slice(0, 0)), m_bits=m, num_shards=4)), np.uint8)
+    ref[: -(-m // 8)] = _ref_bitmap(texts, m, 4)[: len(ref)]
+    for shards in (1, 4, 16):
+        ds = rd.from_arrow(tbl).repartition(7)
+        got = bloom_build(ds, m_bits=m, k=4, num_shards=shards)
+        assert (got[: -(-m // 8)] == ref[: -(-m // 8)]).all(), shards
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_filter_against_drops_prior(sf_small):
+    """Docs of the prior corpus always drop (no false negatives e2e);
+    survivors == the pure-python reference filter exactly."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sketches import (
+        bloom_build,
+        bloom_filter_against,
+        bloom_test,
+    )
+    from ocr_lib_ray.functions.text_stats import normalize_expr
+
+    tbl = pq.read_table(f"{sf_small}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    prior_mask = [i % 2 == 0 for i in ids]
+    prior = tbl.filter(np.array(prior_mask))
+    m, k = 1 << 16, 4
+    bm = bloom_build(rd.from_arrow(prior), m_bits=m, k=k, num_shards=4)
+    out = bloom_filter_against(rd.from_arrow(tbl), bm, m_bits=m, k=k)
+    got = sorted(r["doc_id"] for r in out.select_columns(["doc_id"]).take_all())
+    texts = normalize_expr(tbl.column("text")).to_pylist()
+    hits = bloom_test(bm, texts, m, k)
+    want = sorted(i for i, h in zip(ids, hits) if not h)
+    assert got == want
+    assert not (set(got) & {i for i, p in zip(ids, prior_mask) if p})
