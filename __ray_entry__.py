@@ -921,6 +921,14 @@ def _q_char_entropy(sf_dir: str):
     return _docs(sf_dir).map_batches(char_entropy_batch, batch_format="pyarrow")
 
 
+def _q_code_detect(sf_dir: str):
+    """Code-vs-prose routing signals per document — all-integer
+    thresholds (see code_detect_batch), map-only, zero shuffle."""
+    from ocr_lib_ray.functions.text_stats import code_detect_batch
+
+    return _docs(sf_dir).map_batches(code_detect_batch, batch_format="pyarrow")
+
+
 def _q_sliding_window(sf_dir: str):
     import ray.data as rd
 
@@ -1561,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
         "char_entropy": _q_char_entropy,
+        "code_detect": _q_code_detect,
         "sliding_window": _q_sliding_window,
         "sample_split": _q_sample_split,
         "stratified_sample": _q_stratified_sample,
@@ -2421,6 +2430,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY doc_id
             UNION ALL
             SELECT doc_id, 0.0 FROM d WHERE nm = ''
+        """,
+        # code-vs-prose router: RAW text (line structure), all-integer
+        # cross-multiplied thresholds — >=0.5% code punctuation or
+        # >=30% indented lines, with >=3 lines
+        "code_detect": """
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       (length(text) - length(replace(text, ';', '')))
+                       + (length(text) - length(replace(text, '{', '')))
+                       + (length(text) - length(replace(text, '}', ''))) AS n_punct,
+                       len(string_split(text, chr(10))) AS n_lines
+                FROM documents),
+            ind AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE ln LIKE '  %'
+                                        OR ln LIKE chr(9) || '%') AS n_indent
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+                      FROM documents)
+                GROUP BY doc_id)
+            SELECT base.doc_id, n_chars, n_lines, n_indent, n_punct,
+                   CASE WHEN n_lines >= 3 AND (n_punct * 200 >= n_chars
+                        OR n_indent * 10 >= n_lines * 3)
+                        THEN 1 ELSE 0 END AS is_code
+            FROM base JOIN ind USING (doc_id)
         """,
         "sliding_window": """
             WITH off AS (SELECT unnest(generate_series(0, 3)) AS i),

@@ -284,6 +284,52 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def code_detect_batch(batch: pa.Table) -> pa.Table:
+    """Code-vs-prose router (training-data op): flag documents that
+    look like source code so a curation pipeline can route them to a
+    code bucket (or drop them from a prose corpus).
+
+    Signals over the RAW text (line structure matters, so no collapse):
+    code-punctuation count (``;`` ``{`` ``}``), line count, and
+    indented-line count (lines starting with two spaces or a tab).
+    Classification is pure INTEGER cross-multiplication — punctuation
+    density >= 0.5% of chars, or >= 30% of lines indented, with at
+    least 3 lines — so the SQL oracle hash-matches bit-exactly (no
+    float densities to round).  Fully vectorized: every signal is one
+    ``pyarrow.compute`` substring-count kernel; map-only, zero shuffle.
+    """
+    text = batch.column("text")
+
+    def cnt(s: str):
+        return pc.count_substring(text, s).cast(pa.int64())
+
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_punct = pc.add(pc.add(cnt(";"), cnt("{")), cnt("}"))
+    n_lines = pc.add(cnt("\n"), 1)
+    # a line is indented iff the text has "\n  "/"\n\t" at its boundary
+    # (or starts with the prefix) — the vectorized form of per-line
+    # startswith, and exactly SQL's per-line LIKE '  %' / LIKE tab%
+    n_indent = pc.add(
+        pc.add(cnt("\n  "), cnt("\n\t")),
+        pc.add(
+            pc.starts_with(text, "  ").cast(pa.int64()),
+            pc.starts_with(text, "\t").cast(pa.int64()),
+        ),
+    )
+    dense_punct = pc.greater_equal(pc.multiply(n_punct, 200), n_chars)
+    dense_indent = pc.greater_equal(
+        pc.multiply(n_indent, 10), pc.multiply(n_lines, 3)
+    )
+    is_code = pc.cast(
+        pc.and_(pc.greater_equal(n_lines, 3), pc.or_(dense_punct, dense_indent)),
+        pa.int64(),
+    )
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_chars, n_lines, n_indent, n_punct, is_code],
+        names=["doc_id", "n_chars", "n_lines", "n_indent", "n_punct", "is_code"],
+    )
+
+
 _QUALITY = None
 
 

@@ -52,6 +52,7 @@ QUERIES = [
     "model_score",
     "lang_id",
     "char_entropy",
+    "code_detect",  # round 3: code-vs-prose router, all-integer thresholds
     "bpe_token_count",
     "redact_pii",
     "line_dedup",

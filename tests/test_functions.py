@@ -669,3 +669,23 @@ def test_corpus_report_matches_duckdb():
     bad = pd.DataFrame({"text": ["x"], "source": [None], "lang": ["en"]})
     with pytest.raises(Exception, match="null keys"):
         corpus_report(rd.from_pandas(bad)).materialize()
+
+
+def test_code_detect_routes_code_vs_prose():
+    from ocr_lib_ray.functions.text_stats import code_detect_batch
+
+    code = "int main() {\n  int x = 0;\n  x += 1;\n  return x;\n}\n"
+    indented = "def f():\n  a = 1\n  b = 2\n  return a + b"
+    prose = (
+        "This is a plain paragraph of prose text.\n"
+        "It goes on for a few lines without punctuation density.\n"
+        "Nothing here looks like source code at all.\n"
+        "Just ordinary sentences with ordinary words."
+    )
+    short = "x = 1; y = 2;"  # code-ish but < 3 lines → not routed
+    tabbed = "loop:\n\tmov a, b\n\tadd a, 1\n\tjmp loop"
+    out = code_detect_batch(docs_batch([code, indented, prose, short, tabbed, ""]))
+    assert out.column("is_code").to_pylist() == [1, 1, 0, 0, 1, 0]
+    # indent counting: "  x = 0;" etc — 3 indented of 6 lines in `code`
+    assert out.column("n_indent").to_pylist()[0] == 3
+    assert out.column("n_lines").to_pylist() == [6, 4, 4, 1, 4, 1]
