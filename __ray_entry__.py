@@ -666,6 +666,29 @@ def _emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+def _q_cluster_kmeans(sf_dir: str):
+    """SemDeDup-style clustering step: integer k-means (k=8, 2 Lloyd
+    rounds, seeds = vec_ids 0..7) over the embedding table.  Every
+    number is an exact int64 (milli-quantized components, squared
+    distances, half-up-rounded centroid means), so the assignment is
+    bit-identical across batch sizes AND in SQL — the oracle unrolls
+    the two iterations as CTEs."""
+    from ocr_lib_ray.functions.clustering import kmeans_milli
+
+    return kmeans_milli(_emb(sf_dir), k=8, iters=2)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embedding table: integer k-means clustering,
+    then within-cluster pruning of vectors cosine-dominated (tau=0.4,
+    exact int64 test) by an earlier same-cluster vector.  The cluster
+    step bounds the O(n^2) similarity work; nothing crosses cluster
+    boundaries."""
+    from ocr_lib_ray.functions.clustering import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir), k=8, iters=2)
+
+
 def _q_knn_brute(sf_dir: str):
     from ocr_lib_ray.functions.similarity import knn_brute
 
@@ -1558,6 +1581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "cosine_dups": _q_cosine_dups,
+        "cluster_kmeans": _q_cluster_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1784,6 +1809,87 @@ def _minhash_prefix_sql(
                         sv[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}], ','))
                         % 4294967296 AS bh
                FROM sigall, (SELECT unnest(generate_series(0, 15)) AS b))"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, tail: str | None = None) -> str:
+    """Unrolled-CTE oracle for the integer k-means (see
+    functions/clustering.py for the exactness argument): milli-quantize
+    → assign (exact int64 squared distance, ties to lowest cluster) →
+    half-up-rounded integer centroid mean via floor((2s+c)/(2c)) in
+    double (NOT DuckDB's ``//``, which truncates toward zero while
+    Python floors) → repeat; empty clusters COALESCE to the previous
+    centroid.  Seeds are vec_ids 0..k-1."""
+    parts = [
+        f"""
+        WITH el AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS x
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cluster, d, x FROM el WHERE vec_id < {k})"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f""",
+        a{i} AS (
+            SELECT el.vec_id, c.cluster,
+                   sum((el.x - c.x) * (el.x - c.x)) AS dist
+            FROM el JOIN c{i} c USING (d)
+            GROUP BY el.vec_id, c.cluster
+        ),
+        g{i} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM a{i}) WHERE rn = 1
+        )"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+        u{i + 1} AS (
+            SELECT g.cluster, el.d,
+                   CAST(floor((2 * sum(el.x) + count(*)) * 1.0
+                              / (2 * count(*))) AS BIGINT) AS x
+            FROM g{i} g JOIN el ON g.vec_id = el.vec_id
+            GROUP BY g.cluster, el.d
+        ),
+        c{i + 1} AS (
+            SELECT c{i}.cluster, c{i}.d, COALESCE(u{i + 1}.x, c{i}.x) AS x
+            FROM c{i} LEFT JOIN u{i + 1}
+              ON c{i}.cluster = u{i + 1}.cluster AND c{i}.d = u{i + 1}.d
+        )"""
+            )
+    parts.append(tail or f"\n        SELECT vec_id, cluster FROM g{iters}")
+    return "".join(parts)
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 2) -> str:
+    """semantic_dedup oracle: the k-means CTE chain, then drop vectors
+    dominated by an earlier same-cluster vector under the exact-int64
+    cosine test dot>0 AND dot^2*100 >= 16*|u|^2*|v|^2 (tau = 0.4)."""
+    tail = f""",
+        nrm AS (SELECT vec_id, sum(x * x) AS n2 FROM el GROUP BY vec_id),
+        dots AS (
+            SELECT a.vec_id AS u, b.vec_id AS v, sum(ea.x * eb.x) AS dot
+            FROM g{iters} a JOIN g{iters} b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN el ea ON ea.vec_id = a.vec_id
+            JOIN el eb ON eb.vec_id = b.vec_id AND ea.d = eb.d
+            GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT g.vec_id, g.cluster FROM g{iters} g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dots dd
+            JOIN nrm nu ON nu.vec_id = dd.u
+            JOIN nrm nv ON nv.vec_id = dd.v
+            WHERE dd.v = g.vec_id AND dd.dot > 0
+              AND dd.dot * dd.dot * 100 >= 16 * nu.n2 * nv.n2
+        )"""
+    return _kmeans_sql(k=k, iters=iters, tail=tail)
 
 
 def _minhash_pairs_sql(
@@ -2298,6 +2404,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM q CROSS JOIN c)
             SELECT query_id, vec_id FROM s WHERE rk <= 5
         """,
+        # SemDeDup clustering step: integer k-means, iterations
+        # unrolled as CTEs — every value exact int64 on both sides
+        "cluster_kmeans": _kmeans_sql(k=8, iters=2),
+        # SemDeDup prune: exact-int64 cosine dominance within clusters
+        "semantic_dedup": _semantic_dedup_sql(k=8, iters=2),
         "cosine_dups": """
             SELECT a.vec_id AS d1, b.vec_id AS d2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

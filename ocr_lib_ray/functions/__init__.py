@@ -1,6 +1,7 @@
 """Training-data operator library — convenience exports."""
 
 from .chunking import chunk_documents, pack_sequences
+from .clustering import kmeans_centroids, kmeans_milli, semantic_dedup
 from .dedup import (
     connected_components,
     dedup_by_pairs,
@@ -43,10 +44,17 @@ from .similarity import (
 )
 from .streaming import streaming_sessionize
 from .versions import keep_latest
-from .sketches import approx_distinct_users_per_type, hll_aggregate
+from .sketches import (
+    approx_distinct_users_per_type,
+    bloom_build,
+    bloom_filter_against,
+    bloom_test,
+    hll_aggregate,
+)
 from .text_stats import (
     LangId,
     QualityScore,
+    code_detect_batch,
     doc_stats_batch,
     fingerprint_batch,
     winnow_fingerprint_batch,

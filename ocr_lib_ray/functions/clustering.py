@@ -1,0 +1,235 @@
+"""Embedding clustering (training-data op): the partitioning step of
+semantic dedup (SemDeDup-style — cluster the corpus in embedding space,
+then prune near-duplicates WITHIN each cluster so the O(n^2) similarity
+work never crosses cluster boundaries).
+
+``kmeans_milli`` is Lloyd's k-means with every number an INTEGER:
+embedding components quantize once to milli-units via
+``floor(x * 1000 + 0.5)`` (plain half-up — no round-half-even vs
+half-away divergence), distances are exact int64 sums of squares, and
+centroid updates are the half-up-rounded mean
+``floor((2*sum + count) / (2*count))`` computed in float64 — exact
+while ``2*sum + count < 2^53``, i.e. corpus rows x 1000 x 2 below 9e15
+(a trillion-row corpus still fits; documented bound).  Every step is
+therefore order-free and bit-identical across batch sizes, worker
+counts and SQL — the cluster_kmeans driver query carries a full hash
+oracle with the iterations unrolled as CTEs.
+
+Scale shape: each Lloyd iteration is ONE streaming pass —
+``map_batches`` assigns against the (k x d int64, a few KB) broadcast
+centroid matrix and emits k partial-sum rows per batch; the driver
+reduces the tiny partials exactly (Python ints) and re-broadcasts.
+Zero shuffle, no materialization of the corpus; the embedding read is
+column-pruned.  Empty clusters keep their previous centroid (same rule
+in SQL via COALESCE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MILLI = 1000.0
+
+
+def quantize_milli(col) -> np.ndarray:
+    """list<float> column → (B, D) int64 milli-units, bit-equal to
+    DuckDB ``CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)``
+    (float32→float64 is exact; both sides do the same double ops)."""
+    m = np.asarray(col.to_pylist(), dtype=np.float64)
+    return np.floor(m * MILLI + 0.5).astype(np.int64)
+
+
+def _rounded_mean(sums: np.ndarray, count: int) -> np.ndarray:
+    """Half-up-rounded integer mean — floor((2s+c)/(2c)) in float64,
+    the same double division + floor DuckDB evaluates (exact below
+    2^53; see module docstring)."""
+    return np.floor((2.0 * sums + count) / (2.0 * count)).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin of exact int64 squared distance; ties → lowest cluster
+    index (np.argmin first-hit == SQL ORDER BY dist, cluster)."""
+    # (B, k): |q|^2 - 2 q.c + |c|^2 — int64 throughout, exact
+    cross = q @ cent.T
+    d = (q * q).sum(axis=1, keepdims=True) - 2 * cross + (cent * cent).sum(axis=1)
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def kmeans_centroids(
+    emb_ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids=None,
+) -> np.ndarray:
+    """The Lloyd loop: seeds are the ``seed_ids`` rows (default ids
+    0..k-1), then ``iters`` assign+update rounds.  Returns the (k, d)
+    int64 milli-unit centroid matrix.  Each round is one streaming pass
+    emitting k tiny partial rows per batch; the driver reduce is exact
+    integer arithmetic, so the result is order- and batch-size-free."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if seed_ids is None:
+        seed_ids = list(range(k))
+    if len(seed_ids) != k:
+        raise ValueError(f"need {k} seed ids, got {len(seed_ids)}")
+
+    seed_set = pa.array(list(seed_ids), pa.int64())
+    seed_rows = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=seed_set)),
+        batch_format="pyarrow",
+    ).take_all()
+    if len(seed_rows) != k:
+        raise ValueError(
+            f"seed ids {seed_ids} matched {len(seed_rows)} rows, expected {k}"
+        )
+    by_id = {int(r[id_col]): r[vec_col] for r in seed_rows}
+    cent = np.stack(
+        [
+            np.floor(np.asarray(by_id[s], dtype=np.float64) * MILLI + 0.5).astype(
+                np.int64
+            )
+            for s in seed_ids
+        ]
+    )
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            q = quantize_milli(batch.column(vec_col))
+            a = _assign(q, c)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.arange(k, dtype=np.int64)),
+                    pa.array(counts),
+                    pa.array(sums.tolist(), pa.list_(pa.int64())),
+                ],
+                names=["cluster", "count", "sums"],
+            )
+
+        rows = emb_ds.map_batches(partials, batch_format="pyarrow").take_all()
+        tot_counts = np.zeros(k, dtype=np.int64)
+        tot_sums = np.zeros((k, dim), dtype=np.int64)
+        for r in rows:
+            tot_counts[int(r["cluster"])] += int(r["count"])
+            tot_sums[int(r["cluster"])] += np.asarray(r["sums"], dtype=np.int64)
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        for j in range(k):
+            if tot_counts[j] > 0:
+                new_cent[j] = _rounded_mean(tot_sums[j], int(tot_counts[j]))
+        cent = new_cent
+    return cent
+
+
+def kmeans_milli(
+    emb_ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids=None,
+):
+    """Deterministic integer k-means assignment: Lloyd rounds via
+    :func:`kmeans_centroids`, then a final labeling pass.  Returns
+    Dataset (vec_id, cluster) with cluster = seed index."""
+    import ray
+
+    cent = kmeans_centroids(emb_ds, k, iters, id_col, vec_col, seed_ids)
+    final_ref = ray.put(cent)
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        q = quantize_milli(batch.column(vec_col))
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(_assign(q, c))],
+            names=[id_col, "cluster"],
+        )
+
+    return emb_ds.map_batches(label, batch_format="pyarrow")
+
+
+#: |quantized component| bound for the int64-exact cosine test in
+#: semantic_dedup: dot <= d*B^2, and dot^2 * tau_den must stay below
+#: 2^63 — B=2000, d=64, tau_den=100 gives 6.6e18 < 9.2e18.
+_SEMDEDUP_MAX_MILLI = 2000
+
+
+def semantic_dedup(
+    emb_ds,
+    k: int = 8,
+    iters: int = 2,
+    tau_sq_num: int = 16,
+    tau_sq_den: int = 100,
+    max_cluster: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids=None,
+):
+    """SemDeDup: cluster in embedding space, then drop every vector
+    that has an EARLIER (lower id) same-cluster vector with cosine
+    similarity above tau (tau^2 = tau_sq_num/tau_sq_den — the test is
+    ``dot > 0 AND dot^2 * den >= num * |u|^2 * |v|^2``, exact int64 in
+    milli-units; see _SEMDEDUP_MAX_MILLI for the bound).
+
+    "Dominated by any earlier vector" (not greedy keep-first) is the
+    one-pass rule — order-free, SQL-expressible (EXISTS), and the
+    O(cluster^2) similarity work never crosses cluster boundaries,
+    which is the entire point of clustering first.  At corpus scale k
+    grows with n (bounded cluster sizes); ``max_cluster`` raises
+    rather than melting a worker on a degenerate clustering.
+
+    Returns Dataset (vec_id, cluster) of the SURVIVORS.
+    """
+    import pandas as pd
+
+    import ray
+
+    cent = kmeans_centroids(emb_ds, k, iters, id_col, vec_col, seed_ids)
+    cent_ref = ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = quantize_milli(batch.column(vec_col))
+        if q.size and np.abs(q).max() > _SEMDEDUP_MAX_MILLI:
+            raise ValueError(
+                "semantic_dedup: |quantized component| exceeds "
+                f"{_SEMDEDUP_MAX_MILLI} — int64 cosine test would overflow"
+            )
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(_assign(q, c)),
+                pa.array(q.tolist(), pa.list_(pa.int64())),
+            ],
+            names=[id_col, "cluster", "x"],
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(g)} rows exceeds "
+                f"max_cluster={max_cluster}; raise k or max_cluster"
+            )
+        g = g.sort_values(id_col, kind="stable")
+        q = np.asarray(g["x"].tolist(), dtype=np.int64)
+        d = q @ q.T
+        n = np.diag(d)
+        cond = (d > 0) & (d * d * tau_sq_den >= tau_sq_num * np.outer(n, n))
+        dominated = np.triu(cond, k=1).any(axis=0)
+        return g.loc[~dominated, [id_col, "cluster"]]
+
+    return (
+        emb_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )

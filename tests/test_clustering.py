@@ -1,0 +1,151 @@
+"""Integer k-means (SemDeDup clustering step): equivalence with a
+pure-python reference, bit-identity across partitionings, and the
+empty-cluster carry-forward rule."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_lib_ray.functions.clustering import (
+    _assign,
+    _rounded_mean,
+    quantize_milli,
+)
+
+
+def ref_kmeans(vecs, k, iters, seed_ids):
+    """Driver-side reference: same integer spec, no Ray."""
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+    cent = q[np.asarray(seed_ids)].copy()
+    for _ in range(iters):
+        a = _assign(q, cent)
+        for j in range(k):
+            members = q[a == j]
+            if len(members):
+                cent[j] = _rounded_mean(members.sum(axis=0), len(members))
+    return _assign(q, cent)
+
+
+def emb_table(vecs):
+    return pa.Table.from_arrays(
+        [
+            pa.array(range(len(vecs)), pa.int64()),
+            pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+
+
+def test_quantize_half_up_matches_floor_rule():
+    col = pa.chunked_array([pa.array([[0.0005, -0.0005, 0.123456, -1.0]], pa.list_(pa.float32()))])
+    q = quantize_milli(col)
+    f32 = np.array([0.0005, -0.0005, 0.123456, -1.0], dtype=np.float32).astype(np.float64)
+    assert (q[0] == np.floor(f32 * 1000.0 + 0.5)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_reference_any_partitioning(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import kmeans_milli
+
+    tbl = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = tbl.column("embedding").to_pylist()
+    want = ref_kmeans(vecs, k=8, iters=2, seed_ids=list(range(8)))
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = {r["vec_id"]: r["cluster"] for r in kmeans_milli(ds, k=8, iters=2).take_all()}
+        got = np.array([out[i] for i in tbl.column("vec_id").to_pylist()])
+        assert (got == want).all(), parts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_duplicate_seed_empties_cluster():
+    """Two identical seeds: ties assign everything to the lower cluster,
+    the other cluster goes empty and must keep its centroid (COALESCE
+    rule) instead of dividing by zero."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import kmeans_milli
+
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.002, 0.0], [0.998, 0.0]]
+    out = kmeans_milli(rd.from_arrow(emb_table(vecs)), k=2, iters=2).take_all()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    assert set(got.values()) == {0}
+    want = ref_kmeans(vecs, k=2, iters=2, seed_ids=[0, 1])
+    assert [got[i] for i in range(4)] == list(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_separated_blobs():
+    """Two well-separated blobs land in two clusters regardless of the
+    iteration count."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import kmeans_milli
+
+    vecs = [[0.01 * i, 0.0] for i in range(5)] + [[10.0 + 0.01 * i, 0.0] for i in range(5)]
+    out = kmeans_milli(rd.from_arrow(emb_table(vecs)), k=2, iters=3, seed_ids=[0, 5]).take_all()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    assert all(got[i] == 0 for i in range(5))
+    assert all(got[i] == 1 for i in range(5, 10))
+
+
+def ref_semantic_dedup(vecs, k, iters, seed_ids, num=16, den=100):
+    """Driver-side reference for the full SemDeDup rule."""
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+    cent = q[np.asarray(seed_ids)].copy()
+    for _ in range(iters):
+        a = _assign(q, cent)
+        for j in range(k):
+            m = q[a == j]
+            if len(m):
+                cent[j] = _rounded_mean(m.sum(axis=0), len(m))
+    a = _assign(q, cent)
+    keep = []
+    for v in range(len(q)):
+        dominated = False
+        for u in range(v):
+            if a[u] != a[v]:
+                continue
+            dot = int(q[u] @ q[v])
+            if dot > 0 and dot * dot * den >= num * int(q[u] @ q[u]) * int(q[v] @ q[v]):
+                dominated = True
+                break
+        if not dominated:
+            keep.append((v, int(a[v])))
+    return keep
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_matches_reference(sf_small):
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import semantic_dedup
+
+    tbl = pq.read_table(f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = tbl.column("embedding").to_pylist()
+    want = sorted(ref_semantic_dedup(vecs, k=8, iters=2, seed_ids=list(range(8))))
+    for parts in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = sorted(
+            (r["vec_id"], r["cluster"]) for r in semantic_dedup(ds, k=8, iters=2).take_all()
+        )
+        assert got == want, parts
+    assert len(want) < len(vecs)  # the fixture's planted near-dups prune
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_drops_planted_duplicate():
+    """An exact duplicate of an earlier vector always drops; the
+    earlier copy and dissimilar vectors survive."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import semantic_dedup
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [-1.0, 0.0]]
+    out = semantic_dedup(rd.from_arrow(emb_table(vecs)), k=2, iters=1, seed_ids=[0, 1]).take_all()
+    kept = sorted(r["vec_id"] for r in out)
+    assert 2 not in kept  # duplicate of vec 0
+    assert {0, 1, 3} <= set(kept)
