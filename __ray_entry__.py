@@ -678,6 +678,29 @@ def _q_cluster_kmeans(sf_dir: str):
     return kmeans_milli(_emb(sf_dir), k=8, iters=2)
 
 
+def _q_graph_rank(sf_dir: str):
+    """Distributed PageRank (3 damped power iterations, exact integer
+    micro-units) over the cyclic purchase graph (customer→supplier
+    edges + supplier→customer return back-edges) — the domain-rank
+    quality-prior shape of web curation (host-graph centrality as a
+    crawl/quality weight).  Per iteration: one bucketed hash-join of
+    edges against ranks, one Sum groupby, one join back onto the node
+    table; only two scalars ever reach the driver."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.graph import pagerank_micro, purchase_graph_edges
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    edges = purchase_graph_edges(orders, li, num_partitions=8)
+    return pagerank_micro(edges, iters=3, num_partitions=8)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup over the embedding table: integer k-means clustering,
     then within-cluster pruning of vectors cosine-dominated (tau=0.4,
@@ -1583,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups": _q_cosine_dups,
         "cluster_kmeans": _q_cluster_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "graph_rank": _q_graph_rank,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1890,6 +1914,56 @@ def _semantic_dedup_sql(k: int = 8, iters: int = 2) -> str:
               AND dd.dot * dd.dot * 100 >= 16 * nu.n2 * nv.n2
         )"""
     return _kmeans_sql(k=k, iters=iters, tail=tail)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled-CTE oracle for the integer-micro-unit PageRank (spec in
+    functions/graph.py): every quantity is a non-negative BIGINT and
+    every division a floor (DuckDB ``//`` truncates toward zero ==
+    floor on this domain), so the ranks are bit-equal."""
+    parts = [
+        """
+        WITH pj AS (
+            SELECT o_custkey AS cust, l_suppkey AS supp, l_returnflag AS flag
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT DISTINCT 2 * cust AS src, 2 * supp + 1 AS dst FROM pj
+            UNION ALL
+            SELECT DISTINCT 2 * supp + 1 AS src, 2 * cust AS dst
+            FROM pj WHERE flag = 'R'
+        ),
+        nodes AS (SELECT DISTINCT n FROM
+                  (SELECT src AS n FROM edges
+                   UNION ALL SELECT dst AS n FROM edges)),
+        od AS (SELECT nodes.n AS n, COALESCE(o.c, 0) AS outdeg
+               FROM nodes LEFT JOIN
+                    (SELECT src, count(*) AS c FROM edges GROUP BY src) o
+               ON nodes.n = o.src),
+        nn AS (SELECT count(*) AS cnt FROM nodes),
+        r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+        d{i} AS (SELECT CAST(COALESCE(sum(r{i}.r), 0) AS BIGINT) AS dang
+                 FROM r{i} JOIN od ON r{i}.n = od.n WHERE od.outdeg = 0),
+        i{i} AS (SELECT e.dst AS n,
+                        CAST(sum(r{i}.r // od.outdeg) AS BIGINT) AS inc
+                 FROM edges e JOIN r{i} ON r{i}.n = e.src
+                 JOIN od ON od.n = e.src
+                 GROUP BY e.dst),
+        r{i + 1} AS (SELECT nodes.n,
+                   150000 + (85 * (COALESCE(i{i}.inc, 0)
+                       + (SELECT dang FROM d{i}) // (SELECT cnt FROM nn)))
+                   // 100 AS r
+               FROM nodes LEFT JOIN i{i} ON nodes.n = i{i}.n)"""
+        )
+    parts.append(
+        f"\n        SELECT CAST(n AS BIGINT) AS node,"
+        f" CAST(r AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+    return "".join(parts)
 
 
 def _minhash_pairs_sql(
@@ -2409,6 +2483,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_kmeans": _kmeans_sql(k=8, iters=2),
         # SemDeDup prune: exact-int64 cosine dominance within clusters
         "semantic_dedup": _semantic_dedup_sql(k=8, iters=2),
+        # distributed PageRank, integer micro-units, iterations unrolled
+        "graph_rank": _pagerank_sql(iters=3),
         "cosine_dups": """
             SELECT a.vec_id AS d1, b.vec_id AS d2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

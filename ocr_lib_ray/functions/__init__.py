@@ -14,6 +14,7 @@ from .dedup import (
     simhash_pairs,
     union_find_components,
 )
+from .graph import pagerank_micro, purchase_graph_edges
 from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams

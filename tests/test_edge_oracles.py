@@ -115,6 +115,13 @@ EMBEDDING_QUERIES = {
     "doc_outer_join",  # round 3: hash_join how="full_outer"
 }
 
+#: queries over neither documents nor events (edge corpora here cover
+#: only those two tables); SQL-oracled at the sf fixtures + pinned by
+#: their own reference-equivalence tests
+OTHER_TABLES = {
+    "graph_rank",  # round 3: orders x lineitem purchase-graph PageRank
+}
+
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is
 #: the HLL sketch — no oracle)
 EVENT_SIDE = {
@@ -142,7 +149,9 @@ def test_edge_gate_covers_every_query():
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as em
 
-    covered = set(QUERIES) | NO_ORACLE_DOC | EMBEDDING_QUERIES | EVENT_SIDE
+    covered = (
+        set(QUERIES) | NO_ORACLE_DOC | EMBEDDING_QUERIES | EVENT_SIDE | OTHER_TABLES
+    )
     missing = set(em.queries()) - covered
     assert not missing, f"queries missing from the edge gate: {sorted(missing)}"
 
