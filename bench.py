@@ -226,6 +226,10 @@ def run_bench() -> dict:
         "doc_outer_join",
         "weighted_sample",
         "training_data_curated",
+        "dedup_bloom",
+        "code_detect",
+        "cluster_kmeans",
+        "semantic_dedup",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

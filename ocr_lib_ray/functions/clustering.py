@@ -158,10 +158,23 @@ def kmeans_milli(
     return emb_ds.map_batches(label, batch_format="pyarrow")
 
 
-#: |quantized component| bound for the int64-exact cosine test in
-#: semantic_dedup: dot <= d*B^2, and dot^2 * tau_den must stay below
-#: 2^63 — B=2000, d=64, tau_den=100 gives 6.6e18 < 9.2e18.
-_SEMDEDUP_MAX_MILLI = 2000
+def _check_cosine_bounds(q: np.ndarray, tau_sq_num: int, tau_sq_den: int) -> None:
+    """int64-exactness guard for the dominance test: with B = max|q|
+    and d = dims, dot(u, v) <= d*B^2 for ANY pair (cross-batch too —
+    the batch holding the global max bounds them all), and both sides
+    of ``dot^2 * den >= num * n2_u * n2_v`` are <= (d*B^2)^2 * max(num,
+    den).  Raise before numpy silently wraps."""
+    if q.size == 0:
+        return
+    b = int(np.abs(q).max())
+    d = q.shape[1]
+    dot_max = d * b * b
+    if dot_max * dot_max * max(tau_sq_num, tau_sq_den) >= 2**63:
+        raise ValueError(
+            f"semantic_dedup: int64 cosine test would overflow (dims={d}, "
+            f"max|milli|={b}, tau={tau_sq_num}/{tau_sq_den}) — reduce the "
+            "quantization scale or embedding magnitude"
+        )
 
 
 def semantic_dedup(
@@ -170,7 +183,7 @@ def semantic_dedup(
     iters: int = 2,
     tau_sq_num: int = 16,
     tau_sq_den: int = 100,
-    max_cluster: int = 100_000,
+    max_cluster: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_ids=None,
@@ -179,14 +192,16 @@ def semantic_dedup(
     that has an EARLIER (lower id) same-cluster vector with cosine
     similarity above tau (tau^2 = tau_sq_num/tau_sq_den — the test is
     ``dot > 0 AND dot^2 * den >= num * |u|^2 * |v|^2``, exact int64 in
-    milli-units; see _SEMDEDUP_MAX_MILLI for the bound).
+    milli-units; :func:`_check_cosine_bounds` raises before overflow).
 
     "Dominated by any earlier vector" (not greedy keep-first) is the
     one-pass rule — order-free, SQL-expressible (EXISTS), and the
     O(cluster^2) similarity work never crosses cluster boundaries,
     which is the entire point of clustering first.  At corpus scale k
     grows with n (bounded cluster sizes); ``max_cluster`` raises
-    rather than melting a worker on a degenerate clustering.
+    before prune() allocates its dense (n, n) int64 matrices (the
+    default 10k caps them at ~800 MB each — a guard that fires AFTER
+    a worker-melting allocation would be no guard).
 
     Returns Dataset (vec_id, cluster) of the SURVIVORS.
     """
@@ -200,11 +215,7 @@ def semantic_dedup(
     def tag(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         q = quantize_milli(batch.column(vec_col))
-        if q.size and np.abs(q).max() > _SEMDEDUP_MAX_MILLI:
-            raise ValueError(
-                "semantic_dedup: |quantized component| exceeds "
-                f"{_SEMDEDUP_MAX_MILLI} — int64 cosine test would overflow"
-            )
+        _check_cosine_bounds(q, tau_sq_num, tau_sq_den)
         return pa.Table.from_arrays(
             [
                 batch.column(id_col),

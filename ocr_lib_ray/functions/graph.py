@@ -10,8 +10,12 @@ quantity a non-negative int64, every division a floor, so the result
 is order-free, batch-size-free, and bit-equal to the unrolled-CTE SQL
 oracle (DuckDB ``//`` truncates toward zero, which equals floor on the
 non-negative domain; the engine never produces a negative rank).
-Bound: incoming(v) <= total rank mass ~= N * 2.2e6, int64-safe to
-N ~ 4e12 nodes.
+Bound: per-node incoming mass <= total rank mass ~= N * 2.2e6, and the
+left join back onto the node table round-trips ``inc`` through float64
+(hash_join's how="left" dtype stabilization) — exactness therefore
+requires incoming < 2^53, i.e. N up to ~4e9 nodes (the Common Crawl
+host graph is ~1e8; a trillion-node graph would need an integer-safe
+join variant).
 
 Scale shape: one iteration = one bucketed hash-join of the static edge
 table against the rank table (keyed by source), a Sum groupby of the
@@ -34,9 +38,10 @@ DAMP_NUM = 85
 DAMP_DEN = 100
 
 
-def _distinct_pairs(pairs_ds, num_partitions: int = 32):
+def _distinct_pairs(pairs_ds):
     """DISTINCT (src, dst) rows: per-batch np.unique partial (cuts the
-    shuffle to distinct-per-block), then one two-key groupby."""
+    shuffle to distinct-per-block), then one two-key groupby (Ray's
+    default sort-shuffle partitioning — not num_partitions-clamped)."""
 
     def partial(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy(zero_copy_only=False)
@@ -78,7 +83,7 @@ def pagerank_micro(edges_ds, iters: int = 3, num_partitions: int = 32):
 
     from .joins import hash_join
 
-    edges = _distinct_pairs(edges_ds, num_partitions).materialize()
+    edges = _distinct_pairs(edges_ds).materialize()
     nodes = _distinct_nodes(edges)
 
     outdeg = edges.groupby("src").count().map_batches(

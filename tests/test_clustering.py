@@ -149,3 +149,16 @@ def test_semantic_dedup_drops_planted_duplicate():
     kept = sorted(r["vec_id"] for r in out)
     assert 2 not in kept  # duplicate of vec 0
     assert {0, 1, 3} <= set(kept)
+
+
+def test_cosine_bounds_guard_raises_before_overflow():
+    """High-dimension/high-magnitude quantized vectors must raise, not
+    silently wrap int64 in the dominance test (review finding: d=256 at
+    |milli|=2000 wraps dot^2 * den negative)."""
+    from ocr_lib_ray.functions.clustering import _check_cosine_bounds
+
+    ok = np.full((3, 64), 500, dtype=np.int64)
+    _check_cosine_bounds(ok, 16, 100)  # fixture regime: fine
+    bad = np.full((3, 256), 2000, dtype=np.int64)
+    with pytest.raises(ValueError, match="overflow"):
+        _check_cosine_bounds(bad, 16, 100)
