@@ -855,6 +855,42 @@ def _q_range_join(sf_dir: str):
     return range_join_count(left, right, "user_id", "ts_us", window=3_600_000_000)
 
 
+def _q_rolling_stats(sf_dir: str):
+    """Per-user moving 5-event sum (SQL ROWS BETWEEN 4 PRECEDING)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ordered import rolling_stats
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return rolling_stats(events, k=5)
+
+
+def _q_lag_intervals(sf_dir: str):
+    """Per-user inter-arrival gaps (SQL LAG over a per-key order)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ordered import lag_intervals
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return lag_intervals(events)
+
+
+def _q_funnel_stages(sf_dir: str):
+    """Per-user sequential view->click->purchase funnel."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ordered import funnel_stages
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_stages(events, stages=("view", "click", "purchase"))
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Exact per-window distinct users (two-phase pair dedup — the
     exact sibling of the approx_distinct HLL)."""
@@ -1612,6 +1648,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
         "window_distinct_users": _q_window_distinct_users,
+        "rolling_stats": _q_rolling_stats,
+        "lag_intervals": _q_lag_intervals,
+        "funnel_stages": _q_funnel_stages,
         "sessionize": _q_sessionize,
         "sessionize_stream": _q_sessionize_stream,
         "sessionize_salted": _q_sessionize_salted,
@@ -2532,6 +2571,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        # moving window in integer cents (sum(BIGINT) is HUGEINT in
+        # DuckDB — cast back); (ts_us, event_id) is the total order
+        "rolling_stats": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "lag_intervals": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   COALESCE(ts_us - lag(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id),
+                       -1) AS prev_gap_us
+            FROM e
+        """,
+        # sequential funnel: each stage's first ts STRICTLY AFTER the
+        # previous stage's first ts; -1 = unreached, and an unreached
+        # stage blocks all later ones (inner JOIN on the prior CTE)
+        "funnel_stages": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            u AS (SELECT DISTINCT user_id FROM e),
+            f1 AS (SELECT user_id, min(ts_us) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            f2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e
+                   JOIN f1 ON e.user_id = f1.user_id
+                   WHERE e.event_type = 'click' AND e.ts_us > f1.t GROUP BY 1),
+            f3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM e
+                   JOIN f2 ON e.user_id = f2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts_us > f2.t GROUP BY 1)
+            SELECT u.user_id,
+                   COALESCE(f1.t, -1) AS s1_us,
+                   COALESCE(f2.t, -1) AS s2_us,
+                   COALESCE(f3.t, -1) AS s3_us,
+                   CAST(CASE WHEN f1.t IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN f2.t IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN f3.t IS NOT NULL THEN 1 ELSE 0 END
+                      AS BIGINT) AS depth
+            FROM u LEFT JOIN f1 USING (user_id)
+                   LEFT JOIN f2 USING (user_id)
+                   LEFT JOIN f3 USING (user_id)
         """,
         "tumbling_window": """
             SELECT event_type,

@@ -18,6 +18,7 @@ from .graph import pagerank_micro, purchase_graph_edges
 from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
+from .ordered import funnel_stages, lag_intervals, rolling_stats
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .quantiles import (
     ecdf_percent_rank,
@@ -84,7 +85,10 @@ __all__ = [
     "connected_components",
     "cap_per_group",
     "ecdf_percent_rank",
+    "funnel_stages",
     "group_quantiles",
+    "lag_intervals",
+    "rolling_stats",
     "hash_join",
     "histogram_quantiles",
     "keep_latest",

@@ -1,0 +1,221 @@
+"""Ordered per-key window analytics over the events table.
+
+SQL window functions (``SUM ... OVER (PARTITION BY k ORDER BY ts ROWS
+BETWEEN n PRECEDING ...)``, ``LAG``, sequential funnels) need rows of
+one key in time order — but never need a GLOBAL sort.  Every op here
+uses the repo's bucketed per-key-sort pattern (same as joins.asof_join
+and windows.sessionize_salted): hash the key into ``num_buckets``
+groups, ``groupby(bucket).map_groups`` with an in-group mergesort, and
+compute the window vectorized over the whole bucket with numpy
+segment tricks (never a Python loop over rows).
+
+Partitioning assumption (documented, same as asof_join): one KEY's
+history fits one task.  Buckets hold many keys; a single pathological
+key hotter than a worker's memory needs the salted two-pass treatment
+(see sessionize_salted) — not needed for moving windows of bounded k,
+where a window never spans bucket boundaries by construction.
+
+Value sums ride integer cents (``round(value * 100)``) so the Ray
+output is bit-exact against the DuckDB window-function oracle — the
+repo's no-float-reassociation discipline.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["rolling_stats", "lag_intervals", "funnel_stages"]
+
+_I64 = np.int64
+
+
+def _add_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
+    """Append crc32(key) % num_buckets — the stable shuffle key."""
+    if batch.column(key_col).null_count:
+        raise ValueError(
+            f"ordered: null values in key column {key_col!r} are unsupported — "
+            "filter or fill them first (SQL PARTITION BY would make a NULL "
+            "peer group; silence would diverge from the oracle)"
+        )
+    keys = batch.column(key_col).to_pylist()
+    b = [zlib.crc32(str(k).encode()) % num_buckets for k in keys]
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def _sorted_frame(g: pd.DataFrame, key_col: str, order_cols: list) -> pd.DataFrame:
+    return g.sort_values([key_col, *order_cols], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """For sorted ``keys``, index of the first row of each row's key run."""
+    n = len(keys)
+    idx = np.arange(n, dtype=_I64)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = keys[1:] != keys[:-1]
+    return np.maximum.accumulate(np.where(first, idx, 0))
+
+
+def _prep_events(batch: pa.Table) -> pa.Table:
+    ts_us = batch.column("ts").cast(pa.int64())
+    cents = pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0).cast(
+        pa.int64()
+    )
+    return pa.Table.from_arrays(
+        [batch.column("event_id"), batch.column("user_id"), ts_us, cents],
+        names=["event_id", "user_id", "ts_us", "cents"],
+    )
+
+
+def rolling_stats(events_ds, k: int = 5, num_buckets: int = 64):
+    """Per-user moving sum/count of the last ``k`` events (inclusive),
+    ordered by (ts, event_id) — SQL ``SUM(cents) OVER (PARTITION BY
+    user_id ORDER BY ts_us, event_id ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW)``.  Returns one row per event:
+    (event_id, user_id, ts_us, roll_sum_cents, roll_n).
+
+    In-group compute is one prefix-sum: with ``c0 = [0, cumsum(cents)]``
+    and window start ``s = max(segment_start, i - k + 1)``,
+    ``roll_sum = c0[i+1] - c0[s]`` — O(bucket) regardless of k.
+    """
+    if k < 1:
+        raise ValueError(f"rolling_stats: k must be >= 1, got {k}")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = _sorted_frame(g, "user_id", ["ts_us", "event_id"])
+        n = len(g)
+        seg = _segment_starts(g["user_id"].to_numpy())
+        i = np.arange(n, dtype=_I64)
+        start = np.maximum(seg, i - (k - 1))
+        c0 = np.concatenate([[0], np.cumsum(g["cents"].to_numpy(dtype=_I64))])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts_us": g["ts_us"],
+                "roll_sum_cents": c0[i + 1] - c0[start],
+                "roll_n": i - start + 1,
+            }
+        )
+
+    return (
+        events_ds.map_batches(_prep_events, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def lag_intervals(events_ds, num_buckets: int = 64):
+    """Per-user inter-arrival gap: ``ts_us - LAG(ts_us) OVER (PARTITION
+    BY user_id ORDER BY ts_us, event_id)``, with ``-1`` for each user's
+    first event (COALESCE'd in the oracle too — int64 end to end, no
+    null-vs-NaN hash ambiguity).  Returns
+    (event_id, user_id, ts_us, prev_gap_us).
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = _sorted_frame(g, "user_id", ["ts_us", "event_id"])
+        n = len(g)
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=_I64)
+        gap = np.full(n, -1, dtype=_I64)
+        if n > 1:
+            same = u[1:] == u[:-1]
+            gap[1:][same] = (ts[1:] - ts[:-1])[same]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts_us": g["ts_us"],
+                "prev_gap_us": gap,
+            }
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), batch.column("user_id"), ts_us],
+            names=["event_id", "user_id", "ts_us"],
+        )
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def funnel_stages(
+    events_ds,
+    stages: tuple = ("view", "click", "purchase"),
+    num_buckets: int = 64,
+):
+    """Per-user sequential conversion funnel: stage i+1 counts only
+    STRICTLY AFTER the user's first completion of stage i (the classic
+    ordered-funnel semantics; ties at the same ts do not advance).
+    Returns one row per user: (user_id, s1_us, s2_us, ..., depth) with
+    ``-1`` for unreached stages and depth = number of stages reached.
+
+    Vectorized per bucket: one pandas groupby-min per STAGE (len(stages)
+    passes over the bucket, never a per-row loop); an unreached stage
+    poisons later ones via a +inf sentinel.
+    """
+    if len(stages) < 1:
+        raise ValueError("funnel_stages: need at least one stage")
+
+    stage_list = list(stages)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g["user_id"].unique(), name="user_id").sort_values()
+        ts = g["ts_us"]
+        out = {"user_id": users.to_numpy()}
+        # prev = ts of the previous stage per user; -1 sentinel means
+        # "no lower bound" for stage 1, +MAX means "unreached".
+        prev = pd.Series(np.full(len(users), -1, dtype=_I64), index=users)
+        unreached = np.iinfo(np.int64).max
+        depth = np.zeros(len(users), dtype=_I64)
+        for si, stage in enumerate(stage_list):
+            mask = g["event_type"].to_numpy() == stage
+            sub = g.loc[mask, ["user_id", "ts_us"]]
+            bound = prev.reindex(sub["user_id"]).to_numpy()
+            sub = sub.loc[sub["ts_us"].to_numpy() > bound]
+            first = sub.groupby("user_id")["ts_us"].min()
+            cur = first.reindex(users)
+            reached = cur.notna().to_numpy()
+            vals = np.where(reached, cur.fillna(0).to_numpy(dtype=_I64), -1)
+            out[f"s{si + 1}_us"] = vals
+            depth += reached.astype(_I64)
+            prev = pd.Series(
+                np.where(reached, vals, unreached), index=users, dtype=_I64
+            )
+        out["depth"] = depth
+        return pd.DataFrame(out)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), ts_us, batch.column("event_type")],
+            names=["user_id", "ts_us", "event_type"],
+        )
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -137,6 +137,9 @@ EVENT_SIDE = {
     "approx_distinct",
     "latest_event",  # round 3: keep-newest-per-key dedup
     "value_quantiles",  # round 3: grid-quantized continuous quantiles
+    "rolling_stats",  # round 3: per-key moving window (ts-tie order)
+    "lag_intervals",  # round 3: per-key LAG gaps (ts-tie order)
+    "funnel_stages",  # round 3: sequential funnel (same-ts non-advance)
 }
 
 
@@ -251,6 +254,9 @@ EVENT_QUERIES = [
     "approx_distinct",  # round 3: HLL replicated in SQL (md5-upper64)
     "latest_event",  # round 3: ts-tie-heavy keep-latest (ids 2/3/4 tie)
     "value_quantiles",  # round 3: grid quantization on tie-heavy values
+    "rolling_stats",  # round 3: moving window over the ts-tie trio
+    "lag_intervals",  # round 3: zero-gap ties + single-event user
+    "funnel_stages",  # round 3: same-ts purchase/view non-advance
 ]
 
 

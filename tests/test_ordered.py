@@ -1,0 +1,230 @@
+"""ordered.py — per-key window analytics (rolling / lag / funnel) must
+match DuckDB window functions bit-for-bit, stay invariant to bucket
+count and block layout, and never leak a window across users."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_lib_ray.functions.ordered import funnel_stages, lag_intervals, rolling_stats
+
+
+def _events_table(n=200, users=7, seed_mod=13):
+    """Deterministic synthetic events: interleaved users, duplicate
+    ts WITHIN a user (event_id breaks the tie), non-monotone arrival."""
+    rows = []
+    base = 1_700_000_000_000_000
+    for i in range(n):
+        u = (i * 7 + i // users) % users
+        # ts deliberately collides for every 13th pair within a user
+        ts = base + ((i * 37) % 101) * 60_000_000 + (0 if i % seed_mod else -1)
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": u,
+                "ts": ts,
+                "event_type": ["view", "click", "purchase", "error"][i % 4],
+                "value": round(((i * 17) % 997) / 7.0, 2),
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.set_column(
+        t.column_names.index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+    )
+
+
+def _duck(sql: str, tbl: pa.Table) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("events", tbl)
+    return con.execute(sql).df()
+
+
+def _sorted(df: pd.DataFrame, by) -> pd.DataFrame:
+    return df.sort_values(by).reset_index(drop=True).astype("int64")
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("k", [1, 3, 5, 50])
+def test_rolling_matches_duckdb_window(k):
+    tbl = _events_table()
+    got = _sorted(rolling_stats(rd.from_arrow(tbl), k=k).to_pandas(), "event_id")
+    want = _sorted(
+        _duck(
+            f"""
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+            """,
+            tbl,
+        ),
+        "event_id",
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_bucket_and_block_invariance():
+    tbl = _events_table()
+    a = _sorted(
+        rolling_stats(rd.from_arrow(tbl), k=4, num_buckets=2).to_pandas(), "event_id"
+    )
+    b = _sorted(
+        rolling_stats(rd.from_arrow(tbl).repartition(11), k=4, num_buckets=64)
+        .to_pandas(),
+        "event_id",
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_never_crosses_users():
+    # one user's events far apart in event_id order; k spans them all
+    tbl = _events_table(n=40, users=2)
+    got = rolling_stats(rd.from_arrow(tbl), k=40).to_pandas()
+    df = tbl.to_pandas()
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    per_user = df.groupby("user_id")["cents"].sum()
+    # the LAST event of each user (by ts, event_id) carries the full sum
+    df["ts_us"] = df["ts"].astype("int64")
+    last_ids = (
+        df.sort_values(["ts_us", "event_id"]).groupby("user_id")["event_id"].last()
+    )
+    for u, eid in last_ids.items():
+        row = got[got["event_id"] == eid].iloc[0]
+        assert row["roll_sum_cents"] == per_user[u]
+        assert row["roll_n"] == (df["user_id"] == u).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_k_must_be_positive():
+    tbl = _events_table(n=8)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        rolling_stats(rd.from_arrow(tbl), k=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_matches_duckdb_and_first_is_minus_one():
+    tbl = _events_table()
+    got = _sorted(lag_intervals(rd.from_arrow(tbl)).to_pandas(), "event_id")
+    want = _sorted(
+        _duck(
+            """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+            SELECT event_id, user_id, ts_us,
+                   COALESCE(ts_us - lag(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id), -1)
+                   AS prev_gap_us
+            FROM e
+            """,
+            tbl,
+        ),
+        "event_id",
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # every user has exactly one first event
+    firsts = got[got["prev_gap_us"] == -1]
+    assert sorted(firsts["user_id"]) == sorted(got["user_id"].unique())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_duplicate_ts_breaks_tie_on_event_id():
+    rows = [
+        {"event_id": 2, "user_id": 1, "ts": 1000},
+        {"event_id": 1, "user_id": 1, "ts": 1000},
+        {"event_id": 3, "user_id": 1, "ts": 2000},
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(2, "ts", t.column("ts").cast(pa.timestamp("us")))
+    got = lag_intervals(rd.from_arrow(t)).to_pandas().set_index("event_id")
+    assert got.loc[1, "prev_gap_us"] == -1
+    assert got.loc[2, "prev_gap_us"] == 0  # same ts, later event_id
+    assert got.loc[3, "prev_gap_us"] == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_user_raises():
+    t = pa.Table.from_pylist(
+        [
+            {"event_id": 1, "user_id": None, "ts": 1000},
+            {"event_id": 2, "user_id": 5, "ts": 2000},
+        ]
+    )
+    t = t.set_column(2, "ts", t.column("ts").cast(pa.timestamp("us")))
+    with pytest.raises(Exception, match="null values in key column"):
+        lag_intervals(rd.from_arrow(t)).materialize()
+
+
+def _funnel_fixture():
+    """Hand-built funnel corner cases (µs timestamps):
+    user 1: view@10, click@20, purchase@30   -> full depth 3
+    user 2: click@10, view@20, click@20      -> click NOT after view
+                                                (tie at 20 blocked), depth 1
+    user 3: view@10 only                     -> depth 1
+    user 4: error@10 only                    -> depth 0, all -1
+    user 5: purchase@5, view@10, click@15, purchase@20 -> early purchase
+                                                ignored, depth 3
+    """
+    rows = [
+        (1, 1, 10, "view"),
+        (2, 1, 20, "click"),
+        (3, 1, 30, "purchase"),
+        (4, 2, 10, "click"),
+        (5, 2, 20, "view"),
+        (6, 2, 20, "click"),
+        (7, 3, 10, "view"),
+        (8, 4, 10, "error"),
+        (9, 5, 5, "purchase"),
+        (10, 5, 10, "view"),
+        (11, 5, 15, "click"),
+        (12, 5, 20, "purchase"),
+    ]
+    t = pa.Table.from_pylist(
+        [
+            {"event_id": e, "user_id": u, "ts": ts, "event_type": et}
+            for e, u, ts, et in rows
+        ]
+    )
+    return t.set_column(2, "ts", t.column("ts").cast(pa.timestamp("us")))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_sequential_semantics():
+    got = (
+        funnel_stages(rd.from_arrow(_funnel_fixture()))
+        .to_pandas()
+        .sort_values("user_id")
+        .set_index("user_id")
+    )
+    assert got.loc[1].tolist() == [10, 20, 30, 3]
+    assert got.loc[2].tolist() == [20, -1, -1, 1]  # tie at 20 does not advance
+    assert got.loc[3].tolist() == [10, -1, -1, 1]
+    assert got.loc[4].tolist() == [-1, -1, -1, 0]
+    assert got.loc[5].tolist() == [10, 15, 20, 3]  # pre-view purchase ignored
+    assert list(got.columns) == ["s1_us", "s2_us", "s3_us", "depth"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_bucket_invariance_and_all_users_present():
+    tbl = _events_table(n=300, users=11)
+    a = (
+        funnel_stages(rd.from_arrow(tbl), num_buckets=1)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        funnel_stages(rd.from_arrow(tbl).repartition(7), num_buckets=64)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["user_id"]) == set(tbl.column("user_id").to_pylist())
