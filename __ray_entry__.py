@@ -855,6 +855,53 @@ def _q_range_join(sf_dir: str):
     return range_join_count(left, right, "user_id", "ts_us", window=3_600_000_000)
 
 
+#: blocklist for the filter_blocklist query — word-boundary literal
+#: terms (one phrase, to pin phrase semantics); the SAME pattern string
+#: is inlined in the oracle SQL via blocklist_pattern
+_BLOCKLIST_TERMS = ("spark", "slow query", "dup")
+
+
+def _q_dedup_normalized(sf_dir: str):
+    """Case/punctuation-blind exact dedup (normalized-form winner)."""
+    from ocr_lib_ray.functions.curation import dedup_normalized
+
+    return dedup_normalized(_docs(sf_dir))
+
+
+def _q_filter_blocklist(sf_dir: str):
+    """C4-style bad-terms filter (word-boundary RE2, phrase-capable)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.curation import filter_blocklist
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source", "lang"]
+    )
+    return filter_blocklist(docs, _BLOCKLIST_TERMS)
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic md5 shard shuffle for training output."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.curation import shuffle_shards
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_shards(docs, num_shards=8)
+
+
+def _q_rollup_stats(sf_dir: str):
+    """One-pass GROUPING SETS rollup over (source, lang)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.curation import rollup_stats
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return rollup_stats(docs)
+
+
 def _q_rolling_stats(sf_dir: str):
     """Per-user moving 5-event sum (SQL ROWS BETWEEN 4 PRECEDING)."""
     import ray.data as rd
@@ -1651,6 +1698,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_stats": _q_rolling_stats,
         "lag_intervals": _q_lag_intervals,
         "funnel_stages": _q_funnel_stages,
+        "dedup_normalized": _q_dedup_normalized,
+        "filter_blocklist": _q_filter_blocklist,
+        "shuffle_shards": _q_shuffle_shards,
+        "rollup_stats": _q_rollup_stats,
         "sessionize": _q_sessionize,
         "sessionize_stream": _q_sessionize_stream,
         "sessionize_salted": _q_sessionize_salted,
@@ -2571,6 +2622,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        # case/punct-blind dedup: same aggressive normal form as
+        # curation.normalize_aggressive (RE2 on both sides)
+        "dedup_normalized": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text),
+                                   '[^a-z0-9]+', ' ', 'g')) AS nt
+                       FROM documents)
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM n GROUP BY nt
+        """,
+        # the regex literal below IS blocklist_pattern(_BLOCKLIST_TERMS)
+        # (word-boundary alternation; RE2 in pyarrow AND DuckDB)
+        "filter_blocklist": r"""
+            SELECT doc_id, source, lang FROM documents
+            WHERE NOT regexp_matches(lower(text), '\b(?:spark|slow query|dup)\b')
+        """,
+        # deterministic md5 shard shuffle: md5_number_lower == the
+        # little-endian lower half of Python's md5 digest (verified by
+        # the pack_sequences oracle); pos ranks the full hex
+        "shuffle_shards": """
+            WITH k AS (SELECT doc_id,
+                              md5(CAST(doc_id AS VARCHAR)) AS h,
+                              CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8
+                                   AS BIGINT) AS shard
+                       FROM documents)
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id) - 1 AS pos
+            FROM k
+        """,
+        "rollup_stats": """
+            SELECT CASE WHEN GROUPING(source) = 0 AND GROUPING(lang) = 0
+                        THEN 'source_lang'
+                        WHEN GROUPING(source) = 0 THEN 'source'
+                        ELSE 'total' END AS level,
+                   COALESCE(source, '*') AS source,
+                   COALESCE(lang, '*') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+            FROM documents
+            GROUP BY GROUPING SETS ((source, lang), (source), ())
         """,
         # moving window in integer cents (sum(BIGINT) is HUGEINT in
         # DuckDB — cast back); (ts_us, event_id) is the total order

@@ -17,6 +17,12 @@ from .dedup import (
 from .graph import pagerank_micro, purchase_graph_edges
 from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
+from .curation import (
+    dedup_normalized,
+    filter_blocklist,
+    rollup_stats,
+    shuffle_shards,
+)
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .ordered import funnel_stages, lag_intervals, rolling_stats
 from .redact import bpe_token_count_batch, redact_batch, redact_text
@@ -84,8 +90,12 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "cap_per_group",
+    "dedup_normalized",
     "ecdf_percent_rank",
+    "filter_blocklist",
     "funnel_stages",
+    "rollup_stats",
+    "shuffle_shards",
     "group_quantiles",
     "lag_intervals",
     "rolling_stats",

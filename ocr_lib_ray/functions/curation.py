@@ -1,0 +1,275 @@
+"""Corpus-curation operators: normalized dedup, blocklist filtering,
+deterministic shard shuffle, one-pass multi-granularity rollup.
+
+These are the remaining standard web-corpus curation stages (C4 /
+Gopher-style): a "fuzzy-exact" dedup that keys on aggressively
+normalized text (case/punctuation-blind — catches reformatted copies
+exact dedup misses), a bad-terms blocklist filter, the deterministic
+global shuffle that turns a curated corpus into training shards, and
+the GROUPING SETS dashboard a curation run reports at.
+
+All regex work runs on RE2 on BOTH sides (pyarrow.compute here, DuckDB
+regexp_* in the oracle) so the SQL oracles are bit-exact, and all
+hashes are md5 (DuckDB-reproducible) — the repo's no-wall-clock /
+stable-hash discipline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .chunking import PACK_ROWS_PER_PARTITION
+from .dedup import _rows_estimate
+
+__all__ = [
+    "normalize_aggressive",
+    "dedup_normalized",
+    "filter_blocklist",
+    "blocklist_pattern",
+    "shuffle_shards",
+    "rollup_stats",
+]
+
+
+def normalize_aggressive(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Case/punctuation-blind canonical form: lowercase, every run of
+    non-[a-z0-9] becomes one space, trimmed.  SQL twin:
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``.
+    """
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(col), "[^a-z0-9]+", " ")
+    )
+
+
+def dedup_normalized(docs_ds):
+    """Exact dedup on the aggressive normal form: one winner (min
+    doc_id) per distinct normalized text, plus the copy count.
+    Returns (doc_id, n_copies).
+
+    Shuffle discipline: the 32-hex md5 of the normal form is the ONLY
+    thing shuffled (text never enters the exchange — same winner-key
+    pattern as dedup_exact); the groupby carries
+    corpus-rows × 40 bytes regardless of document size.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def fp(batch: pa.Table) -> pa.Table:
+        norm = normalize_aggressive(batch.column("text")).to_pylist()
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(fps, pa.string())],
+            names=["doc_id", "nfp"],
+        )
+
+    out = (
+        docs_ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nfp")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count("doc_id", alias_name="n_copies"),
+        )
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_copies"]), batch_format="pyarrow"
+    )
+
+
+def blocklist_pattern(terms) -> str:
+    """Word-boundary RE2 alternation over literal terms (phrases
+    allowed) — the ONE pattern string both the Ray filter and the SQL
+    oracle consume, so they cannot diverge.  Escapes only regex
+    metacharacters (``re.escape`` would emit ``\\ `` for spaces, which
+    RE2 — the engine on BOTH sides — rejects)."""
+    import re
+
+    if not terms:
+        raise ValueError("blocklist_pattern: empty term list")
+    esc = [
+        re.sub(r"([\\^$.|?*+()\[\]{}])", r"\\\1", t.lower()) for t in terms
+    ]
+    return r"\b(?:" + "|".join(esc) + r")\b"
+
+
+def filter_blocklist(docs_ds, terms, keep_cols=("doc_id", "source", "lang")):
+    """C4-style bad-terms filter: drop any document whose lowercased
+    text contains a blocklisted word/phrase at word boundaries.
+    Returns the surviving rows projected to ``keep_cols``.
+
+    Map-only (no shuffle): the RE2 alternation is compiled once per
+    batch call by Arrow's kernel cache and evaluated in C over the
+    whole batch.  For blocklists beyond a few thousand terms, switch to
+    token-set membership (hash join against a broadcast term set)
+    instead of an alternation — RE2 compiles alternations to a DFA so
+    moderate lists are fine.
+    """
+    pattern = blocklist_pattern(terms)
+    cols = list(keep_cols)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(pc.utf8_lower(batch.column("text")), pattern)
+        return batch.filter(pc.invert(hit)).select(cols)
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_shards(docs_ds, num_shards: int | None = None, approx_rows=None):
+    """Deterministic global shuffle into training shards: shard =
+    md5-lower64(str(doc_id)) % S, position = rank of the full md5 hex
+    within the shard (doc_id tie-break, unreachable for distinct ids).
+    Returns (doc_id, shard, pos) — a reproducible random permutation
+    with NO RNG, re-derivable row-by-row by any engine with md5.
+
+    Scale: one hash map + one groupby(shard); each shard sorts
+    ~rows/S keys in one task, so ``num_shards=None`` derives
+    S = ceil(rows / PACK_ROWS_PER_PARTITION) the same way
+    pack_sequences sizes its partitions (metadata-first row estimate).
+    S is part of the output contract — re-runs must reuse the same S.
+    """
+    if num_shards is None:
+        if approx_rows is None:
+            approx_rows = _rows_estimate(docs_ds)
+        num_shards = max(1, -(-int(approx_rows) // PACK_ROWS_PER_PARTITION))
+    S = int(num_shards)
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hexes = [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+        shard = [int.from_bytes(bytes.fromhex(h)[8:], "little") % S for h in hexes]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(shard, pa.int64()),
+                pa.array(hexes, pa.string()),
+            ],
+            names=["doc_id", "shard", "h"],
+        )
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+    )
+
+
+def rollup_stats(docs_ds):
+    """One-pass multi-granularity corpus rollup — SQL ``GROUP BY
+    GROUPING SETS ((source, lang), (source), ())`` with '*' filling the
+    rolled-up keys.  Returns one row per grouping set member:
+    (level, source, lang, n_docs, n_chars_sum).
+
+    The corpus is scanned ONCE: per-batch Arrow partials aggregate to
+    the finest (source, lang) level, and the two coarser levels are
+    derived by re-aggregating the FINE RESULT (≤ |sources|×|langs|
+    rows — shuffles over group counts, never over the corpus again).
+    Null group keys raise, as in corpus_report.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        for c in ("source", "lang"):
+            if b.column(c).null_count:
+                raise ValueError(
+                    f"rollup_stats: null keys in group column {c!r} are "
+                    "unsupported — filter or fill them first"
+                )
+        t = pa.Table.from_arrays(
+            [
+                b.column("source"),
+                b.column("lang"),
+                pa.array([1] * len(b), pa.int64()),
+                b.column("n_chars").cast(pa.int64()),
+            ],
+            names=["source", "lang", "n_docs", "n_chars_sum"],
+        )
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_chars_sum", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "n_chars_sum"])
+
+    fine = (
+        docs_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars_sum", alias_name="n_chars_sum"),
+        )
+    )
+
+    def tag(level: str, source_star: bool, lang_star: bool):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            src = (
+                pa.array(["*"] * n, pa.string()) if source_star else b.column("source")
+            )
+            lng = pa.array(["*"] * n, pa.string()) if lang_star else b.column("lang")
+            return pa.Table.from_arrays(
+                [
+                    pa.array([level] * n, pa.string()),
+                    src,
+                    lng,
+                    b.column("n_docs"),
+                    b.column("n_chars_sum"),
+                ],
+                names=["level", "source", "lang", "n_docs", "n_chars_sum"],
+            )
+
+        return f
+
+    by_source = fine.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_chars_sum", alias_name="n_chars_sum"),
+    )
+
+    def to_total(b: pa.Table) -> pa.Table:
+        # one row per block of the tiny by_source result; summed below
+        return pa.Table.from_arrays(
+            [
+                pa.array([0] * len(b), pa.int64()),
+                b.column("n_docs"),
+                b.column("n_chars_sum"),
+            ],
+            names=["k", "n_docs", "n_chars_sum"],
+        )
+
+    total = (
+        by_source.map_batches(to_total, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars_sum", alias_name="n_chars_sum"),
+        )
+    )
+
+    def total_row(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_arrays(
+            [
+                pa.array(["total"] * n, pa.string()),
+                pa.array(["*"] * n, pa.string()),
+                pa.array(["*"] * n, pa.string()),
+                b.column("n_docs"),
+                b.column("n_chars_sum"),
+            ],
+            names=["level", "source", "lang", "n_docs", "n_chars_sum"],
+        )
+
+    return (
+        fine.map_batches(tag("source_lang", False, False), batch_format="pyarrow")
+        .union(by_source.map_batches(tag("source", False, True), batch_format="pyarrow"))
+        .union(total.map_batches(total_row, batch_format="pyarrow"))
+    )

@@ -1,0 +1,224 @@
+"""curation.py — normalized dedup, blocklist filter, shard shuffle,
+GROUPING SETS rollup: DuckDB equivalence plus the semantic corner
+cases the sf fixtures never exercise (unicode punctuation, phrase
+word-boundaries, shard-count contracts, single-group rollups)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_lib_ray.functions.curation import (
+    blocklist_pattern,
+    dedup_normalized,
+    filter_blocklist,
+    normalize_aggressive,
+    rollup_stats,
+    shuffle_shards,
+)
+
+
+def _docs_table(rows):
+    """rows: (doc_id, text, lang, source)"""
+    ids, texts, langs, sources = zip(*rows)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+            pa.array(sources, pa.string()),
+            pa.array([len(t) for t in texts], pa.int64()),
+        ],
+        names=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def _duck(sql, tbl):
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con.execute(sql).df()
+
+
+# --- normalize_aggressive ---------------------------------------------------
+
+
+def test_normalize_aggressive_matches_duckdb_on_messy_text():
+    texts = [
+        "Hello,   World!!",
+        "a-b_c.d",
+        "  MiXeD   CaSe  ",
+        "",
+        "123  abc\t\ndef",
+        "naïve café",  # non-ascii letters are separators on both sides
+    ]
+    got = normalize_aggressive(pa.chunked_array([pa.array(texts)])).to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT trim(regexp_replace(lower(?), '[^a-z0-9]+', ' ', 'g'))", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    assert got[0] == "hello world"
+    assert got[1] == "a b c d"
+
+
+# --- dedup_normalized -------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_normalized_collapses_reformatted_copies():
+    tbl = _docs_table(
+        [
+            (10, "Hello, World!", "en", "s"),
+            (3, "hello   world", "en", "s"),  # same normal form, min id wins
+            (7, "HELLO WORLD.", "en", "s"),
+            (2, "different text", "en", "s"),
+            (5, "", "en", "s"),
+            (6, "!!!", "en", "s"),  # normalizes to "" too
+        ]
+    )
+    got = (
+        dedup_normalized(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"doc_id": [2, 3, 5], "n_copies": [1, 3, 2]}, dtype="int64"
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+# --- filter_blocklist -------------------------------------------------------
+
+
+def test_blocklist_pattern_escapes_meta_not_space():
+    p = blocklist_pattern(["a.b", "slow query", "c++"])
+    assert p == r"\b(?:a\.b|slow query|c\+\+)\b"
+    with pytest.raises(ValueError, match="empty term list"):
+        blocklist_pattern([])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_blocklist_word_boundaries_and_phrases():
+    tbl = _docs_table(
+        [
+            (1, "contains spam here", "en", "s"),       # blocked: word
+            (2, "spammy is fine", "en", "s"),           # kept: boundary
+            (3, "a very slow query indeed", "en", "s"),  # blocked: phrase
+            (4, "slow and a query apart", "en", "s"),    # kept: not adjacent
+            (5, "SPAM uppercase", "en", "s"),            # blocked: lowercased
+            (6, "clean document", "en", "s"),
+        ]
+    )
+    got = (
+        filter_blocklist(rd.from_arrow(tbl), ["spam", "slow query"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["doc_id"].tolist() == [2, 4, 6]
+    assert list(got.columns) == ["doc_id", "source", "lang"]
+
+
+# --- shuffle_shards ---------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_shards_matches_duckdb_and_is_a_permutation():
+    tbl = _docs_table([(i, f"doc {i}", "en", "s") for i in range(97)])
+    got = (
+        shuffle_shards(rd.from_arrow(tbl), num_shards=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = (
+        _duck(
+            """
+            WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                              CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 5
+                                   AS BIGINT) AS shard
+                       FROM documents)
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                   AS pos
+            FROM k
+            """,
+            tbl,
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # per-shard positions are exactly 0..len-1 (a permutation, no gaps)
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_shards_derives_shard_count_from_rows():
+    tbl = _docs_table([(i, "x", "en", "s") for i in range(10)])
+    out = shuffle_shards(rd.from_arrow(tbl), approx_rows=250_000).to_pandas()
+    assert out["shard"].max() <= 2  # ceil(250k / 100k) = 3 shards
+
+
+# --- rollup_stats -----------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_matches_duckdb_grouping_sets():
+    tbl = _docs_table(
+        [
+            (1, "aa", "en", "s1"),
+            (2, "bbbb", "de", "s1"),
+            (3, "c", "en", "s2"),
+            (4, "dd", "en", "s1"),
+        ]
+    )
+    got = (
+        rollup_stats(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values(["level", "source", "lang"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(
+            """
+            SELECT CASE WHEN GROUPING(source) = 0 AND GROUPING(lang) = 0
+                        THEN 'source_lang'
+                        WHEN GROUPING(source) = 0 THEN 'source'
+                        ELSE 'total' END AS level,
+                   COALESCE(source, '*') AS source,
+                   COALESCE(lang, '*') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+            FROM documents
+            GROUP BY GROUPING SETS ((source, lang), (source), ())
+            """,
+            tbl,
+        )
+        .sort_values(["level", "source", "lang"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    total = got[got["level"] == "total"]
+    assert len(total) == 1
+    assert total["n_docs"].iloc[0] == 4
+    assert total["n_chars_sum"].iloc[0] == 9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_null_group_key_raises():
+    tbl = _docs_table([(1, "x", "en", "s")])
+    tbl = tbl.set_column(
+        tbl.column_names.index("source"),
+        "source",
+        pa.array([None], pa.string()),
+    )
+    with pytest.raises(Exception, match="null keys in group column"):
+        rollup_stats(rd.from_arrow(tbl)).materialize()

@@ -73,6 +73,10 @@ QUERIES = [
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
     "dedup_bloom",  # round 3: Bloom-bitmap crawl-over-crawl dedup
+    "dedup_normalized",  # round 3: case/punct-blind dedup (empty docs collide)
+    "filter_blocklist",  # round 3: word-boundary blocklist on short docs
+    "shuffle_shards",  # round 3: md5 shard shuffle on a tiny corpus
+    "rollup_stats",  # round 3: GROUPING SETS with single-doc groups
     "dedup_incremental_minhash",  # round 3: NEAR-dup crawl-over-crawl
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
     "minhash_components",  # round 3: distributed CC over LSH pairs
