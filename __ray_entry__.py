@@ -868,6 +868,18 @@ def _q_dedup_normalized(sf_dir: str):
     return dedup_normalized(_docs(sf_dir))
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-winner dedup (longest variant wins, not min id)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.curation import dedup_keep_best
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return dedup_keep_best(docs)
+
+
 def _q_filter_blocklist(sf_dir: str):
     """C4-style bad-terms filter (word-boundary RE2, phrase-capable)."""
     import ray.data as rd
@@ -1699,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_intervals": _q_lag_intervals,
         "funnel_stages": _q_funnel_stages,
         "dedup_normalized": _q_dedup_normalized,
+        "dedup_keep_best": _q_dedup_keep_best,
         "filter_blocklist": _q_filter_blocklist,
         "shuffle_shards": _q_shuffle_shards,
         "rollup_stats": _q_rollup_stats,
@@ -2633,6 +2646,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM n GROUP BY nt
+        """,
+        # longest-variant winner per normalized form (row_number ties
+        # broken on doc_id — same total order as keep_latest)
+        "dedup_keep_best": """
+            WITH n AS (SELECT doc_id, n_chars,
+                              trim(regexp_replace(lower(text),
+                                   '[^a-z0-9]+', ' ', 'g')) AS nt
+                       FROM documents),
+            r AS (SELECT doc_id, n_chars,
+                         row_number() OVER (PARTITION BY nt
+                                            ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM n)
+            SELECT doc_id, n_chars FROM r WHERE rn = 1
         """,
         # the regex literal below IS blocklist_pattern(_BLOCKLIST_TERMS)
         # (word-boundary alternation; RE2 in pyarrow AND DuckDB)

@@ -18,6 +18,7 @@ from .graph import pagerank_micro, purchase_graph_edges
 from .joins import asof_join, hash_join, range_join_count
 from .linedup import remove_common_lines, remove_common_lines_join
 from .curation import (
+    dedup_keep_best,
     dedup_normalized,
     filter_blocklist,
     rollup_stats,
@@ -90,6 +91,7 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "cap_per_group",
+    "dedup_keep_best",
     "dedup_normalized",
     "ecdf_percent_rank",
     "filter_blocklist",

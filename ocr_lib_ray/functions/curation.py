@@ -28,6 +28,7 @@ from .dedup import _rows_estimate
 
 __all__ = [
     "normalize_aggressive",
+    "dedup_keep_best",
     "dedup_normalized",
     "filter_blocklist",
     "blocklist_pattern",
@@ -76,6 +77,42 @@ def dedup_normalized(docs_ds):
     )
     return out.map_batches(
         lambda b: b.select(["doc_id", "n_copies"]), batch_format="pyarrow"
+    )
+
+
+def dedup_keep_best(docs_ds):
+    """Quality-winner dedup: one row per normalized-text group, keeping
+    the LONGEST raw variant (max n_chars; tie → min doc_id) instead of
+    the min-id winner — the curation rule when reformatted copies differ
+    in completeness (truncated mirrors lose).  Returns (doc_id, n_chars).
+
+    Pure composition: the normalized fingerprint feeds
+    :func:`versions.keep_latest` (map-only per-block prune, then one
+    winner per key), so the shuffle carries at most one 40-byte row per
+    key per block.
+    """
+    from .versions import keep_latest
+
+    def fp(batch: pa.Table) -> pa.Table:
+        norm = normalize_aggressive(batch.column("text")).to_pylist()
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("n_chars").cast(pa.int64()),
+                pa.array(fps, pa.string()),
+            ],
+            names=["doc_id", "n_chars", "nfp"],
+        )
+
+    best = keep_latest(
+        docs_ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="nfp",
+        ts_col="n_chars",
+        tie_col="doc_id",
+    )
+    return best.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
     )
 
 

@@ -92,6 +92,45 @@ def test_dedup_normalized_collapses_reformatted_copies():
     pd.testing.assert_frame_equal(got, want)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_best_longest_variant_wins():
+    from ocr_lib_ray.functions.curation import dedup_keep_best
+
+    tbl = _docs_table(
+        [
+            (10, "Hello, World!", "en", "s"),   # 13 chars — winner
+            (3, "hello   world", "en", "s"),    # 13 chars, larger id loses tie? no: tie -> min id = 3
+            (7, "HELLO WORLD", "en", "s"),      # 11 chars
+            (2, "other", "en", "s"),
+        ]
+    )
+    got = (
+        dedup_keep_best(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    # ids 10 and 3 both have n_chars=13; tie broken on MIN doc_id -> 3
+    want = pd.DataFrame({"doc_id": [2, 3], "n_chars": [5, 13]}, dtype="int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_best_prefers_length_over_id():
+    from ocr_lib_ray.functions.curation import dedup_keep_best
+
+    tbl = _docs_table(
+        [
+            (1, "doc body", "en", "s"),          # 8 chars, min id
+            (9, "doc... body!!!", "en", "s"),    # 14 chars, same normal form
+        ]
+    )
+    got = dedup_keep_best(rd.from_arrow(tbl)).to_pandas()
+    assert got["doc_id"].tolist() == [9]
+    assert got["n_chars"].tolist() == [14]
+
+
 # --- filter_blocklist -------------------------------------------------------
 
 

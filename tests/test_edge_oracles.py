@@ -74,6 +74,7 @@ QUERIES = [
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
     "dedup_bloom",  # round 3: Bloom-bitmap crawl-over-crawl dedup
     "dedup_normalized",  # round 3: case/punct-blind dedup (empty docs collide)
+    "dedup_keep_best",  # round 3: longest-variant winner (n_chars ties)
     "filter_blocklist",  # round 3: word-boundary blocklist on short docs
     "shuffle_shards",  # round 3: md5 shard shuffle on a tiny corpus
     "rollup_stats",  # round 3: GROUPING SETS with single-doc groups
