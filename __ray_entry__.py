@@ -2688,7 +2688,7 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(source, '*') AS source,
                    COALESCE(lang, '*') AS lang,
                    count(*) AS n_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+                   CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS n_chars_sum
             FROM documents
             GROUP BY GROUPING SETS ((source, lang), (source), ())
         """,

@@ -230,6 +230,14 @@ def run_bench() -> dict:
         "code_detect",
         "cluster_kmeans",
         "semantic_dedup",
+        "rolling_stats",
+        "lag_intervals",
+        "funnel_stages",
+        "dedup_normalized",
+        "dedup_keep_best",
+        "filter_blocklist",
+        "shuffle_shards",
+        "rollup_stats",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -210,10 +210,12 @@ def rollup_stats(docs_ds):
     (level, source, lang, n_docs, n_chars_sum).
 
     The corpus is scanned ONCE: per-batch Arrow partials aggregate to
-    the finest (source, lang) level, and the two coarser levels are
-    derived by re-aggregating the FINE RESULT (≤ |sources|×|langs|
-    rows — shuffles over group counts, never over the corpus again).
-    Null group keys raise, as in corpus_report.
+    the finest (source, lang) level distributed; the two coarser levels
+    are then derived from the FINE RESULT — ≤ |sources|×|langs| rows, a
+    documented-small driver collection (the heavy_hitters discipline) —
+    with local Arrow group_bys, because corpus-scale never reaches
+    them.  Returns a pyarrow.Table.  Null group keys raise, as in
+    corpus_report.
     """
     from ray.data.aggregate import Sum
 
@@ -247,66 +249,44 @@ def rollup_stats(docs_ds):
         )
     )
 
-    def tag(level: str, source_star: bool, lang_star: bool):
-        def f(b: pa.Table) -> pa.Table:
-            n = len(b)
-            src = (
-                pa.array(["*"] * n, pa.string()) if source_star else b.column("source")
-            )
-            lng = pa.array(["*"] * n, pa.string()) if lang_star else b.column("lang")
-            return pa.Table.from_arrays(
-                [
-                    pa.array([level] * n, pa.string()),
-                    src,
-                    lng,
-                    b.column("n_docs"),
-                    b.column("n_chars_sum"),
-                ],
-                names=["level", "source", "lang", "n_docs", "n_chars_sum"],
-            )
-
-        return f
-
-    by_source = fine.groupby("source").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("n_chars_sum", alias_name="n_chars_sum"),
+    # ONE distributed pass ends here; everything below is local over a
+    # group-count-sized table (a 3-branch lazy plan would re-execute
+    # the corpus scan per consumer — measured 5.7s vs 0.9s at bench sf)
+    ft = pa.Table.from_pandas(fine.to_pandas(), preserve_index=False).select(
+        ["source", "lang", "n_docs", "n_chars_sum"]
     )
 
-    def to_total(b: pa.Table) -> pa.Table:
-        # one row per block of the tiny by_source result; summed below
+    def level(t: pa.Table, name: str, src, lng) -> pa.Table:
+        n = len(t)
         return pa.Table.from_arrays(
             [
-                pa.array([0] * len(b), pa.int64()),
-                b.column("n_docs"),
-                b.column("n_chars_sum"),
-            ],
-            names=["k", "n_docs", "n_chars_sum"],
-        )
-
-    total = (
-        by_source.map_batches(to_total, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_chars_sum", alias_name="n_chars_sum"),
-        )
-    )
-
-    def total_row(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.Table.from_arrays(
-            [
-                pa.array(["total"] * n, pa.string()),
-                pa.array(["*"] * n, pa.string()),
-                pa.array(["*"] * n, pa.string()),
-                b.column("n_docs"),
-                b.column("n_chars_sum"),
+                pa.array([name] * n, pa.string()),
+                src if src is not None else pa.array(["*"] * n, pa.string()),
+                lng if lng is not None else pa.array(["*"] * n, pa.string()),
+                t.column("n_docs").cast(pa.int64()),
+                t.column("n_chars_sum").cast(pa.int64()),
             ],
             names=["level", "source", "lang", "n_docs", "n_chars_sum"],
         )
 
-    return (
-        fine.map_batches(tag("source_lang", False, False), batch_format="pyarrow")
-        .union(by_source.map_batches(tag("source", False, True), batch_format="pyarrow"))
-        .union(total.map_batches(total_row, batch_format="pyarrow"))
+    agg_spec = [("n_docs", "sum"), ("n_chars_sum", "sum")]
+    by_source = (
+        ft.group_by("source")
+        .aggregate(agg_spec)
+        .rename_columns(["source", "n_docs", "n_chars_sum"])
+    )
+    total = pa.Table.from_pylist(
+        [
+            {
+                "n_docs": pc.sum(ft.column("n_docs")).as_py() or 0,
+                "n_chars_sum": pc.sum(ft.column("n_chars_sum")).as_py() or 0,
+            }
+        ]
+    )
+    return pa.concat_tables(
+        [
+            level(ft, "source_lang", ft.column("source"), ft.column("lang")),
+            level(by_source, "source", by_source.column("source"), None),
+            level(total, "total", None, None),
+        ]
     )

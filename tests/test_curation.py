@@ -260,4 +260,4 @@ def test_rollup_null_group_key_raises():
         pa.array([None], pa.string()),
     )
     with pytest.raises(Exception, match="null keys in group column"):
-        rollup_stats(rd.from_arrow(tbl)).materialize()
+        rollup_stats(rd.from_arrow(tbl))  # eager: the one pass runs here
