@@ -1056,6 +1056,13 @@ def _q_sessionize_salted(sf_dir: str):
     return out.map_batches(to_cents, batch_format="pyarrow")
 
 
+def _q_cooccurrence_topk(sf_dir: str):
+    """Top-30 windowed token co-occurrence pairs (collocations)."""
+    from ocr_lib_ray.functions.tokens import cooccurrence_topk
+
+    return cooccurrence_topk(_docs(sf_dir), window=3, k=30)
+
+
 def _q_char_entropy(sf_dir: str):
     from ocr_lib_ray.functions.text_stats import char_entropy_batch
 
@@ -1720,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_salted": _q_sessionize_salted,
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "cooccurrence_topk": _q_cooccurrence_topk,
         "char_entropy": _q_char_entropy,
         "code_detect": _q_code_detect,
         "sliding_window": _q_sliding_window,
@@ -2813,6 +2821,24 @@ def oracle_sql() -> dict[str, str]:
                        WHERE {norm} <> ''),
             c AS (SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        # windowed co-occurrence: every (i, j) with 0 < j-i <= 3 inside a
+        # doc, unordered via least/greatest (UTF-8 byte order == Python
+        # str order); (n_pairs DESC, w1, w2) is a total order so LIMIT
+        # is deterministic on both sides
+        "cooccurrence_topk": f"""
+            WITH t AS (SELECT str_split({norm}, ' ') AS ws FROM documents
+                       WHERE {norm} <> ''),
+            pos AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM t),
+            pr AS (SELECT ws, i,
+                          unnest(generate_series(i + 1,
+                                 least(i + 3, len(ws)))) AS j
+                   FROM pos),
+            p AS (SELECT least(ws[i], ws[j]) AS w1,
+                         greatest(ws[i], ws[j]) AS w2
+                  FROM pr)
+            SELECT w1, w2, count(*) AS n_pairs FROM p
+            GROUP BY 1, 2 ORDER BY n_pairs DESC, w1, w2 LIMIT 30
         """,
         "char_entropy": f"""
             WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),

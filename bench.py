@@ -238,6 +238,7 @@ def run_bench() -> dict:
         "filter_blocklist",
         "shuffle_shards",
         "rollup_stats",
+        "cooccurrence_topk",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

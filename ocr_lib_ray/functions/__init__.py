@@ -68,7 +68,7 @@ from .text_stats import (
     fingerprint_batch,
     winnow_fingerprint_batch,
 )
-from .tokens import token_counts, top_tokens
+from .tokens import cooccurrence_topk, token_counts, top_tokens
 from .urls import canonicalize_url
 from .windows import (
     heavy_hitters,
@@ -139,6 +139,7 @@ __all__ = [
     "fingerprint_batch",
     "winnow_fingerprint_batch",
     "token_counts",
+    "cooccurrence_topk",
     "top_tokens",
     "canonicalize_url",
     "heavy_hitters",

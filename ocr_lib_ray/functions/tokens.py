@@ -48,3 +48,82 @@ def top_tokens(docs_ds, k: int = 20):
     counts = token_counts(docs_ds)
     # sort+limit over the (small) aggregate, not the corpus
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def partial_cooccurrence(batch: pa.Table, window: int) -> pa.Table:
+    """Per-batch combiner for windowed co-occurrence: one
+    (w1, w2, n_pairs) row per distinct unordered pair in the batch.
+
+    Vectorized over the FLATTENED batch: all tokens in one numpy array
+    with a doc index; for each offset d ≤ window, pair token[i] with
+    token[i+d] where both sit in the same document — ``window`` strided
+    comparisons instead of a per-row loop.
+    """
+    import numpy as np
+
+    norm = normalize_expr(batch.column("text")).to_pylist()
+    toks: list = []
+    doc_idx: list = []
+    for di, t in enumerate(norm):
+        if not t:
+            continue
+        ws = t.split(" ")
+        toks.extend(ws)
+        doc_idx.extend([di] * len(ws))
+    if not toks:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())],
+            names=["w1", "w2", "n_pairs"],
+        )
+    arr = np.asarray(toks, dtype=object)
+    didx = np.asarray(doc_idx, dtype=np.int64)
+    parts = []
+    for d in range(1, window + 1):
+        if d >= len(arr):
+            break
+        a, b = arr[:-d], arr[d:]
+        same = didx[:-d] == didx[d:]
+        a, b = a[same], b[same]
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        parts.append(pd.DataFrame({"w1": lo, "w2": hi}))
+    if not parts:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.string()),
+             pa.array([], pa.int64())],
+            names=["w1", "w2", "n_pairs"],
+        )
+    g = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["w1", "w2"], sort=False)
+        .size()
+        .reset_index(name="n_pairs")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def cooccurrence_topk(docs_ds, window: int = 3, k: int = 30):
+    """Top-k co-occurring token pairs within ``window`` positions inside
+    a document (unordered; the collocation/PMI numerator).  Returns
+    (w1, w2, n_pairs) with the deterministic total order
+    (n_pairs desc, w1 asc, w2 asc).
+
+    Shuffle discipline: per-batch PARTIAL pair counts combine before
+    the groupby, so the exchange carries distinct-pairs-per-batch rows,
+    not corpus token positions.  The pair space is vocabulary², so for
+    open-vocabulary web text compose with a count cutoff or a
+    first-pass vocabulary prune (top_tokens) before widening ``window``
+    — the final sort here runs on the aggregated pair table.
+    """
+    partials = docs_ds.map_batches(
+        lambda b: partial_cooccurrence(b, window),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = partials.groupby(["w1", "w2"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")
+    )
+    return counts.sort(
+        ["n_pairs", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)

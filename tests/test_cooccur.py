@@ -1,0 +1,83 @@
+"""cooccurrence_topk — windowed collocation counts: hand-checked
+window semantics, batch-layout invariance, and ties at the k boundary."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_lib_ray.functions.tokens import cooccurrence_topk
+
+
+def _docs(texts):
+    return pa.Table.from_arrays(
+        [
+            pa.array(range(len(texts)), pa.int64()),
+            pa.array(texts, pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_window_semantics_hand_checked():
+    # "a b c d": window=2 pairs (positions): ab ac bc bd cd -> 5 pairs
+    got = (
+        cooccurrence_topk(rd.from_arrow(_docs(["a b c d"])), window=2, k=10)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "w1": ["a", "a", "b", "b", "c"],
+            "w2": ["b", "c", "c", "d", "d"],
+            "n_pairs": [1, 1, 1, 1, 1],
+        }
+    )
+    want["n_pairs"] = want["n_pairs"].astype("int64")
+    pd.testing.assert_frame_equal(got[["w1", "w2", "n_pairs"]], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_unordered_and_repeated_tokens():
+    # "b a b": window=2 -> (a,b) from b-a and a-b, (b,b) from b..b
+    got = (
+        cooccurrence_topk(rd.from_arrow(_docs(["b a b"])), window=2, k=10)
+        .to_pandas()
+        .set_index(["w1", "w2"])["n_pairs"]
+    )
+    assert got[("a", "b")] == 2
+    assert got[("b", "b")] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_never_crosses_docs_and_layout_invariant():
+    texts = ["x y", "y z"] * 20 + ["", "solo"]
+    a = (
+        cooccurrence_topk(rd.from_arrow(_docs(texts)), window=3, k=50)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cooccurrence_topk(rd.from_arrow(_docs(texts)).repartition(9), window=3, k=50)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    pairs = set(zip(a["w1"], a["w2"]))
+    assert ("x", "z") not in pairs  # never across documents
+    assert pairs == {("x", "y"), ("y", "z")}
+    assert a.set_index(["w1", "w2"])["n_pairs"].eq(20).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_k_boundary_is_deterministic():
+    # 3 pairs all with count 1; k=2 must keep the lexicographically
+    # smallest two (n desc, w1 asc, w2 asc)
+    got = cooccurrence_topk(
+        rd.from_arrow(_docs(["a b", "c d", "e f"])), window=1, k=2
+    ).to_pandas()
+    assert list(zip(got["w1"], got["w2"])) == [("a", "b"), ("c", "d")]

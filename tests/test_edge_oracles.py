@@ -63,6 +63,7 @@ QUERIES = [
     "frame_sample",  # round 3: video-shape frame sampling
     "token_counts",
     "top_tokens",
+    "cooccurrence_topk",  # round 3: window > doc length, empty docs
     "ngram_jaccard",
     "dup_components",  # round 3: distributed CC over jaccard pairs
     "sample_split",
