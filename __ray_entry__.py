@@ -868,6 +868,24 @@ def _q_dedup_normalized(sf_dir: str):
     return dedup_normalized(_docs(sf_dir))
 
 
+#: per-source token budgets for the budget_sample query — src0 halved,
+#: src1 cut to ~7%, src2 dropped, all other sources kept whole; the
+#: oracle CASE expression mirrors this dict verbatim
+_BUDGETS = {"src0": 700.0, "src1": 100.0, "src2": 0.0}
+
+
+def _q_budget_sample(sf_dir: str):
+    """Token-budget mixture sampling (downsample sources to a recipe)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import budget_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return budget_sample(docs, _BUDGETS)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Quality-winner dedup (longest variant wins, not min id)."""
     import ray.data as rd
@@ -1719,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_keep_best": _q_dedup_keep_best,
+        "budget_sample": _q_budget_sample,
         "filter_blocklist": _q_filter_blocklist,
         "shuffle_shards": _q_shuffle_shards,
         "rollup_stats": _q_rollup_stats,
@@ -2655,6 +2674,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM n GROUP BY nt
         """,
+        # token-budget mixture: rate = budget/total per source, decided
+        # by the weighted_sample printf-hex discipline (identical IEEE
+        # division/multiply/floor on both sides); b IS NULL = unbudgeted
+        "budget_sample": f"""
+            WITH tok AS (SELECT doc_id, source,
+                         CASE WHEN {{norm}} = '' THEN 0
+                              ELSE len(str_split({{norm}}, ' ')) END AS nt
+                         FROM documents),
+            tot AS (SELECT source, sum(nt) AS t FROM tok GROUP BY 1),
+            cfg AS (SELECT source, t,
+                           CASE source WHEN 'src0' THEN 700.0
+                                       WHEN 'src1' THEN 100.0
+                                       WHEN 'src2' THEN 0.0
+                                       ELSE NULL END AS b
+                    FROM tot)
+            SELECT k.doc_id, k.source
+            FROM tok k JOIN cfg c USING (source)
+            WHERE c.b IS NULL OR c.t = 0 OR c.b / c.t >= 1.0
+               OR substr(md5('budget' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x',
+                           CAST(floor(c.b / c.t * 4294967296.0) AS BIGINT))
+        """.replace("{norm}", _NORM),
         # longest-variant winner per normalized form (row_number ties
         # broken on doc_id — same total order as keep_latest)
         "dedup_keep_best": """

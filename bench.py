@@ -239,6 +239,7 @@ def run_bench() -> dict:
         "shuffle_shards",
         "rollup_stats",
         "cooccurrence_topk",
+        "budget_sample",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -35,6 +35,7 @@ from .quantiles import (
 )
 from .ranking import tfidf_top_terms, topk_per_group
 from .sampling import (
+    budget_sample,
     cap_per_group,
     sample_fixed_k,
     split_dataset,
@@ -91,6 +92,7 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "cap_per_group",
+    "budget_sample",
     "dedup_keep_best",
     "dedup_normalized",
     "ecdf_percent_rank",

@@ -230,3 +230,70 @@ def weighted_sample(ds, key_col: str, weight_col: str, scale: float = 1.0, salt:
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def budget_sample(docs_ds, budgets: dict, salt: str = "budget"):
+    """Token-budget mixture sampling: downsample each source so its
+    EXPECTED surviving token count ≈ ``budgets[source]`` — the "mix
+    sources to a token recipe" stage of training-data assembly.
+    Sources absent from ``budgets`` are kept whole; a 0 budget drops
+    the source.  Returns the surviving (doc_id, source) rows.
+
+    Two passes, both cheap: (1) per-source token totals — a per-batch
+    partial sum rides a |sources|-row groupby, collected to the driver
+    (documented-small, like heavy_hitters); (2) a MAP-ONLY filter with
+    keep-rate ``r_s = budget_s / total_tokens_s`` decided by the
+    :func:`weighted_sample` md5-threshold discipline (key-stable
+    across runs / cluster size / layout; bit-reproducible in SQL via
+    printf-hex compare).  The corpus is scanned twice by construction
+    — the rate depends on a global aggregate; pass pre-computed totals
+    as ``budgets`` rates upstream if the extra scan matters.
+    """
+    from ray.data.aggregate import Sum
+
+    from .text_stats import normalize_expr, token_count
+
+    def partial_tokens(batch: pa.Table) -> pa.Table:
+        nt = token_count(normalize_expr(batch.column("text"))).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("source"), nt], names=["source", "nt"]
+        )
+        g = t.group_by("source").aggregate([("nt", "sum")])
+        return g.rename_columns(["source", "nt"])
+
+    totals = (
+        docs_ds.map_batches(
+            partial_tokens, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .aggregate(Sum("nt", alias_name="nt"))
+        .to_pandas()
+    )
+    total_by_source = dict(zip(totals["source"], totals["nt"]))
+
+    # rate per budgeted source; None = keep whole
+    thresholds: dict = {}
+    for src, b in budgets.items():
+        t = total_by_source.get(src, 0)
+        if t == 0 or float(b) / float(t) >= 1.0:
+            thresholds[src] = None  # keep all (budget >= corpus)
+        else:
+            rate = float(b) / float(t)
+            thresholds[src] = format(int(rate * (1 << 32)), "08x")
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        mask = []
+        for i, s in zip(ids, srcs):
+            if s not in budgets or thresholds.get(s) is None:
+                mask.append(True)
+            else:
+                mask.append(_md5_hex(salt, i)[:8] < thresholds[s])
+        return batch.filter(pa.array(mask, pa.bool_())).select(
+            ["doc_id", "source"]
+        )
+
+    return docs_ds.map_batches(
+        keep_mask, batch_format="pyarrow", zero_copy_batch=True
+    )

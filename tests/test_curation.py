@@ -261,3 +261,57 @@ def test_rollup_null_group_key_raises():
     )
     with pytest.raises(Exception, match="null keys in group column"):
         rollup_stats(rd.from_arrow(tbl))  # eager: the one pass runs here
+
+
+# --- budget_sample (sampling.py, same curation family) ----------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_sample_hits_token_budgets_approximately():
+    from ocr_lib_ray.functions.sampling import budget_sample
+
+    # 200 docs of 10 tokens per source -> 2000 tokens each
+    rows = []
+    for s in ("a", "b", "c"):
+        for i in range(200):
+            rows.append((len(rows), "w " * 9 + "w", "en", s))
+    tbl = _docs_table(rows)
+    out = budget_sample(
+        rd.from_arrow(tbl), {"a": 1000.0, "b": 0.0}
+    ).to_pandas()
+    per_src = out.groupby("source").size()
+    assert "b" not in per_src  # zero budget drops the source
+    assert per_src["c"] == 200  # unbudgeted source kept whole
+    # rate 0.5 on 200 docs: expect ~100 survivors (md5-binomial, wide
+    # tolerance — determinism, not the exact count, is the contract)
+    assert 60 <= per_src["a"] <= 140
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_sample_deterministic_and_layout_invariant():
+    from ocr_lib_ray.functions.sampling import budget_sample
+
+    rows = [(i, f"tok{i} " * 5, "en", f"s{i % 3}") for i in range(90)]
+    tbl = _docs_table(rows)
+    a = (
+        budget_sample(rd.from_arrow(tbl), {"s0": 50.0, "s1": 120.0})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        budget_sample(rd.from_arrow(tbl).repartition(7), {"s0": 50.0, "s1": 120.0})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_sample_budget_at_or_above_total_keeps_all():
+    from ocr_lib_ray.functions.sampling import budget_sample
+
+    rows = [(i, "one two three", "en", "s") for i in range(10)]
+    out = budget_sample(rd.from_arrow(_docs_table(rows)), {"s": 30.0}).to_pandas()
+    assert len(out) == 10  # budget == total -> rate 1.0 -> keep all

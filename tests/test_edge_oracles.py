@@ -76,6 +76,7 @@ QUERIES = [
     "dedup_bloom",  # round 3: Bloom-bitmap crawl-over-crawl dedup
     "dedup_normalized",  # round 3: case/punct-blind dedup (empty docs collide)
     "dedup_keep_best",  # round 3: longest-variant winner (n_chars ties)
+    "budget_sample",  # round 3: unbudgeted sources + tiny totals
     "filter_blocklist",  # round 3: word-boundary blocklist on short docs
     "shuffle_shards",  # round 3: md5 shard shuffle on a tiny corpus
     "rollup_stats",  # round 3: GROUPING SETS with single-doc groups
