@@ -2713,7 +2713,8 @@ def oracle_sql() -> dict[str, str]:
         # (word-boundary alternation; RE2 in pyarrow AND DuckDB)
         "filter_blocklist": r"""
             SELECT doc_id, source, lang FROM documents
-            WHERE NOT regexp_matches(lower(text), '\b(?:spark|slow query|dup)\b')
+            WHERE NOT regexp_matches(lower(text),
+                                     '(?:\bspark\b|\bslow query\b|\bdup\b)')
         """,
         # deterministic md5 shard shuffle: md5_number_lower == the
         # little-endian lower half of Python's md5 digest (verified by

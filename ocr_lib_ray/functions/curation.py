@@ -47,6 +47,24 @@ def normalize_aggressive(col: pa.ChunkedArray) -> pa.ChunkedArray:
     )
 
 
+def _normalized_md5(batch: pa.Table) -> list:
+    """md5 hex of each row's aggressive normal form — the ONE
+    fingerprint definition both normalized-dedup operators key on (and
+    the contract their SQL oracles replicate).  Null text raises: the
+    oracle would keep a separate NULL group while a silent ``""``
+    coercion would merge it into the empty-text group — fill or filter
+    first, loudly (the repo-wide null discipline).
+    """
+    if batch.column("text").null_count:
+        raise ValueError(
+            "normalized dedup: null values in 'text' are unsupported — "
+            "filter or fill them first (SQL would group NULL separately; "
+            "coercing to '' would silently merge it with empty docs)"
+        )
+    norm = normalize_aggressive(batch.column("text")).to_pylist()
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+
+
 def dedup_normalized(docs_ds):
     """Exact dedup on the aggressive normal form: one winner (min
     doc_id) per distinct normalized text, plus the copy count.
@@ -60,10 +78,8 @@ def dedup_normalized(docs_ds):
     from ray.data.aggregate import Count, Min
 
     def fp(batch: pa.Table) -> pa.Table:
-        norm = normalize_aggressive(batch.column("text")).to_pylist()
-        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array(fps, pa.string())],
+            [batch.column("doc_id"), pa.array(_normalized_md5(batch), pa.string())],
             names=["doc_id", "nfp"],
         )
 
@@ -94,13 +110,11 @@ def dedup_keep_best(docs_ds):
     from .versions import keep_latest
 
     def fp(batch: pa.Table) -> pa.Table:
-        norm = normalize_aggressive(batch.column("text")).to_pylist()
-        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in norm]
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
                 batch.column("n_chars").cast(pa.int64()),
-                pa.array(fps, pa.string()),
+                pa.array(_normalized_md5(batch), pa.string()),
             ],
             names=["doc_id", "n_chars", "nfp"],
         )
@@ -121,15 +135,24 @@ def blocklist_pattern(terms) -> str:
     allowed) — the ONE pattern string both the Ray filter and the SQL
     oracle consume, so they cannot diverge.  Escapes only regex
     metacharacters (``re.escape`` would emit ``\\ `` for spaces, which
-    RE2 — the engine on BOTH sides — rejects)."""
+    RE2 — the engine on BOTH sides — rejects), and a ``\\b`` anchor is
+    emitted only where the term EDGE is a word char: ``\\b`` after
+    ``c++``'s '+' could never match, silently disabling the term."""
     import re
 
     if not terms:
         raise ValueError("blocklist_pattern: empty term list")
-    esc = [
-        re.sub(r"([\\^$.|?*+()\[\]{}])", r"\\\1", t.lower()) for t in terms
-    ]
-    return r"\b(?:" + "|".join(esc) + r")\b"
+
+    def bound(raw: str) -> str:
+        esc = re.sub(r"([\\^$.|?*+()\[\]{}])", r"\\\1", raw)
+        pre = r"\b" if (raw[0].isalnum() or raw[0] == "_") else ""
+        suf = r"\b" if (raw[-1].isalnum() or raw[-1] == "_") else ""
+        return pre + esc + suf
+
+    low = [t.lower() for t in terms]
+    if any(not t for t in low):
+        raise ValueError("blocklist_pattern: empty term")
+    return "(?:" + "|".join(bound(t) for t in low) + ")"
 
 
 def filter_blocklist(docs_ds, terms, keep_cols=("doc_id", "source", "lang")):

@@ -193,9 +193,14 @@ def funnel_stages(
             bound = prev.reindex(sub["user_id"]).to_numpy()
             sub = sub.loc[sub["ts_us"].to_numpy() > bound]
             first = sub.groupby("user_id")["ts_us"].min()
-            cur = first.reindex(users)
-            reached = cur.notna().to_numpy()
-            vals = np.where(reached, cur.fillna(0).to_numpy(dtype=_I64), -1)
+            # fill_value keeps the reindex in int64 end to end — a NaN
+            # reindex would float the ts and round values >= 2^53 (the
+            # keep_latest/ecdf nullable-float hazard); -1 is safe: ts_us
+            # is epoch micros >= 0, and -1 is already the output sentinel
+            vals = first.reindex(users, fill_value=np.int64(-1)).to_numpy(
+                dtype=_I64
+            )
+            reached = vals != -1
             out[f"s{si + 1}_us"] = vals
             depth += reached.astype(_I64)
             prev = pd.Series(

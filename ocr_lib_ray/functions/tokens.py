@@ -70,37 +70,37 @@ def partial_cooccurrence(batch: pa.Table, window: int) -> pa.Table:
         ws = t.split(" ")
         toks.extend(ws)
         doc_idx.extend([di] * len(ws))
-    if not toks:
-        return pa.Table.from_arrays(
-            [pa.array([], pa.string()), pa.array([], pa.string()),
-             pa.array([], pa.int64())],
-            names=["w1", "w2", "n_pairs"],
-        )
-    arr = np.asarray(toks, dtype=object)
-    didx = np.asarray(doc_idx, dtype=np.int64)
     parts = []
-    for d in range(1, window + 1):
-        if d >= len(arr):
-            break
-        a, b = arr[:-d], arr[d:]
-        same = didx[:-d] == didx[d:]
-        a, b = a[same], b[same]
-        lo = np.where(a <= b, a, b)
-        hi = np.where(a <= b, b, a)
-        parts.append(pd.DataFrame({"w1": lo, "w2": hi}))
-    if not parts:
-        return pa.Table.from_arrays(
-            [pa.array([], pa.string()), pa.array([], pa.string()),
-             pa.array([], pa.int64())],
-            names=["w1", "w2", "n_pairs"],
-        )
+    if toks:
+        arr = np.asarray(toks, dtype=object)
+        didx = np.asarray(doc_idx, dtype=np.int64)
+        for d in range(1, window + 1):
+            if d >= len(arr):
+                break
+            a, b = arr[:-d], arr[d:]
+            same = didx[:-d] == didx[d:]
+            a, b = a[same], b[same]
+            lo = np.where(a <= b, a, b)
+            hi = np.where(a <= b, b, a)
+            parts.append(pd.DataFrame({"w1": lo, "w2": hi}))
     g = (
         pd.concat(parts, ignore_index=True)
         .groupby(["w1", "w2"], sort=False)
         .size()
         .reset_index(name="n_pairs")
+        if parts
+        else pd.DataFrame({"w1": [], "w2": [], "n_pairs": []})
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # explicit types: an all-filtered batch (e.g. only one-token docs)
+    # would otherwise emit null-typed w1/w2 and drift the stream schema
+    return pa.Table.from_arrays(
+        [
+            pa.array(g["w1"], pa.string()),
+            pa.array(g["w2"], pa.string()),
+            pa.array(g["n_pairs"], pa.int64()),
+        ],
+        names=["w1", "w2", "n_pairs"],
+    )
 
 
 def cooccurrence_topk(docs_ds, window: int = 3, k: int = 30):

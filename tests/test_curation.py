@@ -135,10 +135,27 @@ def test_dedup_keep_best_prefers_length_over_id():
 
 
 def test_blocklist_pattern_escapes_meta_not_space():
+    # \b anchors only at word-char edges: a trailing \b after '+' would
+    # silently disable the 'c++' term (review finding, round 3)
     p = blocklist_pattern(["a.b", "slow query", "c++"])
-    assert p == r"\b(?:a\.b|slow query|c\+\+)\b"
+    assert p == r"(?:\ba\.b\b|\bslow query\b|\bc\+\+)"
     with pytest.raises(ValueError, match="empty term list"):
         blocklist_pattern([])
+    with pytest.raises(ValueError, match="empty term"):
+        blocklist_pattern(["ok", ""])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_blocklist_nonword_edge_terms_actually_filter():
+    tbl = _docs_table(
+        [
+            (1, "we use c++ daily", "en", "s"),   # blocked
+            (2, "cpp is fine", "en", "s"),        # kept
+            (3, "abc++ though", "en", "s"),       # kept: 'c++' needs \b before c
+        ]
+    )
+    got = filter_blocklist(rd.from_arrow(tbl), ["c++"]).to_pandas()
+    assert sorted(got["doc_id"]) == [2, 3]
 
 
 @pytest.mark.usefixtures("ray_session")
