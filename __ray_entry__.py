@@ -886,6 +886,20 @@ def _q_budget_sample(sf_dir: str):
     return budget_sample(docs, _BUDGETS)
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation: blocklist → keep-best dedup → token-budget
+    mixture → shard shuffle, oracled end-to-end."""
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.curate import curate_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    return curate_corpus(docs, _BLOCKLIST_TERMS, _BUDGETS, num_shards=4)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Quality-winner dedup (longest variant wins, not min id)."""
     import ray.data as rd
@@ -1738,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "dedup_keep_best": _q_dedup_keep_best,
         "budget_sample": _q_budget_sample,
+        "curate": _q_curate,
         "filter_blocklist": _q_filter_blocklist,
         "shuffle_shards": _q_shuffle_shards,
         "rollup_stats": _q_rollup_stats,
@@ -2695,6 +2710,50 @@ def oracle_sql() -> dict[str, str]:
                OR substr(md5('budget' || CAST(k.doc_id AS VARCHAR)), 1, 8)
                   < printf('%08x',
                            CAST(floor(c.b / c.t * 4294967296.0) AS BIGINT))
+        """.replace("{norm}", _NORM),
+        # the composed curation pipeline, end to end: each CTE is the
+        # oracle of its stage (filter_blocklist / dedup_keep_best /
+        # budget_sample over the DEDUPED token totals / shuffle_shards)
+        "curate": f"""
+            WITH surv AS (SELECT doc_id, text, source, n_chars FROM documents
+                WHERE NOT regexp_matches(lower(text),
+                          '(?:\\bspark\\b|\\bslow query\\b|\\bdup\\b)')),
+            nrm AS (SELECT doc_id, source, n_chars, text,
+                           trim(regexp_replace(lower(text),
+                                '[^a-z0-9]+', ' ', 'g')) AS nt
+                    FROM surv),
+            best AS (SELECT doc_id, source, text FROM (
+                       SELECT doc_id, source, text,
+                              row_number() OVER (PARTITION BY nt
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+                       FROM nrm) WHERE rn = 1),
+            tok AS (SELECT doc_id, source,
+                           CASE WHEN {{norm}} = '' THEN 0
+                                ELSE len(str_split({{norm}}, ' ')) END AS ntk
+                    FROM best),
+            tot AS (SELECT source, sum(ntk) AS t FROM tok GROUP BY 1),
+            cfg AS (SELECT source, t,
+                           CASE source WHEN 'src0' THEN 700.0
+                                       WHEN 'src1' THEN 100.0
+                                       WHEN 'src2' THEN 0.0
+                                       ELSE NULL END AS b
+                    FROM tot),
+            samp AS (SELECT k.doc_id, k.source
+                     FROM tok k JOIN cfg c USING (source)
+                     WHERE c.b IS NULL OR c.t = 0 OR c.b / c.t >= 1.0
+                        OR substr(md5('budget' ||
+                                  CAST(k.doc_id AS VARCHAR)), 1, 8)
+                           < printf('%08x', CAST(floor(c.b / c.t *
+                                    4294967296.0) AS BIGINT))),
+            key AS (SELECT doc_id, source,
+                           md5(CAST(doc_id AS VARCHAR)) AS h,
+                           CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 4
+                                AS BIGINT) AS shard
+                    FROM samp)
+            SELECT doc_id, source, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id) - 1 AS pos
+            FROM key
         """.replace("{norm}", _NORM),
         # longest-variant winner per normalized form (row_number ties
         # broken on doc_id — same total order as keep_latest)

@@ -240,6 +240,7 @@ def run_bench() -> dict:
         "rollup_stats",
         "cooccurrence_topk",
         "budget_sample",
+        "curate",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

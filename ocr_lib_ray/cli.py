@@ -97,6 +97,40 @@ def main(argv=None) -> int:
         help="C4 line-dedup document-frequency threshold (raise above the "
         "expected duplicate multiplicity on dup-heavy corpora)",
     )
+    cu = sub.add_parser(
+        "curate",
+        help="curate an EXTRACTED corpus (documents schema): blocklist "
+        "filter → keep-best normalized dedup → token-budget mixture → "
+        "deterministic shard shuffle → shard-partitioned parquet",
+    )
+    cu.add_argument(
+        "--input", help="documents parquet dir/file (doc_id, text, source, n_chars)"
+    )
+    cu.add_argument("--sf-dir", help="testdata dir; use its documents.parquet")
+    cu.add_argument("--output", required=True, help="shard-partitioned parquet dir")
+    cu.add_argument(
+        "--blocklist",
+        default="spark,slow query,dup",
+        help="comma-separated blocked terms/phrases (word-boundary match)",
+    )
+    cu.add_argument(
+        "--budgets",
+        default="",
+        help="per-source token budgets as src=tokens[,src=tokens...]; "
+        "unlisted sources are kept whole",
+    )
+    cu.add_argument("--shards", type=int, default=16)
+    cu.add_argument(
+        "--checkpoint-dir",
+        help="deduped-survivors checkpoint (recommended beyond toy scale: "
+        "the budget stage's two passes re-read parquet instead of "
+        "re-running filter+dedup)",
+    )
+    cu.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="wipe a non-empty --output even without a prior-run marker",
+    )
     args = p.parse_args(argv)
 
     if args.cmd == "validate":
@@ -128,6 +162,54 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
+    if args.cmd == "curate":
+        # curation consumes the DOCUMENTS schema directly (an already-
+        # extracted corpus), not fixture pages
+        from .pipelines.curate import curate_corpus
+        from .stages.manifest import safe_wipe_output
+
+        docs_path = args.input or f"{args.sf_dir}/documents.parquet"
+        docs = rd.read_parquet(
+            docs_path, columns=["doc_id", "text", "source", "n_chars"]
+        )
+        budgets = {}
+        if args.budgets:
+            for kv in args.budgets.split(","):
+                k, v = kv.split("=", 1)
+                budgets[k.strip()] = float(v)
+        terms = [t.strip() for t in args.blocklist.split(",") if t.strip()]
+        safe_wipe_output(args.output, overwrite=args.overwrite)
+        curated = curate_corpus(
+            docs,
+            terms,
+            budgets,
+            num_shards=args.shards,
+            checkpoint_dir=args.checkpoint_dir,
+            overwrite=args.overwrite,
+        )
+        curated.write_parquet(args.output, partition_cols=["shard"])
+
+        import glob
+
+        import pyarrow.parquet as pqt
+
+        rows = sum(
+            pqt.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{args.output}/**/*.parquet", recursive=True)
+        )
+        print(
+            json.dumps(
+                {
+                    "rows": rows,
+                    "shards": args.shards,
+                    "wall_sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+        if owns_session:
+            ray.shutdown()
+        return 0
+
     if args.input:
         pages = rd.read_parquet(args.input)
     else:

@@ -96,27 +96,35 @@ def dedup_normalized(docs_ds):
     )
 
 
-def dedup_keep_best(docs_ds):
+def dedup_keep_best(docs_ds, carry_cols: tuple = ()):
     """Quality-winner dedup: one row per normalized-text group, keeping
     the LONGEST raw variant (max n_chars; tie → min doc_id) instead of
     the min-id winner — the curation rule when reformatted copies differ
-    in completeness (truncated mirrors lose).  Returns (doc_id, n_chars).
+    in completeness (truncated mirrors lose).  Returns
+    (doc_id, n_chars, *carry_cols) — the winner's values of any
+    ``carry_cols`` ride along (composed pipelines carry text/source).
 
     Pure composition: the normalized fingerprint feeds
     :func:`versions.keep_latest` (map-only per-block prune, then one
-    winner per key), so the shuffle carries at most one 40-byte row per
-    key per block.
+    winner per key), so the shuffle carries at most one row per key per
+    block — 40 bytes when ``carry_cols`` is empty; with ``text`` carried
+    the pruned winners' text does enter the exchange (the
+    winner-broadcast pattern in pipelines/corpus.py is the alternative
+    when duplicates dominate).
     """
     from .versions import keep_latest
+
+    out_cols = ["doc_id", "n_chars", *carry_cols]
 
     def fp(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [
                 batch.column("doc_id"),
                 batch.column("n_chars").cast(pa.int64()),
+                *[batch.column(c) for c in carry_cols],
                 pa.array(_normalized_md5(batch), pa.string()),
             ],
-            names=["doc_id", "n_chars", "nfp"],
+            names=[*out_cols, "nfp"],
         )
 
     best = keep_latest(
@@ -126,7 +134,7 @@ def dedup_keep_best(docs_ds):
         tie_col="doc_id",
     )
     return best.map_batches(
-        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+        lambda b: b.select(out_cols), batch_format="pyarrow"
     )
 
 
@@ -181,8 +189,9 @@ def shuffle_shards(docs_ds, num_shards: int | None = None, approx_rows=None):
     """Deterministic global shuffle into training shards: shard =
     md5-lower64(str(doc_id)) % S, position = rank of the full md5 hex
     within the shard (doc_id tie-break, unreachable for distinct ids).
-    Returns (doc_id, shard, pos) — a reproducible random permutation
-    with NO RNG, re-derivable row-by-row by any engine with md5.
+    Returns every input column plus (shard, pos) — a reproducible
+    random permutation with NO RNG, re-derivable row-by-row by any
+    engine with md5.
 
     Scale: one hash map + one groupby(shard); each shard sorts
     ~rows/S keys in one task, so ``num_shards=None`` derives
@@ -200,29 +209,24 @@ def shuffle_shards(docs_ds, num_shards: int | None = None, approx_rows=None):
         ids = batch.column("doc_id").to_pylist()
         hexes = [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
         shard = [int.from_bytes(bytes.fromhex(h)[8:], "little") % S for h in hexes]
-        return pa.Table.from_arrays(
-            [
-                batch.column("doc_id"),
-                pa.array(shard, pa.int64()),
-                pa.array(hexes, pa.string()),
-            ],
-            names=["doc_id", "shard", "h"],
-        )
+        return batch.append_column(
+            "shard", pa.array(shard, pa.int64())
+        ).append_column("h", pa.array(hexes, pa.string()))
 
-    def order(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h", "doc_id"], kind="mergesort").reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"],
-                "shard": g["shard"],
-                "pos": np.arange(len(g), dtype=np.int64),
-            }
+    def order(g: pa.Table) -> pa.Table:
+        # Arrow sort + take: value columns never round-trip through
+        # pandas (nullable-int float hazard, see versions.keep_latest)
+        idx = pc.sort_indices(
+            g.select(["h", "doc_id"]),
+            sort_keys=[("h", "ascending"), ("doc_id", "ascending")],
         )
+        g = g.take(idx).drop_columns(["h"])
+        return g.append_column("pos", pa.array(np.arange(len(g), dtype=np.int64)))
 
     return (
         docs_ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
-        .map_groups(order, batch_format="pandas")
+        .map_groups(order, batch_format="pyarrow")
     )
 
 

@@ -232,12 +232,18 @@ def weighted_sample(ds, key_col: str, weight_col: str, scale: float = 1.0, salt:
     return ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def budget_sample(docs_ds, budgets: dict, salt: str = "budget"):
+def budget_sample(
+    docs_ds,
+    budgets: dict,
+    salt: str = "budget",
+    keep_cols: tuple = ("doc_id", "source"),
+    totals: dict | None = None,
+):
     """Token-budget mixture sampling: downsample each source so its
     EXPECTED surviving token count ≈ ``budgets[source]`` — the "mix
     sources to a token recipe" stage of training-data assembly.
     Sources absent from ``budgets`` are kept whole; a 0 budget drops
-    the source.  Returns the surviving (doc_id, source) rows.
+    the source.  Returns the surviving rows projected to ``keep_cols``.
 
     Two passes, both cheap: (1) per-source token totals — a per-batch
     partial sum rides a |sources|-row groupby, collected to the driver
@@ -246,30 +252,34 @@ def budget_sample(docs_ds, budgets: dict, salt: str = "budget"):
     :func:`weighted_sample` md5-threshold discipline (key-stable
     across runs / cluster size / layout; bit-reproducible in SQL via
     printf-hex compare).  The corpus is scanned twice by construction
-    — the rate depends on a global aggregate; pass pre-computed totals
-    as ``budgets`` rates upstream if the extra scan matters.
+    — the rate depends on a global aggregate; pass pre-computed
+    ``totals`` ({source: token_count}, e.g. from a checkpointed
+    aggregate) to skip pass 1 when re-executing the lineage matters.
     """
-    from ray.data.aggregate import Sum
+    if totals is None:
+        from ray.data.aggregate import Sum
 
-    from .text_stats import normalize_expr, token_count
+        from .text_stats import normalize_expr, token_count
 
-    def partial_tokens(batch: pa.Table) -> pa.Table:
-        nt = token_count(normalize_expr(batch.column("text"))).cast(pa.int64())
-        t = pa.Table.from_arrays(
-            [batch.column("source"), nt], names=["source", "nt"]
+        def partial_tokens(batch: pa.Table) -> pa.Table:
+            nt = token_count(normalize_expr(batch.column("text"))).cast(pa.int64())
+            t = pa.Table.from_arrays(
+                [batch.column("source"), nt], names=["source", "nt"]
+            )
+            g = t.group_by("source").aggregate([("nt", "sum")])
+            return g.rename_columns(["source", "nt"])
+
+        agg = (
+            docs_ds.map_batches(
+                partial_tokens, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("source")
+            .aggregate(Sum("nt", alias_name="nt"))
+            .to_pandas()
         )
-        g = t.group_by("source").aggregate([("nt", "sum")])
-        return g.rename_columns(["source", "nt"])
-
-    totals = (
-        docs_ds.map_batches(
-            partial_tokens, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("source")
-        .aggregate(Sum("nt", alias_name="nt"))
-        .to_pandas()
-    )
-    total_by_source = dict(zip(totals["source"], totals["nt"]))
+        total_by_source = dict(zip(agg["source"], agg["nt"]))
+    else:
+        total_by_source = dict(totals)
 
     # rate per budgeted source; None = keep whole
     thresholds: dict = {}
@@ -290,9 +300,7 @@ def budget_sample(docs_ds, budgets: dict, salt: str = "budget"):
                 mask.append(True)
             else:
                 mask.append(_md5_hex(salt, i)[:8] < thresholds[s])
-        return batch.filter(pa.array(mask, pa.bool_())).select(
-            ["doc_id", "source"]
-        )
+        return batch.filter(pa.array(mask, pa.bool_())).select(list(keep_cols))
 
     return docs_ds.map_batches(
         keep_mask, batch_format="pyarrow", zero_copy_batch=True

@@ -186,12 +186,19 @@ def test_filter_blocklist_word_boundaries_and_phrases():
 def test_shuffle_shards_matches_duckdb_and_is_a_permutation():
     tbl = _docs_table([(i, f"doc {i}", "en", "s") for i in range(97)])
     got = (
-        shuffle_shards(rd.from_arrow(tbl), num_shards=5)
+        shuffle_shards(rd.from_arrow(tbl.select(["doc_id"])), num_shards=5)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
         .astype("int64")
     )
+    # non-key input columns ride along untouched (composed pipelines
+    # carry source through the shard assignment)
+    carried = shuffle_shards(
+        rd.from_arrow(tbl.select(["doc_id", "source"])), num_shards=5
+    ).to_pandas()
+    assert list(carried.columns) == ["doc_id", "source", "shard", "pos"]
+    assert (carried["source"] == "s").all()
     want = (
         _duck(
             """
@@ -332,3 +339,66 @@ def test_budget_sample_budget_at_or_above_total_keeps_all():
     rows = [(i, "one two three", "en", "s") for i in range(10)]
     out = budget_sample(rd.from_arrow(_docs_table(rows)), {"s": 30.0}).to_pandas()
     assert len(out) == 10  # budget == total -> rate 1.0 -> keep all
+
+
+# --- curate_corpus (composed pipeline) ---------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_corpus_checkpoint_equivalence(tmp_path):
+    from ocr_lib_ray.pipelines.curate import curate_corpus
+
+    rows = []
+    for i in range(120):
+        src = f"s{i % 3}"
+        text = "blocked term here" if i % 10 == 0 else f"body {i % 7} " * 4
+        rows.append((i, text, "en", src))
+    tbl = _docs_table(rows)
+    terms = ["blocked term"]
+    budgets = {"s0": 50.0, "s2": 0.0}
+    a = (
+        curate_corpus(rd.from_arrow(tbl), terms, budgets, num_shards=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        curate_corpus(
+            rd.from_arrow(tbl).repartition(5),
+            terms,
+            budgets,
+            num_shards=3,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # every stage bit: blocked docs gone, s2 dropped, dedup collapsed
+    # the 7 distinct bodies per source
+    assert not a.empty
+    assert set(a["source"]) <= {"s0", "s1"}
+    assert a["doc_id"].nunique() == len(a)
+    assert list(a.columns) == ["doc_id", "source", "shard", "pos"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_sample_precomputed_totals_skip_pass_one():
+    from ocr_lib_ray.functions.sampling import budget_sample
+
+    rows = [(i, "tok " * 10, "en", "s") for i in range(100)]
+    tbl = _docs_table(rows)
+    a = (
+        budget_sample(rd.from_arrow(tbl), {"s": 500.0})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        budget_sample(rd.from_arrow(tbl), {"s": 500.0}, totals={"s": 1000})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
