@@ -743,6 +743,20 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(_emb(sf_dir), query_ids=list(range(10)), k=5, n_centroids=16, nprobe=6)
 
 
+def _q_graph_triangles(sf_dir: str):
+    """Per-edge triangle support over the co-supplier graph (suppliers
+    sharing an order) — id-oriented wedge generation per apex group,
+    closed against the edge set with a tagged union + one groupby."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.graph import cosupplier_edges, triangle_support
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    return triangle_support(cosupplier_edges(li, num_partitions=8))
+
+
 def _q_decontaminate_embedding(sf_dir: str):
     """Embedding-space eval decontamination: the vec_id % 10 == 0 rows
     play the benchmark suite; corpus rows within cosine 0.4 of any of
@@ -1741,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_kmeans": _q_cluster_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "graph_rank": _q_graph_rank,
+        "graph_triangles": _q_graph_triangles,
         "decontaminate_embedding": _q_decontaminate_embedding,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -2630,6 +2645,19 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(k=8, iters=2),
         # distributed PageRank, integer micro-units, iterations unrolled
         "graph_rank": _pagerank_sql(iters=3),
+        # each triangle {u < a < b} closes exactly once at edge (a, b)
+        # with apex u — the id-oriented wedge construction
+        "graph_triangles": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+                        FROM lineitem),
+            e AS (SELECT DISTINCT x.s AS u, y.s AS v
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s),
+            w AS (SELECT e1.v AS a, e2.v AS b
+                  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v)
+            SELECT w.a, w.b, count(*) AS n_tri
+            FROM w JOIN e ON e.u = w.a AND e.v = w.b
+            GROUP BY 1, 2
+        """,
         "cosine_dups": """
             SELECT a.vec_id AS d1, b.vec_id AS d2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

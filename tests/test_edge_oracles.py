@@ -128,6 +128,8 @@ EMBEDDING_QUERIES = {
 #: their own reference-equivalence tests
 OTHER_TABLES = {
     "graph_rank",  # round 3: orders x lineitem purchase-graph PageRank
+    "graph_triangles",  # round 3: lineitem co-supplier triangle support
+    # (K4/path/sparse-graph DuckDB equivalence pinned in test_graph.py)
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is

@@ -109,3 +109,123 @@ def test_purchase_graph_matches_reference(sf_small):
             for r in pagerank_micro(edges, iters=2, num_partitions=parts).take_all()
         }
         assert got == want, parts
+
+
+# --- triangle_support --------------------------------------------------------
+
+
+def _edges_ds(pairs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    u, v = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(u, pa.int64()), pa.array(v, pa.int64())],
+            names=["src", "dst"],
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_support_k4_and_path():
+    from ocr_lib_ray.functions.graph import triangle_support
+
+    # K4: every edge closes 2 triangles; total = sum/3? No: each
+    # triangle counted ONCE at its closing edge (a,b) with apex u<a<b.
+    # K4 has 4 triangles; closing-edge counts: edge (b,c) closes {a<b<c}.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = (
+        triangle_support(_edges_ds(k4))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got["n_tri"].sum() == 4  # C(4,3) triangles, each once
+    # edge (3,4) closes apexes 1 and 2 -> support 2
+    assert got.set_index(["a", "b"]).loc[(3, 4), "n_tri"] == 2
+    # a path has no triangles
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert triangle_support(_edges_ds(path)).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_support_matches_duckdb_on_sparse_graph():
+    import duckdb
+    import pandas as pd
+
+    from ocr_lib_ray.functions.graph import triangle_support
+
+    # deterministic sparse graph: edge (u, v) iff (u*31 + v) % 7 == 0
+    pairs = [
+        (u, v) for u in range(40) for v in range(u + 1, 40) if (u * 31 + v) % 7 == 0
+    ]
+    got = (
+        triangle_support(_edges_ds(pairs))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ",".join(f"({u},{v})" for u, v in pairs)
+        + ") t(u, v)"
+    )
+    want = (
+        con.execute(
+            """
+            WITH w AS (SELECT e1.v AS a, e2.v AS b
+                       FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v)
+            SELECT w.a, w.b, count(*) AS n_tri
+            FROM w JOIN e ON e.u = w.a AND e.v = w.b GROUP BY 1, 2
+            """
+        )
+        .df()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_support_wedge_guard_raises_on_dense_graph():
+    from ocr_lib_ray.functions.graph import triangle_support
+
+    k20 = [(u, v) for u in range(20) for v in range(u + 1, 20)]
+    with pytest.raises(Exception, match="wedge volume"):
+        # K20: sum C(outdeg,2) = sum C(19-i,2) = C(20,3) = 1140 wedges
+        triangle_support(_edges_ds(k20), max_wedges=1000).count()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosupplier_edges_layout_invariant():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.graph import cosupplier_edges
+
+    rows = [(i % 37, (i * 13) % 11) for i in range(300)]  # (order, supplier)
+    ok, s = zip(*rows)
+    tbl = pa.Table.from_arrays(
+        [pa.array(ok, pa.int64()), pa.array(s, pa.int64())],
+        names=["l_orderkey", "l_suppkey"],
+    )
+    a = (
+        cosupplier_edges(rd.from_arrow(tbl), num_partitions=2)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    b = (
+        cosupplier_edges(rd.from_arrow(tbl).repartition(9), num_partitions=16)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["src"] < a["dst"]).all()
+    assert not a.duplicated(["src", "dst"]).any()
