@@ -960,6 +960,16 @@ def _q_rollup_stats(sf_dir: str):
     return rollup_stats(docs)
 
 
+def _q_fill_windows(sf_dir: str):
+    """Gap-filled tumbling series (empty windows emit zero rows)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import fill_windows
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return fill_windows(events, window_seconds=3600)
+
+
 def _q_rolling_stats(sf_dir: str):
     """Per-user moving 5-event sum (SQL ROWS BETWEEN 4 PRECEDING)."""
     import ray.data as rd
@@ -1761,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
         "window_distinct_users": _q_window_distinct_users,
+        "fill_windows": _q_fill_windows,
         "rolling_stats": _q_rolling_stats,
         "lag_intervals": _q_lag_intervals,
         "funnel_stages": _q_funnel_stages,
@@ -2828,6 +2839,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS n_chars_sum
             FROM documents
             GROUP BY GROUPING SETS ((source, lang), (source), ())
+        """,
+        # dense grid from the corpus min/max; empty windows LEFT-join to
+        # (0, 0) — COALESCE matches the union-of-zeros Ray merge
+        "fill_windows": """
+            WITH e AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents
+                       FROM events),
+            b AS (SELECT min(w) AS lo, max(w) AS hi FROM e),
+            g AS (SELECT lo + i * 3600000000 AS window_start_us
+                  FROM b, unnest(generate_series(0, (hi - lo) // 3600000000))
+                       AS t(i))
+            SELECT g.window_start_us,
+                   CAST(count(e.w) AS BIGINT) AS n,
+                   CAST(COALESCE(sum(e.cents), 0) AS BIGINT) AS value_sum_cents
+            FROM g LEFT JOIN e ON e.w = g.window_start_us
+            GROUP BY 1
         """,
         # moving window in integer cents (sum(BIGINT) is HUGEINT in
         # DuckDB — cast back); (ts_us, event_id) is the total order

@@ -241,6 +241,7 @@ def run_bench() -> dict:
         "cooccurrence_topk",
         "budget_sample",
         "curate",
+        "fill_windows",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

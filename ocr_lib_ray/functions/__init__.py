@@ -26,6 +26,7 @@ from .curation import (
 )
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
 from .ordered import funnel_stages, lag_intervals, rolling_stats
+from .windows import fill_windows
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .quantiles import (
     ecdf_percent_rank,
@@ -96,6 +97,7 @@ __all__ = [
     "dedup_keep_best",
     "dedup_normalized",
     "ecdf_percent_rank",
+    "fill_windows",
     "filter_blocklist",
     "funnel_stages",
     "rollup_stats",

@@ -317,3 +317,68 @@ def tumbling_window(events_ds, window_seconds: int = 3600):
         Min("value_min", alias_name="value_min"),
         Max("value_max", alias_name="value_max"),
     )
+
+
+def fill_windows(events_ds, window_seconds: int = 3600, max_windows: int = 10_000_000):
+    """Dense tumbling series: (window_start_us, n, value_sum_cents) for
+    EVERY window between the corpus min and max event time inclusive —
+    empty windows emit (0, 0) rows.  This is the gap-fill / resample
+    step before time-series modeling: a groupby alone silently skips
+    windows with no events, which downstream differencing/forecasting
+    misreads as "no gap".
+
+    Shape: per-batch integer-cent partials (one row per window per
+    block) are materialized ONCE — they feed the min/max bound scalars
+    AND the final groupby, and without pinning each consumer would
+    re-execute the corpus scan.  The dense grid is generated
+    DISTRIBUTED from ``ray.data.range`` (never a driver-side list) and
+    merged with the partials by a tagged union + one groupby over
+    window ids.  ``max_windows`` guards a degenerate span (one stray
+    epoch-0 event against today's data = half a million windows per
+    year of span at 1 h): raising beats streaming a grid nobody meant.
+    """
+    import ray.data as rd
+
+    window_us = window_seconds * 1_000_000
+
+    def partials(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        cents = pc.round(pc.multiply(b.column("value"), 100.0), ndigits=0).cast(
+            pa.int64()
+        )
+        t = pa.Table.from_arrays(
+            [win, pa.array([1] * len(b), pa.int64()), cents],
+            names=["window_start_us", "n", "value_sum_cents"],
+        )
+        g = t.group_by("window_start_us").aggregate(
+            [("n", "sum"), ("value_sum_cents", "sum")]
+        )
+        return g.rename_columns(["window_start_us", "n", "value_sum_cents"])
+
+    part = events_ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    lo = part.min("window_start_us")
+    hi = part.max("window_start_us")
+    n_windows = (hi - lo) // window_us + 1
+    if n_windows > max_windows:
+        raise ValueError(
+            f"fill_windows: span needs {n_windows} windows > max_windows="
+            f"{max_windows} — check for stray timestamps or widen the window"
+        )
+
+    def to_grid(b: pa.Table) -> pa.Table:
+        i = b.column("id").cast(pa.int64())
+        win = pc.add(pc.multiply(i, window_us), lo)
+        z = pa.array([0] * len(b), pa.int64())
+        return pa.Table.from_arrays(
+            [win, z, z], names=["window_start_us", "n", "value_sum_cents"]
+        )
+
+    grid = rd.range(int(n_windows)).map_batches(to_grid, batch_format="pyarrow")
+    return part.union(grid).groupby("window_start_us").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("value_sum_cents", alias_name="value_sum_cents"),
+    )

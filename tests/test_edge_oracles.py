@@ -147,6 +147,7 @@ EVENT_SIDE = {
     "approx_distinct",
     "latest_event",  # round 3: keep-newest-per-key dedup
     "value_quantiles",  # round 3: grid-quantized continuous quantiles
+    "fill_windows",  # round 3: gap-filled grid incl. epoch-0 span
     "rolling_stats",  # round 3: per-key moving window (ts-tie order)
     "lag_intervals",  # round 3: per-key LAG gaps (ts-tie order)
     "funnel_stages",  # round 3: sequential funnel (same-ts non-advance)
@@ -264,6 +265,7 @@ EVENT_QUERIES = [
     "approx_distinct",  # round 3: HLL replicated in SQL (md5-upper64)
     "latest_event",  # round 3: ts-tie-heavy keep-latest (ids 2/3/4 tie)
     "value_quantiles",  # round 3: grid quantization on tie-heavy values
+    "fill_windows",  # round 3: the edge events leave empty hours mid-span
     "rolling_stats",  # round 3: moving window over the ts-tie trio
     "lag_intervals",  # round 3: zero-gap ties + single-event user
     "funnel_stages",  # round 3: same-ts purchase/view non-advance

@@ -228,3 +228,41 @@ def test_funnel_bucket_invariance_and_all_users_present():
     )
     pd.testing.assert_frame_equal(a, b)
     assert set(a["user_id"]) == set(tbl.column("user_id").to_pylist())
+
+
+# --- fill_windows (windows.py — tested here with the events helpers) --------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fill_windows_emits_zero_rows_for_gaps():
+    from ocr_lib_ray.functions.windows import fill_windows
+
+    rows = [
+        {"ts": 0, "value": 1.0},                     # window 0
+        {"ts": 3 * 3600 * 1_000_000, "value": 2.5},  # window 3; 1-2 empty
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
+    got = (
+        fill_windows(rd.from_arrow(t), window_seconds=3600)
+        .to_pandas()
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert got["n"].tolist() == [1, 0, 0, 1]
+    assert got["value_sum_cents"].tolist() == [100, 0, 0, 250]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fill_windows_guard_on_degenerate_span():
+    from ocr_lib_ray.functions.windows import fill_windows
+
+    rows = [
+        {"ts": 0, "value": 1.0},
+        {"ts": 10_000 * 3600 * 1_000_000, "value": 1.0},
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
+    with pytest.raises(Exception, match="max_windows"):
+        fill_windows(rd.from_arrow(t), window_seconds=3600, max_windows=100)
