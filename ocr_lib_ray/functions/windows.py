@@ -362,6 +362,17 @@ def fill_windows(events_ds, window_seconds: int = 3600, max_windows: int = 10_00
 
     lo = part.min("window_start_us")
     hi = part.max("window_start_us")
+    if lo is None or hi is None:
+        # empty input: the SQL generate_series over NULL bounds yields
+        # no grid rows — return the empty typed result, not a TypeError
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["window_start_us", "n", "value_sum_cents"],
+            )
+        )
     n_windows = (hi - lo) // window_us + 1
     if n_windows > max_windows:
         raise ValueError(

@@ -266,3 +266,18 @@ def test_fill_windows_guard_on_degenerate_span():
     t = t.set_column(0, "ts", t.column("ts").cast(pa.timestamp("us")))
     with pytest.raises(Exception, match="max_windows"):
         fill_windows(rd.from_arrow(t), window_seconds=3600, max_windows=100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fill_windows_empty_input_returns_empty_typed():
+    from ocr_lib_ray.functions.windows import fill_windows
+
+    t = pa.Table.from_arrays(
+        [pa.array([], pa.timestamp("us")), pa.array([], pa.float64())],
+        names=["ts", "value"],
+    )
+    out = fill_windows(rd.from_arrow(t)).to_pandas()
+    # 0 rows, no TypeError; Ray drops the schema of an all-empty
+    # dataset in to_pandas, so only the row count is asserted (the
+    # driver compare short-circuits both-empty results the same way)
+    assert len(out) == 0
