@@ -1006,6 +1006,40 @@ def _q_funnel_stages(sf_dir: str):
     return funnel_stages(events, stages=("view", "click", "purchase"))
 
 
+def _q_sessionize_assign(sf_dir: str):
+    """Per-EVENT session labels (the row-level sibling of sessionize)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ordered import sessionize_assign
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize_assign(events, gap_seconds=1800)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Daily cohort retention matrix (first-seen window × active window)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ordered import cohort_retention
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(events, window_seconds=86_400)
+
+
+def _q_window_topk(sf_dir: str):
+    """Top-3 event types per hourly window (trending-items rollup)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import window_topk
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return window_topk(events, window_seconds=3600, k=3)
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Exact per-window distinct users (two-phase pair dedup — the
     exact sibling of the approx_distinct HLL)."""
@@ -1775,6 +1809,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_stats": _q_rolling_stats,
         "lag_intervals": _q_lag_intervals,
         "funnel_stages": _q_funnel_stages,
+        "sessionize_assign": _q_sessionize_assign,
+        "cohort_retention": _q_cohort_retention,
+        "window_topk": _q_window_topk,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_keep_best": _q_dedup_keep_best,
         "budget_sample": _q_budget_sample,
@@ -2904,6 +2941,50 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN f1 USING (user_id)
                    LEFT JOIN f2 USING (user_id)
                    LEFT JOIN f3 USING (user_id)
+        """,
+        # per-EVENT session labels: same lag/cumsum discipline as the
+        # sessionize summary oracle, ordered (ts_us, event_id) so ties
+        # cannot flap; session_id counts from 0 per user
+        "sessionize_assign": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events),
+            x AS (SELECT event_id, user_id, ts_us,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id))
+            SELECT event_id, user_id, ts_us,
+                   CAST(sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM x
+        """,
+        # cohort = each user's first active day; count users per
+        # (cohort, active-day) over DISTINCT (user, day) pairs
+        "cohort_retention": """
+            WITH p AS (SELECT DISTINCT user_id,
+                         (epoch_us(ts) // 86400000000) * 86400000000 AS window_us
+                       FROM events),
+            f AS (SELECT user_id, min(window_us) AS cohort_us FROM p GROUP BY 1)
+            SELECT f.cohort_us, p.window_us,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # top-3 per hourly window in the deterministic (n DESC,
+        # event_type ASC) total order — same tie-break as the Ray side
+        "window_topk": """
+            WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                              AS window_start_us,
+                              event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY window_start_us
+                      ORDER BY n DESC, event_type ASC) AS rank
+                  FROM c)
+            SELECT window_start_us, event_type, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
         """,
         "tumbling_window": """
             SELECT event_type,

@@ -25,8 +25,14 @@ from .curation import (
     shuffle_shards,
 )
 from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
-from .ordered import funnel_stages, lag_intervals, rolling_stats
-from .windows import fill_windows
+from .ordered import (
+    cohort_retention,
+    funnel_stages,
+    lag_intervals,
+    rolling_stats,
+    sessionize_assign,
+)
+from .windows import fill_windows, window_topk
 from .redact import bpe_token_count_batch, redact_batch, redact_text
 from .quantiles import (
     ecdf_percent_rank,
@@ -100,6 +106,9 @@ __all__ = [
     "fill_windows",
     "filter_blocklist",
     "funnel_stages",
+    "sessionize_assign",
+    "cohort_retention",
+    "window_topk",
     "rollup_stats",
     "shuffle_shards",
     "group_quantiles",

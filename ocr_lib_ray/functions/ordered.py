@@ -29,7 +29,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["rolling_stats", "lag_intervals", "funnel_stages"]
+__all__ = [
+    "rolling_stats",
+    "lag_intervals",
+    "funnel_stages",
+    "sessionize_assign",
+    "cohort_retention",
+]
 
 _I64 = np.int64
 
@@ -223,4 +229,119 @@ def funnel_stages(
         )
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int = 64):
+    """Per-EVENT session labels: every event gets its (user, session)
+    id — the labeling sibling of windows.sessionize (which returns one
+    SUMMARY row per session).  Downstream feature building ("events in
+    this session so far", session-scoped aggregates) needs the label on
+    the event row, not the summary.  Returns
+    (event_id, user_id, ts_us, session_id) with session_id counting
+    from 0 per user in (ts, event_id) order; a gap > ``gap_seconds``
+    starts a new session.
+
+    Same bucketed per-key-sort shape as the rest of this module;
+    the in-group compute is one diff + cumsum per bucket.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = _sorted_frame(g, "user_id", ["ts_us", "event_id"])
+        n = len(g)
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=_I64)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        # session_id restarts at each user: global cumsum of breaks
+        # minus the cumsum value at the user's first row
+        gid = np.cumsum(brk) - 1
+        first_gid = np.zeros(n, dtype=_I64)
+        if n:
+            seg = _segment_starts(u)
+            first_gid = gid[seg]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts_us": g["ts_us"],
+                "session_id": gid - first_gid,
+            }
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), batch.column("user_id"), ts_us],
+            names=["event_id", "user_id", "ts_us"],
+        )
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def cohort_retention(events_ds, window_seconds: int = 86_400):
+    """Cohort retention matrix: users grouped by their FIRST-seen
+    window (the cohort), counted in every window they were active —
+    (cohort_us, window_us, n_users).  The classic product-analytics
+    rollup, and a genuinely two-pass shape: activity pairs must join
+    against a per-user global minimum.
+
+    Distributed shape: (1) distinct (user, window) activity pairs —
+    per-batch np.unique partial, then one two-key groupby; (2) the
+    per-user first window as a Min groupby over the SAME pairs; both
+    aggregates ride user-keyed shuffles of pair rows, never raw events.
+    The cohort label joins back via the bucketed hash_join and the
+    final matrix is a (cohort, window) count — output is
+    windows² rows at most.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .joins import hash_join
+
+    window_us = window_seconds * 1_000_000
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        w = (ts // window_us) * window_us
+        uniq = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.Table.from_arrays(
+            [pa.array(uniq[:, 0]), pa.array(uniq[:, 1])],
+            names=["user_id", "window_us"],
+        )
+
+    pairs = (
+        events_ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_us"])
+        .count()
+        .select_columns(["user_id", "window_us"])
+        .materialize()  # two consumers below; pair rows ≪ events
+    )
+    firsts = pairs.groupby("user_id").aggregate(
+        Min("window_us", alias_name="cohort_us")
+    )
+    labeled = hash_join(
+        pairs, firsts, key_col="user_id", right_value_cols=["cohort_us"],
+        how="inner", suffix="",
+    )
+
+    def to_cohort(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("cohort_us").cast(pa.int64()), b.column("window_us")],
+            names=["cohort_us", "window_us"],
+        )
+
+    return (
+        labeled.map_batches(to_cohort, batch_format="pyarrow")
+        .groupby(["cohort_us", "window_us"])
+        .aggregate(Count("window_us", alias_name="n_users"))
     )

@@ -393,3 +393,49 @@ def fill_windows(events_ds, window_seconds: int = 3600, max_windows: int = 10_00
         Sum("n", alias_name="n"),
         Sum("value_sum_cents", alias_name="value_sum_cents"),
     )
+
+
+def window_topk(events_ds, window_seconds: int = 3600, k: int = 3):
+    """Top-k event types per tumbling window by count — the trending-
+    items rollup.  Returns (window_start_us, event_type, n, rank) with
+    rank 1..k in the deterministic total order (n desc, event_type asc)
+    so ties at the k boundary cannot flap.
+
+    Per-batch (window, type) partials (Arrow group_by in C) ride one
+    distinct-pairs-sized Sum groupby; the top-k selection runs per
+    WINDOW group over type-count rows (≤ |event types| rows each),
+    never over events.
+    """
+    window_us = window_seconds * 1_000_000
+
+    def partials(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        t = pa.Table.from_arrays(
+            [win, b.column("event_type"), pa.array([1] * len(b), pa.int64())],
+            names=["window_start_us", "event_type", "n"],
+        )
+        g = t.group_by(["window_start_us", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["window_start_us", "event_type", "n"])
+
+    counts = (
+        events_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g.select(["n", "event_type"]),
+            sort_keys=[("n", "descending"), ("event_type", "ascending")],
+        )
+        g = g.take(idx[: min(k, len(g))])
+        import numpy as np
+
+        return g.append_column(
+            "rank", pa.array(np.arange(1, len(g) + 1, dtype=np.int64))
+        )
+
+    return counts.groupby("window_start_us").map_groups(
+        topk, batch_format="pyarrow"
+    )

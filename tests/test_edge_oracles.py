@@ -151,6 +151,9 @@ EVENT_SIDE = {
     "rolling_stats",  # round 3: per-key moving window (ts-tie order)
     "lag_intervals",  # round 3: per-key LAG gaps (ts-tie order)
     "funnel_stages",  # round 3: sequential funnel (same-ts non-advance)
+    "sessionize_assign",  # round 3: per-event labels (ts-tie order)
+    "cohort_retention",  # round 3: first-window cohorts incl. epoch 0
+    "window_topk",  # round 3: count-tie rank order at the k boundary
 }
 
 
@@ -269,6 +272,9 @@ EVENT_QUERIES = [
     "rolling_stats",  # round 3: moving window over the ts-tie trio
     "lag_intervals",  # round 3: zero-gap ties + single-event user
     "funnel_stages",  # round 3: same-ts purchase/view non-advance
+    "sessionize_assign",  # round 3: per-event labels over the ts-tie trio
+    "cohort_retention",  # round 3: epoch-0 cohort + single-event user
+    "window_topk",  # round 3: count ties inside the sparse edge hours
 ]
 
 

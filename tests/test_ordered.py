@@ -281,3 +281,210 @@ def test_fill_windows_empty_input_returns_empty_typed():
     # dataset in to_pandas, so only the row count is asserted (the
     # driver compare short-circuits both-empty results the same way)
     assert len(out) == 0
+
+
+# --- sessionize_assign -------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_assign_matches_duckdb():
+    from ocr_lib_ray.functions.ordered import sessionize_assign
+
+    tbl = _events_table()
+    got = _sorted(
+        sessionize_assign(rd.from_arrow(tbl), gap_seconds=1800).to_pandas(),
+        "event_id",
+    )
+    want = _sorted(
+        _duck(
+            """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events),
+            x AS (SELECT event_id, user_id, ts_us,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id))
+            SELECT event_id, user_id, ts_us,
+                   CAST(sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM x
+            """,
+            tbl,
+        ),
+        "event_id",
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_assign_gap_is_strict():
+    # gap EXACTLY equal to the threshold does NOT break the session
+    # (> semantics, same as windows.sessionize / the oracle)
+    gap_us = 10 * 1_000_000
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": 0},
+        {"event_id": 2, "user_id": 1, "ts": gap_us},          # == gap: same
+        {"event_id": 3, "user_id": 1, "ts": 2 * gap_us + 1},  # > gap: new
+        {"event_id": 4, "user_id": 2, "ts": 0},               # new user: 0
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(2, "ts", t.column("ts").cast(pa.timestamp("us")))
+    got = (
+        sessionize_assign_import()(rd.from_arrow(t), gap_seconds=10)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert got.loc[1, "session_id"] == 0
+    assert got.loc[2, "session_id"] == 0
+    assert got.loc[3, "session_id"] == 1
+    assert got.loc[4, "session_id"] == 0
+
+
+def sessionize_assign_import():
+    from ocr_lib_ray.functions.ordered import sessionize_assign
+
+    return sessionize_assign
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_assign_agrees_with_session_summaries():
+    # collapsing labels to (user, session) summaries reproduces
+    # windows.sessionize — the two ops are views of the same partition
+    from ocr_lib_ray.functions.ordered import sessionize_assign
+    from ocr_lib_ray.functions.windows import sessionize
+
+    tbl = _events_table()
+    labels = sessionize_assign(rd.from_arrow(tbl)).to_pandas()
+    collapsed = (
+        labels.groupby(["user_id", "session_id"])
+        .agg(session_start_us=("ts_us", "min"), n_events=("ts_us", "size"))
+        .reset_index()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    summaries = (
+        sessionize(rd.from_arrow(tbl))
+        .to_pandas()[["user_id", "session_id", "session_start_us", "n_events"]]
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(collapsed, summaries)
+
+
+# --- cohort_retention --------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_retention_matches_duckdb():
+    from ocr_lib_ray.functions.ordered import cohort_retention
+
+    tbl = _events_table(n=400, users=13)
+    got = _sorted(
+        cohort_retention(rd.from_arrow(tbl), window_seconds=3600).to_pandas(),
+        ["cohort_us", "window_us"],
+    )
+    want = _sorted(
+        _duck(
+            """
+            WITH p AS (SELECT DISTINCT user_id,
+                         (epoch_us(ts) // 3600000000) * 3600000000 AS window_us
+                       FROM events),
+            f AS (SELECT user_id, min(window_us) AS cohort_us FROM p GROUP BY 1)
+            SELECT f.cohort_us, p.window_us,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2
+            """,
+            tbl,
+        ),
+        ["cohort_us", "window_us"],
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # diagonal sanity: every cohort is active in its own first window
+    # with every one of its users
+    cohort_sizes = want[want["cohort_us"] == want["window_us"]]
+    assert cohort_sizes["n_users"].sum() == 13
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_retention_block_invariance():
+    from ocr_lib_ray.functions.ordered import cohort_retention
+
+    tbl = _events_table(n=300, users=9)
+    a = _sorted(
+        cohort_retention(rd.from_arrow(tbl), window_seconds=3600).to_pandas(),
+        ["cohort_us", "window_us"],
+    )
+    b = _sorted(
+        cohort_retention(
+            rd.from_arrow(tbl).repartition(13), window_seconds=3600
+        ).to_pandas(),
+        ["cohort_us", "window_us"],
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+# --- window_topk (windows.py — tested here with the events helpers) ----------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_topk_matches_duckdb():
+    from ocr_lib_ray.functions.windows import window_topk
+
+    tbl = _events_table(n=500, users=17)
+    got = (
+        window_topk(rd.from_arrow(tbl), window_seconds=3600, k=3)
+        .to_pandas()
+        .sort_values(["window_start_us", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _duck(
+            """
+            WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                              AS window_start_us,
+                              event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY window_start_us
+                      ORDER BY n DESC, event_type ASC) AS rank
+                  FROM c)
+            SELECT window_start_us, event_type, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+            """,
+            tbl,
+        )
+        .sort_values(["window_start_us", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_topk_tie_break_deterministic():
+    from ocr_lib_ray.functions.windows import window_topk
+
+    # four types, all with count 2 in one window; k=3 must pick the 3
+    # lexicographically-first types at rank 1..3
+    rows = []
+    eid = 0
+    for et in ["delta", "alpha", "charlie", "bravo"]:
+        for _ in range(2):
+            rows.append({"event_id": eid, "user_id": 1, "ts": eid, "event_type": et,
+                         "value": 0.0})
+            eid += 1
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(2, "ts", t.column("ts").cast(pa.timestamp("us")))
+    got = (
+        window_topk(rd.from_arrow(t), window_seconds=3600, k=3)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert got["event_type"].tolist() == ["alpha", "bravo", "charlie"]
+    assert got["rank"].tolist() == [1, 2, 3]
+    assert got["n"].tolist() == [2, 2, 2]
