@@ -516,6 +516,40 @@ def _q_lm_bigram_score(sf_dir: str):
     return bigram_logprob(_docs(sf_dir))
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR hashed-ngram importance weights (Xie et al. 2023): target
+    distribution = the English subset, raw = the whole corpus; ONE
+    bucket-space (10k-row) shuffle + a broadcast λ array + a map-only
+    scoring pass.  weight_micro is an exact int64 sum of per-bucket
+    micro log-ratios, so the oracle compare is bit-exact."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.importance import dsir_weights
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_weights(
+        docs, lambda b: pc.equal(b.column("lang"), "en")
+    ).select_columns(["doc_id", "n_features", "weight_micro"])
+
+
+#: fixed BM25 query set over the fixture vocabulary — literal in the
+#: oracle's VALUES list; keep the two in sync
+_BM25_QUERIES = {"q1": "spark join merge", "q2": "window sort", "q3": "customer vector"}
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 per query: the df shuffle is bounded by the
+    query vocabulary (7 terms here), idf broadcast once, scoring
+    map-only, top-k via the per-block prune (never a global sort).
+    score_micro = exact int64 sum of per-(doc,term) micro BM25."""
+    from ocr_lib_ray.functions.retrieval import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), _BM25_QUERIES, k=10)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher intra-doc repetition filters — stateless tasks (pure
     map, no state at all)."""
@@ -1782,6 +1816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "repetition_stats": _q_repetition_stats,
         "lm_bigram_score": _q_lm_bigram_score,
+        "dsir_weights": _q_dsir_weights,
+        "bm25_topk": _q_bm25_topk,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -2617,6 +2653,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
                    CAST(coalesce(sc.lm, 0) AS BIGINT) AS logprob_micro
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # DSIR importance weights: md5-lower64 % 10k bucket hashing,
+        # add-one smoothing, per-bucket micro log-ratio =
+        # floor((ln((ct+1)/(T+B)) - ln((cr+1)/(R+B)))*1e6 + 0.5) —
+        # identical IEEE chain both sides, then exact int64 doc sums
+        "dsir_weights": f"""
+            WITH t AS (SELECT doc_id, lang, str_split({norm}, ' ') AS ws
+                       FROM documents WHERE {norm} <> ''),
+            f AS (
+                SELECT doc_id, lang, ws[i] AS f
+                FROM (SELECT doc_id, lang, ws,
+                             unnest(range(1, len(ws) + 1)) AS i FROM t)
+                UNION ALL
+                SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1]
+                FROM (SELECT doc_id, lang, ws,
+                             unnest(range(1, len(ws))) AS i FROM t)
+            ),
+            fb AS (SELECT doc_id, lang,
+                          CAST(md5_number_lower(f) % 10000 AS BIGINT) AS b
+                   FROM f),
+            agg AS (SELECT b, count(*) AS cr,
+                           count(*) FILTER (WHERE lang = 'en') AS ct
+                    FROM fb GROUP BY 1),
+            tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM agg),
+            lam AS (SELECT b,
+                           CAST(floor((ln((ct + 1) * 1.0 / (t + 10000))
+                                       - ln((cr + 1) * 1.0 / (r + 10000)))
+                                      * 1e6 + 0.5) AS BIGINT) AS lam
+                    FROM agg, tot),
+            sc AS (SELECT fb.doc_id, count(*) AS nf, sum(lam.lam) AS w
+                   FROM fb JOIN lam USING (b) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_features,
+                   CAST(coalesce(sc.w, 0) AS BIGINT) AS weight_micro
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # Okapi BM25 top-10 per query: per-(doc,term) contribution is
+        # ONE IEEE chain — ln(1+(N-df+.5)/(df+.5)) * ((tf*2.2)/(tf +
+        # 1.2*(0.25+0.75*(dl/avgdl)))) — micro-floored then int64-summed;
+        # (k1=1.2, b=0.75) literals and op order mirror retrieval.py
+        "bm25_topk": f"""
+            WITH t AS (SELECT doc_id, str_split({norm}, ' ') AS ws
+                       FROM documents WHERE {norm} <> ''),
+            d AS (SELECT doc_id, len(ws) AS dl FROM t),
+            st AS (SELECT count(*) AS n,
+                          CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+            q(query_id, term) AS (VALUES
+                ('q1', 'spark'), ('q1', 'join'), ('q1', 'merge'),
+                ('q2', 'window'), ('q2', 'sort'),
+                ('q3', 'customer'), ('q3', 'vector')),
+            tf AS (SELECT doc_id, w AS term, count(*) AS tf
+                   FROM (SELECT doc_id, unnest(ws) AS w FROM t)
+                   WHERE w IN (SELECT DISTINCT term FROM q)
+                   GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT q.query_id, tf.doc_id,
+                          CAST(sum(CAST(floor(
+                              ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                              * ((tf.tf * 2.2)
+                                 / (tf.tf + 1.2 * (0.25 + 0.75
+                                     * (d.dl / (st.sumdl * 1.0 / st.n)))))
+                              * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+                   FROM q JOIN tf USING (term) JOIN df USING (term)
+                        JOIN d ON d.doc_id = tf.doc_id, st
+                   GROUP BY 1, 2
+                   HAVING score_micro <> 0)
+            SELECT query_id, doc_id, score_micro FROM sc
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_micro DESC, doc_id)
+                    <= 10
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""

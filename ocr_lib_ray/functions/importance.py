@@ -1,0 +1,157 @@
+"""DSIR-style importance weighting for data selection.
+
+Implements the hashed-ngram importance-resampling estimator of
+"Data Selection for Language Models via Importance Resampling"
+(Xie et al., NeurIPS 2023): features are word unigrams + bigrams
+hashed into ``n_buckets`` buckets; a target subset of the corpus
+defines the target distribution; every document is scored with
+
+    weight(d) = sum over feature occurrences f in d of
+                ln p_target(bucket(f)) - ln p_raw(bucket(f))
+
+with add-one smoothing on the bucket counts.  High-weight documents
+look like the target; downstream samplers (``budget_sample``,
+``weighted_sample``) resample proportionally to ``exp(weight)``.
+
+Exactness discipline (shared with ``lm.bigram_logprob``): the
+per-bucket log-ratio is converted ONCE to micro-units —
+``floor((ln((ct+1)/(T+B)) - ln((cr+1)/(R+B))) * 1e6 + 0.5)`` as
+int64, the identical IEEE double chain DuckDB produces — and the
+per-document score is an exact int64 SUM of those micro-units, so it
+is order-free and hash-oracle-able.  Bucketing is the repo's standard
+DuckDB bridge: ``md5_number_lower(feature) % n_buckets``.
+
+Scale shape (100 TB): pass 1 ships per-batch (bucket, cnt_t, cnt_r)
+partials — at most ``n_buckets`` rows per batch — through ONE
+bucket-space groupby (B rows total, ~10k), so the shuffle is
+feature-space-bounded, never corpus-bounded.  The λ table is a
+B-entry int64 array broadcast once with ``ray.put`` (~80 KB at the
+default B); pass 2 is map-only.  No stage materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+
+__all__ = ["dsir_weights"]
+
+DEFAULT_N_BUCKETS = 10_000
+
+# process-level feature→bucket memo (web vocab is Zipfian: the hot
+# tokens dominate occurrences; cap keeps a pathological corpus from
+# growing the memo without bound)
+_BUCKET_MEMO: dict = {}
+_BUCKET_MEMO_CAP = 2_000_000
+
+
+def _bucket(feature: str, n_buckets: int) -> int:
+    """md5-lower64 % n_buckets — byte-equal to DuckDB
+    ``md5_number_lower(f) % n_buckets`` (same bridge as sketches.py)."""
+    b = _BUCKET_MEMO.get(feature)
+    if b is None:
+        d = hashlib.md5(feature.encode("utf-8")).digest()
+        b = int.from_bytes(d[8:], "little") % n_buckets
+        if len(_BUCKET_MEMO) < _BUCKET_MEMO_CAP:
+            _BUCKET_MEMO[feature] = b
+    return b
+
+
+def _doc_buckets(text: str, n_buckets: int) -> list:
+    """Bucket ids of every unigram + bigram occurrence (multiplicity
+    kept — DSIR counts occurrences, not distinct features)."""
+    toks = text.split(" ") if text else []
+    out = [_bucket(t, n_buckets) for t in toks]
+    out.extend(_bucket(f"{a} {b}", n_buckets) for a, b in zip(toks, toks[1:]))
+    return out
+
+
+def dsir_weights(
+    docs_ds,
+    target_mask_fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+):
+    """(id, n_features, weight_micro) per document.
+
+    ``target_mask_fn(batch: pa.Table) -> pa.BooleanArray`` marks the
+    rows that define the target distribution (e.g. a trusted-domain or
+    language predicate); the raw distribution is the whole corpus.
+    Documents with no tokens emit (0, 0).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .text_stats import normalize_expr
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mask = target_mask_fn(batch)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        is_t = mask.to_pylist()
+        cnt_t: dict = {}
+        cnt_r: dict = {}
+        for t, tgt in zip(normalize_expr(batch.column(text_col)).to_pylist(), is_t):
+            for b in _doc_buckets(t, n_buckets):
+                cnt_r[b] = cnt_r.get(b, 0) + 1
+                if tgt:
+                    cnt_t[b] = cnt_t.get(b, 0) + 1
+        keys = list(cnt_r.keys())
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, pa.int64()),
+                pa.array([cnt_t.get(k, 0) for k in keys], pa.int64()),
+                pa.array([cnt_r[k] for k in keys], pa.int64()),
+            ],
+            names=["bucket", "cnt_t", "cnt_r"],
+        )
+
+    agg = (
+        docs_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("cnt_t", alias_name="cnt_t"), Sum("cnt_r", alias_name="cnt_r"))
+    )
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        idx = b.column("bucket").to_numpy(zero_copy_only=False)
+        ct[idx] = b.column("cnt_t").to_numpy(zero_copy_only=False)
+        cr[idx] = b.column("cnt_r").to_numpy(zero_copy_only=False)
+    total_t = int(ct.sum())
+    total_r = int(cr.sum())
+    lam = np.empty(n_buckets, dtype=np.int64)
+    for b in range(n_buckets):
+        # identical IEEE chain to the SQL oracle: int/int division →
+        # double, libm ln == DuckDB ln, double subtract, *1e6, floor
+        lam[b] = math.floor(
+            (
+                math.log((int(ct[b]) + 1) / (total_t + n_buckets))
+                - math.log((int(cr[b]) + 1) / (total_r + n_buckets))
+            )
+            * 1e6
+            + 0.5
+        )
+    lam_ref = ray.put(lam)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lam_arr = ray.get(lam_ref)
+        n_feats, weights = [], []
+        for t in normalize_expr(batch.column(text_col)).to_pylist():
+            bs = _doc_buckets(t, n_buckets)
+            n_feats.append(len(bs))
+            # exact int64 sum of per-bucket micro log-ratios
+            weights.append(int(lam_arr[bs].sum()) if bs else 0)
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(n_feats, pa.int64()),
+                pa.array(weights, pa.int64()),
+            ],
+            names=[id_col, "n_features", "weight_micro"],
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

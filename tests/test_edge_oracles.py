@@ -97,6 +97,8 @@ QUERIES = [
     "decontaminate",
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
     "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
+    "dsir_weights",  # round 3: DSIR hashed-ngram importance weights
+    "bm25_topk",  # round 3: Okapi BM25 retrieval (terms may all miss)
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
     "corpus_report",  # round 3: one-pass dashboard aggregate
     "percent_rank",  # round 3: sort-free window-exact ECDF

@@ -689,3 +689,88 @@ def test_code_detect_routes_code_vs_prose():
     # indent counting: "  x = 0;" etc — 3 indented of 6 lines in `code`
     assert out.column("n_indent").to_pylist()[0] == 3
     assert out.column("n_lines").to_pylist() == [6, 4, 4, 1, 4, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_weights_separate_target_from_raw():
+    """DSIR sanity: documents sharing the target subset's vocabulary
+    score strictly higher than documents that only share the raw
+    side's, and empty docs emit (0, 0)."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ocr_lib_ray.functions.importance import dsir_weights
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": [
+                "alpha beta alpha beta gamma",
+                "beta alpha beta alpha",
+                "alpha beta beta",
+                "delta epsilon zeta delta",
+                "zeta epsilon delta zeta",
+                "epsilon delta zeta",
+                "",
+            ],
+            "lang": ["en", "en", "de", "fr", "fr", "de", "de"],
+        }
+    )
+    out = (
+        dsir_weights(
+            rd.from_arrow(tbl), lambda b: pc.equal(b.column("lang"), "en")
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # every target-vocab doc (0,1,2 — incl. 2, which was NOT in the
+    # target set) outranks every non-target-vocab doc (3,4,5); absolute
+    # sign is NOT asserted — raw counts include the target subset, so
+    # ln((ct+1)/(cr+1)) ≤ 0 and weights skew negative at tiny scale
+    assert min(out.loc[i, "weight_micro"] for i in (0, 1, 2)) > max(
+        out.loc[i, "weight_micro"] for i in (3, 4, 5)
+    )
+    assert out.loc[6, "n_features"] == 0 and out.loc[6, "weight_micro"] == 0
+    # n_features = unigrams + bigrams
+    assert out.loc[0, "n_features"] == 5 + 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_topk_ranking_semantics():
+    """BM25 sanity on a planted corpus: more matching terms rank
+    higher; a rare term outweighs a ubiquitous one; zero-match docs
+    never appear; k truncates with the (score DESC, id ASC) tie-break."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.retrieval import bm25_topk
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": [
+                "apple banana cherry",   # both query terms
+                "apple apple apple",     # common term only, high tf
+                "banana date",           # rare term only
+                "date fig grape",        # no query terms
+                "apple date",            # common term once
+                "",                      # empty
+            ],
+        }
+    )
+    # 'apple' df=3 (common), 'banana' df=2 (rarer)
+    out = (
+        bm25_topk(rd.from_arrow(tbl), {"q": "apple banana"}, k=4)
+        .to_pandas()
+        .sort_values("score_micro", ascending=False)
+        .reset_index(drop=True)
+    )
+    assert set(out["query_id"]) == {"q"}
+    assert 3 not in set(out["doc_id"]) and 5 not in set(out["doc_id"])
+    assert len(out) == 4
+    # the two-term doc wins
+    assert out.loc[0, "doc_id"] == 0
+    # every score positive and monotone in the frame
+    assert (out["score_micro"] > 0).all()
+    assert list(out["score_micro"]) == sorted(out["score_micro"], reverse=True)
