@@ -550,6 +550,44 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_QUERIES, k=10)
 
 
+def _q_outlier_mad(sf_dir: str):
+    """Robust per-lang length-outlier flags (median ± 3·MAD): ONE
+    (lang, n_tokens)-space histogram shuffle, medians derived on the
+    driver, flag pass map-only — all integers, bit-exact oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import mad_outliers
+    from ocr_lib_ray.functions.text_stats import normalize_expr, token_count
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        n = token_count(normalize_expr(b.column("text"))).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), b.column("lang"), n],
+            names=["doc_id", "lang", "n_tokens"],
+        )
+
+    return mad_outliers(
+        docs.map_batches(with_tokens, batch_format="pyarrow", zero_copy_batch=True),
+        value_col="n_tokens",
+        group_col="lang",
+        id_col="doc_id",
+        k=3,
+    )
+
+
+def _q_entity_counts(sf_dir: str):
+    """PII/entity density per doc — RE2 counts vectorized in the Arrow
+    kernel (no Python loop), map-only, zero shuffle."""
+    from ocr_lib_ray.functions.redact import entity_counts_batch
+
+    return _docs(sf_dir).map_batches(entity_counts_batch, batch_format="pyarrow")
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher intra-doc repetition filters — stateless tasks (pure
     map, no state at all)."""
@@ -1818,6 +1856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": _q_lm_bigram_score,
         "dsir_weights": _q_dsir_weights,
         "bm25_topk": _q_bm25_topk,
+        "outlier_mad": _q_outlier_mad,
+        "entity_counts": _q_entity_counts,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -2723,6 +2763,45 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score_micro DESC, doc_id)
                     <= 10
+        """,
+        # robust per-lang length outliers: med/MAD are quantile_disc
+        # order statistics of integer domains, flag is an int compare —
+        # no float anywhere, bit-exact by construction
+        "outlier_mad": f"""
+            WITH tc AS (SELECT doc_id, lang,
+                               CASE WHEN {norm} = '' THEN 0
+                                    ELSE len(str_split({norm}, ' ')) END
+                                 AS n_tokens
+                        FROM documents),
+            med AS (SELECT lang, quantile_disc(n_tokens, 0.5) AS med
+                    FROM tc GROUP BY 1),
+            mad AS (SELECT tc.lang,
+                           quantile_disc(abs(n_tokens - med.med), 0.5) AS mad
+                    FROM tc JOIN med USING (lang) GROUP BY 1)
+            SELECT tc.doc_id, tc.lang,
+                   CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(med.med AS BIGINT) AS med,
+                   CAST(mad.mad AS BIGINT) AS mad,
+                   abs(tc.n_tokens - med.med) > 3 * mad.mad AS is_outlier
+            FROM tc JOIN med USING (lang) JOIN mad ON mad.lang = tc.lang
+        """,
+        # entity density: the same RE2 patterns as redact.py, counted
+        # independently on raw text (regexp_extract_all == Arrow
+        # count_substring_regex: one RE2 leftmost non-overlapping scan)
+        "entity_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(coalesce(text, ''),
+                     'https?://[^ \\t\\n\\r\\f\\v]+')) AS n_urls,
+                   len(regexp_extract_all(coalesce(text, ''),
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+                   len(regexp_extract_all(coalesce(text, ''), '\\b[0-9]{9,}\\b'))
+                     AS n_longnums,
+                   len(regexp_extract_all(coalesce(text, ''), '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
+                     AS n_phones
+            FROM documents
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""

@@ -457,3 +457,105 @@ def group_quantiles(
         )
 
     return hist.groupby(group_col).map_groups(finish, batch_format="pandas")
+
+
+def mad_outliers(
+    ds,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 3,
+    max_distinct: int = 1_000_000,
+):
+    """Robust per-group outlier flags via median absolute deviation:
+    ``is_outlier = |x - median_g| > k * MAD_g`` where ``MAD_g`` is the
+    within-group median of ``|x - median_g|``.
+
+    The MAD criterion is the standard robust alternative to a z-score
+    length trim (a few giant documents cannot drag the threshold the
+    way they drag a mean/stddev), and it is EXACT in integers: both
+    medians are DuckDB-``quantile_disc``-semantics order statistics of
+    integer domains, and the flag is an integer comparison — no float
+    enters, so the result hash-verifies bit-for-bit.
+
+    Scale shape: ONE (group, value)-space histogram shuffle — distinct
+    (group, value) pairs, never corpus rows (``max_distinct`` guards
+    the driver collect); medians + MADs are derived on the driver from
+    the same histogram (the deviation histogram is a re-keying of the
+    value histogram, no second pass); the flag pass is map-only against
+    the broadcast {group: (median, mad)} table.
+
+    Output: (id_col, group_col, value_col, med, mad, is_outlier); null
+    values are excluded (SQL aggregate semantics).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]).drop_null()
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [
+                g.column(group_col),
+                g.column(value_col),
+                g.column("count_all").cast(pa.int64()),
+            ],
+            names=[group_col, value_col, "cnt"],
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, value_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_distinct = hist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"{n_distinct} distinct (group, value) pairs exceeds "
+            f"max_distinct={max_distinct}: mad_outliers is for bounded-"
+            "domain columns — use group_quantiles' map_groups path instead"
+        )
+    by_group: dict = {}
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        for g, v, c in zip(
+            b.column(group_col).to_pylist(),
+            b.column(value_col).to_pylist(),
+            b.column("cnt").to_pylist(),
+        ):
+            by_group.setdefault(g, []).append((v, c))
+
+    def disc_median(rows) -> int:
+        # DuckDB quantile_disc(x, 0.5): sorted index max(0, ceil(n/2)-1)
+        rows = sorted(rows)
+        total = sum(c for _, c in rows)
+        target = max(0, math.ceil(0.5 * total) - 1)
+        cum = 0
+        for v, c in rows:
+            cum += c
+            if cum > target:
+                return v
+        raise AssertionError("unreachable: histogram exhausted")
+
+    stats = {}
+    for g, rows in by_group.items():
+        med = disc_median(rows)
+        mad = disc_median([(abs(v - med), c) for v, c in rows])
+        stats[g] = (med, mad)
+    stats_ref = ray.put(stats)
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        t = b.select([id_col, group_col, value_col]).drop_null()
+        groups = t.column(group_col).to_pylist()
+        meds = pa.array([st[g][0] for g in groups], pa.int64())
+        mads = pa.array([st[g][1] for g in groups], pa.int64())
+        dev = pc.abs(pc.subtract(t.column(value_col).cast(pa.int64()), meds))
+        out = pc.greater(dev, pc.multiply(mads, k))
+        return pa.Table.from_arrays(
+            [t.column(id_col), t.column(group_col), t.column(value_col),
+             meds, mads, out],
+            names=[id_col, group_col, value_col, "med", "mad", "is_outlier"],
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -62,3 +62,39 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         [batch.column("doc_id"), pa.array(counts, pa.int64())],
         names=["doc_id", "n_bpe_tokens"],
     )
+
+
+# --- entity counting --------------------------------------------------------
+
+#: RE2-safe URL pattern (explicit whitespace class — '\s' shorthand kept
+#: out so the Arrow and DuckDB compiles cannot diverge on flag defaults)
+URL = r"https?://[^ \t\n\r\f\v]+"
+
+
+def entity_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document counts of emails / URLs / IPv4s / long digit runs /
+    phone-shaped spans over the RAW text — the PII-density signal used
+    to route documents to redaction or rejection.
+
+    Fully vectorized: ``pyarrow.compute.count_substring_regex`` runs
+    RE2 over the Arrow buffer with no Python loop, and DuckDB's
+    ``regexp_extract_all`` is the same RE2 non-overlapping leftmost
+    scan, so counts match bit-for-bit.  Each pattern is counted
+    independently on the raw text (unlike ``redact_batch``, where rule
+    ORDER matters because earlier rules consume characters).
+    """
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column(text_col), "")
+    arrays = [batch.column("doc_id")]
+    names = ["doc_id"]
+    for name, pat in (
+        ("n_emails", EMAIL),
+        ("n_urls", URL),
+        ("n_ipv4", IPV4),
+        ("n_longnums", LONGNUM),
+        ("n_phones", PHONE),
+    ):
+        arrays.append(pc.count_substring_regex(col, pat).cast(pa.int64()))
+        names.append(name)
+    return pa.Table.from_arrays(arrays, names=names)

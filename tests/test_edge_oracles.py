@@ -99,6 +99,9 @@ QUERIES = [
     "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
     "dsir_weights",  # round 3: DSIR hashed-ngram importance weights
     "bm25_topk",  # round 3: Okapi BM25 retrieval (terms may all miss)
+    "outlier_mad",  # round 3: per-lang median/MAD flags (MAD=0 groups)
+    "entity_counts",  # round 3: RE2 entity density (planted-entity test
+    # in test_redact.py pins non-zero counts; edge/fixture docs are 0)
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
     "corpus_report",  # round 3: one-pass dashboard aggregate
     "percent_rank",  # round 3: sort-free window-exact ECDF

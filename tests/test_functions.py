@@ -774,3 +774,32 @@ def test_bm25_topk_ranking_semantics():
     # every score positive and monotone in the frame
     assert (out["score_micro"] > 0).all()
     assert list(out["score_micro"]) == sorted(out["score_micro"], reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mad_outliers_flags_planted_giant():
+    """MAD robustness: one giant doc among uniform lengths is flagged,
+    the uniform docs are not (MAD=0 ⇒ any deviation > 0 is an outlier),
+    and a group where every value differs stays unflagged within k·MAD."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import mad_outliers
+
+    tbl = pa.table(
+        {
+            "id": pa.array(list(range(8)), pa.int64()),
+            "g": ["a"] * 5 + ["b"] * 3,
+            "v": pa.array([10, 10, 10, 10, 500, 7, 9, 11], pa.int64()),
+        }
+    )
+    out = (
+        mad_outliers(rd.from_arrow(tbl), "v", "g", "id", k=3)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    # group a: med=10, MAD=0 → only the 500 deviates
+    assert list(out.loc[0:4, "is_outlier"]) == [False] * 4 + [True]
+    assert out.loc[0, "med"] == 10 and out.loc[0, "mad"] == 0
+    # group b: med=9, MAD=2 → all within 3*2
+    assert not out.loc[5:7, "is_outlier"].any()

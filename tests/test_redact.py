@@ -45,3 +45,52 @@ def test_redact_batch_shape():
     )
     out = redact_batch(batch)
     assert out.column("text_redacted").to_pylist() == ["<EMAIL> called <IP>"]
+
+
+def test_entity_counts_planted_vs_duckdb():
+    """Planted-entity cross-check: Arrow count_substring_regex and
+    DuckDB regexp_extract_all are both RE2 leftmost non-overlapping
+    scans — counts must match exactly on entity-dense text (the sf
+    fixtures carry zero entities, so this test is the real pin)."""
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.redact import entity_counts_batch
+
+    texts = [
+        "mail a@b.co and c.d+x@e-f.org, see https://x.io/p?q=1 http://y.z/",
+        "ip 10.0.0.1 and 255.255.255.255; card 1234567890123456",
+        "call +1 (555) 123-4567 or 0800 555 111 22",
+        "",
+        None,
+        "no entities at all here",
+    ]
+    batch = pa.Table.from_arrays(
+        [pa.array(list(range(6)), pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+    got = entity_counts_batch(batch).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_emails"] == 2 and got.loc[0, "n_urls"] == 2
+    assert got.loc[1, "n_ipv4"] == 2 and got.loc[1, "n_longnums"] == 1
+    assert got.loc[2, "n_phones"] >= 1
+    assert (got.loc[3] == 0).all() and (got.loc[4] == 0).all()
+
+    con = duckdb.connect()
+    con.register("docs", batch)
+    want = con.execute(
+        """
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(coalesce(text, ''),
+                 'https?://[^ \\t\\n\\r\\f\\v]+')) AS n_urls,
+               len(regexp_extract_all(coalesce(text, ''),
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+               len(regexp_extract_all(coalesce(text, ''), '\\b[0-9]{9,}\\b'))
+                 AS n_longnums,
+               len(regexp_extract_all(coalesce(text, ''),
+                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones
+        FROM docs ORDER BY doc_id
+        """
+    ).df().set_index("doc_id")
+    assert (got.astype("int64") == want.astype("int64")).all().all()
