@@ -580,6 +580,20 @@ def _q_outlier_mad(sf_dir: str):
     )
 
 
+def _q_nb_classify(sf_dir: str):
+    """Corpus-trained multinomial Naive Bayes language router: ONE
+    vocabulary×classes groupby to train, broadcast model, map-only
+    scoring; argmax tie-break (score DESC, class ASC) — bit-exact."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.classify import nb_classify
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return nb_classify(docs, label_col="lang")
+
+
 def _q_entity_counts(sf_dir: str):
     """PII/entity density per doc — RE2 counts vectorized in the Arrow
     kernel (no Python loop), map-only, zero shuffle."""
@@ -1858,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "outlier_mad": _q_outlier_mad,
         "entity_counts": _q_entity_counts,
+        "nb_classify": _q_nb_classify,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -2802,6 +2817,45 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''), '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
                      AS n_phones
             FROM documents
+        """,
+        # corpus-trained multinomial NB: per-(token,class) micro
+        # log-likelihood floor(ln((cnt+1)/(T_c+V))*1e6+0.5) summed
+        # int64 per (doc,class) + micro prior ln(N_c/N); argmax with
+        # (score DESC, class ASC) — mirrors classify.py exactly
+        "nb_classify": f"""
+            WITH t AS (SELECT doc_id, str_split({norm}, ' ') AS ws
+                       FROM documents WHERE {norm} <> ''),
+            tok AS (SELECT t.doc_id, unnest(ws) AS w FROM t),
+            cls AS (SELECT lang AS c, count(*) AS n_docs
+                    FROM documents GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            tc AS (SELECT tok.w, d.lang AS c, count(*) AS cnt
+                   FROM tok JOIN documents d USING (doc_id) GROUP BY 1, 2),
+            totc AS (SELECT cls.c, coalesce(sum(tc.cnt), 0) AS tc
+                     FROM cls LEFT JOIN tc ON tc.c = cls.c GROUP BY 1),
+            v AS (SELECT count(DISTINCT w) AS v FROM tok),
+            toksc AS (SELECT tok.doc_id, cls.c,
+                             CAST(sum(CAST(floor(
+                                 ln((coalesce(tc.cnt, 0) + 1) * 1.0
+                                    / (totc.tc + v.v)) * 1e6 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS s
+                      FROM tok CROSS JOIN cls
+                           LEFT JOIN tc ON tc.w = tok.w AND tc.c = cls.c
+                           JOIN totc ON totc.c = cls.c, v
+                      GROUP BY 1, 2),
+            alldc AS (SELECT d.doc_id, cls.c, cls.n_docs
+                      FROM documents d CROSS JOIN cls),
+            tot AS (SELECT a.doc_id, a.c,
+                           coalesce(ts.s, 0)
+                           + CAST(floor(ln(a.n_docs * 1.0 / n.n) * 1e6 + 0.5)
+                                  AS BIGINT) AS total
+                    FROM alldc a
+                    LEFT JOIN toksc ts
+                           ON ts.doc_id = a.doc_id AND ts.c = a.c, n)
+            SELECT doc_id, c AS pred, CAST(total AS BIGINT) AS score_micro
+            FROM tot
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY total DESC, c) = 1
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""

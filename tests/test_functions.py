@@ -803,3 +803,40 @@ def test_mad_outliers_flags_planted_giant():
     assert out.loc[0, "med"] == 10 and out.loc[0, "mad"] == 0
     # group b: med=9, MAD=2 → all within 3*2
     assert not out.loc[5:7, "is_outlier"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nb_classify_learns_separable_labels():
+    """NB sanity: on a vocabulary-separable corpus the learned router
+    recovers every label, including held-in docs whose label token mix
+    leans the other way only in the prior; token-less docs fall back to
+    the largest class (tie-break: class name ascending)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.classify import nb_classify
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": [
+                "der hund und die katze",
+                "die katze und der hund sind hier",
+                "the cat and the dog",
+                "the dog and the cat are here",
+                "der hund",
+                "the cat",
+                "",
+            ],
+            "lang": ["de", "de", "en", "en", "de", "en", "en"],
+        }
+    )
+    out = (
+        nb_classify(rd.from_arrow(tbl), label_col="lang")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out["pred"]) == ["de", "de", "en", "en", "de", "en", "en"]
+    # empty doc: prior-only; 'en' has 4 docs vs 'de' 3 → en wins
+    assert out.loc[6, "pred"] == "en"
+    assert (out["score_micro"] < 0).all()  # log-probs are negative
