@@ -594,6 +594,21 @@ def _q_nb_classify(sf_dir: str):
     return nb_classify(docs, label_col="lang")
 
 
+#: count-min candidate tokens — literal in the oracle's VALUES list;
+#: 'zzzunseen' exercises the absent-token (0 unless all-rows-collide) path
+_CMS_CANDIDATES = ["the", "spark", "join", "window", "zzzunseen"]
+
+
+def _q_countmin_topk(sf_dir: str):
+    """Count-min sketch point queries vs exact counts: ONE d·w-cell
+    (65k-row) shuffle builds the sketch, candidate exact counts ride
+    the same shuffle on a reserved row — collisions and all replicated
+    bit-exactly by the oracle's md5 double-hash."""
+    from ocr_lib_ray.functions.sketches import countmin_estimate
+
+    return countmin_estimate(_docs(sf_dir), _CMS_CANDIDATES)
+
+
 def _q_entity_counts(sf_dir: str):
     """PII/entity density per doc — RE2 counts vectorized in the Arrow
     kernel (no Python loop), map-only, zero shuffle."""
@@ -1873,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_mad": _q_outlier_mad,
         "entity_counts": _q_entity_counts,
         "nb_classify": _q_nb_classify,
+        "countmin_topk": _q_countmin_topk,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -2856,6 +2872,44 @@ def oracle_sql() -> dict[str, str]:
             FROM tot
             QUALIFY row_number() OVER (PARTITION BY doc_id
                                        ORDER BY total DESC, c) = 1
+        """,
+        # count-min sketch: Kirsch-Mitzenmacher md5 double-hash into
+        # d=4 rows × w=16384 counters; est = min over rows — collision
+        # overestimates replicated bit-exactly (same bridge as bloom)
+        "countmin_topk": f"""
+            WITH tok AS (SELECT unnest(str_split({norm}, ' ')) AS w
+                         FROM documents WHERE {norm} <> ''),
+            tc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+            h AS (SELECT w, cnt,
+                         CAST(md5_number_lower(w) % 16384 AS BIGINT) AS h1,
+                         CAST(md5_number_upper(w) % 16383 AS BIGINT) + 1
+                           AS step
+                  FROM tc),
+            rr AS (SELECT unnest(range(0, 4)) AS r),
+            cells AS (SELECT rr.r, (h.h1 + rr.r * h.step) % 16384 AS pos,
+                             sum(h.cnt) AS cnt
+                      FROM h CROSS JOIN rr GROUP BY 1, 2),
+            cand(token) AS (VALUES ('the'), ('spark'), ('join'),
+                                   ('window'), ('zzzunseen')),
+            ch AS (SELECT token,
+                          CAST(md5_number_lower(token) % 16384 AS BIGINT)
+                            AS h1,
+                          CAST(md5_number_upper(token) % 16383 AS BIGINT) + 1
+                            AS step
+                   FROM cand),
+            est AS (SELECT ch.token,
+                           min(coalesce(cells.cnt, 0)) AS est_count
+                    FROM ch CROSS JOIN rr
+                         LEFT JOIN cells
+                                ON cells.r = rr.r
+                               AND cells.pos
+                                   = (ch.h1 + rr.r * ch.step) % 16384
+                    GROUP BY 1)
+            SELECT cand.token,
+                   CAST(est.est_count AS BIGINT) AS est_count,
+                   CAST(coalesce(tc.cnt, 0) AS BIGINT) AS exact_count
+            FROM cand JOIN est USING (token)
+                 LEFT JOIN tc ON tc.w = cand.token
         """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""

@@ -248,3 +248,109 @@ def bloom_filter_against(
         return b.filter(pa.array(~dup))
 
     return new_ds.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): approximate token
+# frequencies in d×w counters regardless of vocabulary size.  Hashing is
+# the same Kirsch-Mitzenmacher md5 double-hash as the Bloom filter —
+#     h1   = md5_lower64(tok) % w
+#     step = md5_upper64(tok) % (w-1) + 1
+#     pos_r = (h1 + r*step) % w        for r in 0..d-1
+# so the whole sketch, COLLISION OVERESTIMATES INCLUDED, is bit-exactly
+# reproducible in SQL (the countmin_topk driver oracle).
+#
+# Build shape (100 TB): per-batch partials emit (row, pos, cnt) cells —
+# at most d × distinct-tokens-per-batch rows — through ONE groupby of
+# the d·w cell space (65k rows at the defaults), never corpus rows;
+# candidate exact counts ride the same shuffle on reserved row = -1
+# cells, so the whole op is one pass + one tiny aggregate.
+# ---------------------------------------------------------------------------
+
+DEFAULT_CMS_D = 4
+DEFAULT_CMS_W = 1 << 14
+
+
+def countmin_estimate(
+    ds,
+    candidates,
+    text_col: str = "text",
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+):
+    """(token, est_count, exact_count) for each candidate token:
+    ``est_count`` = min over the d counter rows the token hashes into
+    (the CMS point query — an overestimate exactly when another token
+    collides in all d rows), ``exact_count`` = the true corpus
+    occurrence count, carried through the same shuffle so the error is
+    observable.  Candidates absent from the corpus estimate 0 unless
+    every row collides.  Returns a pyarrow Table (candidate-sized).
+    """
+    from ray.data.aggregate import Sum
+
+    from .text_stats import normalize_expr
+
+    cand = sorted(set(candidates))
+    cand_idx = {t: i for i, t in enumerate(cand)}
+
+    def partials(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in normalize_expr(b.column(text_col)).to_pylist():
+            counts.update(t.split(" ") if t else [])
+        toks = list(counts.keys())
+        rows, poss, cnts = [], [], []
+        if toks:
+            pos = bloom_positions(toks, w, d)  # same double-hash, k=d probes
+            for j, tok in enumerate(toks):
+                c = counts[tok]
+                for r in range(d):
+                    rows.append(r)
+                    poss.append(int(pos[j, r]))
+                    cnts.append(c)
+                ci = cand_idx.get(tok)
+                if ci is not None:  # exact count on the reserved row
+                    rows.append(-1)
+                    poss.append(ci)
+                    cnts.append(c)
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows, pa.int64()),
+                pa.array(poss, pa.int64()),
+                pa.array(cnts, pa.int64()),
+            ],
+            names=["r", "pos", "cnt"],
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["r", "pos"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    cells: dict = {}
+    exact = [0] * len(cand)
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for r, pos, cnt in zip(
+            b.column("r").to_pylist(),
+            b.column("pos").to_pylist(),
+            b.column("cnt").to_pylist(),
+        ):
+            if r == -1:
+                exact[pos] = cnt
+            else:
+                cells[(r, pos)] = cnt
+    if cand:
+        cpos = bloom_positions(cand, w, d)
+    ests = [
+        min(cells.get((r, int(cpos[i, r])), 0) for r in range(d))
+        for i in range(len(cand))
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array(cand, pa.string()),
+            pa.array(ests, pa.int64()),
+            pa.array(exact, pa.int64()),
+        ],
+        names=["token", "est_count", "exact_count"],
+    )

@@ -103,6 +103,7 @@ QUERIES = [
     "entity_counts",  # round 3: RE2 entity density (planted-entity test
     # in test_redact.py pins non-zero counts; edge/fixture docs are 0)
     "nb_classify",  # round 3: corpus-trained NB (empty docs = prior-only)
+    "countmin_topk",  # round 3: count-min sketch (tiny/empty corpora)
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
     "corpus_report",  # round 3: one-pass dashboard aggregate
     "percent_rank",  # round 3: sort-free window-exact ECDF

@@ -148,3 +148,44 @@ def test_bloom_filter_against_drops_prior(sf_small):
     want = sorted(i for i, h in zip(ids, hits) if not h)
     assert got == want
     assert not (set(got) & {i for i, p in zip(ids, prior_mask) if p})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_countmin_never_underestimates():
+    """CMS property: est >= exact for every candidate (collisions only
+    ADD); at default width the tiny vocabulary is collision-free so
+    est == exact; at width 8 collisions appear but never undercount."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sketches import countmin_estimate
+
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(list(range(4)), pa.int64()),
+            pa.array(
+                [
+                    "a b a c a",
+                    "b c d d",
+                    "",
+                    "e a",
+                ],
+                pa.string(),
+            ),
+        ],
+        names=["doc_id", "text"],
+    )
+    cands = ["a", "b", "d", "zzz"]
+    wide = countmin_estimate(rd.from_arrow(tbl), cands).to_pandas().set_index("token")
+    assert wide.loc["a", "exact_count"] == 4
+    assert wide.loc["b", "exact_count"] == 2
+    assert wide.loc["d", "exact_count"] == 2
+    assert wide.loc["zzz", "exact_count"] == 0
+    assert (wide["est_count"] == wide["exact_count"]).all()  # no collisions at w=2^14
+
+    tight = (
+        countmin_estimate(rd.from_arrow(tbl), cands, d=2, w=8)
+        .to_pandas()
+        .set_index("token")
+    )
+    assert (tight["est_count"] >= tight["exact_count"]).all()
