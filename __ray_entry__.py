@@ -609,6 +609,14 @@ def _q_countmin_topk(sf_dir: str):
     return countmin_estimate(_docs(sf_dir), _CMS_CANDIDATES)
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Published Gopher quality rules as integer-exact per-doc verdicts
+    — stateless map, zero shuffle."""
+    from ocr_lib_ray.functions.text_stats import gopher_filter_batch
+
+    return _docs(sf_dir).map_batches(gopher_filter_batch, batch_format="pyarrow")
+
+
 def _q_entity_counts(sf_dir: str):
     """PII/entity density per doc — RE2 counts vectorized in the Arrow
     kernel (no Python loop), map-only, zero shuffle."""
@@ -1150,6 +1158,26 @@ def _q_window_distinct_users(sf_dir: str):
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
     return window_distinct_users(events, window_seconds=3600)
+
+
+def _q_window_outliers(sf_dir: str):
+    """Burst detection on the event stream: tumbling per-type counts →
+    MAD outlier flags per type — one window groupby + one (type, n)-
+    space histogram shuffle, flag pass map-only, all integers."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.quantiles import mad_outliers
+    from ocr_lib_ray.functions.windows import tumbling_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    tw = tumbling_window(events, window_seconds=3600).select_columns(
+        ["event_type", "window_start_us", "n"]
+    )
+    return mad_outliers(
+        tw, value_col="n", group_col="event_type", id_col="window_start_us", k=3
+    )
 
 
 def _q_tumbling_window(sf_dir: str):
@@ -1889,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_counts": _q_entity_counts,
         "nb_classify": _q_nb_classify,
         "countmin_topk": _q_countmin_topk,
+        "gopher_filter": _q_gopher_filter,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -1911,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
+        "window_outliers": _q_window_outliers,
         "window_distinct_users": _q_window_distinct_users,
         "fill_windows": _q_fill_windows,
         "rolling_stats": _q_rolling_stats,
@@ -2911,6 +2941,52 @@ def oracle_sql() -> dict[str, str]:
             FROM cand JOIN est USING (token)
                  LEFT JOIN tc ON tc.w = cand.token
         """,
+        # Gopher rules: every ratio is an integer cross-multiplication
+        # (3n <= chars <= 10n etc), words from normalized text, lines
+        # from RAW text — mirrors gopher_filter_batch rule-for-rule
+        "gopher_filter": f"""
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS rawt,
+                                 {norm} AS nm FROM documents),
+            w AS (SELECT doc_id, rawt,
+                         CASE WHEN nm = '' THEN CAST([] AS VARCHAR[])
+                              ELSE str_split(nm, ' ') END AS ws,
+                         CASE WHEN rawt = '' THEN CAST([] AS VARCHAR[])
+                              ELSE str_split(rawt, chr(10)) END AS ls
+                  FROM base),
+            agg AS (SELECT doc_id,
+                        len(ws) AS n,
+                        coalesce(list_sum([len(x) FOR x IN ws]), 0) AS chars,
+                        len(list_filter(ws,
+                            x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                        len(list_distinct(list_filter(ws,
+                            x -> list_contains(['the','be','to','of','and',
+                                                'that','have','with'], x))))
+                          AS n_stops,
+                        len(regexp_extract_all(rawt, '#|\\.\\.\\.')) AS n_sym,
+                        len(ls) AS n_lines,
+                        len(list_filter(ls, l -> starts_with(l, '-')
+                            OR starts_with(l, '*') OR starts_with(l, '•')))
+                          AS n_bullet,
+                        len(list_filter(ls, l -> ends_with(l, '...')
+                            OR ends_with(l, '…'))) AS n_ellip
+                    FROM w)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   n BETWEEN 50 AND 100000 AS r_words,
+                   3 * n <= chars AND chars <= 10 * n AS r_wordlen,
+                   10 * n_sym <= n AS r_symbol,
+                   10 * n_bullet <= 9 * n_lines AS r_bullet,
+                   10 * n_ellip <= 3 * n_lines AS r_ellip,
+                   5 * n_alpha >= 4 * n AS r_alpha,
+                   n_stops >= 2 AS r_stops,
+                   (n BETWEEN 50 AND 100000)
+                   AND (3 * n <= chars AND chars <= 10 * n)
+                   AND (10 * n_sym <= n)
+                   AND (10 * n_bullet <= 9 * n_lines)
+                   AND (10 * n_ellip <= 3 * n_lines)
+                   AND (5 * n_alpha >= 4 * n)
+                   AND (n_stops >= 2) AS passes
+            FROM agg
+        """,
         "lang_id": _lang_id_sql(norm),
         "ngram_jaccard": f"""
             {_ngram_pairs_cte(norm)}
@@ -3278,6 +3354,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start_us, event_type, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        # tumbling per-type counts -> per-type median/MAD burst flags;
+        # integers end-to-end (same discipline as outlier_mad)
+        "window_outliers": """
+            WITH tw AS (SELECT event_type,
+                               (epoch_us(ts) // 3600000000) * 3600000000
+                                 AS window_start_us,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+            med AS (SELECT event_type, quantile_disc(n, 0.5) AS med
+                    FROM tw GROUP BY 1),
+            mad AS (SELECT tw.event_type,
+                           quantile_disc(abs(tw.n - med.med), 0.5) AS mad
+                    FROM tw JOIN med USING (event_type) GROUP BY 1)
+            SELECT tw.window_start_us, tw.event_type,
+                   CAST(tw.n AS BIGINT) AS n,
+                   CAST(med.med AS BIGINT) AS med,
+                   CAST(mad.mad AS BIGINT) AS mad,
+                   abs(tw.n - med.med) > 3 * mad.mad AS is_outlier
+            FROM tw JOIN med USING (event_type)
+                 JOIN mad ON mad.event_type = tw.event_type
         """,
         "tumbling_window": """
             SELECT event_type,

@@ -435,3 +435,74 @@ def corpus_report(docs_ds, group_cols=("source", "lang")):
         return b.append_column("avg_tokens", avg)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- Gopher quality-rule verdict -------------------------------------------
+
+#: Gopher rule 7's English stop-word list (Rae et al. 2021, App. A1.1.2)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+import re  # noqa: E402 — gopher rules are the only regex consumers here
+
+_GOPHER_ALPHA = re.compile(r"[A-Za-z]")
+_GOPHER_SYMBOL = re.compile(r"#|\.\.\.")
+
+
+def gopher_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """The published Gopher quality filter (Rae et al. 2021, Appendix
+    A1.1.2) as a per-document verdict plus the individual rule bits:
+
+      r_words   50 <= word count <= 100000
+      r_wordlen 3 <= mean word length <= 10
+      r_symbol  symbol-to-word ratio ('#' or '...') <= 0.1
+      r_bullet  <= 90% of lines start with a bullet ('-', '*', '•')
+      r_ellip   <= 30% of lines end with '...' or '…'
+      r_alpha   >= 80% of words contain an alphabetic character
+      r_stops   >= 2 DISTINCT words from the 8-word stop list
+      passes    all of the above
+
+    Every ratio rule is an INTEGER cross-multiplication (e.g. mean
+    word length in [3,10] ⇔ 3·n ≤ chars ≤ 10·n), so the verdict is
+    exact and the oracle hashes bit-for-bit.  Words come from the
+    normalized text; lines from the RAW text split on newlines (the
+    bullet/ellipsis rules are layout rules).  Zero-word documents fail
+    r_words and pass the vacuous ratio rules — passes is still False.
+    """
+    raw = [t or "" for t in batch.column(text_col).to_pylist()]
+    norm = normalize_expr(batch.column(text_col)).to_pylist()
+    cols: dict = {k: [] for k in (
+        "n_words", "r_words", "r_wordlen", "r_symbol", "r_bullet",
+        "r_ellip", "r_alpha", "r_stops", "passes",
+    )}
+    for rawt, t in zip(raw, norm):
+        ws = t.split(" ") if t else []
+        n = len(ws)
+        chars = sum(len(w) for w in ws)
+        n_alpha = sum(1 for w in ws if _GOPHER_ALPHA.search(w))
+        n_stops = len({w for w in ws if w in GOPHER_STOPS})
+        n_sym = len(_GOPHER_SYMBOL.findall(rawt))
+        lines = rawt.split("\n") if rawt else []
+        n_lines = len(lines)
+        n_bullet = sum(1 for l in lines if l.startswith(("-", "*", "•")))
+        n_ellip = sum(1 for l in lines if l.endswith(("...", "…")))
+        r = {
+            "r_words": 50 <= n <= 100_000,
+            "r_wordlen": 3 * n <= chars <= 10 * n,
+            "r_symbol": 10 * n_sym <= n,
+            "r_bullet": 10 * n_bullet <= 9 * n_lines,
+            "r_ellip": 10 * n_ellip <= 3 * n_lines,
+            "r_alpha": 5 * n_alpha >= 4 * n,
+            "r_stops": n_stops >= 2,
+        }
+        cols["n_words"].append(n)
+        for k, v in r.items():
+            cols[k].append(v)
+        cols["passes"].append(all(r.values()))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(cols["n_words"], pa.int64())]
+        + [pa.array(cols[k], pa.bool_()) for k in (
+            "r_words", "r_wordlen", "r_symbol", "r_bullet",
+            "r_ellip", "r_alpha", "r_stops", "passes")],
+        names=["doc_id", "n_words", "r_words", "r_wordlen", "r_symbol",
+               "r_bullet", "r_ellip", "r_alpha", "r_stops", "passes"],
+    )

@@ -104,6 +104,7 @@ QUERIES = [
     # in test_redact.py pins non-zero counts; edge/fixture docs are 0)
     "nb_classify",  # round 3: corpus-trained NB (empty docs = prior-only)
     "countmin_topk",  # round 3: count-min sketch (tiny/empty corpora)
+    "gopher_filter",  # round 3: Gopher rules (0-word docs, vacuous ratios)
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
     "corpus_report",  # round 3: one-pass dashboard aggregate
     "percent_rank",  # round 3: sort-free window-exact ECDF
@@ -161,6 +162,7 @@ EVENT_SIDE = {
     "sessionize_assign",  # round 3: per-event labels (ts-tie order)
     "cohort_retention",  # round 3: first-window cohorts incl. epoch 0
     "window_topk",  # round 3: count-tie rank order at the k boundary
+    "window_outliers",  # round 3: per-type MAD burst flags (MAD=0 ties)
 }
 
 
@@ -264,6 +266,7 @@ EDGE_EVENTS = [
 
 EVENT_QUERIES = [
     "tumbling_window",
+    "window_outliers",  # round 3: per-type MAD burst flags
     "window_distinct_users",  # round 3: exact per-window distinct
     "sessionize_salted",
     "sliding_window",

@@ -840,3 +840,32 @@ def test_nb_classify_learns_separable_labels():
     # empty doc: prior-only; 'en' has 4 docs vs 'de' 3 → en wins
     assert out.loc[6, "pred"] == "en"
     assert (out["score_micro"] < 0).all()  # log-probs are negative
+
+
+def test_gopher_filter_rule_bits():
+    """Each Gopher rule trips on its planted violation and only there;
+    integer cross-multiplication boundaries are inclusive per the
+    published thresholds."""
+    from ocr_lib_ray.functions.text_stats import gopher_filter_batch
+
+    good = "the cat and dog have fun with that friend today " * 5  # 50 words
+    docs = [
+        good,                                      # passes everything
+        "the cat and dog",                         # r_words (too short)
+        ("aaaaaaaaaaaaaaa " * 50) + "the of and",  # r_wordlen (mean > 10)
+        good + "# # # # # # # # # # # # # # #",    # r_symbol (>10%)
+        "- " + "\n- ".join(["the of and that have with x"] * 10),  # r_bullet
+        good.replace("the", "###"),                # r_alpha + r_stops hit
+        "",                                        # 0 words
+    ]
+    out = gopher_filter_batch(
+        docs_batch(docs, ids=list(range(len(docs))))
+    ).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "passes"])
+    assert not out.loc[1, "r_words"] and out.loc[1, "r_stops"]
+    assert not out.loc[2, "r_wordlen"]
+    assert not out.loc[3, "r_symbol"] and out.loc[3, "r_words"]
+    assert not out.loc[4, "r_bullet"]
+    assert not out.loc[6, "r_words"] and not out.loc[6, "passes"]
+    # vacuous ratio rules hold on the empty doc
+    assert out.loc[6, "r_wordlen"] and out.loc[6, "r_alpha"]
