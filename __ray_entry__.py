@@ -609,6 +609,14 @@ def _q_countmin_topk(sf_dir: str):
     return countmin_estimate(_docs(sf_dir), _CMS_CANDIDATES)
 
 
+def _q_bpe_pairs(sf_dir: str):
+    """BPE training round-1 merge candidates — per-batch |Σ|²-bounded
+    pair partials, one tiny groupby, sort over the aggregate only."""
+    from ocr_lib_ray.functions.tokens import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir), k=50)
+
+
 def _q_gopher_filter(sf_dir: str):
     """Published Gopher quality rules as integer-exact per-doc verdicts
     — stateless map, zero shuffle."""
@@ -1918,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "countmin_topk": _q_countmin_topk,
         "gopher_filter": _q_gopher_filter,
+        "bpe_pairs": _q_bpe_pairs,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -2940,6 +2949,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(tc.cnt, 0) AS BIGINT) AS exact_count
             FROM cand JOIN est USING (token)
                  LEFT JOIN tc ON tc.w = cand.token
+        """,
+        # BPE round-1 merge candidates: adjacent char pairs in word
+        # tokens, (n DESC, pair ASC) — both sides code-point substrings
+        "bpe_pairs": f"""
+            WITH w AS (SELECT unnest(str_split({norm}, ' ')) AS w
+                       FROM documents WHERE {norm} <> ''),
+            p AS (SELECT substr(w, i, 2) AS pair
+                  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)
+                  WHERE len(w) >= 2)
+            SELECT pair, count(*) AS n FROM p
+            GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
         """,
         # Gopher rules: every ratio is an integer cross-multiplication
         # (3n <= chars <= 10n etc), words from normalized text, lines

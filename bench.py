@@ -242,6 +242,18 @@ def run_bench() -> dict:
         "budget_sample",
         "curate",
         "fill_windows",
+        "sessionize_assign",
+        "cohort_retention",
+        "window_topk",
+        "dsir_weights",
+        "bm25_topk",
+        "outlier_mad",
+        "entity_counts",
+        "nb_classify",
+        "countmin_topk",
+        "gopher_filter",
+        "window_outliers",
+        "bpe_pairs",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -127,3 +127,48 @@ def cooccurrence_topk(docs_ds, window: int = 3, k: int = 30):
     return counts.sort(
         ["n_pairs", "w1", "w2"], descending=[True, False, False]
     ).limit(k)
+
+
+def partial_bpe_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch adjacent-character-pair counts over word tokens — the
+    symbol-pair statistics of BPE training round 1 (each later round
+    would re-tokenize against the merges so far; round 1 is pure char
+    pairs and is the distributed-counting step that dominates at
+    corpus scale)."""
+    from collections import Counter
+
+    from .text_stats import normalize_expr
+
+    counts: Counter = Counter()
+    for t in normalize_expr(batch.column("text")).to_pylist():
+        for w in t.split(" ") if t else []:
+            counts.update(w[i : i + 2] for i in range(len(w) - 1))
+    keys = list(counts.keys())
+    return pa.Table.from_arrays(
+        [pa.array(keys, pa.string()), pa.array([counts[k] for k in keys], pa.int64())],
+        names=["pair", "n"],
+    )
+
+
+def bpe_pair_counts(docs_ds, k: int = 50):
+    """Top-``k`` BPE merge candidates: (pair, n) of adjacent character
+    pairs inside word tokens, ordered (n DESC, pair ASC) — the first
+    merge BPE training would take (Sennrich et al. 2016), computed
+    distributed.
+
+    Scale shape: the pair space is alphabet², so per-batch Counter
+    partials collapse each block to at most |Σ|² rows before ONE tiny
+    groupby; the sort runs over the aggregated pair table (≤ |Σ|²
+    rows), never corpus rows.
+    """
+    from ray.data.aggregate import Sum
+
+    return (
+        docs_ds.map_batches(
+            partial_bpe_pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )

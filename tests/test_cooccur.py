@@ -81,3 +81,25 @@ def test_cooccurrence_k_boundary_is_deterministic():
         rd.from_arrow(_docs(["a b", "c d", "e f"])), window=1, k=2
     ).to_pandas()
     assert list(zip(got["w1"], got["w2"])) == [("a", "b"), ("c", "d")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_pair_counts_golden():
+    """BPE round-1 candidates on a hand-countable corpus: 'aaab' has
+    pairs aa,aa,ab; 'ab' adds ab; single-char words contribute none;
+    tie order is (n DESC, pair ASC)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.tokens import bpe_pair_counts
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["aaab ab x", "ba x y z"],
+        }
+    )
+    out = bpe_pair_counts(rd.from_arrow(tbl), k=10).to_pandas()
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("aa", 2), ("ab", 2), ("ba", 1)
+    ]
