@@ -53,6 +53,13 @@ def nb_classify(
     def partials(batch: pa.Table) -> pa.Table:
         """(w, c, cnt, docs) rows; per-class doc counts ride on the
         reserved w='' row ('' is never a token post-normalize)."""
+        if batch.column(label_col).null_count:
+            # fail loudly: Ray's sort-based groupby cannot shuffle null
+            # keys and SQL's GROUP BY would mint a NULL class — either
+            # way a silent divergence; label or filter nulls first
+            raise ValueError(
+                f"nb_classify: null labels in {label_col!r} are unsupported"
+            )
         counts: dict = {}
         docs: dict = {}
         for t, c in zip(

@@ -40,23 +40,25 @@ __all__ = ["dsir_weights"]
 
 DEFAULT_N_BUCKETS = 10_000
 
-# process-level feature→bucket memo (web vocab is Zipfian: the hot
-# tokens dominate occurrences; cap keeps a pathological corpus from
-# growing the memo without bound)
-_BUCKET_MEMO: dict = {}
-_BUCKET_MEMO_CAP = 2_000_000
+# process-level feature→md5-lower64 memo (web vocab is Zipfian: the
+# hot tokens dominate occurrences; cap keeps a pathological corpus
+# from growing the memo without bound).  The memo stores the RAW
+# 64-bit hash, not the bucket, so concurrent/successive calls with
+# different n_buckets in one worker process cannot poison each other.
+_HASH_MEMO: dict = {}
+_HASH_MEMO_CAP = 2_000_000
 
 
 def _bucket(feature: str, n_buckets: int) -> int:
     """md5-lower64 % n_buckets — byte-equal to DuckDB
     ``md5_number_lower(f) % n_buckets`` (same bridge as sketches.py)."""
-    b = _BUCKET_MEMO.get(feature)
-    if b is None:
+    h = _HASH_MEMO.get(feature)
+    if h is None:
         d = hashlib.md5(feature.encode("utf-8")).digest()
-        b = int.from_bytes(d[8:], "little") % n_buckets
-        if len(_BUCKET_MEMO) < _BUCKET_MEMO_CAP:
-            _BUCKET_MEMO[feature] = b
-    return b
+        h = int.from_bytes(d[8:], "little")
+        if len(_HASH_MEMO) < _HASH_MEMO_CAP:
+            _HASH_MEMO[feature] = h
+    return h % n_buckets
 
 
 def _doc_buckets(text: str, n_buckets: int) -> list:

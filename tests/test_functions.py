@@ -869,3 +869,53 @@ def test_gopher_filter_rule_bits():
     assert not out.loc[6, "r_words"] and not out.loc[6, "passes"]
     # vacuous ratio rules hold on the empty doc
     assert out.loc[6, "r_wordlen"] and out.loc[6, "r_alpha"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_bucket_memo_is_width_independent():
+    """Two dsir runs with different n_buckets in the same process must
+    both be correct — the process memo caches the raw 64-bit hash, not
+    the width-specific bucket (regression: a shared bucket memo)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_lib_ray.functions import importance
+    from ocr_lib_ray.functions.importance import _bucket, dsir_weights
+
+    h = int.from_bytes(hashlib.md5(b"alpha").digest()[8:], "little")
+    assert _bucket("alpha", 10_000) == h % 10_000
+    assert _bucket("alpha", 7) == h % 7  # second width: memo must not poison
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["alpha beta", "gamma delta"],
+            "lang": ["en", "de"],
+        }
+    )
+    a = dsir_weights(
+        rd.from_arrow(tbl), lambda b: pc.equal(b.column("lang"), "en"), n_buckets=64
+    ).to_pandas()
+    b = dsir_weights(
+        rd.from_arrow(tbl), lambda b: pc.equal(b.column("lang"), "en"), n_buckets=64
+    ).to_pandas()
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nb_classify_null_label_raises():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.classify import nb_classify
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a b", "c d"],
+            "lang": ["en", None],
+        }
+    )
+    with pytest.raises(Exception, match="null labels"):
+        nb_classify(rd.from_arrow(tbl), label_col="lang").materialize()
