@@ -1168,6 +1168,19 @@ def _q_window_distinct_users(sf_dir: str):
     return window_distinct_users(events, window_seconds=3600)
 
 
+def _q_props_stats(sf_dir: str):
+    """JSON property extraction + per-type rollup: map-only parse with
+    grouped partials, ONE groups-sized shuffle — event rows never move."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.props import props_stats
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_stats(events)
+
+
 def _q_window_outliers(sf_dir: str):
     """Burst detection on the event stream: tumbling per-type counts →
     MAD outlier flags per type — one window groupby + one (type, n)-
@@ -1950,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "tumbling_window": _q_tumbling_window,
         "window_outliers": _q_window_outliers,
+        "props_stats": _q_props_stats,
         "window_distinct_users": _q_window_distinct_users,
         "fill_windows": _q_fill_windows,
         "rolling_stats": _q_rolling_stats,
@@ -3374,6 +3388,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start_us, event_type, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        # JSON props extraction: json_extract + TRY_CAST NULL semantics
+        # mirror the python parse-or-skip; integers end-to-end
+        "props_stats": """
+            WITH x AS (SELECT event_type,
+                              CASE WHEN props IS NOT NULL
+                                    AND json_valid(props)
+                                    AND json_type(props, '$.k')
+                                        IN ('UBIGINT', 'BIGINT')
+                                   THEN CAST(json_extract(props, '$.k')
+                                             AS BIGINT) END AS k
+                       FROM events)
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   CAST(min(k) AS BIGINT) AS k_min,
+                   CAST(max(k) AS BIGINT) AS k_max
+            FROM x WHERE k IS NOT NULL GROUP BY 1
         """,
         # tumbling per-type counts -> per-type median/MAD burst flags;
         # integers end-to-end (same discipline as outlier_mad)

@@ -254,6 +254,7 @@ def run_bench() -> dict:
         "gopher_filter",
         "window_outliers",
         "bpe_pairs",
+        "props_stats",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

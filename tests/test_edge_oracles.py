@@ -164,6 +164,7 @@ EVENT_SIDE = {
     "cohort_retention",  # round 3: first-window cohorts incl. epoch 0
     "window_topk",  # round 3: count-tie rank order at the k boundary
     "window_outliers",  # round 3: per-type MAD burst flags (MAD=0 ties)
+    "props_stats",  # round 3: JSON props extraction (malformed/typed edges)
 }
 
 
@@ -268,6 +269,7 @@ EDGE_EVENTS = [
 EVENT_QUERIES = [
     "tumbling_window",
     "window_outliers",  # round 3: per-type MAD burst flags
+    "props_stats",  # round 3: JSON props extraction
     "window_distinct_users",  # round 3: exact per-window distinct
     "sessionize_salted",
     "sliding_window",
@@ -301,7 +303,23 @@ def edge_events_dir(tmp_path_factory):
                 pa.array(uid, pa.int64()),
                 pa.array(et, pa.string()),
                 pa.array(val, pa.float64()),
-                pa.array(["{}"] * len(eid), pa.string()),
+                # diverse JSON edges for props_stats (no other event
+                # query reads props): valid ints (incl. negative),
+                # missing key, malformed, string/bool/float values, null
+                pa.array(
+                    [
+                        '{"k": 5}',
+                        '{"k": -3}',
+                        "{}",
+                        "not json",
+                        '{"k": "7"}',
+                        '{"k": true}',
+                        '{"k": 2.5}',
+                        None,
+                        '{"k": 0}',
+                    ][: len(eid)],
+                    pa.string(),
+                ),
             ],
             names=["event_id", "ts", "user_id", "event_type", "value", "props"],
         ),
