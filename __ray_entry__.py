@@ -1031,6 +1031,28 @@ def _q_curate(sf_dir: str):
     return curate_corpus(docs, _BLOCKLIST_TERMS, _BUDGETS, num_shards=4)
 
 
+def _q_curate_quality(sf_dir: str):
+    """The curate pipeline with the opt-in Gopher structural-rule gate
+    (language-neutral subset — r_stops is English-only and would empty
+    this multilingual fixture): blocklist → gopher gate → keep-best
+    dedup → token budget → shard shuffle, oracled end-to-end."""
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.curate import GOPHER_STRUCTURAL, curate_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    return curate_corpus(
+        docs,
+        _BLOCKLIST_TERMS,
+        _BUDGETS,
+        num_shards=4,
+        quality_rules=GOPHER_STRUCTURAL,
+    )
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Quality-winner dedup (longest variant wins, not min id)."""
     import ray.data as rd
@@ -1976,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "budget_sample": _q_budget_sample,
         "curate": _q_curate,
+        "curate_quality": _q_curate_quality,
         "filter_blocklist": _q_filter_blocklist,
         "shuffle_shards": _q_shuffle_shards,
         "rollup_stats": _q_rollup_stats,
@@ -4004,5 +4027,22 @@ def oracle_sql() -> dict[str, str]:
                unnest(vals) AS quality_prob
         FROM agg
     """
+    # curate with the opt-in Gopher structural gate: the gopher_filter
+    # oracle is nested as a CTE and its rule bits AND into the curate
+    # chain's surv stage — single source of truth for both rule sets
+    _gq_surv = """WITH gf AS ({gf}),
+            surv AS (SELECT d.doc_id, d.text, d.source, d.n_chars
+                     FROM documents d JOIN gf USING (doc_id)
+                     WHERE gf.r_words AND gf.r_wordlen AND gf.r_symbol
+                       AND gf.r_bullet AND gf.r_ellip AND gf.r_alpha
+                       AND NOT regexp_matches(lower(d.text),
+                           '(?:\\bspark\\b|\\bslow query\\b|\\bdup\\b)')),"""
+    _curate_prefix = d["curate"][: d["curate"].index("nrm AS")]
+    assert "surv AS" in _curate_prefix, "curate oracle shape changed"
+    d["curate_quality"] = d["curate"].replace(
+        _curate_prefix,
+        _gq_surv.format(gf=d["gopher_filter"]) + "\n            ",
+        1,
+    )
     return d
 

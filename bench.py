@@ -255,6 +255,7 @@ def run_bench() -> dict:
         "window_outliers",
         "bpe_pairs",
         "props_stats",
+        "curate_quality",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

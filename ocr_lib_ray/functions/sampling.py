@@ -277,7 +277,10 @@ def budget_sample(
             .aggregate(Sum("nt", alias_name="nt"))
             .to_pandas()
         )
-        total_by_source = dict(zip(agg["source"], agg["nt"]))
+        # a fully-filtered upstream yields a 0-column empty frame
+        total_by_source = (
+            dict(zip(agg["source"], agg["nt"])) if len(agg) else {}
+        )
     else:
         total_by_source = dict(totals)
 

@@ -46,7 +46,12 @@ def keep_latest(ds, key_col: str, ts_col: str, tie_col: str):
     chosen null-ordering would diverge from the oracle — fill or filter
     first, loudly.
     """
-    cols = list(ds.schema().names)
+    sch = ds.schema()
+    if sch is None:
+        # a fully-filtered upstream yields an empty dataset with no
+        # schema to validate — nothing to deduplicate, pass it through
+        return ds
+    cols = list(sch.names)
     for c in (key_col, ts_col, tie_col):
         if c not in cols:
             raise ValueError(f"keep_latest: column {c!r} not in dataset schema {cols}")

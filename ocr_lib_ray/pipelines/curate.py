@@ -27,6 +27,14 @@ from __future__ import annotations
 __all__ = ["curate_corpus"]
 
 
+#: the structural Gopher rules — the language-neutral default for
+#: ``quality_rules`` (r_stops is the English stop-word rule; enable it
+#: only on English corpora)
+GOPHER_STRUCTURAL = (
+    "r_words", "r_wordlen", "r_symbol", "r_bullet", "r_ellip", "r_alpha",
+)
+
+
 def curate_corpus(
     docs_ds,
     blocklist_terms,
@@ -34,12 +42,20 @@ def curate_corpus(
     num_shards: int = 16,
     checkpoint_dir: str | None = None,
     overwrite: bool = False,
+    quality_rules=None,
 ):
     """Returns the curated corpus as (doc_id, source, shard, pos) —
     the deterministic training-shard assignment of every surviving
     document.  ``blocklist_terms``/``budgets`` as in
     :func:`functions.curation.filter_blocklist` /
     :func:`functions.sampling.budget_sample`.
+
+    ``quality_rules``: opt-in Gopher quality gate — an iterable of
+    rule-bit names from :func:`functions.text_stats.gopher_filter_batch`
+    that must ALL hold (e.g. ``GOPHER_STRUCTURAL``); None (default)
+    skips the gate, keeping the original 4-stage pipeline bit-stable.
+    The gate is a map-only filter (zero extra shuffle) placed before
+    the dedup so junk never pays for a shuffle.
     """
     from ..functions.curation import (
         dedup_keep_best,
@@ -53,6 +69,23 @@ def curate_corpus(
         blocklist_terms,
         keep_cols=("doc_id", "text", "source", "n_chars"),
     )
+    if quality_rules is not None:
+        import pyarrow.compute as pc
+
+        from ..functions.text_stats import gopher_filter_batch
+
+        rules = tuple(quality_rules)
+
+        def gate(b):
+            verdict = gopher_filter_batch(b)
+            keep = verdict.column(rules[0])
+            for r in rules[1:]:
+                keep = pc.and_(keep, verdict.column(r))
+            return b.filter(keep)
+
+        survivors = survivors.map_batches(
+            gate, batch_format="pyarrow", zero_copy_batch=True
+        )
     deduped = dedup_keep_best(survivors, carry_cols=("text", "source"))
 
     if checkpoint_dir is not None:

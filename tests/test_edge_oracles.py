@@ -78,6 +78,7 @@ QUERIES = [
     "dedup_keep_best",  # round 3: longest-variant winner (n_chars ties)
     "budget_sample",  # round 3: unbudgeted sources + tiny totals
     "curate",  # round 3: composed pipeline on empty/short docs
+    "curate_quality",  # round 3: + Gopher structural gate (may empty)
     "filter_blocklist",  # round 3: word-boundary blocklist on short docs
     "shuffle_shards",  # round 3: md5 shard shuffle on a tiny corpus
     "rollup_stats",  # round 3: GROUPING SETS with single-doc groups
