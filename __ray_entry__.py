@@ -625,6 +625,14 @@ def _q_gopher_filter(sf_dir: str):
     return _docs(sf_dir).map_batches(gopher_filter_batch, batch_format="pyarrow")
 
 
+def _q_readability(sf_dir: str):
+    """Flesch reading ease in exact micro-units — stateless map, zero
+    shuffle."""
+    from ocr_lib_ray.functions.text_stats import readability_batch
+
+    return _docs(sf_dir).map_batches(readability_batch, batch_format="pyarrow")
+
+
 def _q_entity_counts(sf_dir: str):
     """PII/entity density per doc — RE2 counts vectorized in the Arrow
     kernel (no Python loop), map-only, zero shuffle."""
@@ -1958,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "outlier_mad": _q_outlier_mad,
         "entity_counts": _q_entity_counts,
+        "readability": _q_readability,
         "nb_classify": _q_nb_classify,
         "countmin_topk": _q_countmin_topk,
         "gopher_filter": _q_gopher_filter,
@@ -2891,6 +2900,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mad.mad AS BIGINT) AS mad,
                    abs(tc.n_tokens - med.med) > 3 * mad.mad AS is_outlier
             FROM tc JOIN med USING (lang) JOIN mad ON mad.lang = tc.lang
+        """,
+        # Flesch reading ease: one double chain micro-floored per doc;
+        # sentences from RAW text, words from normalized, vowel-group
+        # syllables (min 1/word) — mirrors readability_batch
+        "readability": f"""
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS rawt,
+                              {norm} AS nm FROM documents),
+            w AS (SELECT doc_id, rawt,
+                         CASE WHEN nm = '' THEN CAST([] AS VARCHAR[])
+                              ELSE str_split(nm, ' ') END AS ws
+                  FROM b),
+            a AS (SELECT doc_id, len(ws) AS w,
+                         CASE WHEN len(ws) = 0 THEN 0
+                              ELSE greatest(1, len(regexp_extract_all(
+                                       rawt, '[.!?]+'))) END AS s,
+                         CASE WHEN len(ws) = 0 THEN 0
+                              ELSE CAST(list_sum([greatest(1,
+                                       len(regexp_extract_all(x,
+                                           '[aeiouyAEIOUY]+')))
+                                       FOR x IN ws]) AS BIGINT) END AS syl
+                  FROM w)
+            SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(syl AS BIGINT) AS n_syllables,
+                   CASE WHEN w = 0 THEN 0
+                        ELSE CAST(floor((206.835 - 1.015 * (w * 1.0 / s)
+                                         - 84.6 * (syl * 1.0 / w))
+                                        * 1e6 + 0.5) AS BIGINT)
+                   END AS flesch_micro
+            FROM a
         """,
         # entity density: the same RE2 patterns as redact.py, counted
         # independently on raw text (regexp_extract_all == Arrow

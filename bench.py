@@ -256,6 +256,7 @@ def run_bench() -> dict:
         "bpe_pairs",
         "props_stats",
         "curate_quality",
+        "readability",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -442,7 +442,8 @@ def corpus_report(docs_ds, group_cols=("source", "lang")):
 #: Gopher rule 7's English stop-word list (Rae et al. 2021, App. A1.1.2)
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-import re  # noqa: E402 — gopher rules are the only regex consumers here
+import math  # noqa: E402
+import re  # noqa: E402 — gopher + readability regex/micro math
 
 _GOPHER_ALPHA = re.compile(r"[A-Za-z]")
 _GOPHER_SYMBOL = re.compile(r"#|\.\.\.")
@@ -505,4 +506,53 @@ def gopher_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "r_ellip", "r_alpha", "r_stops", "passes")],
         names=["doc_id", "n_words", "r_words", "r_wordlen", "r_symbol",
                "r_bullet", "r_ellip", "r_alpha", "r_stops", "passes"],
+    )
+
+
+# --- Flesch reading ease ----------------------------------------------------
+
+_SENT_RE = re.compile(r"[.!?]+")
+_VOWEL_RE = re.compile(r"[aeiouyAEIOUY]+")
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch reading ease (Flesch 1948) per document, in exact
+    micro-units: ``206.835 - 1.015·(W/S) - 84.6·(Syl/W)`` where W =
+    words (normalized split), S = sentence count (runs of ``[.!?]`` in
+    the RAW text, min 1 when any word exists), Syl = syllable estimate
+    (vowel-group runs per word, min 1 per word — the standard cheap
+    heuristic; hyphenation dictionaries are out of scope).
+
+    The double chain is computed ONCE per doc and micro-floored, the
+    same IEEE ops the SQL oracle runs, so the score hash-verifies.
+    Documents with zero words emit score_micro = 0 and n_sentences = 0.
+    """
+    raw = [t or "" for t in batch.column(text_col).to_pylist()]
+    norm = normalize_expr(batch.column(text_col)).to_pylist()
+    n_words, n_sents, n_syll, scores = [], [], [], []
+    for rawt, t in zip(raw, norm):
+        ws = t.split(" ") if t else []
+        w = len(ws)
+        if w == 0:
+            n_words.append(0)
+            n_sents.append(0)
+            n_syll.append(0)
+            scores.append(0)
+            continue
+        s = max(1, len(_SENT_RE.findall(rawt)))
+        syl = sum(max(1, len(_VOWEL_RE.findall(word))) for word in ws)
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        n_words.append(w)
+        n_sents.append(s)
+        n_syll.append(syl)
+        scores.append(math.floor(score * 1e6 + 0.5))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_words, pa.int64()),
+            pa.array(n_sents, pa.int64()),
+            pa.array(n_syll, pa.int64()),
+            pa.array(scores, pa.int64()),
+        ],
+        names=["doc_id", "n_words", "n_sentences", "n_syllables", "flesch_micro"],
     )

@@ -107,6 +107,7 @@ QUERIES = [
     "countmin_topk",  # round 3: count-min sketch (tiny/empty corpora)
     "gopher_filter",  # round 3: Gopher rules (0-word docs, vacuous ratios)
     "bpe_pairs",  # round 3: BPE round-1 pair counts (1-char words skip)
+    "readability",  # round 3: Flesch micro-units (0-word, no-vowel docs)
     "quality_band",  # round 3: [P10,P90] percentile outlier trim
     "corpus_report",  # round 3: one-pass dashboard aggregate
     "percent_rank",  # round 3: sort-free window-exact ECDF

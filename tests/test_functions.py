@@ -919,3 +919,23 @@ def test_nb_classify_null_label_raises():
     )
     with pytest.raises(Exception, match="null labels"):
         nb_classify(rd.from_arrow(tbl), label_col="lang").materialize()
+
+
+def test_readability_golden():
+    """Flesch micro-units on hand-computable docs: the 'The cat sat.'
+    style 1-syllable/word text scores ~106.1; vowel-less words still
+    count 1 syllable; empty doc emits zeros."""
+    import math
+
+    from ocr_lib_ray.functions.text_stats import readability_batch
+
+    out = readability_batch(
+        docs_batch(["The cat sat. It ran! Done?", "", "xyz qrs"])
+    ).to_pandas().set_index("doc_id")
+    # doc1: W=6, S=3, Syl=7 → 206.835 - 1.015*2 - 84.6*(7/6)
+    want = math.floor((206.835 - 1.015 * (6 / 3) - 84.6 * (7 / 6)) * 1e6 + 0.5)
+    assert out.loc[1, "flesch_micro"] == want
+    assert out.loc[1, "n_sentences"] == 3 and out.loc[1, "n_syllables"] == 7
+    assert (out.loc[2] == 0).all()
+    # vowel-less words: min 1 syllable each, sentences floor at 1
+    assert out.loc[3, "n_syllables"] == 2 and out.loc[3, "n_sentences"] == 1
