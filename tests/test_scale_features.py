@@ -294,3 +294,41 @@ def test_safe_wipe_output_guards(tmp_path):
     assert (foreign / "precious.txt").exists()
     safe_wipe_output(str(foreign), overwrite=True)
     assert not (foreign / "precious.txt").exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "name",
+    ["dsir_weights", "bm25_topk", "nb_classify", "countmin_topk", "outlier_mad"],
+)
+def test_session7_ops_block_layout_invariant(name):
+    """The new train-then-score / sketch ops must be bit-identical
+    across block layouts — partials, broadcasts and tie-breaks may not
+    depend on how rows are split into blocks.  Compares each query's
+    result at the driver default layout against a forced 7-block run
+    via a repartitioned copy of the fixture."""
+    import sys
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    base = em.queries()[name](sf)
+    base = base.to_pandas() if hasattr(base, "to_pandas") else base
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # same rows, 7 shards — every query reads documents.parquet
+        t = pq.read_table(f"{sf}/documents.parquet")
+        rd.from_arrow(t).repartition(7).write_parquet(f"{d}/documents.parquet")
+        alt = em.queries()[name](d)
+        alt = alt.to_pandas() if hasattr(alt, "to_pandas") else alt
+
+    cols = sorted(base.columns)
+    a = base[cols].sort_values(cols).reset_index(drop=True)
+    b = alt[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), f"{name} diverges across block layouts"
