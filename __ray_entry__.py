@@ -701,6 +701,20 @@ def _q_minhash_components(sf_dir: str):
     return connected_components(pairs, node_col="doc_id")
 
 
+def _q_dedup_fuzzy_keep_best(sf_dir: str):
+    """Near-dup dedup keeping the quality winner per cluster (max
+    n_chars, min-id tie) — minhash pairs → distributed CC → bucketed
+    left join → keep_latest; nothing driver-collected."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dedup_fuzzy_keep_best
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return dedup_fuzzy_keep_best(docs, threshold=0.5)
+
+
 def _q_dedup_minhash(sf_dir: str):
     """Transitive-closure near-dup dedup over minhash-LSH pairs.
 
@@ -1977,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_components": _q_minhash_components,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_fuzzy_keep_best": _q_dedup_fuzzy_keep_best,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_bloom": _q_dedup_bloom,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
@@ -4006,6 +4021,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _simhash_pairs_sql(norm),
         "minhash_components": _minhash_pairs_sql(norm, components=True),
+        # fuzzy keep-best: the same bit-exact CC labels, quality winner
+        # (n_chars DESC, doc_id ASC) per component, singletons survive
+        "dedup_fuzzy_keep_best": f"""
+            WITH cc AS ({_minhash_pairs_sql(norm, components=True)}),
+            lab AS (SELECT d.doc_id, d.n_chars,
+                           coalesce(cc.component, d.doc_id) AS comp
+                    FROM documents d LEFT JOIN cc USING (doc_id))
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY comp
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM lab) WHERE rn = 1
+        """,
         "dedup_incremental_minhash": _minhash_pairs_sql(
             norm, threshold=0.5, incremental=True
         ),

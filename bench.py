@@ -257,6 +257,7 @@ def run_bench() -> dict:
         "props_stats",
         "curate_quality",
         "readability",
+        "dedup_fuzzy_keep_best",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -1196,3 +1196,67 @@ def ngram_jaccard_pairs_batch(batch: pa.Table, all_sets_ref, n: int, threshold: 
         ],
         names=["d1", "d2", "jaccard"],
     )
+
+
+def dedup_fuzzy_keep_best(
+    docs_ds,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    threshold: float = 0.5,
+):
+    """NEAR-dup dedup keeping each duplicate cluster's QUALITY winner
+    (max ``quality_col``, ties → min id) instead of the min-id winner —
+    what production fuzzy dedup actually ships: of a boilerplate-
+    trimmed page and its full-length twin, keep the longer one.
+
+    Composition of three existing scale paths, nothing collected on
+    the driver: :func:`minhash_lsh_pairs` (spanning candidate set) →
+    :func:`connected_components` (distributed min-label propagation) →
+    bucketed ``hash_join`` how="left" back onto (id, quality) →
+    ``keep_latest`` per component (max quality, min-id tie).  Docs in
+    no component are their own cluster and always survive.
+
+    ``quality_col`` values round-trip float64 through the left join
+    (documented hash_join dtype stabilization), so qualities must stay
+    < 2^53 — lengths and integer scores do.  Returns survivors as one
+    ``id_col`` column.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from .versions import keep_latest
+
+    pairs = minhash_lsh_pairs(docs_ds, threshold=threshold)
+    comps = connected_components(pairs, node_col=id_col)
+    labeled = hash_join(
+        docs_ds.map_batches(
+            lambda b: b.select([id_col, quality_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        comps,
+        key_col=id_col,
+        right_value_cols=["component"],
+        how="left",
+    )
+
+    def coalesce_comp(b: pa.Table) -> pa.Table:
+        # hash_join suffixes right columns: component arrives as
+        # component_r (float64 under how="left" dtype stabilization)
+        # an all-miss batch types component_r as null — cast first
+        comp = pc.coalesce(
+            b.column("component_r").cast(pa.float64()),
+            b.column(id_col).cast(pa.float64()),
+        )
+        q = b.column(quality_col).cast(pa.float64())
+        return pa.Table.from_arrays(
+            [b.column(id_col), comp, q], names=[id_col, "component", "q"]
+        )
+
+    labeled = labeled.map_batches(
+        coalesce_comp, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = keep_latest(labeled, key_col="component", ts_col="q", tie_col=id_col)
+    return winners.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+    )

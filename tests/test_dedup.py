@@ -420,3 +420,30 @@ def test_dedup_minhash_incremental(sf_small):
     out = dedup_minhash_incremental(new, empty_ref).to_pandas()
     assert sorted(out["doc_id"]) == [20_001, 20_002]
     assert sorted(out.columns) == ["doc_id", "text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_fuzzy_keep_best_keeps_longest_variant():
+    """The quality winner (max n_chars, min-id tie) survives its
+    near-dup cluster; singletons always survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dedup_fuzzy_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = [
+        (1, base, len(base)),                      # shorter variant
+        (2, base + "lambda mu nu", len(base) + 12),  # longer → wins
+        (3, "totally different content here with nothing shared at all",
+         58),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "n_chars": pa.array([d[2] for d in docs], pa.int64()),
+        }
+    )
+    out = dedup_fuzzy_keep_best(rd.from_arrow(tbl), threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3]

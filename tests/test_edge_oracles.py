@@ -68,6 +68,7 @@ QUERIES = [
     "dup_components",  # round 3: distributed CC over jaccard pairs
     "sample_split",
     "dedup_minhash",
+    "dedup_fuzzy_keep_best",  # round 3: CC quality-winner (empty-doc clique)
     "pack_sequences",
     "training_data",
     "training_data_curated",  # round 3: mixture + decontam folded in
