@@ -729,6 +729,47 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_connected(docs, pairs).select_columns(["doc_id"])
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Crawl-over-crawl snapshot diff: prior = even-id docs, new =
+    ids %3≠0 with a ' v2' edit at %5==0 — added/removed/changed/
+    unchanged all exercised; 32-byte fingerprints through ONE bucketed
+    full-outer join, text never shuffled."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import crawl_diff
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids_np = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids_np % 3 != 0))
+        ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        edited = pa.array(ids_np % 5 == 0)
+        text = pc.if_else(
+            edited,
+            pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()), " v2", ""
+            ),
+            t.column("text"),
+        )
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), text], names=["doc_id", "text"]
+        )
+
+    new_ds = docs.map_batches(mutate, batch_format="pyarrow", zero_copy_batch=True)
+    prior = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    return crawl_diff(new_ds, prior)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Crawl-over-crawl dedup: the even-doc_id half of the corpus plays
     the PRIOR crawl (its fingerprints are the published snapshot); the
@@ -1993,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_fuzzy_keep_best": _q_dedup_fuzzy_keep_best,
         "dedup_incremental": _q_dedup_incremental,
+        "crawl_diff": _q_crawl_diff,
         "dedup_bloom": _q_dedup_bloom,
         "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -4040,6 +4082,27 @@ def oracle_sql() -> dict[str, str]:
         # incremental crawl-over-crawl dedup: survivors are docs whose
         # normalized-content md5 is absent from the prior-crawl (even
         # doc_id) fingerprint snapshot
+        # snapshot diff: fingerprint compare over a full-outer join;
+        # the ' v2' edit is applied pre-normalization on both sides
+        "crawl_diff": f"""
+            WITH n0 AS (SELECT doc_id,
+                               CASE WHEN doc_id % 5 = 0
+                                    THEN {_NORM_T.format(x="text || ' v2'")}
+                                    ELSE {norm} END AS nm
+                        FROM documents WHERE doc_id % 3 <> 0),
+            p0 AS (SELECT doc_id, {norm} AS nm
+                   FROM documents WHERE doc_id % 2 = 0),
+            j AS (SELECT doc_id, n0.nm AS nn, p0.nm AS pn,
+                         n0.doc_id IS NOT NULL AS in_new,
+                         p0.doc_id IS NOT NULL AS in_old
+                  FROM n0 FULL OUTER JOIN p0 USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN NOT in_new THEN 'removed'
+                        WHEN NOT in_old THEN 'added'
+                        WHEN nn = pn THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM j
+        """,
         "dedup_incremental": f"""
             WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
             ref AS (SELECT md5(nm) AS f FROM d WHERE doc_id % 2 = 0)

@@ -258,6 +258,7 @@ def run_bench() -> dict:
         "curate_quality",
         "readability",
         "dedup_fuzzy_keep_best",
+        "crawl_diff",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

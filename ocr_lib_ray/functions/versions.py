@@ -86,3 +86,60 @@ def keep_latest(ds, key_col: str, ts_col: str, tie_col: str):
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     return pruned.groupby(key_col).map_groups(finish, batch_format="pyarrow")
+
+
+def crawl_diff(new_ds, prior_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Snapshot reconciliation between two crawls of the same key space:
+    one (id, status) row per key seen in EITHER crawl, status ∈
+    {'added', 'removed', 'changed', 'unchanged'} by comparing the
+    normalized-content md5 fingerprints — the incremental-crawl diff
+    that decides what re-enters the processing pipeline.
+
+    Scale shape: both sides reduce to (id, fingerprint) rows (32-byte
+    payloads — text never crosses the wire), reconciled by ONE bucketed
+    full-outer hash join; the status stamp is map-only.  The join keys
+    stay int64/string (only the fingerprint VALUE columns take
+    hash_join's float64/object stabilization, and md5 hexes are
+    strings, so nothing is lossy).
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from ..functions.dedup import doc_fingerprints
+
+    new_fp = doc_fingerprints(new_ds, id_col=id_col, text_col=text_col)
+    old_fp = doc_fingerprints(prior_ds, id_col=id_col, text_col=text_col).map_batches(
+        lambda b: b.rename_columns([id_col, "fingerprint_old"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(
+        new_fp,
+        old_fp,
+        key_col=id_col,
+        right_value_cols=["fingerprint_old"],
+        how="full_outer",
+        suffix="",
+    )
+
+    def stamp(b: pa.Table) -> pa.Table:
+        new_f = b.column("fingerprint")
+        old_f = b.column("fingerprint_old")
+        status = pc.if_else(
+            pc.is_null(new_f),
+            pa.scalar("removed"),
+            pc.if_else(
+                pc.is_null(old_f),
+                pa.scalar("added"),
+                pc.if_else(
+                    pc.equal(new_f, old_f),
+                    pa.scalar("unchanged"),
+                    pa.scalar("changed"),
+                ),
+            ),
+        )
+        return pa.Table.from_arrays(
+            [b.column(id_col), status], names=[id_col, "status"]
+        )
+
+    return joined.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)

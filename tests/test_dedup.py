@@ -447,3 +447,33 @@ def test_dedup_fuzzy_keep_best_keeps_longest_variant():
     )
     out = dedup_fuzzy_keep_best(rd.from_arrow(tbl), threshold=0.5).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_diff_statuses():
+    """All four statuses from hand-built crawls; normalization means a
+    whitespace-only edit is 'unchanged'."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import crawl_diff
+
+    prior = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["one", "two", "three", "four"],
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+            "text": ["two  EDITED", "three", "  four \n", "five"],
+        }
+    )
+    out = (
+        crawl_diff(rd.from_arrow(new), rd.from_arrow(prior))
+        .to_pandas()
+        .set_index("doc_id")["status"]
+        .sort_index()
+    )
+    assert list(out) == ["removed", "changed", "unchanged", "unchanged", "added"]

@@ -74,6 +74,7 @@ QUERIES = [
     "training_data_curated",  # round 3: mixture + decontam folded in
     "simhash_pairs",  # round 3: md5-upper64 simhash replicated in SQL
     "dedup_incremental",  # round 3: crawl-over-crawl anti-join dedup
+    "crawl_diff",  # round 3: snapshot diff (empty docs, tiny key space)
     "dedup_bloom",  # round 3: Bloom-bitmap crawl-over-crawl dedup
     "dedup_normalized",  # round 3: case/punct-blind dedup (empty docs collide)
     "dedup_keep_best",  # round 3: longest-variant winner (n_chars ties)
