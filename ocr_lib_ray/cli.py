@@ -121,6 +121,12 @@ def main(argv=None) -> int:
     )
     cu.add_argument("--shards", type=int, default=16)
     cu.add_argument(
+        "--quality-gate",
+        action="store_true",
+        help="apply the Gopher STRUCTURAL quality rules (language-"
+        "neutral subset — no stop-word rule) before the dedup",
+    )
+    cu.add_argument(
         "--checkpoint-dir",
         help="deduped-survivors checkpoint (recommended beyond toy scale: "
         "the budget stage's two passes re-read parquet instead of "
@@ -179,6 +185,8 @@ def main(argv=None) -> int:
                 budgets[k.strip()] = float(v)
         terms = [t.strip() for t in args.blocklist.split(",") if t.strip()]
         safe_wipe_output(args.output, overwrite=args.overwrite)
+        from .pipelines.curate import GOPHER_STRUCTURAL
+
         curated = curate_corpus(
             docs,
             terms,
@@ -186,6 +194,7 @@ def main(argv=None) -> int:
             num_shards=args.shards,
             checkpoint_dir=args.checkpoint_dir,
             overwrite=args.overwrite,
+            quality_rules=GOPHER_STRUCTURAL if args.quality_gate else None,
         )
         curated.write_parquet(args.output, partition_cols=["shard"])
 
