@@ -123,8 +123,11 @@ def crawl_diff(new_ds, prior_ds, id_col: str = "doc_id", text_col: str = "text")
     )
 
     def stamp(b: pa.Table) -> pa.Table:
-        new_f = b.column("fingerprint")
-        old_f = b.column("fingerprint_old")
+        # a single-status batch (e.g. all-removed) types the absent
+        # side's column as null — cast so equal()/if_else have string
+        # kernels (all if_else branches evaluate eagerly)
+        new_f = b.column("fingerprint").cast(pa.string())
+        old_f = b.column("fingerprint_old").cast(pa.string())
         status = pc.if_else(
             pc.is_null(new_f),
             pa.scalar("removed"),

@@ -477,3 +477,24 @@ def test_crawl_diff_statuses():
         .sort_index()
     )
     assert list(out) == ["removed", "changed", "unchanged", "unchanged", "added"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_diff_disjoint_snapshots():
+    """Disjoint key spaces: every batch is single-status (all-added /
+    all-removed), which types the absent side's fingerprint column as
+    null — the stamp must still emit strings."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import crawl_diff
+
+    prior = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]})
+    new = pa.table({"doc_id": pa.array([3, 4], pa.int64()), "text": ["c", "d"]})
+    out = (
+        crawl_diff(rd.from_arrow(new), rd.from_arrow(prior))
+        .to_pandas()
+        .set_index("doc_id")["status"]
+        .sort_index()
+    )
+    assert list(out) == ["removed", "removed", "added", "added"]
