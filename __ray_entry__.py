@@ -1116,6 +1116,20 @@ def _q_curate_quality(sf_dir: str):
     )
 
 
+def _q_weighted_sample_k(sf_dir: str):
+    """Exact-k weighted sample (A-ES keys from md5 uniforms): longer
+    docs proportionally likelier, output exactly 20 rows — map-only
+    stamping + per-block top-k prune."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import weighted_sample_k
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_k(docs, weight_col="n_chars", k=20)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Quality-winner dedup (longest variant wins, not min id)."""
     import ray.data as rd
@@ -2001,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_quantiles": _q_score_quantiles,
         "corpus_report": _q_corpus_report,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_k": _q_weighted_sample_k,
         "value_quantiles": _q_value_quantiles,
         "percent_rank": _q_percent_rank,
         "percent_rank_by_lang": _q_percent_rank_by_lang,
@@ -3355,6 +3370,20 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{norm}", _NORM),
         # longest-variant winner per normalized form (row_number ties
         # broken on doc_id — same total order as keep_latest)
+        # A-ES exact-k weighted sample: u from the TOP 53 bits of the
+        # md5 (exact int->double both sides), key = ln(u)/w nano-floored
+        "weighted_sample_k": """
+            WITH w AS (SELECT doc_id, n_chars FROM documents
+                       WHERE n_chars > 0),
+            k AS (SELECT doc_id,
+                         CAST(floor(ln(((md5_number_lower('aes' ||
+                                  CAST(doc_id AS VARCHAR)) >> 11) + 1)
+                                  / 9007199254740992.0)
+                              / n_chars * 1e9 + 0.5) AS BIGINT) AS key_nano
+                  FROM w)
+            SELECT doc_id, key_nano FROM k
+            QUALIFY row_number() OVER (ORDER BY key_nano DESC, doc_id) <= 20
+        """,
         "dedup_keep_best": """
             WITH n AS (SELECT doc_id, n_chars,
                               trim(regexp_replace(lower(text),

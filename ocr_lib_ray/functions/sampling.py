@@ -308,3 +308,63 @@ def budget_sample(
     return docs_ds.map_batches(
         keep_mask, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def weighted_sample_k(
+    ds,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "aes",
+):
+    """EXACT-k weighted sample without replacement — the
+    Efraimidis-Spirakis (2006) A-ES reservoir scheme made deterministic:
+    each row gets key = ln(u)/w with u a (0,1] uniform derived from the
+    md5 of (salt, id), and the k largest keys win.  Inclusion odds are
+    weight-proportional like :func:`weighted_sample`'s rate filter, but
+    the output size is exactly min(k, rows) — what a fixed training-
+    budget draw needs.  Rows with weight <= 0 are excluded.
+
+    Exactness bridge: u = ((md5_lower64 >> 11) + 1) / 2^53 — the top 53
+    bits, so the int→double conversion is EXACT on both sides (a full
+    64-bit value would round and could diverge); key_nano =
+    floor(ln(u) / w * 1e9 + 0.5), one IEEE chain shared with the SQL
+    oracle; ties break on id.
+
+    Scale shape: key stamping is map-only; selection reuses
+    :func:`ranking.topk_per_group`'s per-block prune under a constant
+    group, so at most k rows per block reach the final task.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .ranking import topk_per_group
+
+    def stamp(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column(weight_col), 0))
+        ids = t.column(id_col).to_pylist()
+        ws = t.column(weight_col).to_pylist()
+        keys = []
+        for i, w in zip(ids, ws):
+            h = int.from_bytes(
+                hashlib.md5(f"{salt}{i}".encode()).digest()[8:], "little"
+            )
+            u = ((h >> 11) + 1) / 9007199254740992.0
+            keys.append(math.floor(math.log(u) / w * 1e9 + 0.5))
+        return pa.Table.from_arrays(
+            [
+                pa.array([""] * len(ids), pa.string()),
+                t.column(id_col),
+                pa.array(keys, pa.int64()),
+            ],
+            names=["_g", id_col, "key_nano"],
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+    top = topk_per_group(stamped, "_g", "key_nano", k, id_col)
+    return top.map_batches(
+        lambda b: b.select([id_col, "key_nano"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

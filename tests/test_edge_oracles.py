@@ -89,6 +89,7 @@ QUERIES = [
     "minhash_components",  # round 3: distributed CC over LSH pairs
     "stratified_sample",
     "weighted_sample",  # round 3: quality-proportional md5 sampling
+    "weighted_sample_k",  # round 3: A-ES exact-k (0-weight docs excluded)
     "cap_per_source",  # round 3: per-domain doc cap (srcA capped at 3)
     "sample_fixed_k",
     "topk_per_group",

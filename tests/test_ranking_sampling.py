@@ -292,3 +292,33 @@ def test_weighted_sample_determinism_and_edges():
     # keep-rate sanity: w=0.5 stratum keeps roughly half (md5 uniform)
     half = [i for i in kept1 if by_id[i] == 0.5]
     assert 0.3 * n / 8 < len(half) < 0.7 * n / 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_k_exact_size_and_weight_bias():
+    """A-ES sample: exactly k rows, zero-weight rows never selected,
+    and over the salt-keyed draws heavier rows are picked first (the
+    max-weight row wins with overwhelming odds on a skewed corpus)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import weighted_sample_k
+
+    n = 200
+    # one giant-weight row among unit weights
+    weights = [1] * n
+    weights[37] = 1_000_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)) + [999], pa.int64()),
+            "n_chars": pa.array(weights + [0], pa.int64()),
+        }
+    )
+    out = weighted_sample_k(
+        rd.from_arrow(tbl), weight_col="n_chars", k=10
+    ).to_pandas()
+    assert len(out) == 10
+    assert 999 not in set(out["doc_id"])  # zero weight excluded
+    assert 37 in set(out["doc_id"])  # P(miss) ≈ (stuff)^1e6 — deterministic here
+    # keys sorted descending with id tie-break is the selection order
+    assert list(out["key_nano"]) == sorted(out["key_nano"], reverse=True)
