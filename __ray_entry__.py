@@ -846,6 +846,19 @@ def _emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """SQ8 embedding quantization: d-row min/max shuffle + broadcast
+    + map-only codes; flattened int rows for the exact compare."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import quantize_embeddings
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(emb)
+
+
 def _q_cluster_kmeans(sf_dir: str):
     """SemDeDup-style clustering step: integer k-means (k=8, 2 Lloyd
     rounds, seeds = vec_ids 0..7) over the embedding table.  Every
@@ -2058,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "cosine_dups": _q_cosine_dups,
         "cluster_kmeans": _q_cluster_kmeans,
+        "quantize_embeddings": _q_quantize_embeddings,
         "semantic_dedup": _q_semantic_dedup,
         "graph_rank": _q_graph_rank,
         "graph_triangles": _q_graph_triangles,
@@ -3225,6 +3239,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SemDeDup clustering step: integer k-means, iterations
         # unrolled as CTEs — every value exact int64 on both sides
+        # SQ8 quantization: basic IEEE double chain (no transcendentals),
+        # float32 widens exactly, min/max order-free — numpy == DuckDB
+        "quantize_embeddings": """
+            WITH f AS (SELECT vec_id, i AS dim,
+                              CAST(embedding[i] AS DOUBLE) AS v
+                       FROM (SELECT vec_id, embedding,
+                                    unnest(range(1, len(embedding) + 1)) AS i
+                             FROM embeddings)),
+            mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM f GROUP BY 1),
+            q AS (SELECT f.vec_id, f.dim, f.v, mm.mn, mm.mx,
+                         CASE WHEN mm.mx = mm.mn THEN 0
+                              ELSE CAST(floor((f.v - mm.mn)
+                                        / (mm.mx - mm.mn) * 255 + 0.5)
+                                   AS BIGINT) END AS code
+                  FROM f JOIN mm USING (dim))
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim, code,
+                   CAST(floor(abs(v - (mn + code * (mx - mn) / 255))
+                              * 1e6 + 0.5) AS BIGINT) AS err_micro
+            FROM q
+        """,
         "cluster_kmeans": _kmeans_sql(k=8, iters=2),
         # SemDeDup prune: exact-int64 cosine dominance within clusters
         "semantic_dedup": _semantic_dedup_sql(k=8, iters=2),

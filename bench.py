@@ -260,6 +260,7 @@ def run_bench() -> dict:
         "dedup_fuzzy_keep_best",
         "crawl_diff",
         "weighted_sample_k",
+        "quantize_embeddings",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -244,3 +244,86 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(prune, batch_format="pandas")
     )
+
+
+def quantize_embeddings(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Int8 scalar quantization (the SQ8 storage-compression step of an
+    ANN index): per-dimension [min, max] learned in one tiny shuffle,
+    then ``code = floor((v - mn) / (mx - mn) * 255 + 0.5)`` stamped
+    map-only, with the reconstruction error carried for observability.
+
+    Output is FLATTENED — one (id, dim, code, err_micro) row per
+    coordinate (dim 1-based) — so the driver compare is plain integers,
+    and err_micro = floor(|v - (mn + code·(mx-mn)/255)| · 1e6 + 0.5).
+    Every operation in the chain is basic IEEE double arithmetic (no
+    transcendentals), float32 inputs widen exactly, and min/max are
+    order-free, so numpy and DuckDB agree bit-for-bit.  Constant
+    dimensions (mx == mn) code to 0 with zero error.
+
+    Scale shape: pass 1 ships (dim, min, max) partials — d rows per
+    block — through one d-row groupby; the [mn, mx] table broadcasts
+    via ``ray.put`` (KBs); pass 2 is map-only.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def mat(b: pa.Table) -> np.ndarray:
+        col = b.column(vec_col).combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(b)
+        if n and flat.size % n:
+            raise ValueError("quantize_embeddings: ragged embedding lengths")
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+    def minmax_partials(b: pa.Table) -> pa.Table:
+        m = mat(b)
+        if m.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64()),
+                 pa.array([], pa.float64())],
+                names=["dim", "mn", "mx"],
+            )
+        d = m.shape[1]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.arange(1, d + 1), pa.int64()),
+                pa.array(m.min(axis=0), pa.float64()),
+                pa.array(m.max(axis=0), pa.float64()),
+            ],
+            names=["dim", "mn", "mx"],
+        )
+
+    agg = (
+        emb_ds.map_batches(minmax_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = agg["mn"].to_numpy()
+    mx = agg["mx"].to_numpy()
+    ref = ray.put((mn, mx))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        mn_a, mx_a = ray.get(ref)
+        m = mat(b)
+        n, d = m.shape if m.size else (0, len(mn_a))
+        span = mx_a - mn_a
+        const = span == 0
+        safe = np.where(const, 1.0, span)
+        code = np.floor((m - mn_a) / safe * 255 + 0.5)
+        code[:, const] = 0.0
+        recon = mn_a + code * span / 255
+        err = np.floor(np.abs(m - recon) * 1e6 + 0.5)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(ids, d), pa.int64()),
+                pa.array(np.tile(np.arange(1, d + 1), n), pa.int64()),
+                pa.array(code.reshape(-1).astype(np.int64), pa.int64()),
+                pa.array(err.reshape(-1).astype(np.int64), pa.int64()),
+            ],
+            names=[id_col, "dim", "code", "err_micro"],
+        )
+
+    return emb_ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)

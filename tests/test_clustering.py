@@ -162,3 +162,34 @@ def test_cosine_bounds_guard_raises_before_overflow():
     bad = np.full((3, 256), 2000, dtype=np.int64)
     with pytest.raises(ValueError, match="overflow"):
         _check_cosine_bounds(bad, 16, 100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantize_embeddings_roundtrip_error_bound():
+    """SQ8 codes: within [0,255], constant dims code 0 with zero error,
+    and reconstruction error is bounded by half a quantization step."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import quantize_embeddings
+
+    vecs = [
+        [0.0, 5.0, -1.0],
+        [1.0, 5.0, 3.0],
+        [0.5, 5.0, 1.0],
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = quantize_embeddings(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 9
+    assert out["code"].between(0, 255).all()
+    d2 = out[out["dim"] == 2]
+    assert (d2["code"] == 0).all() and (d2["err_micro"] == 0).all()
+    # half-step bound: span/255/2, in micro units (+1 for the floor)
+    for dim, span in ((1, 1.0), (3, 4.0)):
+        bound = span / 255 / 2 * 1e6 + 1
+        assert (out[out["dim"] == dim]["err_micro"] <= bound).all()

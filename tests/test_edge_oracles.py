@@ -129,6 +129,7 @@ EMBEDDING_QUERIES = {
     "cosine_dups",
     "cosine_dups_lsh",
     "cluster_kmeans",  # round 3: integer k-means, SQL-oracled at sf
+    "quantize_embeddings",  # round 3: SQ8 codes, SQL-oracled at sf
     "semantic_dedup",  # round 3: cluster + within-cluster prune
     "decontaminate_embedding",  # round 3: eval decontam in embedding space
     "doc_embedding_join",  # round 3: general bucketed hash equi-join
