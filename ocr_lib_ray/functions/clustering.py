@@ -306,8 +306,14 @@ def quantize_embeddings(emb_ds, id_col: str = "vec_id", vec_col: str = "embeddin
 
     def stamp(b: pa.Table) -> pa.Table:
         mn_a, mx_a = ray.get(ref)
+        if len(b) == 0:
+            # a (0,0) matrix cannot broadcast against the (d,) bounds
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=[id_col, "dim", "code", "err_micro"],
+            )
         m = mat(b)
-        n, d = m.shape if m.size else (0, len(mn_a))
+        n, d = m.shape
         span = mx_a - mn_a
         const = span == 0
         safe = np.where(const, 1.0, span)
