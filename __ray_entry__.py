@@ -859,6 +859,20 @@ def _q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(emb)
 
 
+def _q_knn_sq8(sf_dir: str):
+    """Quantized ANN: exact cosine top-k over the SQ8-RECONSTRUCTED
+    index (the compressed-storage search path) — reconstruction is
+    map-only against broadcast bounds, then the brute top-k machinery.
+    Oracled because the reconstruction chain is pure IEEE arithmetic."""
+    from ocr_lib_ray.functions.clustering import sq8_reconstruct
+    from ocr_lib_ray.functions.similarity import knn_brute
+
+    rec = sq8_reconstruct(_emb(sf_dir))
+    return knn_brute(rec, query_ids=list(range(10)), k=5).select_columns(
+        ["query_id", "vec_id"]
+    )
+
+
 def _q_cluster_kmeans(sf_dir: str):
     """SemDeDup-style clustering step: integer k-means (k=8, 2 Lloyd
     rounds, seeds = vec_ids 0..7) over the embedding table.  Every
@@ -2072,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dups": _q_cosine_dups,
         "cluster_kmeans": _q_cluster_kmeans,
         "quantize_embeddings": _q_quantize_embeddings,
+        "knn_sq8": _q_knn_sq8,
         "semantic_dedup": _q_semantic_dedup,
         "graph_rank": _q_graph_rank,
         "graph_triangles": _q_graph_triangles,
@@ -3233,6 +3248,36 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT query_id, vec_id,
                          row_number() OVER (PARTITION BY query_id
                              ORDER BY list_cosine_similarity(qe, embedding) DESC,
+                                      vec_id ASC) AS rk
+                  FROM q CROSS JOIN c)
+            SELECT query_id, vec_id FROM s WHERE rk <= 5
+        """,
+        # quantized ANN: cosine rank over the SQ8 reconstructions —
+        # recon lists rebuilt in SQL ordered by dim, then the same
+        # row_number rank as knn_brute
+        "knn_sq8": """
+            WITH f AS (SELECT vec_id, i AS dim,
+                              CAST(embedding[i] AS DOUBLE) AS v
+                       FROM (SELECT vec_id, embedding,
+                                    unnest(range(1, len(embedding) + 1)) AS i
+                             FROM embeddings)),
+            mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM f GROUP BY 1),
+            r AS (SELECT f.vec_id, f.dim,
+                         CASE WHEN mm.mx = mm.mn THEN mm.mn
+                              ELSE mm.mn
+                                   + CAST(floor((f.v - mm.mn)
+                                           / (mm.mx - mm.mn) * 255 + 0.5)
+                                     AS BIGINT) * (mm.mx - mm.mn) / 255
+                         END AS rv
+                  FROM f JOIN mm USING (dim)),
+            re AS (SELECT vec_id, list(rv ORDER BY dim) AS emb
+                   FROM r GROUP BY 1),
+            q AS (SELECT vec_id AS query_id, emb AS qe FROM re
+                  WHERE vec_id < 10),
+            c AS (SELECT vec_id, emb FROM re WHERE vec_id >= 10),
+            s AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY list_cosine_similarity(qe, emb) DESC,
                                       vec_id ASC) AS rk
                   FROM q CROSS JOIN c)
             SELECT query_id, vec_id FROM s WHERE rk <= 5

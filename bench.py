@@ -261,6 +261,7 @@ def run_bench() -> dict:
         "crawl_diff",
         "weighted_sample_k",
         "quantize_embeddings",
+        "knn_sq8",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -333,3 +333,75 @@ def quantize_embeddings(emb_ds, id_col: str = "vec_id", vec_col: str = "embeddin
         )
 
     return emb_ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sq8_reconstruct(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(id, embedding) with every coordinate replaced by its SQ8
+    reconstruction ``mn + code·(mx-mn)/255`` (float64 lists) — the
+    compressed-index view a quantized ANN searches.  Shares the
+    quantization chain with :func:`quantize_embeddings` exactly
+    (same bounds pass, same IEEE ops), so a DuckDB replica of the codes
+    reconstructs byte-identical doubles.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def mat(b: pa.Table) -> np.ndarray:
+        col = b.column(vec_col).combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(b)
+        if n and flat.size % n:
+            raise ValueError("sq8_reconstruct: ragged embedding lengths")
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+    def minmax_partials(b: pa.Table) -> pa.Table:
+        m = mat(b)
+        if m.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64()),
+                 pa.array([], pa.float64())],
+                names=["dim", "mn", "mx"],
+            )
+        d = m.shape[1]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.arange(1, d + 1), pa.int64()),
+                pa.array(m.min(axis=0), pa.float64()),
+                pa.array(m.max(axis=0), pa.float64()),
+            ],
+            names=["dim", "mn", "mx"],
+        )
+
+    agg = (
+        emb_ds.map_batches(minmax_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    ref = ray.put((agg["mn"].to_numpy(), agg["mx"].to_numpy()))
+
+    def rec(b: pa.Table) -> pa.Table:
+        mn_a, mx_a = ray.get(ref)
+        if len(b) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.float64()))],
+                names=[id_col, vec_col],
+            )
+        m = mat(b)
+        span = mx_a - mn_a
+        const = span == 0
+        safe = np.where(const, 1.0, span)
+        code = np.floor((m - mn_a) / safe * 255 + 0.5)
+        code[:, const] = 0.0
+        recon = mn_a + code * span / 255
+        return pa.Table.from_arrays(
+            [
+                b.column(id_col),
+                pa.array(list(recon), pa.list_(pa.float64())),
+            ],
+            names=[id_col, vec_col],
+        )
+
+    return emb_ds.map_batches(rec, batch_format="pyarrow", zero_copy_batch=True)

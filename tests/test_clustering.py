@@ -193,3 +193,22 @@ def test_quantize_embeddings_roundtrip_error_bound():
     for dim, span in ((1, 1.0), (3, 4.0)):
         bound = span / 255 / 2 * 1e6 + 1
         assert (out[out["dim"] == dim]["err_micro"] <= bound).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_sq8_recall_vs_brute():
+    """Quantized ANN sanity: at 8 bits/dim the SQ8 top-5 recovers most
+    of the exact brute top-5 on the fixture embeddings (recall floor
+    0.8 — quantization noise may flip boundary ranks, never the bulk)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    brute = em.queries()["knn_brute"](sf).to_pandas()
+    sq8 = em.queries()["knn_sq8"](sf).to_pandas()
+    b = set(map(tuple, brute[["query_id", "vec_id"]].itertuples(index=False)))
+    s = set(map(tuple, sq8[["query_id", "vec_id"]].itertuples(index=False)))
+    assert len(s) == len(b) == 50
+    assert len(b & s) / len(b) >= 0.8
