@@ -1203,31 +1203,90 @@ def dedup_fuzzy_keep_best(
     id_col: str = "doc_id",
     quality_col: str = "n_chars",
     threshold: float = 0.5,
+    mode: str = "broadcast",
+    max_broadcast: int = 50_000_000,
 ):
     """NEAR-dup dedup keeping each duplicate cluster's QUALITY winner
-    (max ``quality_col``, ties → min id) instead of the min-id winner —
+    (max ``quality_col``, ties -> min id) instead of the min-id winner —
     what production fuzzy dedup actually ships: of a boilerplate-
     trimmed page and its full-length twin, keep the longer one.
 
-    Composition of three existing scale paths, nothing collected on
-    the driver: :func:`minhash_lsh_pairs` (spanning candidate set) →
-    :func:`connected_components` (distributed min-label propagation) →
-    bucketed ``hash_join`` how="left" back onto (id, quality) →
-    ``keep_latest`` per component (max quality, min-id tie).  Docs in
-    no component are their own cluster and always survive.
+    Composition of existing scale paths: :func:`minhash_lsh_pairs`
+    (spanning candidate set) -> :func:`connected_components`
+    (distributed min-label propagation), then the winner pass in one of
+    two modes:
 
-    ``quality_col`` values round-trip float64 through the left join
-    (documented hash_join dtype stabilization), so qualities must stay
-    < 2^53 — lengths and integer scores do.  Returns survivors as one
-    ``id_col`` column.
+    * ``mode="broadcast"`` (default): the (id, component) labels — the
+      DUP SUBSET, not the corpus — are collected and ``ray.put`` once
+      (guarded by ``max_broadcast``); unlabeled docs survive map-only,
+      and only labeled docs pay the keep_latest shuffle.  The expensive
+      stages scale with the duplicate count, the repo's winner-broadcast
+      discipline (pipelines/corpus.py).
+    * ``mode="join"``: nothing driver-collected — bucketed
+      ``hash_join`` how="left" back onto (id, quality) + corpus-wide
+      ``keep_latest`` (quality round-trips float64 through the left
+      join, so qualities must stay < 2^53).  Use when the dup subset
+      itself is corpus-scale (40%+ dup crawls).
+
+    Returns survivors as one ``id_col`` column.
     """
+    import ray
+
     import pyarrow.compute as pc
 
     from .joins import hash_join
     from .versions import keep_latest
 
+    # materialize the (id, component) state: downstream schema probes
+    # would otherwise re-execute the whole minhash+CC lineage
     pairs = minhash_lsh_pairs(docs_ds, threshold=threshold)
-    comps = connected_components(pairs, node_col=id_col)
+    comps = connected_components(pairs, node_col=id_col).materialize()
+
+    if mode == "broadcast":
+        if comps.count() > max_broadcast:
+            raise ValueError(
+                f"dup-cluster labels ({comps.count()} rows) exceed "
+                f"max_broadcast={max_broadcast}; rerun with mode='join'"
+            )
+        label: dict = {}
+        for b in comps.iter_batches(batch_format="pyarrow"):
+            label.update(
+                zip(b.column(id_col).to_pylist(), b.column("component").to_pylist())
+            )
+        ref = ray.put(label)
+
+        def singles(b: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            keep = [i not in lab for i in b.column(id_col).to_pylist()]
+            return b.filter(pa.array(keep, pa.bool_())).select([id_col])
+
+        def dup_rows(b: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            mask = [i in lab for i in b.column(id_col).to_pylist()]
+            t = b.filter(pa.array(mask, pa.bool_()))
+            comp = pa.array(
+                [lab[i] for i in t.column(id_col).to_pylist()], pa.int64()
+            )
+            return pa.Table.from_arrays(
+                [t.column(id_col), comp, t.column(quality_col)],
+                names=[id_col, "component", "q"],
+            )
+
+        single_ids = docs_ds.map_batches(
+            singles, batch_format="pyarrow", zero_copy_batch=True
+        )
+        dups = docs_ds.map_batches(
+            dup_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        winners = keep_latest(dups, key_col="component", ts_col="q", tie_col=id_col)
+        winner_ids = winners.map_batches(
+            lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return single_ids.union(winner_ids)
+
+    if mode != "join":
+        raise ValueError(f"mode must be 'broadcast' or 'join', got {mode!r}")
+
     labeled = hash_join(
         docs_ds.map_batches(
             lambda b: b.select([id_col, quality_col]),
@@ -1241,8 +1300,6 @@ def dedup_fuzzy_keep_best(
     )
 
     def coalesce_comp(b: pa.Table) -> pa.Table:
-        # hash_join suffixes right columns: component arrives as
-        # component_r (float64 under how="left" dtype stabilization)
         # an all-miss batch types component_r as null — cast first
         comp = pc.coalesce(
             b.column("component_r").cast(pa.float64()),
@@ -1255,7 +1312,7 @@ def dedup_fuzzy_keep_best(
 
     labeled = labeled.map_batches(
         coalesce_comp, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()  # keep_latest's schema validation would re-run the join
     winners = keep_latest(labeled, key_col="component", ts_col="q", tie_col=id_col)
     return winners.map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True

@@ -498,3 +498,19 @@ def test_crawl_diff_disjoint_snapshots():
         .sort_index()
     )
     assert list(out) == ["removed", "removed", "added", "added"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_fuzzy_keep_best_modes_equivalent():
+    """broadcast (dup-subset shuffle) and join (nothing collected)
+    modes select the identical survivor set."""
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    from ocr_lib_ray.functions.dedup import dedup_fuzzy_keep_best
+
+    docs = rd.read_parquet(sf, columns=["doc_id", "text", "n_chars"])
+    a = set(dedup_fuzzy_keep_best(docs).to_pandas()["doc_id"])
+    docs2 = rd.read_parquet(sf, columns=["doc_id", "text", "n_chars"])
+    b = set(dedup_fuzzy_keep_best(docs2, mode="join").to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
