@@ -2028,6 +2028,114 @@ def _media_features_sql(norm: str) -> str:
     """
 
 
+def _ts_us(s: str) -> int:
+    """Naive date string → epoch micros (matches DuckDB epoch_us on the
+    tz-naive parquet timestamps)."""
+    import pandas as pd
+
+    return int(pd.Timestamp(s).value // 1000)
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: grouped exact-integer pricing sums over lineitem
+    (one corpus pass, per-block combiner, ≤|flag×status| shuffle rows).
+    Money in integer units — see functions/relational.py module doc."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import pricing_summary
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    return pricing_summary(li, cutoff_us=_ts_us("2000-09-02"))
+
+
+def _q_star_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per ASIA nation, orders in 1996–1997.
+    lineitem pre-aggregated per orderkey per block BEFORE its join;
+    nation⋈region broadcast (constant-size at any scale factor);
+    customer through the bucketed hash join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import star_revenue
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    return star_revenue(
+        li,
+        orders,
+        cust,
+        nation,
+        region,
+        region_name="ASIA",
+        lo_us=_ts_us("1996-01-01"),
+        hi_us=_ts_us("1998-01-01"),
+    )
+
+
+def _q_top_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-10 customers by returned ('R') revenue in a
+    one-year window; global top-k = per-block prune → single-partition
+    final prune, ties (revenue DESC, custkey ASC)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import top_customers
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return top_customers(
+        li, orders, cust, lo_us=_ts_us("1996-07-01"), hi_us=_ts_us("1997-07-01"), k=10
+    )
+
+
+def _q_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: per-priority count of orders with a lineitem
+    shipped after the order date (EXISTS-with-predicate rewritten as a
+    max-per-orderkey partial + inner join + filter)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import late_order_priority
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    return late_order_priority(
+        li, orders, lo_us=_ts_us("1996-01-01"), hi_us=_ts_us("1997-01-01")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2147,6 +2255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "pricing_summary": _q_pricing_summary,
+        "star_revenue": _q_star_revenue,
+        "top_customers": _q_top_customers,
+        "order_priority": _q_order_priority,
     }
 
 
@@ -4238,6 +4350,70 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY pos.doc_id
             )
             SELECT doc_id FROM hits WHERE nhit < 4
+        """,
+        # TPC-H-shaped relational family: all money in exact integer
+        # units (cents / u4 / u6 — see functions/relational.py);
+        # sum(BIGINT) is HUGEINT in DuckDB, cast back
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_u4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_charge_u6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY 1, 2
+        """,
+        "star_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u4
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "top_customers": """
+            WITH rev AS (
+                SELECT o.o_custkey AS custkey,
+                       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                            AS BIGINT) AS revenue_u4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+                  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+                GROUP BY 1)
+            SELECT custkey, c.c_name, revenue_u4
+            FROM rev JOIN customer c ON rev.custkey = c.c_custkey
+            ORDER BY revenue_u4 DESC, custkey
+            LIMIT 10
+        """,
+        "order_priority": """
+            WITH ms AS (SELECT l_orderkey AS orderkey,
+                               max(epoch_us(l_shipdate)) AS max_ship_us
+                        FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders o JOIN ms ON o.o_orderkey = ms.orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+              AND ms.max_ship_us > epoch_us(o.o_orderdate)
+            GROUP BY 1
         """,
         "minhash_pairs": _minhash_pairs_sql(norm, threshold=0.5),
         # knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 — audited round

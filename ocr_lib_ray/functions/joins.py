@@ -105,7 +105,14 @@ def _check_right_cols(left_ds, right_value_cols, suffix: str, extra=()) -> None:
     nor under their suffixed OUTPUT names (pandas would emit _x/_y
     mangles and the in-group sort/rename would KeyError deep inside a
     Ray task instead of failing here)."""
-    left_names = set(left_ds.schema().names)
+    sch = left_ds.schema()
+    if sch is None:
+        # an empty lazy left side (e.g. a groupby over a filtered-to-
+        # empty stream) can report no schema; the guard has nothing to
+        # check then — _union_bucketed's materialize fallback resolves
+        # (or loudly rejects) the alignment
+        return
+    left_names = set(sch.names)
     clash = set(right_value_cols) & left_names
     if clash:
         raise ValueError(
@@ -246,6 +253,19 @@ def hash_join(
             f" got {how!r}"
         )
     right_value_cols = list(right_value_cols or [])
+    if left_ds.schema() is None:
+        # a filtered-to-empty lazy left side can be schema-less even
+        # after materialize (Ray's aggregate emits zero blocks); the
+        # left-driven join modes are then empty-in → empty-out
+        left_ds = left_ds.materialize()
+        if left_ds.schema() is None:
+            if how in ("inner", "left", "semi", "anti"):
+                return left_ds
+            raise ValueError(
+                f"hash_join how={how!r}: the kept right rows need the left "
+                "column set, but the (empty) left side reports no schema — "
+                "anchor the left schema (e.g. emit typed empty tables) first"
+            )
     if how in ("semi", "anti"):
         if right_value_cols:
             raise ValueError(

@@ -1,0 +1,437 @@
+"""Star-schema relational analytics (TPC-H-shaped) over the
+lineitem / orders / customer / nation / region tables.
+
+The reference engine's aggregate / sort / join primitives (SURVEY
+§2.6: min/max/count/sum reducers, sort, set ops — `core.clj` reduce
+pipeline) compose here into the classic warehouse query shapes a
+corpus-scale deployment runs next to its extraction jobs:
+
+* ``pricing_summary``      — one-pass grouped sums (TPC-H Q1 shape)
+* ``star_revenue``         — fact⋈fact⋈dims star join (Q5 shape)
+* ``top_customers``        — global top-k revenue ranking (Q10 shape)
+* ``late_order_priority``  — EXISTS-with-predicate count (Q4 shape)
+
+Money is integer.  Every monetary input column is 2-decimal exact
+(verified against the fixture generator: max |x*100 − round(x*100)|
+< 1e-9), so aggregates run in exact integer units — cents (1e-2 $),
+``u4`` = cents × whole-percent (1e-4 $) for discounted revenue, and
+``u6`` = u4 × (100+tax%) (1e-6 $) for the taxed charge.  Integer sums
+commute, so every aggregate is bit-equal to the DuckDB oracle
+regardless of block arrival order (float sums are order-dependent and
+would hash-diverge).  Bound: per-row u6 ≤ ~1.1e11 (a 10k$ line), so a
+single (flag,status) group overflows int64 only past ~8e7 rows ×
+1.1e11 ≈ beyond 10 PB of lineitem in ONE group — at that scale switch
+the partial dtype to float128/decimal; documented, not silently wrong.
+
+Scale design (100 TB): the only all-to-all exchanges are the bucketed
+fact⋈fact hash joins (revenue⋈orders on orderkey, revenue⋈customer on
+custkey) and final groupbys over pre-aggregated partials.  lineitem —
+the dominant table — is pre-aggregated to one row per orderkey per
+block BEFORE any join, so the join shuffles ~#orders rows, never
+#lineitems.  Dimension tables that are O(100) rows at EVERY TPC-H
+scale (nation, region) ride a ``ray.put`` broadcast into a vectorized
+``np.searchsorted`` lookup inside ``map_batches`` — never a shuffle.
+``customer`` does NOT get broadcast (it scales with the corpus); it
+goes through the bucketed hash join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+from .joins import hash_join
+
+
+def cents(col) -> pa.ChunkedArray:
+    """2-decimal double column → exact int64 cents (see module doc)."""
+    return pc.round(pc.multiply(col, 100.0), ndigits=0).cast(pa.int64())
+
+
+def pct(col) -> pa.ChunkedArray:
+    """2-decimal rate column (discount/tax) → exact int64 whole percent."""
+    return pc.round(pc.multiply(col, 100.0), ndigits=0).cast(pa.int64())
+
+
+# --------------------------------------------------------------------------
+# broadcast dimension lookup (the star-join small side)
+# --------------------------------------------------------------------------
+
+
+def make_dim_ref(dim: pa.Table, key_col: str, value_cols: list):
+    """``ray.put`` a small dimension once: (sorted keys, aligned value
+    columns).  The object-store ref is fetched zero-copy per task —
+    the dimension is shipped to each NODE once, not per batch."""
+    import ray
+
+    keys = np.asarray(dim.column(key_col).to_numpy(zero_copy_only=False))
+    order = np.argsort(keys, kind="stable")
+    idx = pa.array(order)
+    vals = {c: dim.column(c).take(idx).combine_chunks() for c in value_cols}
+    return ray.put((keys[order], vals))
+
+
+def dim_lookup(batch_keys: np.ndarray, dim):
+    """Vectorized lookup of ``batch_keys`` in a ``make_dim_ref`` payload
+    → (match_mask, positions).  Unmatched keys get mask=False."""
+    keys, _ = dim
+    pos = np.searchsorted(keys, batch_keys)
+    pos_c = np.clip(pos, 0, len(keys) - 1)
+    mask = keys[pos_c] == batch_keys
+    return mask, pos_c
+
+
+def broadcast_dim_join(ds, dim_ref, fact_key: str, value_cols: list, how: str = "inner"):
+    """Map-side star join: append ``value_cols`` from a broadcast
+    dimension to every fact row by key lookup.  ``how='inner'`` drops
+    unmatched fact rows; ``'left'`` keeps them with nulls.  No shuffle:
+    this is the scale path for dimensions that fit a worker heap
+    (nation/region are ≤ O(100) rows at any TPC-H scale factor)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_dim_join: how must be 'inner' or 'left'")
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        bk = np.asarray(batch.column(fact_key).to_numpy(zero_copy_only=False))
+        mask, pos = dim_lookup(bk, dim)
+        if how == "inner":
+            batch = batch.filter(pa.array(mask))
+            pos = pos[mask]
+            for c in value_cols:
+                batch = batch.append_column(c, dim[1][c].take(pa.array(pos)))
+        else:
+            for c in value_cols:
+                col = dim[1][c].take(pa.array(pos))
+                if not mask.all():
+                    col = pc.if_else(pa.array(mask), col, pa.scalar(None, col.type))
+                batch = batch.append_column(c, col)
+        return batch
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Q1 shape — pricing summary
+# --------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem_ds, cutoff_us: int):
+    """Grouped pricing summary over lineitem shipped on/before
+    ``cutoff_us`` (epoch micros): per (l_returnflag, l_linestatus) the
+    exact integer sums sum_qty / sum_base_cents / sum_disc_u4 /
+    sum_charge_u6 and row count n.  One corpus pass: per-block partial
+    sums (combiner) then a ≤|flag×status| groupby — the shuffle
+    carries a handful of rows per block."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b.column("l_shipdate").cast(pa.int64()), cutoff_us)
+        b = b.filter(keep)
+        base = cents(b.column("l_extendedprice"))
+        disc = pct(b.column("l_discount"))
+        tax = pct(b.column("l_tax"))
+        disc_u4 = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        charge_u6 = pc.multiply(disc_u4, pc.add(pa.scalar(100, pa.int64()), tax))
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": b.column("l_quantity").cast(pa.int64()),
+                "base": base,
+                "disc_u4": disc_u4,
+                "charge_u6": charge_u6,
+            }
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_base_cents=("base", "sum"),
+                sum_disc_u4=("disc_u4", "sum"),
+                sum_charge_u6=("charge_u6", "sum"),
+                n=("qty", "count"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = lineitem_ds.map_batches(partials, batch_format="pyarrow")
+    return part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_u4", alias_name="sum_disc_u4"),
+        Sum("sum_charge_u6", alias_name="sum_charge_u6"),
+        Sum("n", alias_name="n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# shared: lineitem → one revenue row per orderkey per block
+# --------------------------------------------------------------------------
+
+
+def _revenue_partials(b: pa.Table, flag: str | None = None) -> pa.Table:
+    """(orderkey, rev_u4) partials — one row per orderkey per block.
+    ``flag`` optionally restricts to one l_returnflag (Q10's 'R')."""
+    if flag is not None:
+        b = b.filter(pc.equal(b.column("l_returnflag"), flag))
+    base = cents(b.column("l_extendedprice"))
+    disc = pct(b.column("l_discount"))
+    rev = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+    t = pa.table({"orderkey": b.column("l_orderkey"), "rev_u4": rev})
+    df = t.to_pandas()
+    g = df.groupby("orderkey", sort=False)["rev_u4"].sum().reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _orders_window(orders_ds, lo_us: int, hi_us: int, extra_cols=()):
+    """orders filtered to ``lo_us <= o_orderdate < hi_us``, renamed to
+    the bare join key."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo_us), pc.less(d, hi_us))
+        b = b.filter(keep)
+        cols = {"orderkey": b.column("o_orderkey"), "custkey": b.column("o_custkey")}
+        for c in extra_cols:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    return orders_ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _revenue_by_custkey(lineitem_ds, orders_ds, lo_us, hi_us, flag=None, num_partitions=32):
+    """lineitem ⋈ orders-in-window → exact integer revenue per custkey.
+    lineitem is pre-aggregated per block before the join (the join
+    shuffles ~#orders rows, never #lineitems)."""
+    rev = lineitem_ds.map_batches(
+        lambda b: _revenue_partials(b, flag), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        rev,
+        _orders_window(orders_ds, lo_us, hi_us),
+        "orderkey",
+        right_value_cols=["custkey"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        # hash_join suffixes right value columns with "_r"
+        df = b.select(["custkey_r", "rev_u4"]).to_pandas()
+        df.columns = ["custkey", "rev_u4"]
+        df["custkey"] = df["custkey"].astype(np.int64)
+        g = df.groupby("custkey", sort=False)["rev_u4"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(part, batch_format="pyarrow")
+    return partials.groupby("custkey").aggregate(Sum("rev_u4", alias_name="revenue_u4"))
+
+
+# --------------------------------------------------------------------------
+# Q5 shape — revenue per nation within one region
+# --------------------------------------------------------------------------
+
+
+def star_revenue(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    nation: pa.Table,
+    region: pa.Table,
+    region_name: str,
+    lo_us: int,
+    hi_us: int,
+    num_partitions: int = 32,
+):
+    """Revenue per nation for customers in ``region_name``, orders in
+    [lo_us, hi_us): the star-join shape.  nation⋈region is pre-joined
+    driver-side (≤ 30 rows total at ANY scale) and broadcast; customer
+    goes through the bucketed hash join (it scales with the corpus).
+    Output: (n_name, revenue_u4), exact integer units."""
+    rev_cust = _revenue_by_custkey(
+        lineitem_ds, orders_ds, lo_us, hi_us, num_partitions=num_partitions
+    )
+
+    cust = customer_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "custkey": b.column("c_custkey"),
+                "nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    with_nation = hash_join(
+        rev_cust,
+        cust,
+        "custkey",
+        right_value_cols=["nationkey"],
+        how="inner",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [c[:-2] if c == "nationkey_r" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # driver-side dim prejoin: 25 nations × 5 regions — constant-size
+    rk = {
+        r["r_name"]: r["r_regionkey"] for r in region.to_pylist()
+    }
+    if region_name not in rk:
+        raise ValueError(f"unknown region {region_name!r}")
+    nat = nation.filter(pc.equal(nation.column("n_regionkey"), rk[region_name]))
+    dim = pa.table(
+        {
+            "nationkey": nat.column("n_nationkey").cast(pa.int64()),
+            "n_name": nat.column("n_name"),
+        }
+    )
+    dim_ref = make_dim_ref(dim, "nationkey", ["n_name"])
+    tagged = broadcast_dim_join(with_nation, dim_ref, "nationkey", ["n_name"], how="inner")
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "rev": pa.array([], pa.int64())}
+            )
+        df = b.select(["n_name", "revenue_u4"]).to_pandas()
+        df["revenue_u4"] = df["revenue_u4"].astype(np.int64)
+        g = df.groupby("n_name", sort=False)["revenue_u4"].sum().reset_index()
+        g.columns = ["n_name", "rev"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = tagged.map_batches(part, batch_format="pyarrow")
+    return partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue_u4"))
+
+
+# --------------------------------------------------------------------------
+# Q10 shape — top-k customers by returned revenue
+# --------------------------------------------------------------------------
+
+
+def top_customers(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    lo_us: int,
+    hi_us: int,
+    k: int = 10,
+    num_partitions: int = 32,
+):
+    """Top-``k`` customers by returned ('R') revenue for orders in
+    [lo_us, hi_us), joined back to the customer name.  Global top-k is
+    per-block prune to k (on the per-custkey aggregate — already one
+    row per customer) → single-partition final prune; ties break
+    (revenue DESC, custkey ASC) so the k-boundary is deterministic.
+    Output: (custkey, c_name, revenue_u4)."""
+    rev_cust = _revenue_by_custkey(
+        lineitem_ds, orders_ds, lo_us, hi_us, flag="R", num_partitions=num_partitions
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(
+            b, sort_keys=[("revenue_u4", "descending"), ("custkey", "ascending")]
+        )
+        return b.take(idx[:k])
+
+    winners = (
+        rev_cust.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow")
+    )
+
+    cust = customer_ds.map_batches(
+        lambda b: pa.table(
+            {"custkey": b.column("c_custkey"), "c_name": b.column("c_name")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        winners,
+        cust,
+        "custkey",
+        right_value_cols=["c_name"],
+        how="inner",
+        num_partitions=4,
+    )
+    return out.map_batches(
+        lambda b: b.select(["custkey", "c_name_r", "revenue_u4"]).rename_columns(
+            ["custkey", "c_name", "revenue_u4"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape — order priority counts with an EXISTS predicate
+# --------------------------------------------------------------------------
+
+
+def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_partitions: int = 32):
+    """Per-priority count of orders in [lo_us, hi_us) that have at
+    least one lineitem shipped AFTER the order date (the
+    EXISTS-with-cross-table-predicate shape, TPC-H Q4).  The predicate
+    EXISTS(l.orderkey = o.orderkey AND l_shipdate > o_orderdate) is
+    rewritten as max(l_shipdate) per orderkey (a per-block partial +
+    tiny groupby) inner-joined to orders then filtered — equivalent
+    because only the latest shipment decides existence.  Output:
+    (o_orderpriority, n)."""
+
+    def ship_partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "orderkey": b.column("l_orderkey"),
+                "max_ship_us": b.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby("orderkey", sort=False)["max_ship_us"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    max_ship = (
+        lineitem_ds.map_batches(ship_partials, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+    )
+
+    orders = _orders_window(
+        orders_ds, lo_us, hi_us, extra_cols=("o_orderpriority", "o_orderdate")
+    )
+    joined = hash_join(
+        orders,
+        max_ship,
+        "orderkey",
+        right_value_cols=["max_ship_us"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    schema = pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64())])
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        late = pc.greater(
+            pc.cast(b.column("max_ship_us_r"), pa.int64()),
+            b.column("o_orderdate").cast(pa.int64()),
+        )
+        b = b.filter(late)
+        df = b.select(["o_orderpriority"]).to_pandas()
+        g = df.groupby("o_orderpriority", sort=False).size().reset_index(name="n")
+        # pin the schema: an all-filtered batch would otherwise emit a
+        # null-typed object column and drift the stream schema
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    partials = joined.map_batches(part, batch_format="pyarrow")
+    return partials.groupby("o_orderpriority").aggregate(Sum("n", alias_name="n"))

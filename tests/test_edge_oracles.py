@@ -146,6 +146,13 @@ OTHER_TABLES = {
     "graph_rank",  # round 3: orders x lineitem purchase-graph PageRank
     "graph_triangles",  # round 3: lineitem co-supplier triangle support
     # (K4/path/sparse-graph DuckDB equivalence pinned in test_graph.py)
+    # round 3: TPC-H-shaped star-schema family over lineitem/orders/
+    # customer/nation/region — DuckDB equivalence at sf0.001 + hand-
+    # built k-boundary-tie / empty-window fixtures in test_relational.py
+    "pricing_summary",
+    "star_revenue",
+    "top_customers",
+    "order_priority",
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is
