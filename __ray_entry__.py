@@ -516,6 +516,21 @@ def _q_lm_bigram_score(sf_dir: str):
     return bigram_logprob(_docs(sf_dir))
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity terciles (Wenzek et al.
+    2020): corpus-trained bigram LM → per-pair int64 NLL → distributed
+    per-lang tercile histogram → broadcast thresholds → head/middle/
+    tail labels.  All-integer statistic, hash-exact vs DuckDB."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.lm import ccnet_buckets
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ccnet_buckets(docs)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR hashed-ngram importance weights (Xie et al. 2023): target
     distribution = the English subset, raw = the whole corpus; ONE
@@ -2167,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "repetition_stats": _q_repetition_stats,
         "lm_bigram_score": _q_lm_bigram_score,
+        "ccnet_buckets": _q_ccnet_buckets,
         "dsir_weights": _q_dsir_weights,
         "bm25_topk": _q_bm25_topk,
         "outlier_mad": _q_outlier_mad,
@@ -4426,6 +4442,27 @@ def oracle_sql() -> dict[str, str]:
     # quality-proportional sampling: per-row md5-vs-printf('%08x') hex
     # threshold (same IEEE product + floor + string compare as the
     # engine); weight = the model_score SQL, single source of truth
+    # CCNet per-language perplexity terciles: the lm_bigram_score SQL
+    # is nested as a CTE (single source of truth for the LM); the
+    # statistic is all-integer ((-logprob)//n_pairs) and the tercile
+    # thresholds use the same quantile_disc discipline as the engine
+    d["ccnet_buckets"] = f"""
+        WITH sc AS ({d["lm_bigram_score"]}),
+        st AS (SELECT sc.doc_id, dd.lang,
+                      CASE WHEN sc.n_pairs = 0 THEN 0
+                           ELSE (-sc.logprob_micro) // sc.n_pairs
+                      END AS nll_micro_per_pair
+               FROM sc JOIN documents dd USING (doc_id)),
+        th AS (SELECT lang,
+                      quantile_disc(nll_micro_per_pair, 1.0/3) AS t1,
+                      quantile_disc(nll_micro_per_pair, 2.0/3) AS t2
+               FROM st GROUP BY 1)
+        SELECT st.doc_id, st.lang, st.nll_micro_per_pair,
+               CASE WHEN nll_micro_per_pair <= t1 THEN 'head'
+                    WHEN nll_micro_per_pair <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM st JOIN th USING (lang)
+    """
     d["weighted_sample"] = f"""
         WITH scored AS ({d["model_score"]})
         SELECT doc_id FROM scored

@@ -51,6 +51,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_vocab: int = 20_000_000,
+    carry_cols: tuple = (),
 ):
     """(id, n_pairs, logprob_micro) per document under the corpus's own
     word-bigram MLE model: logprob_micro = Σ over adjacent token pairs
@@ -118,8 +119,76 @@ def bigram_logprob(
                 batch.column(id_col),
                 pa.array(n_pairs, pa.int64()),
                 pa.array(micros, pa.int64()),
-            ],
-            names=[id_col, "n_pairs", "logprob_micro"],
+            ]
+            + [batch.column(c) for c in carry_cols],
+            names=[id_col, "n_pairs", "logprob_micro", *carry_cols],
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ccnet_buckets(
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting high quality monolingual datasets from
+    web crawl data"): score every document with the corpus-trained
+    bigram LM, compute per-LANGUAGE tercile thresholds of the per-pair
+    negative log-likelihood, and label each document ``head`` /
+    ``middle`` / ``tail`` (head = lowest perplexity).  Output:
+    (id, lang, nll_micro_per_pair, bucket).
+
+    Exactness: the per-doc statistic is ``(-logprob_micro) //
+    n_pairs`` — int64 floor division of non-negative ints, bit-equal
+    to the SQL ``//`` — and the tercile thresholds use the same
+    quantile_disc index discipline as every quantile op here.  Docs
+    with < 2 tokens score 0 (the best bucket; CCNet keeps trivially
+    short docs for the LENGTH filters to judge, not the LM).
+
+    Scale shape: the LM build is one vocabulary-sized shuffle
+    (bigram_logprob); scoring is map-only; thresholds come from the
+    fully distributed ``group_quantiles`` histogram (never a sort) and
+    only |langs|×2 threshold rows reach the driver for the ``ray.put``
+    broadcast; labeling is map-only.  The scored table (4 thin
+    columns, no text) is materialized once because it feeds both the
+    threshold histogram and the labeling pass — without the pin each
+    consumer would re-run the scoring lineage.
+    """
+    import numpy as np
+    import ray
+
+    from .quantiles import group_quantiles
+
+    scored = bigram_logprob(docs_ds, id_col, text_col, carry_cols=(lang_col,))
+
+    def per_pair(b: pa.Table) -> pa.Table:
+        nll = -b.column("logprob_micro").to_numpy(zero_copy_only=False)
+        n = b.column("n_pairs").to_numpy(zero_copy_only=False)
+        q = np.where(n > 0, nll // np.maximum(n, 1), 0).astype(np.int64)
+        return pa.Table.from_arrays(
+            [b.column(id_col), b.column(lang_col), pa.array(q, pa.int64())],
+            names=[id_col, lang_col, "nll_micro_per_pair"],
+        )
+
+    stat = scored.map_batches(per_pair, batch_format="pyarrow").materialize()
+
+    qs = (1 / 3, 2 / 3)
+    th_rows = group_quantiles(stat, lang_col, "nll_micro_per_pair", qs=qs).take_all()
+    t1 = {r[lang_col]: r["nll_micro_per_pair"] for r in th_rows if r["q"] == qs[0]}
+    t2 = {r[lang_col]: r["nll_micro_per_pair"] for r in th_rows if r["q"] == qs[1]}
+    ref = ray.put((t1, t2))
+
+    def label(b: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        langs = b.column(lang_col).to_pylist()
+        vals = b.column("nll_micro_per_pair").to_pylist()
+        buckets = [
+            "head" if v <= lo[lg] else ("middle" if v <= hi[lg] else "tail")
+            for lg, v in zip(langs, vals)
+        ]
+        return b.append_column("bucket", pa.array(buckets, pa.string()))
+
+    return stat.map_batches(label, batch_format="pyarrow")

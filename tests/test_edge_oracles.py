@@ -101,6 +101,7 @@ QUERIES = [
     "decontaminate",
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
     "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
+    "ccnet_buckets",  # round 3: per-lang perplexity terciles (1-doc langs)
     "dsir_weights",  # round 3: DSIR hashed-ngram importance weights
     "bm25_topk",  # round 3: Okapi BM25 retrieval (terms may all miss)
     "outlier_mad",  # round 3: per-lang median/MAD flags (MAD=0 groups)

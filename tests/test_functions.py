@@ -624,6 +624,49 @@ def test_bigram_logprob_model_and_edges():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ccnet_buckets_per_lang_terciles():
+    """Buckets are per-LANGUAGE terciles of per-pair NLL: the worst
+    English doc can still be 'head' in a language of its own; <2-token
+    docs score 0 (head); every doc is labeled exactly once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.lm import ccnet_buckets
+
+    # corpus-wide counts: a=9, b=5; pairs (a,a)=5, (a,b)=3, (b,b)=2 →
+    # per-pair NLL strictly ordered doc1 < doc2 < doc3 (no tercile ties)
+    texts = [
+        "a a a a a",  # en: most predictable (all (a,a))
+        "a a b",  # en: middle
+        "a b b",  # en: rarest pairs → worst en NLL
+        "x",  # en: <2 tokens → score 0 → head
+        "a b b",  # solo-lang twin of the worst en doc
+    ]
+    langs = ["en", "en", "en", "en", "xx"]
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3, 4, 5], pa.int64()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        names=["doc_id", "text", "lang"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ccnet_buckets(rd.from_arrow(tbl).repartition(3)).take_all()
+    }
+    assert len(out) == 5
+    assert out[4]["nll_micro_per_pair"] == 0 and out[4]["bucket"] == "head"
+    # same text, same NLL — but per-lang thresholds put the singleton
+    # language's only doc at its own tercile boundary (head), while the
+    # identical English doc is the worst of its language (tail)
+    assert out[5]["nll_micro_per_pair"] == out[3]["nll_micro_per_pair"]
+    assert out[5]["bucket"] == "head"
+    assert out[3]["bucket"] == "tail"
+    assert set(r["bucket"] for r in out.values()) <= {"head", "middle", "tail"}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_corpus_report_matches_duckdb():
     """One-pass dashboard aggregate == SQL GROUP BY on a corpus with an
     empty doc, a single-doc group, and multi-batch layout; null group
