@@ -2151,6 +2151,73 @@ def _q_order_priority(sf_dir: str):
     )
 
 
+def _q_ship_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue at the cutoff
+    for BUILDING-segment customers; segment gate is a SEMI join
+    (deduped custkeys only through the shuffle), lineitem pre-aggregated
+    per block, top-k via per-block prune → final prune."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import ship_priority
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return ship_priority(
+        li, orders, cust, segment="BUILDING", cutoff_us=_ts_us("1997-06-01"), k=10
+    )
+
+
+def _q_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape: scalar sum(extendedprice×discount) over a
+    shipdate-year × discount-band × quantity predicate; one corpus
+    pass, per-block (rev, n) partials, exact u4 integer units."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import revenue_delta
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    return revenue_delta(
+        li,
+        lo_us=_ts_us("1997-01-01"),
+        hi_us=_ts_us("1998-01-01"),
+        disc_lo_pct=5,
+        disc_hi_pct=7,
+        max_qty=24,
+    )
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders with total quantity > 250 (top ~1%),
+    enriched with order metadata and customer name; the HAVING filter
+    shrinks the left side BEFORE both hash joins."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import large_orders
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return large_orders(li, orders, cust, min_qty=250)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2275,6 +2342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_revenue": _q_star_revenue,
         "top_customers": _q_top_customers,
         "order_priority": _q_order_priority,
+        "ship_priority": _q_ship_priority,
+        "revenue_delta": _q_revenue_delta,
+        "large_orders": _q_large_orders,
     }
 
 
@@ -4430,6 +4500,51 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate <  TIMESTAMP '1997-01-01'
               AND ms.max_ship_us > epoch_us(o.o_orderdate)
             GROUP BY 1
+        """,
+        "ship_priority": """
+            WITH rev AS (
+                SELECT l_orderkey AS orderkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                            AS BIGINT) AS revenue_u4
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1997-06-01'
+                GROUP BY 1)
+            SELECT r.orderkey, epoch_us(o.o_orderdate) AS o_date_us, r.revenue_u4
+            FROM rev r
+            JOIN orders o   ON r.orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-06-01'
+            ORDER BY revenue_u4 DESC, o_date_us, orderkey
+            LIMIT 10
+        """,
+        "revenue_delta": """
+            SELECT COALESCE(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                     * CAST(round(l_discount * 100) AS BIGINT))
+                                 AS BIGINT), 0) AS revenue_u4,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "large_orders": """
+            WITH q AS (SELECT l_orderkey AS orderkey,
+                              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+            SELECT q.orderkey,
+                   o.o_custkey AS custkey,
+                   c.c_name,
+                   epoch_us(o.o_orderdate) AS o_date_us,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+                   q.sum_qty
+            FROM q
+            JOIN orders o   ON q.orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "minhash_pairs": _minhash_pairs_sql(norm, threshold=0.5),
         # knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 — audited round

@@ -26,7 +26,12 @@ from ..schema_utils import pa_col_type as _pa_col_type
 
 
 def _union_bucketed(
-    left_ds, right_ds, key_col: str, num_partitions: int, right_prebatch=None
+    left_ds,
+    right_ds,
+    key_col: str,
+    num_partitions: int,
+    right_prebatch=None,
+    right_names: list | None = None,
 ):
     """Union both sides under one schema with (bucket, side) tags.
     Columns a side lacks are ZERO-FILLED (see default_array) so pandas
@@ -36,6 +41,14 @@ def _union_bucketed(
     right aligner — schema is derived from the PRE-transform dataset,
     so a transform that Ray cannot infer a schema through (map_batches
     over a possibly-empty side) costs neither a pass nor the metadata.
+
+    ``right_names`` pins the right-side column list when the caller
+    just projected it (``select_columns``): Ray's ``schema()`` on a
+    Project over a lazy ``map_groups`` upstream (i.e. the output of
+    another hash_join) can report the PRE-projection names, which
+    would poison the union schema with columns the runtime batches no
+    longer carry — a KeyError deep inside the aligner.  Column TYPES
+    are still probed by name (correct under either schema).
     """
     def names_of(ds):
         sch = ds.schema()
@@ -53,7 +66,9 @@ def _union_bucketed(
         return ds, list(sch.names)
 
     left_ds, left_names = names_of(left_ds)
-    right_ds, right_names = names_of(right_ds)
+    right_ds, probed_right_names = names_of(right_ds)
+    if right_names is None:
+        right_names = probed_right_names
     all_cols = left_names + [c for c in right_names if c not in left_names]
     types = {
         c: _pa_col_type(left_ds if c in left_names else right_ds, c) for c in all_cols
@@ -158,7 +173,13 @@ def asof_join(
         lambda b: b.append_column(ts_col + suffix, b.column(ts_col)),
         batch_format="pyarrow",
     )
-    union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
+    union, left_cols = _union_bucketed(
+        left_ds,
+        right,
+        key_col,
+        num_partitions,
+        right_names=[key_col, ts_col] + list(right_value_cols) + [ts_col + suffix],
+    )
     r_cols = [key_col, ts_col] + list(right_value_cols) + [ts_col + suffix]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -280,7 +301,12 @@ def hash_join(
 
         right = right_ds.select_columns([key_col])
         union, left_cols = _union_bucketed(
-            left_ds, right, key_col, num_partitions, right_prebatch=distinct_keys
+            left_ds,
+            right,
+            key_col,
+            num_partitions,
+            right_prebatch=distinct_keys,
+            right_names=[key_col],
         )
 
         def filter_keys(g: pd.DataFrame) -> pd.DataFrame:
@@ -297,7 +323,13 @@ def hash_join(
 
     _check_right_cols(left_ds, right_value_cols, suffix)
     right = right_ds.select_columns([key_col] + list(right_value_cols))
-    union, left_cols = _union_bucketed(left_ds, right, key_col, num_partitions)
+    union, left_cols = _union_bucketed(
+        left_ds,
+        right,
+        key_col,
+        num_partitions,
+        right_names=[key_col] + list(right_value_cols),
+    )
     r_cols = [key_col] + list(right_value_cols)
     rename = {c: c + suffix for c in right_value_cols}
 
@@ -357,7 +389,11 @@ def range_join_count(
     Returns the left rows plus an ``n_in_window`` int64 column.
     """
     union, left_cols = _union_bucketed(
-        left_ds, right_ds.select_columns([key_col, ts_col]), key_col, num_partitions
+        left_ds,
+        right_ds.select_columns([key_col, ts_col]),
+        key_col,
+        num_partitions,
+        right_names=[key_col, ts_col],
     )
 
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:

@@ -10,6 +10,9 @@ corpus-scale deployment runs next to its extraction jobs:
 * ``star_revenue``         — fact⋈fact⋈dims star join (Q5 shape)
 * ``top_customers``        — global top-k revenue ranking (Q10 shape)
 * ``late_order_priority``  — EXISTS-with-predicate count (Q4 shape)
+* ``ship_priority``        — segment-gated unshipped-order top-k (Q3 shape)
+* ``revenue_delta``        — predicate-band scalar aggregate (Q6 shape)
+* ``large_orders``         — HAVING-on-join-key filter (Q18 shape)
 
 Money is integer.  Every monetary input column is 2-decimal exact
 (verified against the fixture generator: max |x*100 − round(x*100)|
@@ -435,3 +438,246 @@ def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_part
 
     partials = joined.map_batches(part, batch_format="pyarrow")
     return partials.groupby("o_orderpriority").aggregate(Sum("n", alias_name="n"))
+
+# --------------------------------------------------------------------------
+# Q3 shape — unshipped-order revenue top-k within a market segment
+# --------------------------------------------------------------------------
+
+
+def ship_priority(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    segment: str,
+    cutoff_us: int,
+    k: int = 10,
+    num_partitions: int = 32,
+):
+    """Top-``k`` orders by revenue of lineitems NOT YET shipped at
+    ``cutoff_us``, for orders placed before the cutoff by customers in
+    ``segment`` (TPC-H Q3 shape).  Output: (orderkey, o_date_us,
+    revenue_u4), ties (revenue DESC, o_date ASC, orderkey ASC).
+
+    Scale shape: lineitem — the dominant table — is filtered AND
+    pre-aggregated to one (orderkey, rev) row per block before its
+    join; the segment gate is a SEMI join (only deduped custkeys ship
+    through the shuffle, orders columns never multiply); global top-k
+    is per-block prune → single-partition final prune, so only
+    k × #blocks rows ever reach one task."""
+
+    def seg_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("c_mktsegment"), segment))
+        return pa.table({"custkey": b.column("c_custkey")})
+
+    seg = customer_ds.map_batches(seg_keys, batch_format="pyarrow")
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.int64())
+        b = b.filter(pc.less(d, cutoff_us))
+        return pa.table(
+            {
+                "orderkey": b.column("o_orderkey"),
+                "custkey": b.column("o_custkey"),
+                "o_date_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    orders = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
+    orders_in_seg = hash_join(
+        orders, seg, "custkey", how="semi", num_partitions=num_partitions
+    )
+
+    def rev_parts(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("l_shipdate").cast(pa.int64()), cutoff_us)
+        return _revenue_partials(b.filter(keep))
+
+    rev = (
+        lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Sum("rev_u4", alias_name="revenue_u4"))
+    )
+
+    joined = hash_join(
+        rev,
+        orders_in_seg,
+        "orderkey",
+        right_value_cols=["o_date_us"],
+        how="inner",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.select(["orderkey", "o_date_us_r", "revenue_u4"]).rename_columns(
+            ["orderkey", "o_date_us", "revenue_u4"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("revenue_u4", "descending"),
+                ("o_date_us", "ascending"),
+                ("orderkey", "ascending"),
+            ],
+        )
+        return b.take(idx[:k])
+
+    return (
+        joined.map_batches(prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(prune, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape — predicate-band scalar revenue aggregate
+# --------------------------------------------------------------------------
+
+
+def revenue_delta(
+    lineitem_ds,
+    lo_us: int,
+    hi_us: int,
+    disc_lo_pct: int,
+    disc_hi_pct: int,
+    max_qty: int,
+):
+    """Scalar forecast-revenue-change aggregate (TPC-H Q6 shape): over
+    lineitems shipped in [lo_us, hi_us) with discount in
+    [disc_lo_pct, disc_hi_pct] whole percent and quantity < max_qty,
+    the exact integer sum of extendedprice×discount (u4 = cents×pct)
+    plus the qualifying row count.  One corpus pass, per-block partial
+    sums, only (rev, n) pairs leave each block; the driver reduces a
+    per-block pair list — nothing corpus-sized is collected.  Returns a
+    one-row pandas DataFrame (revenue_u4, n); an empty band yields
+    (0, 0) to match the oracle's COALESCE."""
+    import pandas as pd
+
+    def part(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64())
+        disc = pct(b.column("l_discount"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d, lo_us), pc.less(d, hi_us)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, disc_lo_pct),
+                    pc.less_equal(disc, disc_hi_pct),
+                ),
+                pc.less(b.column("l_quantity"), float(max_qty)),
+            ),
+        )
+        b2 = b.filter(keep)
+        rev = pc.multiply(
+            cents(b2.column("l_extendedprice")), pct(b2.column("l_discount"))
+        )
+        s = pc.sum(rev)
+        return pa.table(
+            {
+                "rev_u4": pa.array([s.as_py() or 0], pa.int64()),
+                "n": pa.array([b2.num_rows], pa.int64()),
+            }
+        )
+
+    agg = lineitem_ds.map_batches(part, batch_format="pyarrow").aggregate(
+        Sum("rev_u4", alias_name="revenue_u4"), Sum("n", alias_name="n")
+    )
+    return pd.DataFrame(
+        {
+            "revenue_u4": [int(agg["revenue_u4"] or 0)],
+            "n": [int(agg["n"] or 0)],
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape — large-volume orders (HAVING on the join key's aggregate)
+# --------------------------------------------------------------------------
+
+
+def large_orders(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    min_qty: int,
+    num_partitions: int = 32,
+):
+    """Orders whose TOTAL lineitem quantity exceeds ``min_qty``, joined
+    to order metadata and the customer name (TPC-H Q18 shape — the
+    HAVING-filter-then-enrich pattern).  Output: (orderkey, custkey,
+    c_name, o_date_us, total_cents, sum_qty), one row per qualifying
+    order; the full set is returned (it is HAVING-filtered to a tiny
+    fraction of orders by construction), order not part of the
+    contract.
+
+    Scale shape: quantity partials per block → one groupby at
+    #orders scale → the > min_qty filter shrinks the left side BEFORE
+    both joins, so the joins shuffle only qualifying orders; customer
+    is a bucketed hash join (corpus-sized side, never broadcast)."""
+
+    def qty_parts(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "orderkey": b.column("l_orderkey"),
+                "qty": b.column("l_quantity").cast(pa.int64()),
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby("orderkey", sort=False)["qty"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    qty = (
+        lineitem_ds.map_batches(qty_parts, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {int(min_qty)}")
+    )
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": b.column("o_orderkey"),
+                "custkey": b.column("o_custkey"),
+                "o_date_us": b.column("o_orderdate").cast(pa.int64()),
+                "total_cents": cents(b.column("o_totalprice")),
+            }
+        )
+
+    orders = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
+    with_order = hash_join(
+        qty,
+        orders,
+        "orderkey",
+        right_value_cols=["custkey", "o_date_us", "total_cents"],
+        how="inner",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.select(
+            ["orderkey", "custkey_r", "o_date_us_r", "total_cents_r", "sum_qty"]
+        ).rename_columns(["orderkey", "custkey", "o_date_us", "total_cents", "sum_qty"]),
+        batch_format="pyarrow",
+    )
+
+    cust = customer_ds.map_batches(
+        lambda b: pa.table(
+            {"custkey": b.column("c_custkey"), "c_name": b.column("c_name")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        with_order,
+        cust,
+        "custkey",
+        right_value_cols=["c_name"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["orderkey", "custkey", "c_name_r", "o_date_us", "total_cents", "sum_qty"]
+        ).rename_columns(
+            ["orderkey", "custkey", "c_name", "o_date_us", "total_cents", "sum_qty"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -154,6 +154,9 @@ OTHER_TABLES = {
     "star_revenue",
     "top_customers",
     "order_priority",
+    "ship_priority",  # round 3: Q3 shape (semi-gated unshipped top-k)
+    "revenue_delta",  # round 3: Q6 shape (predicate-band scalar agg)
+    "large_orders",  # round 3: Q18 shape (HAVING-on-join-key filter)
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is

@@ -366,3 +366,38 @@ def test_hash_join_null_keys_raise():
         hash_join(
             rd.from_pandas(left), rd.from_pandas(right), "k", ["rv"], how="inner"
         ).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_composes_over_join_output():
+    """Regression: a hash_join whose RIGHT side is another join's
+    output (semi → inner here) used to poison the union schema — Ray's
+    schema() on the internal select_columns Project over the lazy
+    map_groups upstream reported the PRE-projection names, and the
+    aligner KeyError'd on a column the batches no longer carry.  The
+    union now pins the projected right-name list explicitly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    base = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "c": pa.array([10, 20, 30, 40], pa.int64()),
+                "d": pa.array([5, 6, 7, 8], pa.int64()),
+            }
+        )
+    )
+    left = base.map_batches(lambda b: b, batch_format="pyarrow")
+    seg = rd.from_arrow(pa.table({"c": pa.array([10, 30], pa.int64())}))
+    semi = hash_join(left, seg, "c", how="semi", num_partitions=2)
+    rev = rd.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 3], pa.int64()), "r": pa.array([100, 300], pa.int64())}
+        )
+    )
+    out = hash_join(rev, semi, "k", right_value_cols=["d"], how="inner", num_partitions=2)
+    rows = sorted((r["k"], r["r"], r["d_r"]) for r in out.take_all())
+    assert rows == [(1, 100, 5), (3, 300, 7)]

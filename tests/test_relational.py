@@ -22,7 +22,7 @@ def _con():
 
 
 def _cmp(ds, sql):
-    got = ds.to_pandas()
+    got = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     want = _con().execute(sql).fetchdf()
     cols = sorted(got.columns)
     assert cols == sorted(want.columns)
@@ -181,3 +181,153 @@ def test_top_customers_tie_break_boundary():
         k=2,
     ).to_pandas()
     assert sorted(out["custkey"].tolist()) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ship_priority_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["ship_priority"](SF), entry.oracle_sql()["ship_priority"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_delta_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["revenue_delta"](SF), entry.oracle_sql()["revenue_delta"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_large_orders_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["large_orders"](SF), entry.oracle_sql()["large_orders"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ship_priority_tie_break_boundary():
+    """Orders tied exactly at the k-boundary revenue: earlier order
+    date wins, then smaller orderkey — at any block layout."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import ship_priority
+
+    cut = int(pd.Timestamp("1997-06-01").value // 1000)
+    after = pd.Timestamp("1997-07-01")
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": [100.0, 100.0, 100.0],
+            "l_discount": [0.0, 0.0, 0.0],
+            "l_shipdate": pa.array([after] * 3),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            # order 3 placed earlier than 1 and 2 (which tie on date)
+            "o_orderdate": pa.array(
+                [
+                    pd.Timestamp("1997-02-01"),
+                    pd.Timestamp("1997-02-01"),
+                    pd.Timestamp("1997-01-01"),
+                ]
+            ),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1], pa.int64()),
+            "c_mktsegment": ["BUILDING"],
+        }
+    )
+    out = ship_priority(
+        rd.from_arrow(li).repartition(3),
+        rd.from_arrow(orders),
+        rd.from_arrow(cust),
+        segment="BUILDING",
+        cutoff_us=cut,
+        k=2,
+    ).to_pandas()
+    # all revenues tie: date breaks first (order 3), then orderkey (1)
+    assert sorted(out["orderkey"].tolist()) == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ship_priority_segment_gate_and_shipped_excluded():
+    """Customers outside the segment and lineitems already shipped at
+    the cutoff contribute nothing."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import ship_priority
+
+    cut = int(pd.Timestamp("1997-06-01").value // 1000)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_extendedprice": [50.0, 70.0, 99.0],
+            "l_discount": [0.0, 0.5, 0.0],
+            # first line of order 1 shipped BEFORE the cutoff: excluded
+            "l_shipdate": pa.array(
+                [
+                    pd.Timestamp("1997-01-01"),
+                    pd.Timestamp("1997-08-01"),
+                    pd.Timestamp("1997-08-01"),
+                ]
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([pd.Timestamp("1997-03-01")] * 2),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": ["BUILDING", "MACHINERY"],
+        }
+    )
+    out = ship_priority(
+        rd.from_arrow(li),
+        rd.from_arrow(orders),
+        rd.from_arrow(cust),
+        segment="BUILDING",
+        cutoff_us=cut,
+        k=10,
+    ).to_pandas()
+    # order 2's customer is outside the segment; order 1 counts only
+    # its unshipped 70.0 @ 50% line = 7000 cents * 50 = 350000 u4
+    assert out["orderkey"].tolist() == [1]
+    assert out["revenue_u4"].tolist() == [350_000]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_delta_empty_band_and_bounds():
+    """Discount band inclusive on both ends, quantity strictly below;
+    an empty band returns (0, 0) not NULL."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import revenue_delta
+
+    lo = int(pd.Timestamp("1997-01-01").value // 1000)
+    hi = int(pd.Timestamp("1998-01-01").value // 1000)
+    li = pa.table(
+        {
+            "l_extendedprice": [100.0, 100.0, 100.0, 100.0],
+            "l_discount": [0.05, 0.07, 0.08, 0.06],
+            "l_quantity": [10.0, 23.0, 10.0, 24.0],
+            "l_shipdate": pa.array([pd.Timestamp("1997-06-01")] * 4),
+        }
+    )
+    out = revenue_delta(
+        rd.from_arrow(li).repartition(2), lo, hi, 5, 7, 24
+    )
+    # rows 1 (5%) and 2 (7%) qualify; 8% is out of band, qty=24 is not <24
+    assert out["n"].tolist() == [2]
+    assert out["revenue_u4"].tolist() == [10_000 * 5 + 10_000 * 7]
+    empty = revenue_delta(rd.from_arrow(li), lo, hi, 1, 2, 5)
+    assert empty["revenue_u4"].tolist() == [0] and empty["n"].tolist() == [0]
