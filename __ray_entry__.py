@@ -1158,6 +1158,28 @@ def _q_curate_quality(sf_dir: str):
     )
 
 
+def _q_curate_ppl(sf_dir: str):
+    """The curate pipeline with the opt-in CCNet perplexity gate
+    (Wenzek et al. 2020): blocklist → per-language perplexity terciles
+    (LM trained on the survivors) keeping head+middle → keep-best
+    dedup → token budget → shard shuffle, oracled end-to-end."""
+    import ray.data as rd
+
+    from ocr_lib_ray.pipelines.curate import curate_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars", "lang"],
+    )
+    return curate_corpus(
+        docs,
+        _BLOCKLIST_TERMS,
+        _BUDGETS,
+        num_shards=4,
+        ppl_keep=("head", "middle"),
+    )
+
+
 def _q_weighted_sample_k(sf_dir: str):
     """Exact-k weighted sample (A-ES keys from md5 uniforms): longer
     docs proportionally likelier, output exactly 20 rows — map-only
@@ -2300,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample": _q_budget_sample,
         "curate": _q_curate,
         "curate_quality": _q_curate_quality,
+        "curate_ppl": _q_curate_ppl,
         "filter_blocklist": _q_filter_blocklist,
         "shuffle_shards": _q_shuffle_shards,
         "rollup_stats": _q_rollup_stats,
@@ -2756,6 +2779,30 @@ def _minhash_pairs_sql(
     """
 
 
+def _lm_sc_ctes(src: str) -> str:
+    """The corpus-trained bigram-LM scoring CTE chain over relation
+    ``src`` (must carry doc_id + text): defines t/pr/uni/bi and the
+    per-doc ``sc`` (doc_id, n_pairs, lm) — the single source of truth
+    for the LM arithmetic, nested by lm_bigram_score, ccnet_buckets
+    (via lm_bigram_score) and curate_ppl (trained on the blocklist
+    survivors)."""
+    return f"""t AS (SELECT doc_id, str_split({_NORM}, ' ') AS ws
+                       FROM {src} WHERE {_NORM} <> ''),
+            pr AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                         FROM t)),
+            uni AS (SELECT w, count(*) AS c
+                    FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+            bi AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+            sc AS (SELECT pr.doc_id, count(*) AS n_pairs,
+                          CAST(sum(CAST(floor(ln(bi.c * 1.0 / uni.c) * 1e6
+                                                + 0.5) AS BIGINT))
+                               AS BIGINT) AS lm
+                   FROM pr JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
+                           JOIN uni ON uni.w = pr.w1
+                   GROUP BY 1)"""
+
+
 def oracle_sql() -> dict[str, str]:
     norm = _NORM
     d = {
@@ -3089,21 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         # bigram-LM score: libm ln == DuckDB ln; identical double chain
         # floor(ln(c_bi/c_uni)*1e6+0.5) then exact int64 sums
         "lm_bigram_score": f"""
-            WITH t AS (SELECT doc_id, str_split({norm}, ' ') AS ws
-                       FROM documents WHERE {norm} <> ''),
-            pr AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-                         FROM t)),
-            uni AS (SELECT w, count(*) AS c
-                    FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
-            bi AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
-            sc AS (SELECT pr.doc_id, count(*) AS n_pairs,
-                          CAST(sum(CAST(floor(ln(bi.c * 1.0 / uni.c) * 1e6
-                                                + 0.5) AS BIGINT))
-                               AS BIGINT) AS lm
-                   FROM pr JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
-                           JOIN uni ON uni.w = pr.w1
-                   GROUP BY 1)
+            WITH {_lm_sc_ctes("documents")}
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                    CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs,
                    CAST(coalesce(sc.lm, 0) AS BIGINT) AS logprob_micro
@@ -4609,6 +4642,30 @@ def oracle_sql() -> dict[str, str]:
         _curate_prefix,
         _gq_surv.format(gf=d["gopher_filter"]) + "\n            ",
         1,
+    )
+    # curate with the opt-in CCNet perplexity gate: the bigram LM is
+    # trained on the blocklist SURVIVORS (same corpus the engine
+    # trains on), per-language tercile thresholds via quantile_disc,
+    # keep head+middle (nll <= t2) — then the unchanged curate chain
+    _ppl_surv = f"""WITH surv0 AS (SELECT doc_id, text, source, n_chars, lang
+                     FROM documents
+                     WHERE NOT regexp_matches(lower(text),
+                         '(?:\\bspark\\b|\\bslow query\\b|\\bdup\\b)')),
+            {_lm_sc_ctes("surv0")},
+            st AS (SELECT s0.doc_id, s0.lang,
+                          CASE WHEN coalesce(sc.n_pairs, 0) = 0 THEN 0
+                               ELSE (-sc.lm) // sc.n_pairs END AS nll
+                   FROM surv0 s0 LEFT JOIN sc USING (doc_id)),
+            th AS (SELECT lang,
+                          quantile_disc(nll, 1.0/3) AS t1,
+                          quantile_disc(nll, 2.0/3) AS t2
+                   FROM st GROUP BY 1),
+            surv AS (SELECT s0.doc_id, s0.text, s0.source, s0.n_chars
+                     FROM surv0 s0 JOIN st USING (doc_id)
+                     JOIN th ON st.lang = th.lang
+                     WHERE st.nll <= th.t2),"""
+    d["curate_ppl"] = d["curate"].replace(
+        _curate_prefix, _ppl_surv + "\n            ", 1
     )
     return d
 

@@ -127,6 +127,14 @@ def main(argv=None) -> int:
         "neutral subset — no stop-word rule) before the dedup",
     )
     cu.add_argument(
+        "--ppl-gate",
+        action="store_true",
+        help="apply the CCNet perplexity gate before the dedup: train "
+        "a bigram LM on the blocklist survivors and drop the worst "
+        "per-language perplexity tercile (keeps head+middle); needs a "
+        "lang column on the input",
+    )
+    cu.add_argument(
         "--checkpoint-dir",
         help="deduped-survivors checkpoint (recommended beyond toy scale: "
         "the budget stage's two passes re-read parquet instead of "
@@ -175,9 +183,10 @@ def main(argv=None) -> int:
         from .stages.manifest import safe_wipe_output
 
         docs_path = args.input or f"{args.sf_dir}/documents.parquet"
-        docs = rd.read_parquet(
-            docs_path, columns=["doc_id", "text", "source", "n_chars"]
-        )
+        doc_cols = ["doc_id", "text", "source", "n_chars"]
+        if args.ppl_gate:
+            doc_cols.append("lang")
+        docs = rd.read_parquet(docs_path, columns=doc_cols)
         budgets = {}
         if args.budgets:
             for kv in args.budgets.split(","):
@@ -195,6 +204,7 @@ def main(argv=None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             overwrite=args.overwrite,
             quality_rules=GOPHER_STRUCTURAL if args.quality_gate else None,
+            ppl_keep=("head", "middle") if args.ppl_gate else None,
         )
         curated.write_parquet(args.output, partition_cols=["shard"])
 

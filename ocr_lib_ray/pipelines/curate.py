@@ -43,6 +43,7 @@ def curate_corpus(
     checkpoint_dir: str | None = None,
     overwrite: bool = False,
     quality_rules=None,
+    ppl_keep=None,
 ):
     """Returns the curated corpus as (doc_id, source, shard, pos) —
     the deterministic training-shard assignment of every surviving
@@ -56,6 +57,16 @@ def curate_corpus(
     skips the gate, keeping the original 4-stage pipeline bit-stable.
     The gate is a map-only filter (zero extra shuffle) placed before
     the dedup so junk never pays for a shuffle.
+
+    ``ppl_keep``: opt-in CCNet perplexity gate — an iterable of bucket
+    names to KEEP (``("head", "middle")`` is the published recipe:
+    drop the highest-perplexity tercile per language); None (default)
+    skips it.  Requires a ``lang`` column on the input.  The gate
+    trains the bigram LM on the blocklist survivors (one
+    vocabulary-sized shuffle), takes per-language tercile thresholds
+    from the distributed quantile histogram, and labels+filters
+    map-only — the carried text is never materialized (see
+    ``ccnet_buckets``), at the cost of one extra scoring scan.
     """
     from ..functions.curation import (
         dedup_keep_best,
@@ -64,10 +75,13 @@ def curate_corpus(
     )
     from ..functions.sampling import budget_sample
 
+    keep_cols = ("doc_id", "text", "source", "n_chars")
+    if ppl_keep is not None:
+        keep_cols = keep_cols + ("lang",)
     survivors = filter_blocklist(
         docs_ds,
         blocklist_terms,
-        keep_cols=("doc_id", "text", "source", "n_chars"),
+        keep_cols=keep_cols,
     )
     if quality_rules is not None:
         import pyarrow.compute as pc
@@ -85,6 +99,27 @@ def curate_corpus(
 
         survivors = survivors.map_batches(
             gate, batch_format="pyarrow", zero_copy_batch=True
+        )
+    if ppl_keep is not None:
+        from ..functions.lm import ccnet_buckets
+
+        keep = frozenset(ppl_keep)
+        bad = keep - {"head", "middle", "tail"}
+        if bad:
+            raise ValueError(f"unknown ppl_keep buckets: {sorted(bad)}")
+        labeled = ccnet_buckets(
+            survivors, carry_cols=("text", "source", "n_chars")
+        )
+
+        def ppl_gate(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(b.column("bucket"), value_set=pa.array(sorted(keep)))
+            return b.filter(mask).select(["doc_id", "text", "source", "n_chars"])
+
+        survivors = labeled.map_batches(
+            ppl_gate, batch_format="pyarrow", zero_copy_batch=True
         )
     deduped = dedup_keep_best(survivors, carry_cols=("text", "source"))
 

@@ -402,3 +402,44 @@ def test_budget_sample_precomputed_totals_skip_pass_one():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_corpus_ppl_gate_drops_worst_tercile():
+    from ocr_lib_ray.pipelines.curate import curate_corpus
+
+    # 9 'en' docs in three classes (3 each) so the per-language
+    # terciles split them cleanly.  Under the corpus-trained MLE
+    # bigram LM: the singleton-vocab docs (c d e f) have only
+    # probability-1 pairs -> NLL 0 (head); the pure 'a' runs sit at
+    # P(a|a)=30/39 (middle); the mixed 'a a bR' docs pay the rare
+    # (a,bR) pair -> highest NLL (tail, dropped).
+    rows = []
+    i = 0
+    for rep in range(3):
+        rows.append((i, "a a a a a a a a", "en", "s")); i += 1
+    for rep in range(3):
+        rows.append((i, f"a a b{rep} a a a", "en", "s")); i += 1
+    for rep in range(3):
+        rows.append((i, f"c{rep} d{rep} e{rep} f{rep}", "en", "s")); i += 1
+    # one solo-language doc: its own tercile boundary -> always kept
+    rows.append((i, "zz yy xx ww", "xx", "s")); i += 1
+    tbl = _docs_table(rows)
+    out = curate_corpus(
+        rd.from_arrow(tbl).repartition(3),
+        ["blockedterm"],
+        {},
+        num_shards=2,
+        ppl_keep=("head", "middle"),
+    ).to_pandas()
+    kept = set(out["doc_id"])
+    # the tail class (mixed 'a a bR') must be gone; dedup collapses the
+    # identical 'a'-run class to its min-id winner
+    assert not {3, 4, 5} & kept, "worst-tercile docs must be gone"
+    assert 9 in kept, "solo-language doc is its own head"
+    assert kept == {0, 6, 7, 8, 9}
+
+    with pytest.raises(ValueError, match="ppl_keep"):
+        curate_corpus(
+            rd.from_arrow(tbl), ["blockedterm"], {}, ppl_keep=("head", "bogus")
+        ).to_pandas()

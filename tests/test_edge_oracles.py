@@ -81,6 +81,7 @@ QUERIES = [
     "budget_sample",  # round 3: unbudgeted sources + tiny totals
     "curate",  # round 3: composed pipeline on empty/short docs
     "curate_quality",  # round 3: + Gopher structural gate (may empty)
+    "curate_ppl",  # round 3: + CCNet perplexity gate (1-doc langs, empty docs)
     "filter_blocklist",  # round 3: word-boundary blocklist on short docs
     "shuffle_shards",  # round 3: md5 shard shuffle on a tiny corpus
     "rollup_stats",  # round 3: GROUPING SETS with single-doc groups
