@@ -1158,6 +1158,22 @@ def _q_curate_quality(sf_dir: str):
     )
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-scaled source mixing (XLM/XLM-R recipe, alpha=0.3):
+    smallest source kept whole, larger sources downsampled with
+    rate = (t_min/t)^(1-alpha) via one libm ln/exp chain + the shared
+    md5-vs-printf-hex keep rule; two cheap passes (|sources|-row token
+    aggregate, then a map-only filter)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import temperature_mix
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return temperature_mix(docs, alpha=0.3)
+
+
 def _q_curate_ppl(sf_dir: str):
     """The curate pipeline with the opt-in CCNet perplexity gate
     (Wenzek et al. 2020): blocklist → per-language perplexity terciles
@@ -2323,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "curate_quality": _q_curate_quality,
         "curate_ppl": _q_curate_ppl,
+        "temperature_mix": _q_temperature_mix,
         "filter_blocklist": _q_filter_blocklist,
         "shuffle_shards": _q_shuffle_shards,
         "rollup_stats": _q_rollup_stats,
@@ -3633,6 +3650,30 @@ def oracle_sql() -> dict[str, str]:
                OR substr(md5('budget' || CAST(k.doc_id AS VARCHAR)), 1, 8)
                   < printf('%08x',
                            CAST(floor(c.b / c.t * 4294967296.0) AS BIGINT))
+        """.replace("{norm}", _NORM),
+        # temperature-scaled source mixing: rate = exp((alpha-1) *
+        # (ln t - ln tmin)) — the repr'd (alpha-1.0) literal parses to
+        # the identical double; same md5/printf keep rule as budget
+        "temperature_mix": f"""
+            WITH tok AS (SELECT doc_id, source,
+                                CASE WHEN {{norm}} = '' THEN 0
+                                     ELSE len(str_split({{norm}}, ' ')) END AS ntk
+                         FROM documents),
+            tot AS (SELECT source, CAST(sum(ntk) AS BIGINT) AS t
+                    FROM tok GROUP BY 1),
+            mn AS (SELECT CAST(min(t) AS DOUBLE) AS tmin FROM tot WHERE t > 0),
+            r AS (SELECT source,
+                         CASE WHEN t = 0 THEN 1.0
+                              ELSE exp({0.3 - 1.0!r} *
+                                   (ln(CAST(t AS DOUBLE)) -
+                                    ln((SELECT tmin FROM mn))))
+                         END AS rate
+                  FROM tot)
+            SELECT k.doc_id, k.source
+            FROM tok k JOIN r USING (source)
+            WHERE r.rate >= 1.0
+               OR substr(md5('temp' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
         """.replace("{norm}", _NORM),
         # the composed curation pipeline, end to end: each CTE is the
         # oracle of its stage (filter_blocklist / dedup_keep_best /

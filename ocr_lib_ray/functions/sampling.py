@@ -368,3 +368,87 @@ def weighted_sample_k(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def temperature_mix(
+    docs_ds,
+    alpha: float = 0.3,
+    salt: str = "temp",
+    keep_cols: tuple = ("doc_id", "source"),
+    totals: dict | None = None,
+):
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    recipe of Lample & Conneau 2019 / XLM-R, Conneau et al. 2020:
+    sample source i with probability ∝ p_i^alpha where p_i is its
+    token share): realize the temperature mixture by DOWNSAMPLING —
+    the smallest source is kept whole and every larger source keeps
+    rate_i = (t_min / t_i)^(1 - alpha), which is exactly the largest
+    per-source scaling that matches the p^alpha mixture without
+    replicating rows.  ``alpha = 1`` keeps everything (natural
+    mixture); ``alpha = 0`` equalizes token counts across sources.
+
+    Determinism bridge: rate = exp((alpha-1)·(ln t − ln t_min)) — one
+    libm ln/exp chain, bit-identical in DuckDB (the SQL oracle embeds
+    repr(alpha-1.0), which parses to the same double) — and the
+    keep/drop decision is the md5-vs-printf-hex compare shared with
+    :func:`budget_sample`.  Zero-token sources are kept whole (they
+    cost nothing).
+
+    Scale shape: same as :func:`budget_sample` — pass 1 is a
+    |sources|-row token-total aggregate (combined per batch), pass 2
+    a map-only threshold filter; pass ``totals`` to skip pass 1.
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    if totals is None:
+        from ray.data.aggregate import Sum
+
+        from .text_stats import normalize_expr, token_count
+
+        def partial_tokens(batch: pa.Table) -> pa.Table:
+            nt = token_count(normalize_expr(batch.column("text"))).cast(pa.int64())
+            t = pa.Table.from_arrays(
+                [batch.column("source"), nt], names=["source", "nt"]
+            )
+            g = t.group_by("source").aggregate([("nt", "sum")])
+            return g.rename_columns(["source", "nt"])
+
+        agg = (
+            docs_ds.map_batches(
+                partial_tokens, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("source")
+            .aggregate(Sum("nt", alias_name="nt"))
+            .to_pandas()
+        )
+        total_by_source = dict(zip(agg["source"], agg["nt"])) if len(agg) else {}
+    else:
+        total_by_source = dict(totals)
+
+    pos = [t for t in total_by_source.values() if t > 0]
+    tmin = float(min(pos)) if pos else 0.0
+    am1 = alpha - 1.0
+    thresholds: dict = {}
+    for src, t in total_by_source.items():
+        if t == 0:
+            thresholds[src] = None  # zero-token source: keep whole
+            continue
+        rate = math.exp(am1 * (math.log(float(t)) - math.log(tmin)))
+        # the min source computes exp(am1 * 0.0) == 1.0 exactly
+        thresholds[src] = None if rate >= 1.0 else format(int(rate * (1 << 32)), "08x")
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        mask = [
+            thresholds.get(s) is None or _md5_hex(salt, i)[:8] < thresholds[s]
+            for i, s in zip(ids, srcs)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_())).select(list(keep_cols))
+
+    return docs_ds.map_batches(
+        keep_mask, batch_format="pyarrow", zero_copy_batch=True
+    )

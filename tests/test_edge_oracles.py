@@ -79,6 +79,7 @@ QUERIES = [
     "dedup_normalized",  # round 3: case/punct-blind dedup (empty docs collide)
     "dedup_keep_best",  # round 3: longest-variant winner (n_chars ties)
     "budget_sample",  # round 3: unbudgeted sources + tiny totals
+    "temperature_mix",  # round 3: temperature mixing (0-token sources)
     "curate",  # round 3: composed pipeline on empty/short docs
     "curate_quality",  # round 3: + Gopher structural gate (may empty)
     "curate_ppl",  # round 3: + CCNet perplexity gate (1-doc langs, empty docs)

@@ -322,3 +322,54 @@ def test_weighted_sample_k_exact_size_and_weight_bias():
     assert 37 in set(out["doc_id"])  # P(miss) ≈ (stuff)^1e6 — deterministic here
     # keys sorted descending with id tie-break is the selection order
     assert list(out["key_nano"]) == sorted(out["key_nano"], reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_temperature_mix_rates_and_edges():
+    """alpha=1 keeps everything (natural mixture); the smallest source
+    is always kept whole; alpha=0 equalizes expected token counts;
+    zero-token sources are kept whole; totals= skips pass 1 with
+    identical output; alpha outside [0,1] raises."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import temperature_mix
+
+    rows = []
+    i = 0
+    for _ in range(200):
+        rows.append((i, "tok " * 10, "big")); i += 1
+    for _ in range(20):
+        rows.append((i, "tok " * 10, "small")); i += 1
+    for _ in range(5):
+        rows.append((i, "", "empty")); i += 1
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.string()),
+            pa.array([r[2] for r in rows], pa.string()),
+        ],
+        names=["doc_id", "text", "source"],
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    all_kept = temperature_mix(ds, alpha=1.0).to_pandas()
+    assert len(all_kept) == len(rows)
+
+    out = temperature_mix(ds, alpha=0.0).to_pandas()
+    by_src = out.groupby("source").size()
+    assert by_src["small"] == 20, "smallest source kept whole"
+    assert by_src.get("empty", 0) == 5, "zero-token source kept whole"
+    # alpha=0 equalizes: big's expected survivors = 20 of 200; the md5
+    # filter is deterministic, just pin the realized count is near it
+    assert 5 <= by_src["big"] <= 40
+
+    with_totals = temperature_mix(
+        ds, alpha=0.0, totals={"big": 2000, "small": 200, "empty": 0}
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = with_totals.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(ds, alpha=1.5)
