@@ -104,7 +104,14 @@ def main(argv=None) -> int:
         "deterministic shard shuffle → shard-partitioned parquet",
     )
     cu.add_argument(
-        "--input", help="documents parquet dir/file (doc_id, text, source, n_chars)"
+        "--input", help="documents dir/file (doc_id, text, source, n_chars)"
+    )
+    cu.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "jsonl", "csv"],
+        help="storage format of --input (parquet prunes columns at the "
+        "read; jsonl/csv project in the first map pass)",
     )
     cu.add_argument("--sf-dir", help="testdata dir; use its documents.parquet")
     cu.add_argument("--output", required=True, help="shard-partitioned parquet dir")
@@ -182,11 +189,17 @@ def main(argv=None) -> int:
         from .pipelines.curate import curate_corpus
         from .stages.manifest import safe_wipe_output
 
+        from .sources.text_files import read_documents
+
         docs_path = args.input or f"{args.sf_dir}/documents.parquet"
         doc_cols = ["doc_id", "text", "source", "n_chars"]
         if args.ppl_gate:
             doc_cols.append("lang")
-        docs = rd.read_parquet(docs_path, columns=doc_cols)
+        docs = read_documents(
+            docs_path,
+            format=args.input_format if args.input else "parquet",
+            columns=doc_cols,
+        )
         budgets = {}
         if args.budgets:
             for kv in args.budgets.split(","):
