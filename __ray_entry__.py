@@ -1618,6 +1618,30 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), eval_ds, n=5)
 
 
+def _q_contamination_report(sf_dir: str):
+    """Per-eval-doc dirtiness audit (GPT-3 appendix-C direction): eval
+    = doc_id % 41 == 0, training corpus = the rest; the training side
+    is scanned map-only against the broadcast eval gram set and only
+    matched digests (bounded by the eval set) ride the one dedup
+    groupby."""
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.ngramdup import contamination_report
+
+    def split(b: "pa.Table", keep_eval: bool) -> "pa.Table":
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 41 == 0
+        return b.filter(pa.array(m if keep_eval else ~m))
+
+    eval_ds = _docs(sf_dir).map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    )
+    train_ds = _docs(sf_dir).map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    return contamination_report(eval_ds, train_ds, n=5)
+
+
 def _q_cosine_dups_lsh(sf_dir: str):
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs_lsh
 
@@ -2362,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_spans": _q_dedup_ngram_spans,
         "dedup_ngram_spans_join": _q_dedup_ngram_spans_join,
         "decontaminate": _q_decontaminate,
+        "contamination_report": _q_contamination_report,
         "cosine_dups_lsh": _q_cosine_dups_lsh,
         "corpus_clean": _q_corpus_clean,
         "chunk_documents": _q_chunk_documents,
@@ -4231,6 +4256,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(h.n_eval_grams, 0) > 0
                              THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM d LEFT JOIN hits h USING (doc_id)
+        """,
+        # per-eval-doc dirtiness: n_grams counts POSITIONS, n_dirty the
+        # positions whose gram occurs in the TRAINING side (distinct
+        # join keys — each position counted once); exact int64 micro
+        "contamination_report": f"""
+            WITH d AS (SELECT doc_id, {norm} AS nm FROM documents),
+            ta AS (SELECT doc_id, str_split(nm, ' ') AS ws FROM d WHERE nm <> ''),
+            gi AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 4)) AS i FROM ta),
+            grams AS (SELECT doc_id, i,
+                             md5(array_to_string(ws[i : i + 4], ' ')) AS gh FROM gi),
+            ev AS (SELECT doc_id, gh FROM grams WHERE doc_id % 41 = 0),
+            tr AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 41 <> 0),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+            hit AS (SELECT e.doc_id, count(*) AS n_dirty
+                    FROM ev e JOIN tr USING (gh) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hit.n_dirty, 0) AS BIGINT) AS n_dirty,
+                   CAST(CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN 0
+                             ELSE (coalesce(hit.n_dirty, 0) * 1000000)
+                                  // tot.n_grams END AS BIGINT) AS dirty_micro
+            FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+            WHERE d.doc_id % 41 = 0
         """,
         "corpus_clean": f"""
             WITH gold AS (

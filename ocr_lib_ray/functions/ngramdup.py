@@ -33,9 +33,10 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 __all__ = [
+    "contamination_report",
     "decontaminate",
     "dup_ngram_stats",
     "dup_ngram_stats_join",
@@ -529,3 +530,87 @@ def remove_dup_ngrams(
         )
 
     return docs_ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contamination_report(
+    eval_ds,
+    train_ds,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_eval_grams: int = 20_000_000,
+):
+    """Per-EVAL-document dirtiness audit — the inverse direction of
+    :func:`decontaminate` and the statistic benchmark cards actually
+    publish (the GPT-3 appendix-C protocol: for each evaluation
+    example, what fraction of its word n-grams also occur in the
+    training corpus).
+
+    Returns one row per eval document: (id, n_grams = gram POSITIONS,
+    n_dirty = positions whose gram occurs anywhere in ``train_ds``,
+    dirty_micro = (n_dirty * 1e6) // n_grams — exact int64, 0 for
+    docs shorter than n tokens).
+
+    Scale shape: the eval gram-digest set builds distributed and
+    broadcasts once (small by definition; ``max_eval_grams`` guard);
+    the TRAINING corpus — the big side — is scanned map-only, each
+    batch emitting only the eval digests it matched (≤ |eval grams|
+    per batch, deduped per batch), one digest-keyed groupby dedups the
+    matches globally (bounded by the eval set, never the corpus), and
+    the matched set broadcasts back for a map-only eval labeling pass.
+    Nothing corpus-sized is ever collected or shuffled.
+    """
+    import ray
+
+    ev_ref = ray.put(
+        _collect_gram_digests(
+            eval_ds, text_col, n, 1, max_eval_grams, "max_eval_grams"
+        )
+    )
+
+    def matched_partials(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        s: set = set()
+        for toks in _norm_tokens(batch, text_col):
+            for i in range(len(toks) - n + 1):
+                h = _gram_digest(toks, i, n)
+                if h in ev:
+                    s.add(h)
+        return pa.Table.from_arrays(
+            [pa.array(list(s), pa.binary())], names=["gh"]
+        )
+
+    matched_ds = (
+        train_ds.map_batches(
+            matched_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("gh")
+        .aggregate(Count(alias_name="nb"))
+    )
+    matched = set()
+    for b in matched_ds.iter_batches(batch_format="pyarrow"):
+        matched.update(b.column("gh").to_pylist())
+    mt_ref = ray.put(matched)
+
+    def report(batch: pa.Table) -> pa.Table:
+        mt = ray.get(mt_ref)
+        n_grams, n_dirty, micro = [], [], []
+        for toks in _norm_tokens(batch, text_col):
+            total = max(0, len(toks) - n + 1)
+            dirty = sum(
+                1 for i in range(total) if _gram_digest(toks, i, n) in mt
+            )
+            n_grams.append(total)
+            n_dirty.append(dirty)
+            micro.append((dirty * 1_000_000) // total if total else 0)
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(n_grams, pa.int64()),
+                pa.array(n_dirty, pa.int64()),
+                pa.array(micro, pa.int64()),
+            ],
+            names=[id_col, "n_grams", "n_dirty", "dirty_micro"],
+        )
+
+    return eval_ds.map_batches(report, batch_format="pyarrow", zero_copy_batch=True)

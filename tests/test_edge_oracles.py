@@ -101,6 +101,7 @@ QUERIES = [
     "dedup_ngram_spans",
     "dedup_ngram_spans_join",  # round 3: rewrite via the join path
     "decontaminate",
+    "contamination_report",  # round 3: per-eval dirtiness (tiny/empty eval)
     "repetition_stats",  # round 3: Gopher intra-doc repetition filters
     "lm_bigram_score",  # round 3: corpus-trained bigram-LM scoring
     "ccnet_buckets",  # round 3: per-lang perplexity terciles (1-doc langs)

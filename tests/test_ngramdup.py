@@ -192,3 +192,37 @@ def test_rewrite_join_path_equals_broadcast():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(b, j[b.columns.tolist()])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_report_hand_counts():
+    """Planted overlap: the eval doc shares exactly its first 5-gram
+    window (2 positions) with a training doc; positions are counted,
+    short/empty eval docs report (0, 0, 0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ngramdup import contamination_report
+
+    def docs(rows):
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.string()),
+                ],
+                names=["doc_id", "text"],
+            )
+        )
+
+    # eval doc 1: tokens a b c d e f -> 2 positions; window [a..e]
+    # appears verbatim in train doc 10, window [b..f] nowhere
+    eval_ds = docs([(1, "a b c d e f"), (2, "x y"), (3, "")])
+    train_ds = docs([(10, "zz a b c d e zz"), (11, "unrelated text here")])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_dirty"], r["dirty_micro"])
+        for r in contamination_report(eval_ds, train_ds, n=5).take_all()
+    }
+    assert out[1] == (2, 1, 500_000)
+    assert out[2] == (0, 0, 0)
+    assert out[3] == (0, 0, 0)
