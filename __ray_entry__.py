@@ -2280,6 +2280,24 @@ def _q_large_orders(sf_dir: str):
     return large_orders(li, orders, cust, min_qty=250)
 
 
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo revenue share for one ship-year;
+    lineitem window-filtered + pre-aggregated per partkey before the
+    bucketed join to the (partkey, is_promo) reduced part table."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import promo_revenue
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    return promo_revenue(
+        li, part, lo_us=_ts_us("1997-01-01"), hi_us=_ts_us("1998-01-01")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2410,6 +2428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_priority": _q_ship_priority,
         "revenue_delta": _q_revenue_delta,
         "large_orders": _q_large_orders,
+        "promo_revenue": _q_promo_revenue,
     }
 
 
@@ -4652,6 +4671,28 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "promo_revenue": """
+            SELECT CAST(coalesce(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                 THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                                 ELSE 0 END), 0) AS BIGINT) AS promo_u4,
+                   CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+                                 0) AS BIGINT) AS total_u4,
+                   CAST(CASE WHEN coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0) = 0
+                             THEN 0
+                             ELSE (sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                 THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                                 ELSE 0 END) * 1000000)
+                                  // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        END AS BIGINT) AS promo_micro
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
         """,
         "large_orders": """
             WITH q AS (SELECT l_orderkey AS orderkey,

@@ -681,3 +681,88 @@ def large_orders(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape — promotion revenue share
+# --------------------------------------------------------------------------
+
+
+def promo_revenue(
+    lineitem_ds,
+    part_ds,
+    lo_us: int,
+    hi_us: int,
+    promo_prefix: str = "PROMO",
+    num_partitions: int = 32,
+):
+    """Promotion revenue share over lineitems shipped in [lo_us, hi_us)
+    (TPC-H Q14 shape — the fact⋈product-dimension CASE-ratio).  Output:
+    one-row pandas DataFrame (promo_u4, total_u4, promo_micro) where
+    promo_micro = (promo_u4 * 1e6) // total_u4 exact int64 (0 when the
+    window is empty).  Int64 bound: promo_u4 must stay under ~9.2e12
+    (≈ a billion promo dollars) for the micro product — beyond that
+    switch the share to a float or rescale; documented, not silently
+    wrong.
+
+    Scale shape: lineitem is window-filtered AND pre-aggregated to one
+    (partkey, rev) row per block before the join; ``part`` scales with
+    the catalog, so it goes through the bucketed hash join (reduced to
+    (partkey, is_promo) first — two thin columns), never a broadcast;
+    the final reduction ships one (promo, total) pair per block."""
+    import pandas as pd
+
+    def rev_parts(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, lo_us), pc.less(d, hi_us))
+        b = b.filter(keep)
+        base = cents(b.column("l_extendedprice"))
+        disc = pct(b.column("l_discount"))
+        rev = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"partkey": b.column("l_partkey"), "rev_u4": rev})
+        df = t.to_pandas()
+        g = df.groupby("partkey", sort=False)["rev_u4"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
+    )
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        promo = pc.starts_with(b.column("p_type"), promo_prefix).cast(pa.int64())
+        return pa.table({"partkey": b.column("p_partkey"), "is_promo": promo})
+
+    part = part_ds.map_batches(part_prep, batch_format="pyarrow")
+    joined = hash_join(
+        rev,
+        part,
+        "partkey",
+        right_value_cols=["is_promo"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def pair(b: pa.Table) -> pa.Table:
+        r = b.column("rev_u4").to_numpy(zero_copy_only=False)
+        p = b.column("is_promo_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "promo_u4": pa.array([int((r * p).sum())], pa.int64()),
+                "total_u4": pa.array([int(r.sum())], pa.int64()),
+            }
+        )
+
+    agg = joined.map_batches(pair, batch_format="pyarrow").aggregate(
+        Sum("promo_u4", alias_name="promo_u4"), Sum("total_u4", alias_name="total_u4")
+    )
+    promo = int(agg["promo_u4"] or 0)
+    total = int(agg["total_u4"] or 0)
+    return pd.DataFrame(
+        {
+            "promo_u4": [promo],
+            "total_u4": [total],
+            "promo_micro": [(promo * 1_000_000) // total if total else 0],
+        }
+    )

@@ -160,6 +160,7 @@ OTHER_TABLES = {
     "ship_priority",  # round 3: Q3 shape (semi-gated unshipped top-k)
     "revenue_delta",  # round 3: Q6 shape (predicate-band scalar agg)
     "large_orders",  # round 3: Q18 shape (HAVING-on-join-key filter)
+    "promo_revenue",  # round 3: Q14 shape (fact-dim CASE ratio)
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is

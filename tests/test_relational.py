@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "nation", "region"]:
+    for t in ["lineitem", "orders", "customer", "nation", "region", "part"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -331,3 +331,50 @@ def test_revenue_delta_empty_band_and_bounds():
     assert out["revenue_u4"].tolist() == [10_000 * 5 + 10_000 * 7]
     empty = revenue_delta(rd.from_arrow(li), lo, hi, 1, 2, 5)
     assert empty["revenue_u4"].tolist() == [0] and empty["n"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_promo_revenue_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["promo_revenue"](SF), entry.oracle_sql()["promo_revenue"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_promo_revenue_hand_counts_and_empty_window():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import promo_revenue
+
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 1], pa.int64()),
+            "l_extendedprice": [100.0, 50.0, 100.0],
+            "l_discount": [0.0, 0.0, 0.5],
+            "l_shipdate": pa.array([pd.Timestamp("1997-03-01")] * 3),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": ["PROMO SHINY", "STANDARD DULL"],
+        }
+    )
+    lo = int(pd.Timestamp("1997-01-01").value // 1000)
+    hi = int(pd.Timestamp("1998-01-01").value // 1000)
+    out = promo_revenue(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(part), lo, hi
+    )
+    # part 1 revenue: 100*100% + 100*50% = 1_000_000 + 500_000 u4 (promo)
+    # part 2 revenue: 50*100% = 500_000 u4
+    assert out["promo_u4"].tolist() == [1_500_000]
+    assert out["total_u4"].tolist() == [2_000_000]
+    assert out["promo_micro"].tolist() == [750_000]
+    empty = promo_revenue(
+        rd.from_arrow(li),
+        rd.from_arrow(part),
+        int(pd.Timestamp("2050-01-01").value // 1000),
+        int(pd.Timestamp("2051-01-01").value // 1000),
+    )
+    assert empty["promo_micro"].tolist() == [0]
+    assert empty["total_u4"].tolist() == [0]
