@@ -2280,6 +2280,55 @@ def _q_large_orders(sf_dir: str):
     return large_orders(li, orders, cust, min_qty=250)
 
 
+def _q_group_enrich(sf_dir: str):
+    """Enrich every document with its (lang, source) group's exact
+    stats — the COMPOSITE-key join shape: per-batch (lang, source)
+    partials → one group-sized groupby → bucketed hash_join back on
+    BOTH key columns (group stats scale with |langs|×|sources|, which
+    scales with the corpus — no broadcast assumption)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def partials(b: "pa.Table") -> "pa.Table":
+        t = b.select(["lang", "source", "n_chars"])
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return g.rename_columns(["lang", "source", "grp_chars", "grp_docs"])
+
+    grp = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("grp_chars", alias_name="grp_chars"),
+            Sum("grp_docs", alias_name="grp_docs"),
+        )
+    )
+    out = hash_join(
+        docs,
+        grp,
+        ["lang", "source"],
+        right_value_cols=["grp_chars", "grp_docs"],
+        how="inner",
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["doc_id", "lang", "source", "n_chars", "grp_chars_r", "grp_docs_r"]
+        ).rename_columns(
+            ["doc_id", "lang", "source", "n_chars", "grp_chars", "grp_docs"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_promo_revenue(sf_dir: str):
     """TPC-H Q14 shape: promo revenue share for one ship-year;
     lineitem window-filtered + pre-aggregated per partkey before the
@@ -2429,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_delta": _q_revenue_delta,
         "large_orders": _q_large_orders,
         "promo_revenue": _q_promo_revenue,
+        "group_enrich": _q_group_enrich,
     }
 
 
@@ -4671,6 +4721,15 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "group_enrich": """
+            WITH g AS (SELECT lang, source,
+                              CAST(sum(n_chars) AS BIGINT) AS grp_chars,
+                              CAST(count(*) AS BIGINT) AS grp_docs
+                       FROM documents GROUP BY 1, 2)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                   g.grp_chars, g.grp_docs
+            FROM documents d JOIN g USING (lang, source)
         """,
         "promo_revenue": """
             SELECT CAST(coalesce(sum(CASE WHEN p.p_type LIKE 'PROMO%'

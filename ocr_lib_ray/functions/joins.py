@@ -25,10 +25,16 @@ import pyarrow.compute as pc
 from ..schema_utils import pa_col_type as _pa_col_type
 
 
+def _key_list(key_col) -> list:
+    """Normalize the join-key argument: a string is one key, a
+    list/tuple is a composite key (joined on ALL columns)."""
+    return [key_col] if isinstance(key_col, str) else list(key_col)
+
+
 def _union_bucketed(
     left_ds,
     right_ds,
-    key_col: str,
+    key_col,
     num_partitions: int,
     right_prebatch=None,
     right_names: list | None = None,
@@ -96,13 +102,23 @@ def _union_bucketed(
                 batch.column(c) if c in present else default_array(n, types[c])
                 for c in all_cols
             ]
-            keys = batch.column(key_col).to_pylist()
-            arrays.append(
-                pa.array(
-                    [zlib.crc32(str(k).encode()) % num_partitions for k in keys],
-                    pa.int32(),
-                )
-            )
+            key_cols = _key_list(key_col)
+            if len(key_cols) == 1:
+                keys = batch.column(key_cols[0]).to_pylist()
+                buckets = [
+                    zlib.crc32(str(k).encode()) % num_partitions for k in keys
+                ]
+            else:
+                # composite key: unit-separator join (columns never
+                # contain \x1f after any normalization here) so
+                # ('a','bc') and ('ab','c') bucket apart
+                kls = [batch.column(c).to_pylist() for c in key_cols]
+                buckets = [
+                    zlib.crc32("\x1f".join(str(k) for k in tup).encode())
+                    % num_partitions
+                    for tup in zip(*kls)
+                ]
+            arrays.append(pa.array(buckets, pa.int32()))
             arrays.append(pa.array([side] * n, pa.int8()))
             return pa.Table.from_arrays(arrays, names=all_cols + ["bucket", "side"])
 
@@ -215,14 +231,17 @@ def asof_join(
 def hash_join(
     left_ds,
     right_ds,
-    key_col: str,
+    key_col,
     right_value_cols: list | None = None,
     how: str = "inner",
     suffix: str = "_r",
     num_partitions: int = 32,
 ):
     """General equi-join: left rows matched to right rows on
-    ``key_col``.  ``how`` = ``inner`` (unmatched left rows dropped),
+    ``key_col`` — one column name, or a list of names for a COMPOSITE
+    key (both sides must carry all of them; rows match when every key
+    column is equal, and a null in ANY key column means no match, SQL
+    semantics).  ``how`` = ``inner`` (unmatched left rows dropped),
     ``left`` (kept, joined columns NaN on miss — NUMERIC right columns
     are cast float64 so the schema is not group-dependent, which means
     int ids ≥ 2^53 would lose precision under ``left``: use ``inner``
@@ -274,6 +293,7 @@ def hash_join(
             f" got {how!r}"
         )
     right_value_cols = list(right_value_cols or [])
+    key_cols = _key_list(key_col)
     if left_ds.schema() is None:
         # a filtered-to-empty lazy left side can be schema-less even
         # after materialize (Ray's aggregate emits zero blocks); the
@@ -296,45 +316,55 @@ def hash_join(
         def distinct_keys(b: pa.Table) -> pa.Table:
             # per-batch combiner: nulls never match under EXISTS, drop
             # them here; dedup so the shuffle carries distinct keys
-            t = b.filter(pc.is_valid(b.column(key_col)))
-            return t.group_by([key_col]).aggregate([])
+            valid = pc.is_valid(b.column(key_cols[0]))
+            for c in key_cols[1:]:
+                valid = pc.and_(valid, pc.is_valid(b.column(c)))
+            t = b.filter(valid)
+            return t.group_by(key_cols).aggregate([])
 
-        right = right_ds.select_columns([key_col])
+        right = right_ds.select_columns(key_cols)
         union, left_cols = _union_bucketed(
             left_ds,
             right,
-            key_col,
+            key_cols,
             num_partitions,
             right_prebatch=distinct_keys,
-            right_names=[key_col],
+            right_names=key_cols,
         )
 
         def filter_keys(g: pd.DataFrame) -> pd.DataFrame:
             l = g[g["side"] == 0][left_cols]
-            # EXISTS: a null left key matches nothing (pandas isin
-            # would match NaN to NaN — mask it out explicitly)
-            mask = l[key_col].notna() & l[key_col].isin(
-                g[g["side"] == 1][key_col].dropna()
-            )
+            # EXISTS: a null left key matches nothing (pandas isin /
+            # merge WOULD match NaN to NaN — mask it out explicitly)
+            valid = l[key_cols].notna().all(axis=1)
+            r = g[g["side"] == 1][key_cols].dropna().drop_duplicates()
+            if len(key_cols) == 1:
+                hit = l[key_cols[0]].isin(r[key_cols[0]])
+            else:
+                hit = pd.Series(
+                    list(map(tuple, l[key_cols].itertuples(index=False))),
+                    index=l.index,
+                ).isin(set(map(tuple, r.itertuples(index=False))))
+            mask = valid & hit
             out = l[mask] if how == "semi" else l[~mask]
-            return out.sort_values(key_col, kind="mergesort")
+            return out.sort_values(key_cols, kind="mergesort")
 
         return union.groupby("bucket").map_groups(filter_keys, batch_format="pandas")
 
     _check_right_cols(left_ds, right_value_cols, suffix)
-    right = right_ds.select_columns([key_col] + list(right_value_cols))
+    right = right_ds.select_columns(key_cols + list(right_value_cols))
     union, left_cols = _union_bucketed(
         left_ds,
         right,
-        key_col,
+        key_cols,
         num_partitions,
-        right_names=[key_col] + list(right_value_cols),
+        right_names=key_cols + list(right_value_cols),
     )
-    r_cols = [key_col] + list(right_value_cols)
+    r_cols = key_cols + list(right_value_cols)
     rename = {c: c + suffix for c in right_value_cols}
 
     pd_how = {"full_outer": "outer"}.get(how, how)
-    left_value_cols = [c for c in left_cols if c != key_col]
+    left_value_cols = [c for c in left_cols if c not in key_cols]
 
     def _stabilize(out: pd.DataFrame, side_dtypes, cols) -> None:
         for jc in cols:
@@ -354,16 +384,19 @@ def hash_join(
         r = g[g["side"] == 1][r_cols].rename(columns=rename)
         # SQL never matches NULL join keys; pandas merge WOULD match
         # NaN to NaN — raise instead of silently diverging
-        if l[key_col].isna().any() or r[key_col].isna().any():
+        if (
+            l[key_cols].isna().any(axis=None)
+            or r[key_cols].isna().any(axis=None)
+        ):
             raise ValueError(
-                f"hash_join: null join keys in {key_col!r} are unsupported "
+                f"hash_join: null join keys in {key_cols!r} are unsupported "
                 "(SQL never matches them; pandas would) — filter or fill "
                 "them first"
             )
         # key-sorted per bucket for output locality; row ORDER among
         # ties is NOT a contract (see docstring) — only the SET is
-        out = pd.merge(l, r, on=key_col, how=pd_how).sort_values(
-            key_col, kind="mergesort"
+        out = pd.merge(l, r, on=key_cols, how=pd_how).sort_values(
+            key_cols, kind="mergesort"
         )
         if how in ("left", "full_outer"):
             _stabilize(out, r.dtypes, [c + suffix for c in right_value_cols])

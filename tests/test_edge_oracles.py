@@ -141,6 +141,7 @@ EMBEDDING_QUERIES = {
     "doc_semi_join",  # round 3: hash_join how="semi"
     "doc_anti_join",  # round 3: hash_join how="anti"
     "doc_outer_join",  # round 3: hash_join how="full_outer"
+    "group_enrich",  # round 3: composite-key (lang, source) join-back
 }
 
 #: queries over neither documents nor events (edge corpora here cover

@@ -401,3 +401,82 @@ def test_hash_join_composes_over_join_output():
     out = hash_join(rev, semi, "k", right_value_cols=["d"], how="inner", num_partitions=2)
     rows = sorted((r["k"], r["r"], r["d_r"]) for r in out.take_all())
     assert rows == [(1, 100, 5), (3, 300, 7)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_composite_key_all_modes():
+    """Composite (two-column) keys: inner/left multiply correctly,
+    semi/anti use EXISTS semantics with any-null-key = no match, and
+    non-semi modes raise on null keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "b": ["x", "y", "x", "y", "x"],
+                "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 2, 9], pa.int64()),
+                "b": ["x", "y", "y", "x"],
+                "w": pa.array([100, 200, 201, 900], pa.int64()),
+            }
+        )
+    )
+    inner = sorted(
+        (r["a"], r["b"], r["v"], r["w_r"])
+        for r in hash_join(
+            left, right, ["a", "b"], right_value_cols=["w"], num_partitions=2
+        ).take_all()
+    )
+    # (1,x) matches once; (2,y) matches TWICE (multiplies); others drop
+    assert inner == [(1, "x", 10, 100), (2, "y", 40, 200), (2, "y", 40, 201)]
+
+    semi = sorted(
+        (r["a"], r["b"]) for r in hash_join(
+            left, right, ["a", "b"], how="semi", num_partitions=2
+        ).take_all()
+    )
+    assert semi == [(1, "x"), (2, "y")]
+    anti = sorted(
+        (r["a"], r["b"]) for r in hash_join(
+            left, right, ["a", "b"], how="anti", num_partitions=2
+        ).take_all()
+    )
+    assert anti == [(1, "y"), (2, "x"), (3, "x")]
+
+    # null in ONE key column: semi drops the row, anti keeps it
+    left_n = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, None], pa.int64()),
+                "b": ["x", "x"],
+                "v": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    semi_n = [(r["a"], r["v"]) for r in hash_join(
+        left_n, right, ["a", "b"], how="semi", num_partitions=2
+    ).take_all()]
+    assert semi_n == [(1, 1)]
+    anti_n = sorted(
+        (r["v"],) for r in hash_join(
+            left_n, right, ["a", "b"], how="anti", num_partitions=2
+        ).take_all()
+    )
+    # (1,x) matched -> dropped by anti; the null-key row matches
+    # nothing -> anti KEEPS it (NOT-EXISTS semantics, not NOT IN)
+    assert anti_n == [(2,)]
+
+    with pytest.raises(Exception, match="null join keys"):
+        hash_join(
+            left_n, right, ["a", "b"], right_value_cols=["w"], num_partitions=2
+        ).take_all()
