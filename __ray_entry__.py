@@ -2280,6 +2280,20 @@ def _q_large_orders(sf_dir: str):
     return large_orders(li, orders, cust, min_qty=250)
 
 
+def _q_sample_k_per_group(sf_dir: str):
+    """Exactly 5 docs per language, hash-bottom-k (balanced eval-slice
+    draw): map-only md5 stamping + per-block per-group prune, never a
+    global sort."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import sample_k_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sample_k_per_group(docs, group_col="lang", k=5)
+
+
 def _q_group_enrich(sf_dir: str):
     """Enrich every document with its (lang, source) group's exact
     stats — the COMPOSITE-key join shape: per-batch (lang, source)
@@ -2479,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _q_large_orders,
         "promo_revenue": _q_promo_revenue,
         "group_enrich": _q_group_enrich,
+        "sample_k_per_group": _q_sample_k_per_group,
     }
 
 
@@ -4721,6 +4736,14 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "sample_k_per_group": """
+            SELECT lang, doc_id,
+                   substr(md5('gk' || CAST(doc_id AS VARCHAR)), 1, 16)
+                       AS sample_h
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY lang
+                                       ORDER BY sample_h, doc_id) <= 5
         """,
         "group_enrich": """
             WITH g AS (SELECT lang, source,

@@ -262,6 +262,22 @@ def run_bench() -> dict:
         "weighted_sample_k",
         "quantize_embeddings",
         "knn_sq8",
+        "heavy_hitters",
+        "approx_distinct",
+        "graph_rank",
+        "ccnet_buckets",
+        "temperature_mix",
+        "curate_ppl",
+        "contamination_report",
+        "group_enrich",
+        "pricing_summary",
+        "star_revenue",
+        "top_customers",
+        "order_priority",
+        "ship_priority",
+        "revenue_delta",
+        "large_orders",
+        "promo_revenue",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

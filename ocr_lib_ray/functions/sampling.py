@@ -452,3 +452,39 @@ def temperature_mix(
     return docs_ds.map_batches(
         keep_mask, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def sample_k_per_group(
+    ds,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gk",
+):
+    """Deterministic uniform sample of EXACTLY min(k, |group|) rows
+    PER GROUP (hash bottom-k within each group) — the balanced-draw
+    shape (per-language eval slices, per-source audit samples).
+    Key-stable like :func:`sample_fixed_k`: same rows at any batch
+    size, run, or cluster layout; ties break on id.
+
+    Scale shape: md5-key stamping is map-only, then
+    :func:`ranking.topk_per_group` prunes each block to its own
+    per-group bottom-k before the one groupby — at most k rows per
+    group per block reach the final task, never the corpus.  Output:
+    (group_col, id_col, sample_h).
+    """
+    import pyarrow as pa
+
+    from .ranking import topk_per_group
+
+    def stamp(b: pa.Table) -> pa.Table:
+        h = pa.array(
+            [_md5_hex(salt, x)[:16] for x in b.column(id_col).to_pylist()],
+            pa.string(),
+        )
+        return b.select([group_col, id_col]).append_column("sample_h", h)
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_per_group(
+        stamped, group_col, "sample_h", k, id_col, descending=False
+    )

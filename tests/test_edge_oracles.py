@@ -94,6 +94,7 @@ QUERIES = [
     "weighted_sample_k",  # round 3: A-ES exact-k (0-weight docs excluded)
     "cap_per_source",  # round 3: per-domain doc cap (srcA capped at 3)
     "sample_fixed_k",
+    "sample_k_per_group",  # round 3: per-group bottom-k (groups < k)
     "topk_per_group",
     "tfidf_top_terms",
     "dup_ngram_stats",

@@ -373,3 +373,36 @@ def test_temperature_mix_rates_and_edges():
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(ds, alpha=1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_k_per_group_exact_and_layout_invariant():
+    """Every group yields exactly min(k, |group|) rows, the selected
+    SET is the md5-bottom-k per group, and the result is identical at
+    any partition layout."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.sampling import _md5_hex, sample_k_per_group
+
+    rows = [(i, "g1" if i < 30 else ("g2" if i < 40 else "g3")) for i in range(42)]
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.string()),
+        ],
+        names=["doc_id", "lang"],
+    )
+
+    def run(nparts):
+        out = sample_k_per_group(
+            rd.from_arrow(tbl).repartition(nparts), "lang", k=5, id_col="doc_id"
+        ).to_pandas()
+        return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a.groupby("lang").size()
+    assert sizes["g1"] == 5 and sizes["g2"] == 5 and sizes["g3"] == 2
+    # reference: bottom-5 of g1 by the same md5 stamp
+    want = sorted(range(30), key=lambda i: (_md5_hex("gk", i)[:16], i))[:5]
+    assert sorted(a.loc[a["lang"] == "g1", "doc_id"]) == sorted(want)
