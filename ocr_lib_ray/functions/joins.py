@@ -38,6 +38,7 @@ def _union_bucketed(
     num_partitions: int,
     right_prebatch=None,
     right_names: list | None = None,
+    replicate_keys=None,
 ):
     """Union both sides under one schema with (bucket, side) tags.
     Columns a side lacks are ZERO-FILLED (see default_array) so pandas
@@ -55,6 +56,15 @@ def _union_bucketed(
     would poison the union schema with columns the runtime batches no
     longer carry — a KeyError deep inside the aligner.  Column TYPES
     are still probed by name (correct under either schema).
+
+    ``replicate_keys`` (hot-key salting): keys in this set get their
+    RIGHT rows replicated into every bucket and their LEFT rows spread
+    uniformly across buckets (by a per-row secondary hash), so one
+    dominant key no longer funnels all of its left rows into a single
+    merge task.  The output SET is unchanged — every spread left row
+    still meets the full right side of its key.  Valid only for join
+    modes where right rows may appear in several buckets without
+    changing semantics (inner/left/semi/anti — the CALLER guards).
     """
     def names_of(ds):
         sch = ds.schema()
@@ -93,6 +103,8 @@ def _union_bucketed(
             return pa.array([""] * n, t)
         return pa.nulls(n, t)
 
+    hot = set(replicate_keys) if replicate_keys else None
+
     def aligner(present: list, side: int):
         def align(batch: pa.Table) -> pa.Table:
             if side == 1 and right_prebatch is not None:
@@ -105,19 +117,59 @@ def _union_bucketed(
             key_cols = _key_list(key_col)
             if len(key_cols) == 1:
                 keys = batch.column(key_cols[0]).to_pylist()
-                buckets = [
-                    zlib.crc32(str(k).encode()) % num_partitions for k in keys
-                ]
             else:
                 # composite key: unit-separator join (columns never
                 # contain \x1f after any normalization here) so
                 # ('a','bc') and ('ab','c') bucket apart
                 kls = [batch.column(c).to_pylist() for c in key_cols]
+                keys = list(zip(*kls))
+
+            def kstr(k) -> str:
+                return (
+                    str(k)
+                    if len(key_cols) == 1
+                    else "\x1f".join(str(x) for x in k)
+                )
+
+            if hot is None:
                 buckets = [
-                    zlib.crc32("\x1f".join(str(k) for k in tup).encode())
-                    % num_partitions
-                    for tup in zip(*kls)
+                    zlib.crc32(kstr(k).encode()) % num_partitions for k in keys
                 ]
+            elif side == 0:
+                # hot left rows spread uniformly by a per-row secondary
+                # hash — which bucket a row lands in doesn't matter
+                # (every bucket holds the key's full right side), only
+                # that no single task gets them all
+                buckets = [
+                    zlib.crc32(kstr(k).encode()) % num_partitions
+                    if k not in hot
+                    else zlib.crc32(f"{kstr(k)}\x1f#{i}".encode()) % num_partitions
+                    for i, k in enumerate(keys)
+                ]
+            else:
+                # hot right rows replicate into EVERY bucket
+                hot_mask = pa.array([k in hot for k in keys], pa.bool_())
+                cold = pa.Table.from_arrays(arrays, names=all_cols).filter(
+                    pc.invert(hot_mask)
+                )
+                cold_keys = [k for k in keys if k not in hot]
+                cold_buckets = pa.array(
+                    [zlib.crc32(kstr(k).encode()) % num_partitions for k in cold_keys],
+                    pa.int32(),
+                )
+                cold = cold.append_column("bucket", cold_buckets)
+                hot_t = pa.Table.from_arrays(arrays, names=all_cols).filter(hot_mask)
+                parts = [cold]
+                for b in range(num_partitions):
+                    parts.append(
+                        hot_t.append_column(
+                            "bucket", pa.array([b] * hot_t.num_rows, pa.int32())
+                        )
+                    )
+                out = pa.concat_tables(parts)
+                return out.append_column(
+                    "side", pa.array([side] * out.num_rows, pa.int8())
+                )
             arrays.append(pa.array(buckets, pa.int32()))
             arrays.append(pa.array([side] * n, pa.int8()))
             return pa.Table.from_arrays(arrays, names=all_cols + ["bucket", "side"])
@@ -236,6 +288,7 @@ def hash_join(
     how: str = "inner",
     suffix: str = "_r",
     num_partitions: int = 32,
+    replicate_keys=None,
 ):
     """General equi-join: left rows matched to right rows on
     ``key_col`` — one column name, or a list of names for a COMPOSITE
@@ -286,11 +339,28 @@ def hash_join(
     total_bytes / 512 MB.  For a SMALL right side prefer a ``ray.put``
     broadcast + map-side lookup (no shuffle at all) — this operator is
     for right sides too big to broadcast.
+
+    ``replicate_keys`` (skew salting): a set of HOT join keys (tuples
+    for composite keys) whose left rows would otherwise all land in
+    one merge task.  Their right rows are replicated into every bucket
+    and their left rows spread uniformly, so per-task memory is
+    bounded by corpus/P again.  Same output SET; costs |hot right
+    rows| × num_partitions extra shuffle rows — use for keys whose
+    RIGHT side is small but LEFT side is huge (the fact⋈dim skew).
+    Only inner/left/semi/anti (outer modes would emit replicated right
+    rows once per bucket — rejected loudly).  Finding the hot keys is
+    the caller's job (a heavy_hitters pass, or domain knowledge).
     """
     if how not in ("inner", "left", "right", "full_outer", "semi", "anti"):
         raise ValueError(
             "how must be 'inner'/'left'/'right'/'full_outer'/'semi'/'anti',"
             f" got {how!r}"
+        )
+    if replicate_keys and how in ("right", "full_outer"):
+        raise ValueError(
+            f"replicate_keys is unsupported for how={how!r}: replicated "
+            "right rows would be emitted once per bucket under outer "
+            "semantics — use inner/left/semi/anti or drop the salting"
         )
     right_value_cols = list(right_value_cols or [])
     key_cols = _key_list(key_col)
@@ -330,6 +400,7 @@ def hash_join(
             num_partitions,
             right_prebatch=distinct_keys,
             right_names=key_cols,
+            replicate_keys=replicate_keys,
         )
 
         def filter_keys(g: pd.DataFrame) -> pd.DataFrame:
@@ -359,6 +430,7 @@ def hash_join(
         key_cols,
         num_partitions,
         right_names=key_cols + list(right_value_cols),
+        replicate_keys=replicate_keys,
     )
     r_cols = key_cols + list(right_value_cols)
     rename = {c: c + suffix for c in right_value_cols}

@@ -480,3 +480,67 @@ def test_hash_join_composite_key_all_modes():
         hash_join(
             left_n, right, ["a", "b"], right_value_cols=["w"], num_partitions=2
         ).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_replicate_keys_equivalence():
+    """Skew salting: a dominant key (90% of left rows) joined with and
+    without replicate_keys yields the identical output SET across
+    inner/left/semi/anti; outer modes reject it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    n = 400
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(
+                    [7 if i % 10 else i for i in range(n)], pa.int64()
+                ),
+                "v": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([7, 7, 20, 30], pa.int64()),
+                "w": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+
+    def canon(ds, cols):
+        return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+    for how, cols in [
+        ("inner", ["k", "v", "w_r"]),
+        ("left", ["k", "v"]),
+        ("semi", ["k", "v"]),
+        ("anti", ["k", "v"]),
+    ]:
+        kw = dict(right_value_cols=["w"]) if how in ("inner", "left") else {}
+        plain = canon(
+            hash_join(left, right, "k", how=how, num_partitions=4, **kw), cols
+        )
+        salted = canon(
+            hash_join(
+                left,
+                right,
+                "k",
+                how=how,
+                num_partitions=4,
+                replicate_keys={7},
+                **kw,
+            ),
+            cols,
+        )
+        assert salted == plain, how
+
+    with pytest.raises(ValueError, match="replicate_keys"):
+        hash_join(
+            left, right, "k", right_value_cols=["w"], how="full_outer",
+            replicate_keys={7},
+        )
