@@ -16,6 +16,7 @@ from .dedup import (
 )
 from .graph import pagerank_micro, purchase_graph_edges
 from .joins import asof_join, hash_join, range_join_count
+from .lm import bigram_logprob, ccnet_buckets, train_bigram_model
 from .linedup import remove_common_lines, remove_common_lines_join
 from .curation import (
     dedup_keep_best,
@@ -24,7 +25,13 @@ from .curation import (
     rollup_stats,
     shuffle_shards,
 )
-from .ngramdup import decontaminate, dup_ngram_stats, hot_ngrams, remove_dup_ngrams
+from .ngramdup import (
+    contamination_report,
+    decontaminate,
+    dup_ngram_stats,
+    hot_ngrams,
+    remove_dup_ngrams,
+)
 from .ordered import (
     cohort_retention,
     funnel_stages,
@@ -41,14 +48,27 @@ from .quantiles import (
     sort_quantiles,
 )
 from .ranking import tfidf_top_terms, topk_per_group
+from .relational import (
+    large_orders,
+    late_order_priority,
+    pricing_summary,
+    promo_revenue,
+    revenue_delta,
+    ship_priority,
+    star_revenue,
+    top_customers,
+)
 from .sampling import (
     budget_sample,
     cap_per_group,
     sample_fixed_k,
+    sample_k_per_group,
     split_dataset,
     stratified_sample,
     take_split,
+    temperature_mix,
     weighted_sample,
+    weighted_sample_k,
 )
 from .scoring import score_documents
 from .similarity import (
