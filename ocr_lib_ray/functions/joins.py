@@ -289,6 +289,7 @@ def hash_join(
     suffix: str = "_r",
     num_partitions: int = 32,
     replicate_keys=None,
+    left_group_agg: dict | None = None,
 ):
     """General equi-join: left rows matched to right rows on
     ``key_col`` — one column name, or a list of names for a COMPOSITE
@@ -350,6 +351,20 @@ def hash_join(
     Only inner/left/semi/anti (outer modes would emit replicated right
     rows once per bucket — rejected loudly).  Finding the hot keys is
     the caller's job (a heavy_hitters pass, or domain knowledge).
+
+    ``left_group_agg`` (exchange fusion): pandas named-agg spec
+    ``{out_col: (in_col, how)}`` applied to the LEFT side per key
+    INSIDE each bucket before the merge — a bucket holds every left
+    row of its keys, so this equals a full ``groupby(key).agg`` and
+    fuses what would be a separate all-to-all aggregate into the
+    join's own exchange (the aggregate-then-join warehouse shape pays
+    ONE shuffle instead of two).  The left output columns become
+    key_cols + the agg outputs (other left columns drop — feed a
+    projected left side).  Only for commutative/associative-safe aggs
+    over full key groups (sum/min/max/count); ``inner``/``left`` only,
+    and mutually exclusive with ``replicate_keys`` (spread hot-key
+    left rows would split a group across buckets and the in-bucket
+    agg would silently emit partial groups).
     """
     if how not in ("inner", "left", "right", "full_outer", "semi", "anti"):
         raise ValueError(
@@ -362,6 +377,18 @@ def hash_join(
             "right rows would be emitted once per bucket under outer "
             "semantics — use inner/left/semi/anti or drop the salting"
         )
+    if left_group_agg:
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"left_group_agg is only supported for how='inner'/'left', "
+                f"got {how!r}"
+            )
+        if replicate_keys:
+            raise ValueError(
+                "left_group_agg cannot combine with replicate_keys: spread "
+                "hot-key left rows split a group across buckets, so the "
+                "in-bucket aggregate would emit PARTIAL groups"
+            )
     right_value_cols = list(right_value_cols or [])
     key_cols = _key_list(key_col)
     if left_ds.schema() is None:
@@ -455,7 +482,9 @@ def hash_join(
         l = g[g["side"] == 0][left_cols]
         r = g[g["side"] == 1][r_cols].rename(columns=rename)
         # SQL never matches NULL join keys; pandas merge WOULD match
-        # NaN to NaN — raise instead of silently diverging
+        # NaN to NaN — raise instead of silently diverging (checked
+        # BEFORE the fused agg: pandas groupby would silently DROP
+        # NaN keys, hiding them from this guard)
         if (
             l[key_cols].isna().any(axis=None)
             or r[key_cols].isna().any(axis=None)
@@ -465,6 +494,8 @@ def hash_join(
                 "(SQL never matches them; pandas would) — filter or fill "
                 "them first"
             )
+        if left_group_agg:
+            l = l.groupby(key_cols, as_index=False).agg(**left_group_agg)
         # key-sorted per bucket for output locality; row ORDER among
         # ties is NOT a contract (see docstring) — only the SET is
         out = pd.merge(l, r, on=key_cols, how=pd_how).sort_values(

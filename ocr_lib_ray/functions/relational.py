@@ -207,10 +207,23 @@ def _orders_window(orders_ds, lo_us: int, hi_us: int, extra_cols=()):
     return orders_ds.map_batches(prep, batch_format="pyarrow")
 
 
-def _revenue_by_custkey(lineitem_ds, orders_ds, lo_us, hi_us, flag=None, num_partitions=32):
+def _revenue_by_custkey(
+    lineitem_ds,
+    orders_ds,
+    lo_us,
+    hi_us,
+    flag=None,
+    num_partitions=32,
+    as_partials: bool = False,
+):
     """lineitem ⋈ orders-in-window → exact integer revenue per custkey.
-    lineitem is pre-aggregated per block before the join (the join
-    shuffles ~#orders rows, never #lineitems)."""
+    lineitem is pre-aggregated per block before the join, and the full
+    per-orderkey aggregate is FUSED into the join exchange
+    (``left_group_agg`` — one all-to-all where groupby-then-join would
+    pay two).  ``as_partials=True`` returns per-block (custkey, rev_u4)
+    PARTIAL sums instead of the final per-custkey aggregate, so a
+    downstream join can fuse that aggregate into its own exchange too.
+    """
     rev = lineitem_ds.map_batches(
         lambda b: _revenue_partials(b, flag), batch_format="pyarrow"
     )
@@ -221,6 +234,7 @@ def _revenue_by_custkey(lineitem_ds, orders_ds, lo_us, hi_us, flag=None, num_par
         right_value_cols=["custkey"],
         how="inner",
         num_partitions=num_partitions,
+        left_group_agg={"rev_u4": ("rev_u4", "sum")},
     )
 
     def part(b: pa.Table) -> pa.Table:
@@ -232,6 +246,8 @@ def _revenue_by_custkey(lineitem_ds, orders_ds, lo_us, hi_us, flag=None, num_par
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = joined.map_batches(part, batch_format="pyarrow")
+    if as_partials:
+        return partials
     return partials.groupby("custkey").aggregate(Sum("rev_u4", alias_name="revenue_u4"))
 
 
@@ -256,8 +272,13 @@ def star_revenue(
     driver-side (≤ 30 rows total at ANY scale) and broadcast; customer
     goes through the bucketed hash join (it scales with the corpus).
     Output: (n_name, revenue_u4), exact integer units."""
-    rev_cust = _revenue_by_custkey(
-        lineitem_ds, orders_ds, lo_us, hi_us, num_partitions=num_partitions
+    rev_cust_partials = _revenue_by_custkey(
+        lineitem_ds,
+        orders_ds,
+        lo_us,
+        hi_us,
+        num_partitions=num_partitions,
+        as_partials=True,
     )
 
     cust = customer_ds.map_batches(
@@ -269,13 +290,16 @@ def star_revenue(
         ),
         batch_format="pyarrow",
     )
+    # the per-custkey aggregate is fused into the customer join's own
+    # exchange (left_group_agg) — two logical steps, one all-to-all
     with_nation = hash_join(
-        rev_cust,
+        rev_cust_partials,
         cust,
         "custkey",
         right_value_cols=["nationkey"],
         how="inner",
         num_partitions=num_partitions,
+        left_group_agg={"revenue_u4": ("rev_u4", "sum")},
     ).map_batches(
         lambda b: b.rename_columns(
             [c[:-2] if c == "nationkey_r" else c for c in b.column_names]
@@ -400,24 +424,20 @@ def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_part
         g = df.groupby("orderkey", sort=False)["max_ship_us"].max().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Max
-
-    max_ship = (
-        lineitem_ds.map_batches(ship_partials, batch_format="pyarrow")
-        .groupby("orderkey")
-        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
-    )
-
+    ship = lineitem_ds.map_batches(ship_partials, batch_format="pyarrow")
     orders = _orders_window(
         orders_ds, lo_us, hi_us, extra_cols=("o_orderpriority", "o_orderdate")
     )
+    # the per-orderkey MAX is fused into the join exchange: one
+    # all-to-all where groupby(orderkey)-then-join would pay two
     joined = hash_join(
+        ship,
         orders,
-        max_ship,
         "orderkey",
-        right_value_cols=["max_ship_us"],
+        right_value_cols=["o_orderpriority", "o_orderdate"],
         how="inner",
         num_partitions=num_partitions,
+        left_group_agg={"max_ship_us": ("max_ship_us", "max")},
     )
 
     schema = pa.schema([("o_orderpriority", pa.string()), ("n", pa.int64())])
@@ -426,11 +446,12 @@ def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_part
         if b.num_rows == 0:
             return schema.empty_table()
         late = pc.greater(
-            pc.cast(b.column("max_ship_us_r"), pa.int64()),
-            b.column("o_orderdate").cast(pa.int64()),
+            pc.cast(b.column("max_ship_us"), pa.int64()),
+            b.column("o_orderdate_r").cast(pa.int64()),
         )
         b = b.filter(late)
-        df = b.select(["o_orderpriority"]).to_pandas()
+        df = b.select(["o_orderpriority_r"]).to_pandas()
+        df.columns = ["o_orderpriority"]
         g = df.groupby("o_orderpriority", sort=False).size().reset_index(name="n")
         # pin the schema: an all-filtered batch would otherwise emit a
         # null-typed object column and drift the stream schema
@@ -491,12 +512,9 @@ def ship_priority(
         keep = pc.greater(b.column("l_shipdate").cast(pa.int64()), cutoff_us)
         return _revenue_partials(b.filter(keep))
 
-    rev = (
-        lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
-        .groupby("orderkey")
-        .aggregate(Sum("rev_u4", alias_name="revenue_u4"))
-    )
+    rev = lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
 
+    # per-orderkey revenue aggregate fused into the join exchange
     joined = hash_join(
         rev,
         orders_in_seg,
@@ -504,6 +522,7 @@ def ship_priority(
         right_value_cols=["o_date_us"],
         how="inner",
         num_partitions=num_partitions,
+        left_group_agg={"revenue_u4": ("rev_u4", "sum")},
     ).map_batches(
         lambda b: b.select(["orderkey", "o_date_us_r", "revenue_u4"]).rename_columns(
             ["orderkey", "o_date_us", "revenue_u4"]
@@ -627,12 +646,7 @@ def large_orders(
         g = df.groupby("orderkey", sort=False)["qty"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    qty = (
-        lineitem_ds.map_batches(qty_parts, batch_format="pyarrow")
-        .groupby("orderkey")
-        .aggregate(Sum("qty", alias_name="sum_qty"))
-        .filter(expr=f"sum_qty > {int(min_qty)}")
-    )
+    qty = lineitem_ds.map_batches(qty_parts, batch_format="pyarrow")
 
     def orders_prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -645,6 +659,10 @@ def large_orders(
         )
 
     orders = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
+    # the per-orderkey quantity aggregate is fused into the join
+    # exchange; the HAVING filter then runs map-only on the joined
+    # rows (equivalent: the fused agg makes the left one row per
+    # orderkey, and orders is 1:1 on orderkey, so no multiplication)
     with_order = hash_join(
         qty,
         orders,
@@ -652,10 +670,13 @@ def large_orders(
         right_value_cols=["custkey", "o_date_us", "total_cents"],
         how="inner",
         num_partitions=num_partitions,
+        left_group_agg={"sum_qty": ("qty", "sum")},
     ).map_batches(
-        lambda b: b.select(
-            ["orderkey", "custkey_r", "o_date_us_r", "total_cents_r", "sum_qty"]
-        ).rename_columns(["orderkey", "custkey", "o_date_us", "total_cents", "sum_qty"]),
+        lambda b: b.filter(
+            pc.greater(b.column("sum_qty"), int(min_qty))
+        )
+        .select(["orderkey", "custkey_r", "o_date_us_r", "total_cents_r", "sum_qty"])
+        .rename_columns(["orderkey", "custkey", "o_date_us", "total_cents", "sum_qty"]),
         batch_format="pyarrow",
     )
 
@@ -724,17 +745,14 @@ def promo_revenue(
         g = df.groupby("partkey", sort=False)["rev_u4"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    rev = (
-        lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
-        .groupby("partkey")
-        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
-    )
+    rev = lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
 
     def part_prep(b: pa.Table) -> pa.Table:
         promo = pc.starts_with(b.column("p_type"), promo_prefix).cast(pa.int64())
         return pa.table({"partkey": b.column("p_partkey"), "is_promo": promo})
 
     part = part_ds.map_batches(part_prep, batch_format="pyarrow")
+    # per-partkey revenue aggregate fused into the join exchange
     joined = hash_join(
         rev,
         part,
@@ -742,6 +760,7 @@ def promo_revenue(
         right_value_cols=["is_promo"],
         how="inner",
         num_partitions=num_partitions,
+        left_group_agg={"rev_u4": ("rev_u4", "sum")},
     )
 
     def pair(b: pa.Table) -> pa.Table:

@@ -544,3 +544,72 @@ def test_hash_join_replicate_keys_equivalence():
             left, right, "k", right_value_cols=["w"], how="full_outer",
             replicate_keys={7},
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_left_group_agg_fusion():
+    """Exchange fusion: groupby(key).agg folded into the join equals
+    the two-step groupby-then-join; null keys still raise (checked
+    BEFORE the agg, which would silently drop them); guards reject
+    outer modes and the replicate_keys combination."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+                "v": pa.array([10, 5, 1, 2, 3, 9], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 9], pa.int64()), "w": ["a", "b", "z"]})
+    )
+    fused = sorted(
+        (r["k"], r["sv"], r["w_r"])
+        for r in hash_join(
+            left,
+            right,
+            "k",
+            right_value_cols=["w"],
+            num_partitions=2,
+            left_group_agg={"sv": ("v", "sum")},
+        ).take_all()
+    )
+    assert fused == [(1, 15, "a"), (2, 6, "b")]
+    # left mode keeps the unmatched aggregated key with a NaN w
+    fused_l = {
+        r["k"]: r["w_r"]
+        for r in hash_join(
+            left,
+            right,
+            "k",
+            right_value_cols=["w"],
+            how="left",
+            num_partitions=2,
+            left_group_agg={"sv": ("v", "sum")},
+        ).take_all()
+    }
+    assert set(fused_l) == {1, 2, 3} and fused_l[3] is None or pd.isna(fused_l[3])
+
+    left_n = rd.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "v": pa.array([1, 2], pa.int64())})
+    )
+    with pytest.raises(Exception, match="null join keys"):
+        hash_join(
+            left_n, right, "k", right_value_cols=["w"],
+            left_group_agg={"sv": ("v", "sum")}, num_partitions=2,
+        ).take_all()
+    with pytest.raises(ValueError, match="left_group_agg"):
+        hash_join(
+            left, right, "k", right_value_cols=["w"], how="full_outer",
+            left_group_agg={"sv": ("v", "sum")},
+        )
+    with pytest.raises(ValueError, match="left_group_agg"):
+        hash_join(
+            left, right, "k", right_value_cols=["w"],
+            left_group_agg={"sv": ("v", "sum")}, replicate_keys={1},
+        )
