@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "knn_sq8",
         "heavy_hitters",
         "approx_distinct",
+        "sample_k_per_group",
         "graph_rank",
         "ccnet_buckets",
         "temperature_mix",
