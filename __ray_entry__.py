@@ -2361,6 +2361,124 @@ def _q_promo_revenue(sf_dir: str):
     )
 
 
+def _q_order_count_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer URGENT-order
+    counts, zero-count customers included — the outer join is rewritten
+    as a customers-as-zero-partials union into ONE custkey groupby."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import order_count_dist
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return order_count_dist(orders, cust, include_prefix="1-")
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    ship-half-year; aggregate materialized once, only the max scalar
+    reaches the driver, names via the bucketed hash join."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import top_supplier
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return top_supplier(
+        li, supp, lo_us=_ts_us("1997-01-01"), hi_us=_ts_us("1997-07-01")
+    )
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue in below-1/5-of-part-average-quantity
+    lineitems of one brand; the correlated AVG is decorrelated into a
+    per-part map_groups that filters its own rows (exact integer
+    cross-multiply, no float threshold)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import small_qty_revenue
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    return small_qty_revenue(li, part, brand="Brand#23", frac_num=1, frac_den=5)
+
+
+def _q_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-positive-mean-balance customers in three
+    segments with no order since the cutoff; the mean is two driver
+    scalars broadcast into an exact cross-multiplied filter, the NOT
+    EXISTS is the bucketed anti join."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import idle_customers
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    return idle_customers(
+        cust,
+        orders,
+        segments=["BUILDING", "AUTOMOBILE", "MACHINERY"],
+        cutoff_us=_ts_us("2000-07-01"),
+    )
+
+
+def _q_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: revenue flow between two nations in both
+    directions through the full li⋈supp⋈nation⋈orders⋈cust⋈nation
+    chain; nation broadcast, every corpus-scaled side bucketed."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import nation_volume
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    return nation_volume(
+        li,
+        orders,
+        cust,
+        supp,
+        nation,
+        nation_a="NATION_3",
+        nation_b="NATION_7",
+        lo_us=_ts_us("1996-07-01"),
+        hi_us=_ts_us("1997-07-01"),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2494,6 +2612,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "group_enrich": _q_group_enrich,
         "sample_k_per_group": _q_sample_k_per_group,
+        "order_count_dist": _q_order_count_dist,
+        "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "idle_customers": _q_idle_customers,
+        "nation_volume": _q_nation_volume,
     }
 
 
@@ -4791,6 +4914,85 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             JOIN orders o   ON q.orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "order_count_dist": """
+            WITH oc AS (SELECT c.c_custkey AS custkey,
+                               CAST(count(o.o_custkey) AS BIGINT) AS c_count
+                        FROM customer c LEFT JOIN orders o
+                          ON c.c_custkey = o.o_custkey
+                         AND o.o_orderpriority LIKE '1-%'
+                        GROUP BY 1)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM oc GROUP BY 1
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                            AS BIGINT) AS total_rev_u4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-07-01'
+                GROUP BY 1)
+            SELECT r.suppkey, s.s_name, r.total_rev_u4
+            FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey
+            WHERE r.total_rev_u4 = (SELECT max(total_rev_u4) FROM rev)
+        """,
+        "small_qty_revenue": """
+            WITH bl AS (SELECT l.l_partkey AS partkey,
+                               CAST(round(l.l_quantity) AS BIGINT) AS q,
+                               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                   AS cents_ext
+                        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                        WHERE p.p_brand = 'Brand#23'),
+                 st AS (SELECT partkey, CAST(sum(q) AS BIGINT) AS qs,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM bl GROUP BY 1)
+            SELECT COALESCE(CAST(sum(bl.cents_ext) AS BIGINT), 0) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(COALESCE(CAST(sum(bl.cents_ext) AS BIGINT), 0) // 7
+                        AS BIGINT) AS avg_yearly_cents
+            FROM bl JOIN st USING (partkey)
+            WHERE bl.q * (5 * st.n) < st.qs * 1
+        """,
+        "idle_customers": """
+            WITH seg AS (SELECT c_custkey AS custkey,
+                                c_mktsegment AS segment,
+                                CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                         FROM customer
+                         WHERE c_mktsegment IN
+                               ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+                 avgp AS (SELECT CAST(COALESCE(sum(bal), 0) AS BIGINT) AS s,
+                                 CAST(count(*) AS BIGINT) AS n
+                          FROM seg WHERE bal > 0)
+            SELECT seg.segment,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(seg.bal) AS BIGINT) AS bal_cents_sum
+            FROM seg, avgp
+            WHERE seg.bal * avgp.n > avgp.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = seg.custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+            GROUP BY 1
+        """,
+        "nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_u4
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-07-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+              AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+                OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+            GROUP BY 1, 2
         """,
         "minhash_pairs": _minhash_pairs_sql(norm, threshold=0.5),
         # knn_lsh, knn_ivf, cosine_dups_lsh (recall < 1 — audited round

@@ -279,6 +279,11 @@ def run_bench() -> dict:
         "revenue_delta",
         "large_orders",
         "promo_revenue",
+        "order_count_dist",
+        "top_supplier",
+        "small_qty_revenue",
+        "idle_customers",
+        "nation_volume",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -13,6 +13,11 @@ corpus-scale deployment runs next to its extraction jobs:
 * ``ship_priority``        — segment-gated unshipped-order top-k (Q3 shape)
 * ``revenue_delta``        — predicate-band scalar aggregate (Q6 shape)
 * ``large_orders``         — HAVING-on-join-key filter (Q18 shape)
+* ``order_count_dist``     — outer-join count histogram (Q13 shape)
+* ``top_supplier``         — max-over-aggregate self-filter (Q15 shape)
+* ``small_qty_revenue``    — correlated AVG subquery, decorrelated (Q17 shape)
+* ``idle_customers``       — scalar-broadcast filter + anti join (Q22 shape)
+* ``nation_volume``        — two-fact two-dim join chain (Q7 shape)
 
 Money is integer.  Every monetary input column is 2-decimal exact
 (verified against the fixture generator: max |x*100 − round(x*100)|
@@ -784,4 +789,486 @@ def promo_revenue(
             "total_u4": [total],
             "promo_micro": [(promo * 1_000_000) // total if total else 0],
         }
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape — per-customer order-count distribution (outer-join histogram)
+# --------------------------------------------------------------------------
+
+
+def order_count_dist(
+    orders_ds,
+    customer_ds,
+    include_prefix: str = "1-",
+    num_partitions: int = 32,
+):
+    """Distribution of per-customer order counts, counting only orders
+    whose priority starts with ``include_prefix`` (TPC-H Q13 shape —
+    LEFT JOIN with a filtered right side, then a second aggregation
+    over the first's result).  Customers with NO qualifying orders land
+    in the ``c_count = 0`` bucket — the outer-join zero path.  Output:
+    (c_count, custdist), exact int64.
+
+    Scale shape: the outer join is eliminated, not shuffled — every
+    customer enters the SAME custkey groupby as a zero-count partial
+    (union of the order partials and a customers-as-zeros stream), so
+    the whole left-outer-join-plus-count collapses into ONE exchange at
+    #customers scale.  The distribution regroup ships per-block
+    (c_count, n) partials into a ≤ max-order-count-sized groupby."""
+
+    def order_parts(b: pa.Table) -> pa.Table:
+        keep = pc.starts_with(b.column("o_orderpriority"), include_prefix)
+        t = b.filter(keep)
+        df = pa.table({"custkey": t.column("o_custkey")}).to_pandas()
+        g = df.groupby("custkey", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cust_zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": b.column("c_custkey"),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    parts = orders_ds.map_batches(order_parts, batch_format="pyarrow").union(
+        customer_ds.map_batches(cust_zeros, batch_format="pyarrow")
+    )
+    per_cust = parts.groupby("custkey").aggregate(Sum("n", alias_name="c_count"))
+
+    def dist_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["c_count"]).to_pandas()
+        g = df.groupby("c_count", sort=False).size().reset_index(name="nd")
+        g["nd"] = g["nd"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        per_cust.map_batches(dist_parts, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("nd", alias_name="custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape — top supplier (max over an aggregate, joined back)
+# --------------------------------------------------------------------------
+
+
+def top_supplier(lineitem_ds, supplier_ds, lo_us: int, hi_us: int, num_partitions: int = 32):
+    """Supplier(s) achieving the maximum revenue over lineitems shipped
+    in [lo_us, hi_us) (TPC-H Q15 shape — a view-level aggregate whose
+    MAX feeds a self-filter, then an enrich join).  ALL tied suppliers
+    are returned, exact integer u4 revenue.  Output: (suppkey, s_name,
+    total_rev_u4).
+
+    Scale shape: lineitem reduces to per-block (suppkey, rev) partials
+    before its only exchange (a #suppliers-scale groupby).  The
+    aggregate is materialized ONCE — it is already one row per
+    supplier, i.e. aggregate-sized, and both the max-scalar pass and
+    the winner filter read that materialization instead of re-running
+    the corpus lineage.  Only ONE scalar (the max) reaches the driver;
+    winners (a handful of rows) join names through the bucketed hash
+    join, since supplier scales with the corpus — never broadcast."""
+
+    def rev_parts(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(d, lo_us), pc.less(d, hi_us)))
+        base = cents(b.column("l_extendedprice"))
+        disc = pct(b.column("l_discount"))
+        rev = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        df = pa.table({"suppkey": b.column("l_suppkey"), "rev_u4": rev}).to_pandas()
+        g = df.groupby("suppkey", sort=False)["rev_u4"].sum().reset_index()
+        g.columns = ["suppkey", "total_rev_u4"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        lineitem_ds.map_batches(rev_parts, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("total_rev_u4", alias_name="total_rev_u4"))
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_rev_u4": pa.array([], pa.int64()),
+        }
+    )
+    if rev.count() == 0:
+        # a Dataset built from a 0-row table loses its columns in
+        # to_pandas(); hand back the typed empty frame directly
+        return empty.to_pandas()
+    mx = int(rev.max("total_rev_u4"))
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_rev_u4"), mx)),
+        batch_format="pyarrow",
+    )
+    supp = supplier_ds.map_batches(
+        lambda b: pa.table(
+            {"suppkey": b.column("s_suppkey"), "s_name": b.column("s_name")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        winners,
+        supp,
+        "suppkey",
+        right_value_cols=["s_name"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    return out.map_batches(
+        lambda b: b.select(["suppkey", "s_name_r", "total_rev_u4"]).rename_columns(
+            ["suppkey", "s_name", "total_rev_u4"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape — small-quantity revenue (correlated avg subquery, decorrelated)
+# --------------------------------------------------------------------------
+
+
+def small_qty_revenue(
+    lineitem_ds,
+    part_ds,
+    brand: str,
+    frac_num: int = 1,
+    frac_den: int = 5,
+    num_partitions: int = 32,
+):
+    """Revenue sitting in small-quantity lineitems of one brand's parts
+    (TPC-H Q17 shape — the correlated per-part AVG subquery,
+    decorrelated into a per-part aggregate consumed in the same
+    exchange).  A lineitem qualifies when its quantity is STRICTLY
+    below frac_num/frac_den of its part's mean quantity; the comparison
+    is the exact integer cross-multiplication
+    ``qty * frac_den * n_part < qty_sum_part * frac_num`` (quantities
+    are integer-valued — fixture-contract checked by the round+cast).
+    Output: one-row DataFrame (total_cents, n, avg_yearly_cents =
+    total_cents // 7), (0, 0, 0) when nothing qualifies.
+
+    Scale shape: ``part`` reduces to brand partkeys (a thin key set
+    that scales with the catalog — bucketed SEMI join, not broadcast);
+    the surviving brand lineitems then make ONE partkey exchange where
+    each group computes its own avg AND filters its own rows
+    (groupby().map_groups — subquery and probe fused, no second join);
+    per-group (cents, n) partials reduce to a single driver pair."""
+    import pandas as pd
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": b.column("l_partkey"),
+                "q": pc.round(b.column("l_quantity"), ndigits=0).cast(pa.int64()),
+                "cents_ext": cents(b.column("l_extendedprice")),
+            }
+        )
+
+    li = lineitem_ds.map_batches(li_prep, batch_format="pyarrow")
+
+    def brand_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p_brand"), brand))
+        return pa.table({"partkey": t.column("p_partkey")})
+
+    bp = part_ds.map_batches(brand_keys, batch_format="pyarrow")
+    brand_li = hash_join(li, bp, "partkey", how="semi", num_partitions=num_partitions)
+
+    def per_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        qs = int(df["q"].sum())
+        n = len(df)
+        keep = df["q"].to_numpy() * (frac_den * n) < qs * frac_num
+        return pd.DataFrame(
+            {
+                "total_cents": [int(df["cents_ext"].to_numpy()[keep].sum())],
+                "n": [int(keep.sum())],
+            }
+        )
+
+    agg = (
+        brand_li.groupby("partkey")
+        .map_groups(per_part, batch_format="pandas")
+        .aggregate(Sum("total_cents", alias_name="total_cents"), Sum("n", alias_name="n"))
+    )
+    total = int(agg["total_cents"] or 0)
+    return pd.DataFrame(
+        {
+            "total_cents": [total],
+            "n": [int(agg["n"] or 0)],
+            "avg_yearly_cents": [total // 7],
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape — dormant high-balance customers (scalar broadcast + anti join)
+# --------------------------------------------------------------------------
+
+
+def idle_customers(
+    customer_ds,
+    orders_ds,
+    segments: list,
+    cutoff_us: int,
+    num_partitions: int = 32,
+):
+    """Per-segment count and balance of high-balance customers with NO
+    order on/after ``cutoff_us`` (TPC-H Q22 shape — a global-scalar AVG
+    subquery broadcast into a filter, then NOT EXISTS).  'High balance'
+    = account balance strictly above the mean POSITIVE balance of the
+    selected-segment population; the comparison is the exact integer
+    cross-multiplication ``bal_cents * n_pos > sum_pos_cents``.
+    Output: (segment, n_cust, bal_cents_sum).
+
+    Scale shape: the AVG subquery reduces to exactly TWO driver
+    scalars (positive-balance cent sum + count) via per-block partials
+    — the corpus-sized population never leaves the workers; the NOT
+    EXISTS is the bucketed ANTI join against the cutoff-filtered order
+    custkeys (orders scale with the corpus — never broadcast, and the
+    date filter prunes the right side before its exchange); the final
+    groupby is |segments|-sized over per-block partials."""
+
+    def seg_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("c_mktsegment"), value_set=pa.array(segments)))
+        return pa.table(
+            {
+                "custkey": t.column("c_custkey"),
+                "segment": t.column("c_mktsegment"),
+                "bal": cents(t.column("c_acctbal")),
+            }
+        )
+
+    seg = customer_ds.map_batches(seg_prep, batch_format="pyarrow")
+
+    def pos_parts(b: pa.Table) -> pa.Table:
+        bal = b.column("bal").filter(pc.greater(b.column("bal"), 0))
+        s = pc.sum(bal)
+        return pa.table(
+            {
+                "s_pos": pa.array([s.as_py() or 0], pa.int64()),
+                "n_pos": pa.array([len(bal)], pa.int64()),
+            }
+        )
+
+    scal = seg.map_batches(pos_parts, batch_format="pyarrow").aggregate(
+        Sum("s_pos", alias_name="s_pos"), Sum("n_pos", alias_name="n_pos")
+    )
+    s_pos = int(scal["s_pos"] or 0)
+    n_pos = int(scal["n_pos"] or 0)
+
+    rich = seg.map_batches(
+        lambda b: b.filter(
+            pc.greater(pc.multiply(b.column("bal"), n_pos), s_pos)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def recent_orders(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.int64())
+        t = b.filter(pc.greater_equal(d, cutoff_us))
+        return pa.table({"custkey": t.column("o_custkey")})
+
+    recent = orders_ds.map_batches(recent_orders, batch_format="pyarrow")
+    idle = hash_join(rich, recent, "custkey", how="anti", num_partitions=num_partitions)
+
+    def seg_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["segment", "bal"]).to_pandas()
+        g = df.groupby("segment", sort=False).agg(
+            n_cust=("bal", "size"), bal_cents_sum=("bal", "sum")
+        ).reset_index()
+        g["n_cust"] = g["n_cust"].astype(np.int64)
+        g["bal_cents_sum"] = g["bal_cents_sum"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        idle.map_batches(seg_parts, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("bal_cents_sum", alias_name="bal_cents_sum"),
+        )
+    )
+
+    # an all-filtered corpus leaves the groupby with ZERO blocks, and a
+    # block-less Dataset drops its columns in to_pandas(); the final
+    # aggregate is |segments|-sized, so materializing it is free — the
+    # pipeline runs exactly once, and the empty case hands back a typed
+    # empty frame with the documented (segment, n_cust, bal_cents_sum)
+    # schema instead of a schema-less result
+    empty = pa.table(
+        {
+            "segment": pa.array([], pa.string()),
+            "n_cust": pa.array([], pa.int64()),
+            "bal_cents_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def pin_schema(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "segment" not in b.column_names:
+            return empty
+        return b.select(["segment", "n_cust", "bal_cents_sum"])
+
+    res = out.map_batches(pin_schema, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        return empty.to_pandas()
+    return res
+
+
+# --------------------------------------------------------------------------
+# Q7 shape — cross-nation volume shipping (two-fact, two-dimension chain)
+# --------------------------------------------------------------------------
+
+
+def nation_volume(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    supplier_ds,
+    nation_tbl: pa.Table,
+    nation_a: str,
+    nation_b: str,
+    lo_us: int,
+    hi_us: int,
+    num_partitions: int = 32,
+):
+    """Revenue flow between two nations in both directions — supplier
+    nation → customer nation (TPC-H Q7 shape: the longest join chain in
+    the suite, lineitem⋈supplier⋈nation⋈orders⋈customer⋈nation).
+    Output: (supp_nation, cust_nation, revenue_u4), one row per
+    surviving direction, exact integer u4.
+
+    Scale shape, in join order: nation (O(25) rows at ANY scale) is
+    broadcast onto supplier and customer map-side; the supplier side is
+    then FILTERED to the two nations (~2/|nations| of suppliers)
+    before its bucketed hash join with the windowed lineitem — the
+    chain's biggest prune runs earliest.  Between the two fact joins
+    the stream is pre-aggregated per (orderkey, supp_nation) per block,
+    so the orders join shuffles ~#orders rows, never #lineitems; after
+    the custkey join the pair filter + a |2×2|-sized groupby over
+    per-block partials finish map-side.  supplier/customer/orders all
+    scale with the corpus — every one goes through a bucketed hash
+    join, never a broadcast."""
+    import pandas as pd
+
+    nat_ref = make_dim_ref(nation_tbl, "n_nationkey", ["n_name"])
+    pair = {nation_a, nation_b}
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        import ray
+
+        keys, vals = ray.get(nat_ref)
+        nk = np.asarray(b.column("s_nationkey").to_numpy(zero_copy_only=False))
+        mask, pos = dim_lookup(nk, (keys, vals))
+        names = vals["n_name"].take(pa.array(pos))
+        t = pa.table({"suppkey": b.column("s_suppkey"), "supp_nation": names}).filter(
+            pa.array(mask)
+        )
+        return t.filter(pc.is_in(t.column("supp_nation"), value_set=pa.array(sorted(pair))))
+
+    supp = supplier_ds.map_batches(supp_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").cast(pa.int64())
+        b = b.filter(pc.and_(pc.greater_equal(d, lo_us), pc.less(d, hi_us)))
+        base = cents(b.column("l_extendedprice"))
+        disc = pct(b.column("l_discount"))
+        rev = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {
+                "orderkey": b.column("l_orderkey"),
+                "suppkey": b.column("l_suppkey"),
+                "rev_u4": rev,
+            }
+        )
+
+    li = lineitem_ds.map_batches(li_prep, batch_format="pyarrow")
+    with_supp = hash_join(
+        li,
+        supp,
+        "suppkey",
+        right_value_cols=["supp_nation"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def order_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["orderkey", "supp_nation_r", "rev_u4"]).to_pandas()
+        df.columns = ["orderkey", "supp_nation", "rev_u4"]
+        g = (
+            df.groupby(["orderkey", "supp_nation"], sort=False)["rev_u4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = with_supp.map_batches(order_parts, batch_format="pyarrow")
+
+    orders = orders_ds.map_batches(
+        lambda b: pa.table(
+            {"orderkey": b.column("o_orderkey"), "custkey": b.column("o_custkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    with_cust_key = hash_join(
+        per_order,
+        orders,
+        "orderkey",
+        right_value_cols=["custkey"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def cust_key_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["custkey_r", "supp_nation", "rev_u4"]).to_pandas()
+        df.columns = ["custkey", "supp_nation", "rev_u4"]
+        g = (
+            df.groupby(["custkey", "supp_nation"], sort=False)["rev_u4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = with_cust_key.map_batches(cust_key_parts, batch_format="pyarrow")
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        import ray
+
+        keys, vals = ray.get(nat_ref)
+        nk = np.asarray(b.column("c_nationkey").to_numpy(zero_copy_only=False))
+        mask, pos = dim_lookup(nk, (keys, vals))
+        names = vals["n_name"].take(pa.array(pos))
+        t = pa.table({"custkey": b.column("c_custkey"), "cust_nation": names}).filter(
+            pa.array(mask)
+        )
+        return t.filter(pc.is_in(t.column("cust_nation"), value_set=pa.array(sorted(pair))))
+
+    cust = customer_ds.map_batches(cust_prep, batch_format="pyarrow")
+    joined = hash_join(
+        per_cust,
+        cust,
+        "custkey",
+        right_value_cols=["cust_nation"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def pair_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["supp_nation", "cust_nation_r", "rev_u4"]).to_pandas()
+        df.columns = ["supp_nation", "cust_nation", "rev_u4"]
+        df = df[df["supp_nation"] != df["cust_nation"]]
+        g = (
+            df.groupby(["supp_nation", "cust_nation"], sort=False)["rev_u4"]
+            .sum()
+            .reset_index()
+        )
+        g.columns = ["supp_nation", "cust_nation", "rev"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(pair_parts, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation"])
+        .aggregate(Sum("rev", alias_name="revenue_u4"))
     )

@@ -163,6 +163,15 @@ OTHER_TABLES = {
     "revenue_delta",  # round 3: Q6 shape (predicate-band scalar agg)
     "large_orders",  # round 3: Q18 shape (HAVING-on-join-key filter)
     "promo_revenue",  # round 3: Q14 shape (fact-dim CASE ratio)
+    "order_count_dist",  # round 3: Q13 shape (outer-join count histogram;
+    # zero-bucket fixture in test_relational.py)
+    "top_supplier",  # round 3: Q15 shape (max-over-aggregate; tie +
+    # empty-window fixtures in test_relational.py)
+    "small_qty_revenue",  # round 3: Q17 shape (decorrelated AVG subquery;
+    # strict-threshold fixture in test_relational.py)
+    "idle_customers",  # round 3: Q22 shape (scalar broadcast + anti join;
+    # typed-empty fixture in test_relational.py)
+    "nation_volume",  # round 3: Q7 shape (two-fact two-dim join chain)
 }
 
 #: event-table queries: gated below over EDGE_EVENTS (approx_distinct is

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "nation", "region", "part"]:
+    for t in ["lineitem", "orders", "customer", "nation", "region", "part", "supplier"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -378,3 +378,185 @@ def test_promo_revenue_hand_counts_and_empty_window():
     )
     assert empty["promo_micro"].tolist() == [0]
     assert empty["total_u4"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_count_dist_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(
+        entry.queries()["order_count_dist"](SF),
+        entry.oracle_sql()["order_count_dist"],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_count_dist_zero_bucket():
+    """The outer-join zero path: a customer with no qualifying orders
+    lands in the c_count=0 bucket (not dropped)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import order_count_dist
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"],
+        }
+    )
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())})
+    out = (
+        order_count_dist(rd.from_arrow(orders).repartition(2), rd.from_arrow(cust))
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    # cust 1: 2 urgent; cust 2: only LOW -> 0; cust 3: no orders -> 0
+    assert out["c_count"].tolist() == [0, 2]
+    assert out["custdist"].tolist() == [2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_supplier_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["top_supplier"](SF), entry.oracle_sql()["top_supplier"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_supplier_ties_and_empty_window():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import top_supplier
+
+    li = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": [100.0, 100.0, 50.0],
+            "l_discount": [0.0, 0.0, 0.0],
+            "l_shipdate": pa.array([pd.Timestamp("1997-03-01")] * 3),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_name": ["s1", "s2", "s3"],
+        }
+    )
+    lo = int(pd.Timestamp("1997-01-01").value // 1000)
+    hi = int(pd.Timestamp("1998-01-01").value // 1000)
+    out = (
+        top_supplier(rd.from_arrow(li).repartition(2), rd.from_arrow(supp), lo, hi)
+        .to_pandas()
+        .sort_values("suppkey")
+        .reset_index(drop=True)
+    )
+    # suppliers 1 and 2 tie at the max -> BOTH returned
+    assert out["suppkey"].tolist() == [1, 2]
+    assert out["s_name"].tolist() == ["s1", "s2"]
+    assert out["total_rev_u4"].tolist() == [1_000_000, 1_000_000]
+    empty = top_supplier(
+        rd.from_arrow(li),
+        rd.from_arrow(supp),
+        int(pd.Timestamp("2050-01-01").value // 1000),
+        int(pd.Timestamp("2051-01-01").value // 1000),
+    )
+    assert len(empty) == 0
+    assert sorted(empty.columns) == ["s_name", "suppkey", "total_rev_u4"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_qty_revenue_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(
+        entry.queries()["small_qty_revenue"](SF),
+        entry.oracle_sql()["small_qty_revenue"],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_qty_revenue_threshold_is_strict():
+    """qty exactly AT frac*avg is excluded (strict <), and other
+    brands never contribute."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import small_qty_revenue
+
+    # part 1 (brand B): quantities 1, 4, 10 -> avg 5, threshold 1/5*5 = 1
+    #   qty 1 is NOT < 1 -> excluded; nothing qualifies for part 1
+    # part 2 (brand B): quantities 1, 9 -> avg 5, threshold 1 -> excluded too
+    # part 3 (other brand): tiny qty, must be ignored entirely
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "l_quantity": [1.0, 4.0, 10.0, 1.0, 9.0, 1.0],
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": ["B", "B", "X"],
+        }
+    )
+    out = small_qty_revenue(
+        rd.from_arrow(li).repartition(3), rd.from_arrow(part), brand="B",
+        frac_num=1, frac_den=5,
+    )
+    assert out["total_cents"].tolist() == [0]
+    assert out["n"].tolist() == [0]
+    # loosen the fraction to 1/2: threshold 2.5 -> qty-1 rows qualify
+    out2 = small_qty_revenue(
+        rd.from_arrow(li).repartition(3), rd.from_arrow(part), brand="B",
+        frac_num=1, frac_den=2,
+    )
+    assert out2["total_cents"].tolist() == [1000 + 4000]
+    assert out2["n"].tolist() == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idle_customers_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["idle_customers"](SF), entry.oracle_sql()["idle_customers"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idle_customers_empty_is_typed():
+    """A cutoff every customer ordered after yields an EMPTY result
+    with the documented pinned schema (not a schema-less block)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import idle_customers
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": ["BUILDING", "BUILDING"],
+            "c_acctbal": [100.0, 200.0],
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([pd.Timestamp("1999-01-01")] * 2),
+        }
+    )
+    out = idle_customers(
+        rd.from_arrow(cust),
+        rd.from_arrow(orders),
+        segments=["BUILDING"],
+        cutoff_us=int(pd.Timestamp("1998-01-01").value // 1000),
+    )
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert len(out) == 0
+    assert sorted(out.columns) == ["bal_cents_sum", "n_cust", "segment"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nation_volume_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["nation_volume"](SF), entry.oracle_sql()["nation_volume"])
