@@ -1314,6 +1314,20 @@ def _q_sessionize_assign(sf_dir: str):
     return sessionize_assign(events, gap_seconds=1800)
 
 
+def _q_transition_counts(sf_dir: str):
+    """Markov event-type transition matrix over per-user ordered
+    streams (LAG-pair counting — the next-event-model training shape)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ordered import transition_counts
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return transition_counts(events)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Daily cohort retention matrix (first-seen window × active window)."""
     import ray.data as rd
@@ -2555,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "sessionize_assign": _q_sessionize_assign,
         "cohort_retention": _q_cohort_retention,
+        "transition_counts": _q_transition_counts,
         "window_topk": _q_window_topk,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -4104,6 +4119,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.cohort_us, p.window_us,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # Markov transitions: LAG over the same (ts, event_id) per-user
+        # order as the Ray bucketed sort; the first event of each user
+        # has no predecessor and is excluded on both sides
+        "transition_counts": """
+            WITH lagd AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev_type
+                FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lagd WHERE prev_type IS NOT NULL
             GROUP BY 1, 2
         """,
         # top-3 per hourly window in the deterministic (n DESC,

@@ -284,6 +284,7 @@ def run_bench() -> dict:
         "small_qty_revenue",
         "idle_customers",
         "nation_volume",
+        "transition_counts",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -35,6 +35,7 @@ __all__ = [
     "funnel_stages",
     "sessionize_assign",
     "cohort_retention",
+    "transition_counts",
 ]
 
 _I64 = np.int64
@@ -285,6 +286,72 @@ def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int = 64)
         )
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def transition_counts(events_ds, num_buckets: int = 64):
+    """Markov event-type transition matrix: counts of consecutive
+    (prev_type, next_type) pairs within each user's (ts, event_id)-
+    ordered stream — SQL ``LAG(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` grouped and counted.  Returns
+    (prev_type, next_type, n) — the sequence-mining /
+    next-event-model training shape.
+
+    Scale shape: ONE bucketed exchange of thin (user, ts, type) rows;
+    inside each bucket the pair stream collapses to a ≤|types|²
+    partial (numpy shift mask + pandas groupby — no row loop), and the
+    final global groupby is |types|²-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = _sorted_frame(g, "user_id", ["ts_us", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(g) >= 2:
+            same = u[1:] == u[:-1]
+            pairs = pd.DataFrame(
+                {"prev_type": t[:-1][same], "next_type": t[1:][same]}
+            )
+        else:
+            pairs = pd.DataFrame({"prev_type": [], "next_type": []})
+        cnt = (
+            pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        # explicit types: a single-user single-event bucket would
+        # otherwise emit null-typed columns and drift the stream schema
+        return pa.Table.from_arrays(
+            [
+                pa.array(cnt["prev_type"], pa.string()),
+                pa.array(cnt["next_type"], pa.string()),
+                pa.array(cnt["n"], pa.int64()),
+            ],
+            names=["prev_type", "next_type", "n"],
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_id"),
+                batch.column("user_id"),
+                ts_us,
+                batch.column("event_type"),
+            ],
+            names=["event_id", "user_id", "ts_us", "event_type"],
+        )
+
+    return (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 

@@ -198,6 +198,7 @@ EVENT_SIDE = {
     "window_topk",  # round 3: count-tie rank order at the k boundary
     "window_outliers",  # round 3: per-type MAD burst flags (MAD=0 ties)
     "props_stats",  # round 3: JSON props extraction (malformed/typed edges)
+    "transition_counts",  # round 3: LAG-pair Markov matrix (ts-tie order)
 }
 
 
@@ -321,6 +322,7 @@ EVENT_QUERIES = [
     "sessionize_assign",  # round 3: per-event labels over the ts-tie trio
     "cohort_retention",  # round 3: epoch-0 cohort + single-event user
     "window_topk",  # round 3: count ties inside the sparse edge hours
+    "transition_counts",  # round 3: ts-tie LAG pairs + single-event user
 ]
 
 

@@ -488,3 +488,64 @@ def test_window_topk_tie_break_deterministic():
     assert got["event_type"].tolist() == ["alpha", "bravo", "charlie"]
     assert got["rank"].tolist() == [1, 2, 3]
     assert got["n"].tolist() == [2, 2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transition_counts_matches_duckdb_and_invariance():
+    from ocr_lib_ray.functions.ordered import transition_counts
+
+    tbl = _events_table()
+    want = _duck(
+        """
+        WITH lagd AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_type
+            FROM events)
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lagd WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+        """,
+        tbl,
+    )
+    key = ["prev_type", "next_type"]
+    a = (
+        transition_counts(rd.from_arrow(tbl), num_buckets=2)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        transition_counts(rd.from_arrow(tbl).repartition(11), num_buckets=64)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    w = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, w, check_dtype=False)
+    pd.testing.assert_frame_equal(a, b)
+    # pair mass conservation: total transitions = rows - #users
+    df = tbl.to_pandas()
+    assert a["n"].sum() == len(df) - df["user_id"].nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transition_counts_single_event_users_drop_out():
+    from ocr_lib_ray.functions.ordered import transition_counts
+
+    t = pa.Table.from_pylist(
+        [
+            {"event_id": 0, "user_id": 1, "ts": 0, "event_type": "view"},
+            {"event_id": 1, "user_id": 2, "ts": 5, "event_type": "click"},
+            {"event_id": 2, "user_id": 1, "ts": 9, "event_type": "click"},
+        ]
+    )
+    t = t.set_column(
+        t.column_names.index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+    )
+    got = transition_counts(rd.from_arrow(t)).to_pandas()
+    # user 2 has one event -> contributes nothing; user 1: view->click
+    assert got["prev_type"].tolist() == ["view"]
+    assert got["next_type"].tolist() == ["click"]
+    assert got["n"].tolist() == [1]
