@@ -1428,6 +1428,23 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=20)
 
 
+def _q_vocab_ranked(sf_dir: str):
+    """Frequency-ranked vocabulary with DISTRIBUTED id assignment —
+    no global sort, no driver-side vocab: (n, md5-prefix-bucket)
+    histogram offsets + per-group ordinals."""
+    from ocr_lib_ray.functions.tokens import build_vocab
+
+    return build_vocab(_docs(sf_dir))
+
+
+def _q_vocab_encode(sf_dir: str):
+    """Tokenizer train-then-encode: top-32 vocab broadcast into a
+    map-only vectorized encode; OOV = -1 (UNK)."""
+    from ocr_lib_ray.functions.tokens import encode_docs
+
+    return encode_docs(_docs(sf_dir), max_vocab=32)
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -2586,6 +2603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_salted": _q_sessionize_salted,
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "vocab_ranked": _q_vocab_ranked,
+        "vocab_encode": _q_vocab_encode,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "char_entropy": _q_char_entropy,
         "code_detect": _q_code_detect,
@@ -4260,6 +4279,39 @@ def oracle_sql() -> dict[str, str]:
                        WHERE {norm} <> ''),
             c AS (SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        # vocabulary id assignment: the (n DESC, md5(token), token)
+        # total order is chosen precisely because row_number() over it
+        # replicates the distributed bucket-offset rank bit-exactly
+        "vocab_ranked": f"""
+            WITH t AS (SELECT str_split({norm}, ' ') AS ws FROM documents
+                       WHERE {norm} <> ''),
+            c AS (SELECT w AS token, count(*) AS n
+                  FROM t, unnest(ws) AS u(w) GROUP BY 1)
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY n DESC, md5(token), token)
+                        - 1 AS BIGINT) AS token_id,
+                   CAST(n AS BIGINT) AS n
+            FROM c
+        """,
+        # tokenizer train-then-encode over the same corpus: top-32 ids,
+        # OOV -> -1; one (doc_id, pos, token_id) row per token
+        "vocab_encode": f"""
+            WITH t AS (SELECT doc_id, str_split({norm}, ' ') AS ws
+                       FROM documents WHERE {norm} <> ''),
+            c AS (SELECT w AS token, count(*) AS n
+                  FROM t, unnest(ws) AS u(w) GROUP BY 1),
+            v0 AS (SELECT token, row_number() OVER (ORDER BY n DESC,
+                       md5(token), token) AS rn FROM c),
+            v AS (SELECT token, CAST(rn - 1 AS BIGINT) AS token_id
+                  FROM v0 WHERE rn <= 32),
+            pos AS (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i FROM t),
+            p AS (SELECT doc_id, ws[i] AS token,
+                         CAST(i - 1 AS BIGINT) AS pos FROM pos)
+            SELECT p.doc_id, p.pos,
+                   CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+            FROM p LEFT JOIN v USING (token)
         """,
         # windowed co-occurrence: every (i, j) with 0 < j-i <= 3 inside a
         # doc, unordered via least/greatest (UTF-8 byte order == Python

@@ -285,6 +285,8 @@ def run_bench() -> dict:
         "idle_customers",
         "nation_volume",
         "transition_counts",
+        "vocab_ranked",
+        "vocab_encode",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

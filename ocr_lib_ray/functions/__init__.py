@@ -96,7 +96,7 @@ from .text_stats import (
     fingerprint_batch,
     winnow_fingerprint_batch,
 )
-from .tokens import cooccurrence_topk, token_counts, top_tokens
+from .tokens import build_vocab, cooccurrence_topk, encode_docs, token_counts, top_tokens
 from .urls import canonicalize_url
 from .windows import (
     heavy_hitters,
@@ -171,6 +171,8 @@ __all__ = [
     "doc_stats_batch",
     "fingerprint_batch",
     "winnow_fingerprint_batch",
+    "build_vocab",
+    "encode_docs",
     "token_counts",
     "cooccurrence_topk",
     "top_tokens",

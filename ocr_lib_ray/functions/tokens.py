@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from .text_stats import normalize_expr
@@ -172,3 +173,210 @@ def bpe_pair_counts(docs_ds, k: int = 50):
         .sort(["n", "pair"], descending=[True, False])
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary build + encode (tokenizer-construction shape)
+# --------------------------------------------------------------------------
+
+#: driver-side (n, bucket) histogram guard for the uncapped rank path
+VOCAB_RANK_MAX_HISTOGRAM = 5_000_000
+
+
+def _md5_hex(token: str) -> str:
+    import hashlib
+
+    return hashlib.md5(token.encode()).hexdigest()
+
+
+def build_vocab(docs_ds, max_vocab: int | None = None, rank_buckets: int = 256):
+    """Frequency-ranked vocabulary over the corpus: (token, token_id, n)
+    with ``token_id`` = 0-based rank in the deterministic total order
+    ``(n DESC, md5(token) ASC, token ASC)`` — the id assignment step of
+    tokenizer training (BPE/unigram both start from exactly this
+    ranked count table).  The md5 tie-break is deliberate: it is
+    reproducible in SQL (``row_number() OVER (ORDER BY n DESC,
+    md5(token), token)``) AND it spreads equal-frequency ties uniformly
+    over hash space, which is what makes the distributed rank below
+    scale.
+
+    ``max_vocab`` caps the vocabulary at the top-V tokens (the standard
+    tokenizer shape; V is model-sized, so the final ranking runs in ONE
+    V-bounded block after a per-block prune — same pattern as
+    top-k).
+
+    Uncapped, the rank is computed DISTRIBUTED — no global sort, no
+    driver-side vocabulary:
+
+    1. per-token md5 + a ``rank_buckets``-way PREFIX bucket of the hex
+       (a bucket is a contiguous md5 range, so (n DESC, bucket ASC)
+       refines to the total order);
+    2. one (n, bucket) count histogram — ``distinct_frequencies ×
+       rank_buckets`` rows, reduced to the driver (guarded by
+       ``VOCAB_RANK_MAX_HISTOGRAM``; distinct frequencies grow like
+       sqrt(corpus tokens), not like the vocabulary);
+    3. driver prefix-sums the histogram into per-(n, bucket) base
+       offsets, broadcast via ``ray.put``;
+    4. ``groupby(n, bucket).map_groups``: each group sorts its own
+       ≈|vocab_n|/rank_buckets tokens by (md5, token) and stamps
+       ``base + local_ordinal``.
+    """
+    import ray
+
+    if rank_buckets < 1 or 65536 % rank_buckets:
+        raise ValueError(
+            f"rank_buckets must divide 65536 (a power of two <= 65536) so a "
+            f"bucket is an exact md5-prefix range; got {rank_buckets}"
+        )
+    if max_vocab is not None and max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
+    counts = token_counts(docs_ds)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        toks = b.column("token").to_pylist()
+        h = [_md5_hex(t) for t in toks]
+        bucket = [int(x[:4], 16) // (65536 // rank_buckets) for x in h]
+        return b.append_column("h", pa.array(h, pa.string())).append_column(
+            "bucket", pa.array(bucket, pa.int32())
+        )
+
+    hashed = counts.map_batches(add_hash, batch_format="pyarrow")
+
+    sort_keys = [
+        ("n", "descending"),
+        ("h", "ascending"),
+        ("token", "ascending"),
+    ]
+
+    if max_vocab is not None:
+
+        def prune(b: pa.Table) -> pa.Table:
+            if b.num_rows <= max_vocab:
+                return b
+            idx = pc.sort_indices(b, sort_keys=sort_keys)
+            return b.take(idx[:max_vocab])
+
+        def finish(b: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(b, sort_keys=sort_keys)
+            # the single merged block still holds up to max_vocab rows
+            # PER upstream block — the final cut happens here
+            b = b.take(idx[:max_vocab])
+            import numpy as np
+
+            return pa.Table.from_arrays(
+                [
+                    b.column("token"),
+                    pa.array(np.arange(b.num_rows, dtype=np.int64)),
+                    b.column("n"),
+                ],
+                names=["token", "token_id", "n"],
+            )
+
+        return (
+            hashed.map_batches(prune, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow")
+        )
+
+    # ---- uncapped: distributed rank ------------------------------------
+    import numpy as np
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        df = b.select(["n", "bucket"]).to_pandas()
+        g = df.groupby(["n", "bucket"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        hashed.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["n", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_cells = hist.count()
+    if n_cells > VOCAB_RANK_MAX_HISTOGRAM:
+        raise ValueError(
+            f"build_vocab: (n, bucket) histogram has {n_cells} cells > "
+            f"VOCAB_RANK_MAX_HISTOGRAM ({VOCAB_RANK_MAX_HISTOGRAM}) — raise "
+            "the guard or lower rank_buckets"
+        )
+    hdf = hist.to_pandas()
+    hdf = hdf.sort_values(["n", "bucket"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    base = np.concatenate([[0], np.cumsum(hdf["cnt"].to_numpy(dtype=np.int64))[:-1]])
+    offsets = {
+        (int(nn), int(bb)): int(off)
+        for nn, bb, off in zip(hdf["n"], hdf["bucket"], base)
+    }
+    off_ref = ray.put(offsets)
+
+    def stamp(g) -> pa.Table:
+        import pandas as pd  # noqa: F401  (map_groups hands pandas)
+
+        g = g.sort_values(["h", "token"], kind="mergesort").reset_index(drop=True)
+        off = ray.get(off_ref)[(int(g["n"].iloc[0]), int(g["bucket"].iloc[0]))]
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["token"], pa.string()),
+                pa.array(off + np.arange(len(g), dtype=np.int64)),
+                pa.array(g["n"], pa.int64()),
+            ],
+            names=["token", "token_id", "n"],
+        )
+
+    return (
+        hashed.groupby(["n", "bucket"]).map_groups(stamp, batch_format="pandas")
+    )
+
+
+def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256):
+    """Encode every document as (doc_id, pos, token_id) rows against
+    the top-``max_vocab`` vocabulary of the SAME corpus (the tokenizer
+    train-then-encode shape); out-of-vocabulary tokens get id ``-1``
+    (UNK).  Empty documents produce no rows.
+
+    Scale shape: the capped vocabulary is model-sized by construction,
+    so it is collected once and broadcast via ``ray.put`` into a
+    map-only vectorized encode pass (flattened token array + one
+    factorized dict lookup per batch — no per-row loop, no shuffle)."""
+    import numpy as np
+    import ray
+
+    from .text_stats import normalize_expr
+
+    vocab = build_vocab(docs_ds, max_vocab=max_vocab, rank_buckets=rank_buckets)
+    vdf = vocab.to_pandas()
+    vmap = dict(zip(vdf["token"], vdf["token_id"].astype(np.int64)))
+    vref = ray.put(vmap)
+
+    def enc(b: pa.Table) -> pa.Table:
+        norm = normalize_expr(b.column("text"))
+        keep = pc.greater(pc.utf8_length(norm), 0)
+        doc_id = b.column("doc_id").filter(keep)
+        lt = pc.split_pattern(norm.filter(keep), " ")
+        flat = pc.list_flatten(lt)
+        lens = pc.list_value_length(lt).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.array([], dtype=np.int64)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        parent = pc.list_parent_indices(lt)
+        vm = ray.get(vref)
+        ids = (
+            pd.Series(flat.to_pylist())
+            .map(vm)
+            .fillna(-1)
+            .astype(np.int64)
+            .to_numpy()
+        )
+        return pa.Table.from_arrays(
+            [
+                doc_id.take(parent),
+                pa.array(pos),
+                pa.array(ids),
+            ],
+            names=["doc_id", "pos", "token_id"],
+        )
+
+    return docs_ds.map_batches(enc, batch_format="pyarrow")

@@ -103,3 +103,92 @@ def test_bpe_pair_counts_golden():
     assert list(map(tuple, out.itertuples(index=False))) == [
         ("aa", 2), ("ab", 2), ("ba", 1)
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_vocab_rank_order_and_cap():
+    """ids follow (n DESC, md5, token); the cap keeps exactly the
+    top-V of that SAME order even when counts arrive in many blocks
+    (the multi-block prune-then-cut path)."""
+    import hashlib
+
+    from ocr_lib_ray.functions.tokens import build_vocab
+
+    texts = ["a a a b b c", "c d e f g h i j k", "b c x y z w q r s t"]
+    full = (
+        build_vocab(rd.from_arrow(_docs(texts)).repartition(3))
+        .to_pandas()
+        .sort_values("token_id")
+        .reset_index(drop=True)
+    )
+    # reference order computed directly
+    from collections import Counter
+
+    cnt = Counter(" ".join(texts).split())
+    ref = sorted(
+        cnt.items(),
+        key=lambda kv: (-kv[1], hashlib.md5(kv[0].encode()).hexdigest(), kv[0]),
+    )
+    assert full["token"].tolist() == [t for t, _ in ref]
+    assert full["token_id"].tolist() == list(range(len(ref)))
+    assert full["n"].tolist() == [n for _, n in ref]
+
+    capped = (
+        build_vocab(rd.from_arrow(_docs(texts)).repartition(3), max_vocab=5)
+        .to_pandas()
+        .sort_values("token_id")
+        .reset_index(drop=True)
+    )
+    assert len(capped) == 5
+    assert capped["token"].tolist() == [t for t, _ in ref[:5]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_vocab_bucket_invariance():
+    """The distributed rank is identical at any rank_buckets level."""
+    from ocr_lib_ray.functions.tokens import build_vocab
+
+    texts = ["alpha beta gamma delta", "beta gamma gamma", "x y z alpha"]
+    outs = []
+    for rb in (1, 16, 256):
+        outs.append(
+            build_vocab(rd.from_arrow(_docs(texts)).repartition(2), rank_buckets=rb)
+            .to_pandas()
+            .sort_values("token_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_encode_docs_oov_and_positions():
+    from ocr_lib_ray.functions.tokens import encode_docs
+
+    # vocab cap 2 -> only the two most frequent tokens get ids; every
+    # other token must encode as -1, positions 0-based per doc
+    texts = ["a a b c", "", "b a"]
+    got = (
+        encode_docs(rd.from_arrow(_docs(texts)).repartition(2), max_vocab=2)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # counts: a=3, b=2 -> ids {a, b}; c OOV; empty doc 1 emits nothing
+    assert got["doc_id"].tolist() == [0, 0, 0, 0, 2, 2]
+    assert got["pos"].tolist() == [0, 1, 2, 3, 0, 1]
+    ids = dict()
+    a_id = got.loc[0, "token_id"]
+    b_id = got.loc[2, "token_id"]
+    assert got["token_id"].tolist() == [a_id, a_id, b_id, -1, b_id, a_id]
+    assert {a_id, b_id} == {0, 1}
+    assert (got["token_id"] >= -1).all()
+
+
+def test_build_vocab_rejects_bad_buckets():
+    from ocr_lib_ray.functions.tokens import build_vocab
+
+    with pytest.raises(ValueError):
+        build_vocab(None, rank_buckets=100)  # not a divisor of 65536
+    with pytest.raises(ValueError):
+        build_vocab(None, max_vocab=0)

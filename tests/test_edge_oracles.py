@@ -63,6 +63,8 @@ QUERIES = [
     "frame_sample",  # round 3: video-shape frame sampling
     "token_counts",
     "top_tokens",
+    "vocab_ranked",  # round 3: distributed id rank (empty docs, tiny vocab)
+    "vocab_encode",  # round 3: train-then-encode (empty docs emit no rows)
     "cooccurrence_topk",  # round 3: window > doc length, empty docs
     "ngram_jaccard",
     "dup_components",  # round 3: distributed CC over jaccard pairs
