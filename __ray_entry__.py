@@ -1428,6 +1428,19 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=20)
 
 
+def _q_source_divergence(sf_dir: str):
+    """Per-source unigram KL vs the corpus blend (mixture drift
+    monitor) — micro-nat integer sums, both enrich joins bucketed."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.importance import source_divergence
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return source_divergence(docs)
+
+
 def _q_vocab_ranked(sf_dir: str):
     """Frequency-ranked vocabulary with DISTRIBUTED id assignment —
     no global sort, no driver-side vocab: (n, md5-prefix-bucket)
@@ -2605,6 +2618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "vocab_ranked": _q_vocab_ranked,
         "vocab_encode": _q_vocab_encode,
+        "source_divergence": _q_source_divergence,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "char_entropy": _q_char_entropy,
         "code_detect": _q_code_detect,
@@ -4279,6 +4293,30 @@ def oracle_sql() -> dict[str, str]:
                        WHERE {norm} <> ''),
             c AS (SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        # per-source unigram KL vs the corpus: one micro-nat conversion
+        # per (source, token) — the same floor(ln·1e6+0.5) IEEE chain
+        # as the bigram-LM family — then exact int64 sums
+        "source_divergence": f"""
+            WITH t AS (SELECT source, str_split({norm}, ' ') AS ws
+                       FROM documents WHERE {norm} <> ''),
+            u AS (SELECT source, w AS token FROM t, unnest(ws) AS x(w)),
+            st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_s
+                   FROM u GROUP BY 1, 2),
+            g AS (SELECT token, CAST(sum(n_s) AS BIGINT) AS n_g
+                  FROM st GROUP BY 1),
+            tot AS (SELECT source, CAST(sum(n_s) AS BIGINT) AS n_src
+                    FROM st GROUP BY 1),
+            nn AS (SELECT CAST(sum(n_s) AS BIGINT) AS grand FROM st)
+            SELECT st.source,
+                   CAST(sum(st.n_s) AS BIGINT) AS n_tokens,
+                   CAST(sum(st.n_s *
+                            CAST(floor(ln((CAST(st.n_s AS DOUBLE) * grand)
+                                          / (CAST(tot.n_src AS DOUBLE) * n_g))
+                                       * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS kl_micro_sum
+            FROM st JOIN g USING (token) JOIN tot USING (source), nn
+            GROUP BY 1
         """,
         # vocabulary id assignment: the (n DESC, md5(token), token)
         # total order is chosen precisely because row_number() over it

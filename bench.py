@@ -287,6 +287,7 @@ def run_bench() -> dict:
         "transition_counts",
         "vocab_ranked",
         "vocab_encode",
+        "source_divergence",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

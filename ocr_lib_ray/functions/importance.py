@@ -36,7 +36,7 @@ import math
 
 import pyarrow as pa
 
-__all__ = ["dsir_weights"]
+__all__ = ["dsir_weights", "source_divergence"]
 
 DEFAULT_N_BUCKETS = 10_000
 
@@ -157,3 +157,125 @@ def dsir_weights(
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_divergence(docs_ds, text_col: str = "text", source_col: str = "source"):
+    """Per-source unigram KL divergence against the whole-corpus token
+    distribution — the mixture-drift monitor a multi-source training
+    pipeline runs per crawl (is source X's language shifting away from
+    the blend it was weighted for?).  Returns one row per source:
+    (source, n_tokens, kl_micro_sum) where
+
+        KL(source ‖ corpus) = kl_micro_sum / (n_tokens * 1e6)   nats,
+        kl_micro_sum = Σ_t n_s(t) * floor(ln((n_s(t)·N) /
+                                             (N_s·n_g(t))) * 1e6 + 0.5)
+
+    with n_s/n_g the per-source/global token counts and N_s/N the
+    totals.  The ln argument is an explicit IEEE chain
+    ``(double(n_s)·double(N)) / (double(N_s)·double(n_g))`` and the
+    micro conversion happens ONCE per (source, token) — the same
+    discipline as :mod:`lm` — so the int64 sum is order-free and the
+    DuckDB oracle reproduces it bit-exactly.
+
+    Int64 bound (documented, not silently wrong): per-source
+    ``Σ n_s·|ln-ratio micro|`` must stay below 2^63 ≈ 9.2e18; with
+    |ln ratio| ≤ 30 nats that is ~3e11 tokens in ONE source — beyond
+    that, rescale to milli-units or accumulate float.
+
+    Scale shape: per-batch (source, token) count partials → ONE
+    groupby at |sources|×|vocab| scale, materialized once
+    (aggregate-sized); the global token counts, per-source totals and
+    the grand total all derive from that aggregate — the corpus is
+    read exactly once.  Both enrichment joins (token → n_g, source →
+    N_s) are bucketed hash joins — neither side is ever broadcast, so
+    a domains-as-sources corpus with millions of sources still
+    streams.  The final per-source reduction ships int64 partials.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .text_stats import normalize_expr
+
+    def st_partials(b: pa.Table) -> pa.Table:
+        norm = normalize_expr(b.column(text_col))
+        keep = pc.greater(pc.utf8_length(norm), 0)
+        src = b.column(source_col).filter(keep)
+        lt = pc.split_pattern(norm.filter(keep), " ")
+        flat = pc.list_flatten(lt)
+        parent = pc.list_parent_indices(lt)
+        df = pd.DataFrame(
+            {
+                "source": src.take(parent).to_pylist(),
+                "token": flat.to_pylist(),
+            }
+        )
+        g = df.groupby(["source", "token"], sort=False).size().reset_index(name="n_s")
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["source"], pa.string()),
+                pa.array(g["token"], pa.string()),
+                pa.array(g["n_s"].astype(np.int64)),
+            ],
+            names=["source", "token", "n_s"],
+        )
+
+    st = (
+        docs_ds.map_batches(st_partials, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n_s", alias_name="n_s"))
+        .materialize()  # aggregate-sized; three consumers below
+    )
+    glob = st.groupby("token").aggregate(Sum("n_s", alias_name="n_g"))
+    tot = st.groupby("source").aggregate(Sum("n_s", alias_name="n_src"))
+    grand = int(st.aggregate(Sum("n_s", alias_name="nn"))["nn"] or 0)
+
+    with_g = hash_join(st, glob, "token", right_value_cols=["n_g"], how="inner")
+    with_tot = hash_join(
+        with_g, tot, "source", right_value_cols=["n_src"], how="inner"
+    )
+
+    def terms(b: pa.Table) -> pa.Table:
+        ns = b.column("n_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = b.column("n_g_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        nsrc = b.column("n_src_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b.column("source")
+        # scalar math.log/floor per (source, token) row — aggregate-side
+        # work, and the exact chain the SQL oracle spells out
+        micro = np.fromiter(
+            (
+                math.floor(
+                    math.log((float(a) * float(grand)) / (float(c) * float(g)))
+                    * 1e6
+                    + 0.5
+                )
+                for a, g, c in zip(ns, ng, nsrc)
+            ),
+            dtype=np.int64,
+            count=len(ns),
+        )
+        df = pd.DataFrame(
+            {"source": src.to_pylist(), "n_tokens": ns, "term": ns * micro}
+        )
+        g2 = df.groupby("source", sort=False).agg(
+            n_tokens=("n_tokens", "sum"), kl_micro_sum=("term", "sum")
+        ).reset_index()
+        return pa.Table.from_arrays(
+            [
+                pa.array(g2["source"], pa.string()),
+                pa.array(g2["n_tokens"].astype(np.int64)),
+                pa.array(g2["kl_micro_sum"].astype(np.int64)),
+            ],
+            names=["source", "n_tokens", "kl_micro_sum"],
+        )
+
+    return (
+        with_tot.map_batches(terms, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("kl_micro_sum", alias_name="kl_micro_sum"),
+        )
+    )

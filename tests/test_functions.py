@@ -982,3 +982,47 @@ def test_readability_golden():
     assert (out.loc[2] == 0).all()
     # vowel-less words: min 1 syllable each, sentences floor at 1
     assert out.loc[3, "n_syllables"] == 2 and out.loc[3, "n_sentences"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_divergence_zero_for_identical_blends_and_positive_for_skew():
+    import math
+
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.importance import source_divergence
+
+    def docs(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "text": pa.array([t for t, _ in rows], pa.string()),
+                    "source": pa.array([s for _, s in rows], pa.string()),
+                }
+            )
+        )
+
+    # two sources with the IDENTICAL token distribution -> every ratio
+    # is exactly 1, ln == 0, so the integer KL is exactly 0
+    same = docs([("a a b", "s1"), ("a a b", "s2")])
+    out = source_divergence(same).to_pandas().sort_values("source")
+    assert out["kl_micro_sum"].tolist() == [0, 0]
+    assert out["n_tokens"].tolist() == [3, 3]
+
+    # disjoint vocabularies: each source's every token has
+    # n_s == n_g and N == 2 * N_s -> ratio 2, term = n_s * ln(2) micro
+    skew = docs([("x x y", "s1"), ("p q r", "s2")])
+    out2 = (
+        source_divergence(skew).to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    ln2 = math.floor(math.log(2.0) * 1e6 + 0.5)
+    assert out2["kl_micro_sum"].tolist() == [3 * ln2, 3 * ln2]
+
+    # block-layout invariance: same bytes at any partitioning
+    big = docs([("a b c d e", f"s{i % 3}") for i in range(30)])
+    a = source_divergence(big).to_pandas().sort_values("source").reset_index(drop=True)
+    big2 = docs([("a b c d e", f"s{i % 3}") for i in range(30)]).repartition(7)
+    b = source_divergence(big2).to_pandas().sort_values("source").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
