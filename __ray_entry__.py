@@ -2405,6 +2405,20 @@ def _q_promo_revenue(sf_dir: str):
     )
 
 
+def _q_copurchase_lift(sf_dir: str):
+    """Market-basket pair support + lift over the order⋈part graph
+    (association-rules level 1); DISTINCT basket semantics, exact
+    integer lift via arbitrary-precision // (HUGEINT in the oracle)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.basket import copurchase_lift
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return copurchase_lift(li, min_support=2)
+
+
 def _q_order_count_dist(sf_dir: str):
     """TPC-H Q13 shape: distribution of per-customer URGENT-order
     counts, zero-count customers included — the outer join is rewritten
@@ -2660,6 +2674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "group_enrich": _q_group_enrich,
         "sample_k_per_group": _q_sample_k_per_group,
+        "copurchase_lift": _q_copurchase_lift,
         "order_count_dist": _q_order_count_dist,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -5033,6 +5048,24 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             JOIN orders o   ON q.orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "copurchase_lift": """
+            WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM lp),
+            pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM lp GROUP BY 1),
+            pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                             CAST(count(*) AS BIGINT) AS n_pair
+                      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+                      GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT p.part_a, p.part_b, p.n_pair,
+                   ca.n_p AS n_a, cb.n_p AS n_b,
+                   CAST((CAST(p.n_pair AS HUGEINT) * n.n_orders * 1000000)
+                        // (CAST(ca.n_p AS HUGEINT) * cb.n_p) AS BIGINT)
+                       AS lift_micro
+            FROM pairs p
+            JOIN pc ca ON p.part_a = ca.pk
+            JOIN pc cb ON p.part_b = cb.pk, n
         """,
         "order_count_dist": """
             WITH oc AS (SELECT c.c_custkey AS custkey,

@@ -288,6 +288,7 @@ def run_bench() -> dict:
         "vocab_ranked",
         "vocab_encode",
         "source_divergence",
+        "copurchase_lift",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

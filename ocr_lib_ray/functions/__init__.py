@@ -15,6 +15,7 @@ from .dedup import (
     union_find_components,
 )
 from .graph import pagerank_micro, purchase_graph_edges
+from .basket import copurchase_lift
 from .importance import dsir_weights, source_divergence
 from .joins import asof_join, hash_join, range_join_count
 from .lm import bigram_logprob, ccnet_buckets, train_bigram_model
@@ -173,6 +174,7 @@ __all__ = [
     "fingerprint_batch",
     "winnow_fingerprint_batch",
     "build_vocab",
+    "copurchase_lift",
     "dsir_weights",
     "source_divergence",
     "encode_docs",

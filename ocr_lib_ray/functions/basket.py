@@ -1,0 +1,244 @@
+"""Market-basket association mining over the order⋈part bipartite
+graph: pair support and lift (the Apriori/association-rules first
+level, Agrawal & Srikant 1994) — which parts are bought together more
+often than independence predicts.
+
+The reference engine's set-ops + count reducers (SURVEY §2.6) compose
+into this shape; it is also the co-purchase cousin of the
+co-occurrence and triangle operators already in the repo.
+
+Exactness: every statistic is an integer count; lift is emitted as
+``lift_micro = (n_pair · n_orders · 1e6) // (n_a · n_b)`` computed in
+arbitrary-precision Python ints (the DuckDB oracle uses HUGEINT for
+the same intermediate), so the result is bit-exact at any block
+layout.  The int64 OUTPUT bound is lift_micro ≤ 1e6 · n_orders /
+max(n_a, n_b) — overflow needs one part pair to dominate a >9e12-order
+corpus; documented, not silently wrong.
+
+Scale shape: ONE orderkey exchange groups each order's lines; the
+group fn dedups parts and emits a tagged union (pair partials / per-
+order part rows / one order-marker row), so downstream aggregates run
+over pre-thinned streams: the pair groupby is bounded by distinct
+co-purchase pairs, the part groupby by the catalog, and the order
+count reduces to a scalar without any shuffle.  The two enrichment
+joins (pair → n_a, pair → n_b) are bucketed hash joins — the part
+count table scales with the catalog and is never broadcast.  A
+pathological giant order would emit O(items²) pairs; the
+``max_items_per_order`` guard raises instead of melting a worker
+(salt such an order by item-range and merge pair partials if it is
+ever real).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+from .joins import hash_join
+
+__all__ = ["copurchase_lift"]
+
+
+def copurchase_lift(
+    lineitem_ds,
+    min_support: int = 2,
+    max_items_per_order: int = 10_000,
+    num_partitions: int = 32,
+):
+    """(part_a, part_b, n_pair, n_a, n_b, lift_micro) for every
+    unordered part pair co-occurring in at least ``min_support``
+    distinct orders; ``part_a < part_b``; duplicate lines of the same
+    part within one order count once (DISTINCT basket semantics)."""
+
+    import zlib
+
+    def prep(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey")
+        # bucket the exchange (crc32 % P, the repo's per-key-sort
+        # pattern): one group = many whole orders, so the group fn runs
+        # P times, not #orders times
+        bk = [
+            zlib.crc32(str(k).encode()) % num_partitions for k in ok.to_pylist()
+        ]
+        return pa.table(
+            {
+                "ok": ok,
+                "pk": b.column("l_partkey"),
+                "bucket": pa.array(bk, pa.int32()),
+            }
+        )
+
+    def per_order(g: pd.DataFrame) -> pa.Table:
+        # the bucketed group may hold MANY orders: dedup (ok, pk) then
+        # emit per-order pair partials vectorized over the whole group
+        u = g[["ok", "pk"]].drop_duplicates()
+        sizes = u.groupby("ok", sort=False)["pk"].transform("size")
+        if (sizes > max_items_per_order).any():
+            big = int(u.loc[sizes.idxmax(), "ok"])
+            raise ValueError(
+                f"copurchase_lift: order {big} has more than "
+                f"{max_items_per_order} distinct parts — pair expansion "
+                "would be quadratic; raise max_items_per_order or salt "
+                "the order by item range"
+            )
+        u = u.sort_values(["ok", "pk"], kind="mergesort")
+        ok = u["ok"].to_numpy()
+        pk = u["pk"].to_numpy()
+        # pairs via per-order offset expansion (no Python loop over
+        # rows): for each strided offset d, pair row i with row i+d
+        # while both are in the same order
+        parts_a, parts_b = [], []
+        max_sz = int(u.groupby("ok", sort=False)["pk"].size().max()) if len(u) else 0
+        for d in range(1, max_sz):
+            same = ok[d:] == ok[:-d]
+            if not same.any():
+                break
+            parts_a.append(pk[:-d][same])
+            parts_b.append(pk[d:][same])
+        if parts_a:
+            pdf = pd.DataFrame(
+                {
+                    "part_a": np.concatenate(parts_a),
+                    "part_b": np.concatenate(parts_b),
+                }
+            )
+            pairs = (
+                pdf.groupby(["part_a", "part_b"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+        else:
+            pairs = pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        parts = u.groupby("pk", sort=False).size().reset_index(name="n")
+        n_orders = u["ok"].nunique()
+        # tagged union: kind 0 = pair partial, 1 = part partial,
+        # 2 = order-count partial (part_a/part_b zero-filled)
+        z = np.int64(0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    np.concatenate(
+                        [
+                            pairs["part_a"].to_numpy(dtype=np.int64),
+                            parts["pk"].to_numpy(dtype=np.int64),
+                            np.array([z]),
+                        ]
+                    )
+                ),
+                pa.array(
+                    np.concatenate(
+                        [
+                            pairs["part_b"].to_numpy(dtype=np.int64),
+                            np.zeros(len(parts), np.int64),
+                            np.array([z]),
+                        ]
+                    )
+                ),
+                pa.array(
+                    np.concatenate(
+                        [
+                            pairs["n"].to_numpy(dtype=np.int64),
+                            parts["n"].to_numpy(dtype=np.int64),
+                            np.array([np.int64(n_orders)]),
+                        ]
+                    )
+                ),
+                pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(pairs), np.int8),
+                            np.ones(len(parts), np.int8),
+                            np.array([2], np.int8),
+                        ]
+                    )
+                ),
+            ],
+            names=["part_a", "part_b", "n", "kind"],
+        )
+
+    tagged = (
+        lineitem_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_order, batch_format="pandas")
+        .materialize()  # three consumers; already reduced to partials
+    )
+
+    def kind_eq(k: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), k))
+
+        return f
+
+    n_orders = int(
+        tagged.map_batches(kind_eq(2), batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="s")
+        )["s"]
+        or 0
+    )
+    part_counts = (
+        tagged.map_batches(kind_eq(1), batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["part_a", "n"]).rename_columns(["pk", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n_p"))
+        .materialize()  # catalog-sized; joined twice below, and
+        # hash_join's schema probe would execute the lazy groupby anyway
+    )
+    pairs = (
+        tagged.map_batches(kind_eq(0), batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n_pair"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n_pair"), min_support)),
+            batch_format="pyarrow",
+        )
+    )
+
+    with_a = hash_join(
+        pairs,
+        part_counts.map_batches(
+            lambda b: b.rename_columns(["part_a", "n_a"]), batch_format="pyarrow"
+        ),
+        "part_a",
+        right_value_cols=["n_a"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    with_b = hash_join(
+        with_a,
+        part_counts.map_batches(
+            lambda b: b.rename_columns(["part_b", "n_b"]), batch_format="pyarrow"
+        ),
+        "part_b",
+        right_value_cols=["n_b"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def lift(b: pa.Table) -> pa.Table:
+        np_ = b.column("n_pair").to_pylist()
+        na = b.column("n_a_r").to_pylist()
+        nb = b.column("n_b_r").to_pylist()
+        # arbitrary-precision intermediate == the oracle's HUGEINT
+        lm = [
+            (p * n_orders * 1_000_000) // (a * bb)
+            for p, a, bb in zip(np_, na, nb)
+        ]
+        return pa.Table.from_arrays(
+            [
+                b.column("part_a"),
+                b.column("part_b"),
+                b.column("n_pair"),
+                pa.array(na, pa.int64()),
+                pa.array(nb, pa.int64()),
+                pa.array(lm, pa.int64()),
+            ],
+            names=["part_a", "part_b", "n_pair", "n_a", "n_b", "lift_micro"],
+        )
+
+    return with_b.map_batches(lift, batch_format="pyarrow")

@@ -1,0 +1,80 @@
+"""copurchase_lift — market-basket pair support/lift: hand-checked
+semantics, duplicate-line dedup, layout invariance, DuckDB equivalence
+on the fixture, and the giant-order guard."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_lib_ray.functions.basket import copurchase_lift
+
+SF = "/root/testdata/sf0.001"
+
+
+def _li(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_hand_checked_and_duplicate_lines_dedup():
+    # order 1: parts {1,2,3}; order 2: {1,2} (part 1 twice -> once);
+    # order 3: {3}.  n_orders=3.  pair (1,2): n_pair=2, n_1=2, n_2=2
+    # -> lift = 2*3/(2*2) = 1.5; all other pairs support 1 -> pruned
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 1), (2, 2), (3, 3)]
+    got = copurchase_lift(_li(rows), min_support=2).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    assert r["n_pair"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["lift_micro"] == 1_500_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_matches_duckdb_and_layout_invariant():
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["copurchase_lift"])
+        .df()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        entry.queries()["copurchase_lift"](SF)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype("int64"))
+
+    li = rd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).repartition(17)
+    again = (
+        copurchase_lift(li, min_support=2)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_giant_order_guard():
+    rows = [(1, p) for p in range(40)]
+    with pytest.raises(Exception) as ei:
+        copurchase_lift(_li(rows), max_items_per_order=10).to_pandas()
+    assert "max_items_per_order" in str(ei.value)
