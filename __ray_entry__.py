@@ -888,6 +888,29 @@ def _q_knn_sq8(sf_dir: str):
     )
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization compression (Jégou et al. 2011): m=4
+    independent integer k-means over contiguous subspaces, every
+    vector reduced to 4 codes + exact per-subspace reconstruction
+    error.  All m trainings share each streaming pass."""
+    from ocr_lib_ray.functions.clustering import pq_codes
+
+    return pq_codes(_emb(sf_dir), m=4, k=8, iters=2)
+
+
+def _q_knn_pq(sf_dir: str):
+    """PQ-ADC approximate nearest neighbours: full-precision queries
+    against the code-compressed corpus via exact int64 distance-table
+    lookups — deterministic enough for a bit-exact rank oracle
+    (the second ANN variant after knn_sq8 with that property).
+    m=16, k=16 (64-bit codes): the fixture embeddings are unstructured
+    Gaussian — PQ's hardest regime — so the coarser demo config's
+    recall would be noise; recall floor pinned in test_clustering."""
+    from ocr_lib_ray.functions.clustering import knn_pq
+
+    return knn_pq(_emb(sf_dir), query_ids=list(range(10)), k_nn=5, m=16, k=16)
+
+
 def _q_cluster_kmeans(sf_dir: str):
     """SemDeDup-style clustering step: integer k-means (k=8, 2 Lloyd
     rounds, seeds = vec_ids 0..7) over the embedding table.  Every
@@ -2597,6 +2620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_kmeans": _q_cluster_kmeans,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_sq8": _q_knn_sq8,
+        "pq_codes": _q_pq_codes,
+        "knn_pq": _q_knn_pq,
         "semantic_dedup": _q_semantic_dedup,
         "graph_rank": _q_graph_rank,
         "graph_triangles": _q_graph_triangles,
@@ -2922,6 +2947,67 @@ def _kmeans_sql(k: int = 8, iters: int = 2, tail: str | None = None) -> str:
         )"""
             )
     parts.append(tail or f"\n        SELECT vec_id, cluster FROM g{iters}")
+    return "".join(parts)
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, sub_d: int = 16, tail: str = "") -> str:
+    """Unrolled-CTE oracle for product quantization: the
+    :func:`_kmeans_sql` chain generalized with a ``sub`` (subspace)
+    key — m independent integer k-means run in ONE chain because every
+    join/group simply adds ``sub``.  Same exactness rules: milli
+    quantization, exact int64 squared distances, ties to lowest
+    cluster, half-up-rounded integer means, empty clusters COALESCE,
+    seeds = vec_ids 0..k-1 sliced per subspace."""
+    parts = [
+        f"""
+        WITH el AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS x
+            FROM embeddings
+        ),
+        els AS (SELECT vec_id, CAST((d - 1) // {sub_d} AS BIGINT) AS sub, d, x
+                FROM el),
+        c0 AS (SELECT vec_id AS cluster, sub, d, x FROM els WHERE vec_id < {k})"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f""",
+        a{i} AS (
+            SELECT els.vec_id, els.sub, c.cluster,
+                   sum((els.x - c.x) * (els.x - c.x)) AS dist
+            FROM els JOIN c{i} c ON els.sub = c.sub AND els.d = c.d
+            GROUP BY els.vec_id, els.sub, c.cluster
+        ),
+        g{i} AS (
+            SELECT vec_id, sub, cluster, dist FROM (
+                SELECT vec_id, sub, cluster, dist,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, cluster) AS rn
+                FROM a{i}) WHERE rn = 1
+        )"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+        u{i + 1} AS (
+            SELECT g.sub, g.cluster, els.d,
+                   CAST(floor((2 * sum(els.x) + count(*)) * 1.0
+                              / (2 * count(*))) AS BIGINT) AS x
+            FROM g{i} g JOIN els
+              ON g.vec_id = els.vec_id AND g.sub = els.sub
+            GROUP BY g.sub, g.cluster, els.d
+        ),
+        c{i + 1} AS (
+            SELECT c{i}.cluster, c{i}.sub, c{i}.d,
+                   COALESCE(u{i + 1}.x, c{i}.x) AS x
+            FROM c{i} LEFT JOIN u{i + 1}
+              ON c{i}.cluster = u{i + 1}.cluster
+             AND c{i}.sub = u{i + 1}.sub AND c{i}.d = u{i + 1}.d
+        )"""
+            )
+    parts.append(tail)
     return "".join(parts)
 
 
@@ -3848,6 +3934,36 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "cluster_kmeans": _kmeans_sql(k=8, iters=2),
+        # product quantization: the k-means chain generalized with a
+        # subspace key; codes + exact reconstruction error
+        "pq_codes": _pq_sql(
+            tail="""
+        SELECT g.vec_id, g.sub, g.cluster AS code,
+               CAST(g.dist AS BIGINT) AS err_sq
+        FROM g2 g"""
+        ),
+        # ADC search: per-query distance tables to the final centroids,
+        # summed over each vector's codes; top-5 (dist, vec_id)
+        "knn_pq": _pq_sql(
+            m=16,
+            k=16,
+            sub_d=4,
+            tail=""",
+        qd AS (SELECT vec_id AS qid, sub, d, x FROM els WHERE vec_id < 10),
+        dt AS (SELECT qd.qid, c.sub, c.cluster,
+                      sum((qd.x - c.x) * (qd.x - c.x)) AS dd
+               FROM qd JOIN c2 c ON qd.sub = c.sub AND qd.d = c.d
+               GROUP BY 1, 2, 3),
+        adc AS (SELECT dt.qid, g.vec_id, sum(dt.dd) AS dist_sq
+                FROM g2 g JOIN dt
+                  ON dt.sub = g.sub AND dt.cluster = g.cluster
+                WHERE g.vec_id >= 10
+                GROUP BY 1, 2)
+        SELECT qid AS query_id, vec_id, CAST(dist_sq AS BIGINT) AS dist_sq
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY dist_sq, vec_id) AS rn FROM adc)
+        WHERE rn <= 5"""
+        ),
         # SemDeDup prune: exact-int64 cosine dominance within clusters
         "semantic_dedup": _semantic_dedup_sql(k=8, iters=2),
         # distributed PageRank, integer micro-units, iterations unrolled

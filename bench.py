@@ -289,6 +289,8 @@ def run_bench() -> dict:
         "vocab_encode",
         "source_divergence",
         "copurchase_lift",
+        "pq_codes",
+        "knn_pq",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

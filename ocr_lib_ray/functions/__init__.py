@@ -1,7 +1,14 @@
 """Training-data operator library — convenience exports."""
 
 from .chunking import chunk_documents, pack_sequences
-from .clustering import kmeans_centroids, kmeans_milli, semantic_dedup
+from .clustering import (
+    kmeans_centroids,
+    kmeans_milli,
+    knn_pq,
+    pq_codebooks,
+    pq_codes,
+    semantic_dedup,
+)
 from .dedup import (
     connected_components,
     dedup_by_pairs,
@@ -175,6 +182,9 @@ __all__ = [
     "winnow_fingerprint_batch",
     "build_vocab",
     "copurchase_lift",
+    "knn_pq",
+    "pq_codebooks",
+    "pq_codes",
     "dsir_weights",
     "source_divergence",
     "encode_docs",

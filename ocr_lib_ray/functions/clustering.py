@@ -405,3 +405,272 @@ def sq8_reconstruct(emb_ds, id_col: str = "vec_id", vec_col: str = "embedding"):
         )
 
     return emb_ds.map_batches(rec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011) — codebooks, codes, ADC search
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb_ds,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids=None,
+) -> np.ndarray:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces of D/m dims and an INDEPENDENT integer
+    k-means (same milli-quantized Lloyd recipe as
+    :func:`kmeans_centroids` — exact int64 distances, ties to lowest
+    cluster, half-up-rounded integer means, empty clusters keep their
+    centroid, seeds = rows ``seed_ids`` default 0..k-1) is trained per
+    subspace.  Returns the (m, k, D/m) int64 centroid tensor.
+
+    Scale shape: ALL m sub-trainings share each streaming pass — one
+    corpus read per Lloyd round emitting m·k tiny partial rows per
+    batch, reduced exactly on the driver (the codebook is
+    m·k·(D/m) = k·D ints — model-sized, broadcastable)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if seed_ids is None:
+        seed_ids = list(range(k))
+    if len(seed_ids) != k:
+        raise ValueError(f"need {k} seed ids, got {len(seed_ids)}")
+
+    seed_set = pa.array(list(seed_ids), pa.int64())
+    seed_rows = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=seed_set)),
+        batch_format="pyarrow",
+    ).take_all()
+    if len(seed_rows) != k:
+        raise ValueError(
+            f"seed ids {seed_ids} matched {len(seed_rows)} rows, expected {k}"
+        )
+    by_id = {int(r[id_col]): r[vec_col] for r in seed_rows}
+    full = np.stack(
+        [
+            np.floor(np.asarray(by_id[s], dtype=np.float64) * MILLI + 0.5).astype(
+                np.int64
+            )
+            for s in seed_ids
+        ]
+    )
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    # (m, k, sub_d)
+    cent = np.stack([full[:, j * sub_d : (j + 1) * sub_d] for j in range(m)])
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            q = quantize_milli(batch.column(vec_col))
+            subs, clusters, counts, sums = [], [], [], []
+            for j in range(m):
+                qs = q[:, j * sub_d : (j + 1) * sub_d]
+                a = _assign(qs, c[j])
+                s = np.zeros((k, sub_d), dtype=np.int64)
+                np.add.at(s, a, qs)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                subs.append(np.full(k, j, np.int64))
+                clusters.append(np.arange(k, dtype=np.int64))
+                counts.append(cnt)
+                sums.append(s)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.concatenate(subs)),
+                    pa.array(np.concatenate(clusters)),
+                    pa.array(np.concatenate(counts)),
+                    pa.array(
+                        np.concatenate(sums, axis=0).tolist(), pa.list_(pa.int64())
+                    ),
+                ],
+                names=["sub", "cluster", "count", "sums"],
+            )
+
+        rows = emb_ds.map_batches(partials, batch_format="pyarrow").take_all()
+        tot_counts = np.zeros((m, k), dtype=np.int64)
+        tot_sums = np.zeros((m, k, sub_d), dtype=np.int64)
+        for r in rows:
+            tot_counts[int(r["sub"]), int(r["cluster"])] += int(r["count"])
+            tot_sums[int(r["sub"]), int(r["cluster"])] += np.asarray(
+                r["sums"], dtype=np.int64
+            )
+        new_cent = cent.copy()
+        for j in range(m):
+            for c_ in range(k):
+                if tot_counts[j, c_] > 0:
+                    new_cent[j, c_] = _rounded_mean(
+                        tot_sums[j, c_], int(tot_counts[j, c_])
+                    )
+        cent = new_cent
+    return cent
+
+
+def pq_codes(
+    emb_ds,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids=None,
+):
+    """Product-quantization code assignment: every vector compressed to
+    ``m`` sub-codes (m·log2(k) bits, e.g. 12 bits for 64 float dims at
+    m=4, k=8).  Returns Dataset (vec_id, sub, code, err_sq) in long
+    form — one row per (vector, subspace), ``err_sq`` the exact int64
+    squared milli-distance to the chosen centroid (the per-subspace
+    reconstruction error).  Broadcast codebook, map-only labeling."""
+    import ray
+
+    cb = pq_codebooks(emb_ds, m, k, iters, id_col, vec_col, seed_ids)
+    sub_d = cb.shape[2]
+    ref = ray.put(cb)
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        q = quantize_milli(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        out_id, out_sub, out_code, out_err = [], [], [], []
+        for j in range(m):
+            qs = q[:, j * sub_d : (j + 1) * sub_d]
+            cross = qs @ c[j].T
+            d = (
+                (qs * qs).sum(axis=1, keepdims=True)
+                - 2 * cross
+                + (c[j] * c[j]).sum(axis=1)
+            )
+            a = np.argmin(d, axis=1)
+            out_id.append(ids)
+            out_sub.append(np.full(n, j, np.int64))
+            out_code.append(a.astype(np.int64))
+            out_err.append(d[np.arange(n), a].astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_id)),
+                pa.array(np.concatenate(out_sub)),
+                pa.array(np.concatenate(out_code)),
+                pa.array(np.concatenate(out_err)),
+            ],
+            names=[id_col, "sub", "code", "err_sq"],
+        )
+
+    return emb_ds.map_batches(label, batch_format="pyarrow")
+
+
+def knn_pq(
+    emb_ds,
+    query_ids,
+    k_nn: int = 5,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """ANN top-k by asymmetric distance computation over PQ codes: the
+    query stays full-precision (milli ints), every database vector is
+    replaced by its per-subspace centroid, and the distance is the
+    exact int64 sum of the m table lookups — the classic ADC search of
+    Jégou et al. 2011, here with every quantity an integer so the
+    ranking carries a bit-exact SQL oracle (ties dist ASC, vec_id
+    ASC).  Returns (query_id, vec_id, dist_sq).
+
+    Scale shape: codebook + the (nq, m, k) query distance tables are
+    model-sized broadcasts; the corpus pass is map-only (assign codes
+    + gather + per-block top-k) and the only exchange is the
+    nq-bounded final top-k groupby."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    cb = pq_codebooks(emb_ds, m, k, iters, id_col, vec_col)
+    sub_d = cb.shape[2]
+
+    qset = pa.array(sorted(int(q) for q in query_ids), pa.int64())
+    q_rows = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_ids = np.array(sorted(int(r[id_col]) for r in q_rows), dtype=np.int64)
+    by_id = {int(r[id_col]): r[vec_col] for r in q_rows}
+    q_mat = np.stack(
+        [
+            np.floor(np.asarray(by_id[i], dtype=np.float64) * MILLI + 0.5).astype(
+                np.int64
+            )
+            for i in q_ids
+        ]
+    )
+    # (nq, m, k) exact squared distances query-subvector -> centroid
+    dtab = np.zeros((len(q_ids), m, k), dtype=np.int64)
+    for j in range(m):
+        qs = q_mat[:, j * sub_d : (j + 1) * sub_d]
+        cross = qs @ cb[j].T
+        dtab[:, j, :] = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2 * cross
+            + (cb[j] * cb[j]).sum(axis=1)
+        )
+    ref = ray.put((cb, q_ids, dtab))
+
+    def local(b: pa.Table) -> pa.Table:
+        c, qi, dt = ray.get(ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if exclude_self:
+            keep = ~np.isin(ids, qi)
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+        if not len(ids):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "dist_sq": pa.array([], pa.int64()),
+                }
+            )
+        q = quantize_milli(b.column(vec_col))
+        codes = np.empty((len(ids), m), dtype=np.int64)
+        for j in range(m):
+            qs = q[:, j * sub_d : (j + 1) * sub_d]
+            codes[:, j] = _assign(qs, c[j])
+        # (nq, B) ADC distances via m gathers
+        dist = np.zeros((len(qi), len(ids)), dtype=np.int64)
+        for j in range(m):
+            dist += dt[:, j, :][:, codes[:, j]]
+        out_q, out_v, out_d = [], [], []
+        kk = min(k_nn, len(ids))
+        for qi_i in range(len(qi)):
+            order = np.lexsort((ids, dist[qi_i]))[:kk]
+            out_q.append(np.full(kk, qi[qi_i], np.int64))
+            out_v.append(ids[order])
+            out_d.append(dist[qi_i][order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_v)),
+                "dist_sq": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist_sq", id_col], kind="mergesort").head(k_nn)
+        return g.reset_index(drop=True)
+
+    return (
+        emb_ds.map_batches(local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -212,3 +212,115 @@ def test_knn_sq8_recall_vs_brute():
     s = set(map(tuple, sq8[["query_id", "vec_id"]].itertuples(index=False)))
     assert len(s) == len(b) == 50
     assert len(b & s) / len(b) >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_codebooks_match_per_subspace_kmeans():
+    """A PQ codebook IS k per-subspace k-means runs: training each
+    subspace independently with the scalar reference must give the
+    same centroids, at any partitioning."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import pq_codebooks
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    ds = rd.from_arrow(emb_table(vecs)).repartition(5)
+    cb = pq_codebooks(ds, m=2, k=3, iters=2)
+    assert cb.shape == (2, 3, 4)
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+    for j in range(2):
+        sub = q[:, j * 4 : (j + 1) * 4]
+        cent = sub[:3].copy()
+        for _ in range(2):
+            a = _assign(sub, cent)
+            for c in range(3):
+                members = sub[a == c]
+                if len(members):
+                    cent[c] = _rounded_mean(members.sum(axis=0), len(members))
+        assert (cb[j] == cent).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_codes_layout_invariance_and_err_consistency():
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import pq_codes
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    a = (
+        pq_codes(rd.from_arrow(emb_table(vecs)), m=4, k=4, iters=1)
+        .to_pandas()
+        .sort_values(["vec_id", "sub"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pq_codes(rd.from_arrow(emb_table(vecs)).repartition(7), m=4, k=4, iters=1)
+        .to_pandas()
+        .sort_values(["vec_id", "sub"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["err_sq"] >= 0).all()
+    assert a["err_sq"].dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_dim_not_divisible_raises():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.clustering import pq_codebooks
+
+    vecs = np.zeros((10, 6), dtype=np.float32)
+    with pytest.raises(Exception) as ei:
+        pq_codebooks(rd.from_arrow(emb_table(vecs)), m=4, k=3)
+    assert "divisible" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_pq_recall_vs_brute():
+    """PQ-ADC sanity vs the EXACT L2 top-5 (same metric — the cosine
+    brute is a different ranking and would conflate metric with
+    compression).  The fixture embeddings are unstructured Gaussian,
+    PQ's documented worst case (distances concentrate), so the floor
+    is honest-low: 0.25 at 64-bit codes.  Reruns must be bit-equal."""
+    import sys
+
+    import pandas as pd
+    import ray.data as rd  # noqa: F401
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    v = np.floor(
+        np.asarray(t.column("embedding").to_pylist(), dtype=np.float64) * 1000.0
+        + 0.5
+    ).astype(np.int64)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mask = ids >= 10
+    db, dbids = v[mask], ids[mask]
+    exact = set()
+    for qi in range(10):
+        d = ((db - v[ids == qi][0]) ** 2).sum(axis=1)
+        for j in np.lexsort((dbids, d))[:5]:
+            exact.add((qi, int(dbids[j])))
+    pq1 = (
+        em.queries()["knn_pq"](sf)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pq2 = (
+        em.queries()["knn_pq"](sf)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pq1, pq2)
+    p = set(map(tuple, pq1[["query_id", "vec_id"]].itertuples(index=False)))
+    assert len(p) == 50
+    assert len(exact & p) / len(exact) >= 0.25
