@@ -911,6 +911,20 @@ def _q_knn_pq(sf_dir: str):
     return knn_pq(_emb(sf_dir), query_ids=list(range(10)), k_nn=5, m=16, k=16)
 
 
+def _q_knn_ivf_pq(sf_dir: str):
+    """IVF-PQ ANN (the FAISS-style composed scale path): integer
+    coarse quantizer partitions the corpus, residual PQ compresses
+    in-cell offsets, each query scans only nprobe/k_coarse of the
+    index via per-cell ADC tables — and every quantity is exact int64,
+    so even this two-stage ANN carries a bit-exact rank oracle."""
+    from ocr_lib_ray.functions.clustering import knn_ivf_pq
+
+    return knn_ivf_pq(
+        _emb(sf_dir), query_ids=list(range(10)), k_nn=5,
+        k_coarse=4, nprobe=2, m=16, k=16,
+    )
+
+
 def _q_cluster_kmeans(sf_dir: str):
     """SemDeDup-style clustering step: integer k-means (k=8, 2 Lloyd
     rounds, seeds = vec_ids 0..7) over the embedding table.  Every
@@ -2622,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq8": _q_knn_sq8,
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
+        "knn_ivf_pq": _q_knn_ivf_pq,
         "semantic_dedup": _q_semantic_dedup,
         "graph_rank": _q_graph_rank,
         "graph_triangles": _q_graph_triangles,
@@ -3008,6 +3023,156 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, sub_d: int = 16, tail: str =
         )"""
             )
     parts.append(tail)
+    return "".join(parts)
+
+
+def _ivfpq_sql(
+    kc: int = 4,
+    nprobe: int = 2,
+    m: int = 16,
+    k: int = 16,
+    iters: int = 2,
+    sub_d: int = 4,
+    nq: int = 10,
+    k_nn: int = 5,
+) -> str:
+    """Unrolled-CTE oracle for IVF-PQ ADC search: the coarse k-means
+    chain (kc*/ka*/kg*/ku* prefixes), residuals against the final
+    coarse centroids, the residual-PQ chain (same exactness rules as
+    :func:`_pq_sql`), per-query nprobe cell probing (ties → lowest
+    cell), per-(query, cell) distance tables, and the cell-gated ADC
+    sum.  Queries are vec_ids 0..nq-1 and excluded from the corpus."""
+    parts = [
+        f"""
+        WITH el AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS x
+            FROM embeddings
+        ),
+        kc0 AS (SELECT vec_id AS cluster, d, x FROM el WHERE vec_id < {kc})"""
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f""",
+        ka{i} AS (
+            SELECT el.vec_id, c.cluster,
+                   sum((el.x - c.x) * (el.x - c.x)) AS dist
+            FROM el JOIN kc{i} c USING (d)
+            GROUP BY el.vec_id, c.cluster
+        ),
+        kg{i} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM ka{i}) WHERE rn = 1
+        )"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+        ku{i + 1} AS (
+            SELECT g.cluster, el.d,
+                   CAST(floor((2 * sum(el.x) + count(*)) * 1.0
+                              / (2 * count(*))) AS BIGINT) AS x
+            FROM kg{i} g JOIN el ON g.vec_id = el.vec_id
+            GROUP BY g.cluster, el.d
+        ),
+        kc{i + 1} AS (
+            SELECT kc{i}.cluster, kc{i}.d, COALESCE(ku{i + 1}.x, kc{i}.x) AS x
+            FROM kc{i} LEFT JOIN ku{i + 1}
+              ON kc{i}.cluster = ku{i + 1}.cluster AND kc{i}.d = ku{i + 1}.d
+        )"""
+            )
+    parts.append(
+        f""",
+        rel AS (
+            SELECT el.vec_id, CAST((el.d - 1) // {sub_d} AS BIGINT) AS sub,
+                   el.d, el.x - kc{iters}.x AS x, kg{iters}.cluster AS cell
+            FROM el
+            JOIN kg{iters} ON el.vec_id = kg{iters}.vec_id
+            JOIN kc{iters} ON kc{iters}.cluster = kg{iters}.cluster
+                          AND kc{iters}.d = el.d
+        ),
+        c0 AS (SELECT vec_id AS cluster, sub, d, x FROM rel WHERE vec_id < {k})"""
+    )
+    for i in range(iters + 1):
+        parts.append(
+            f""",
+        a{i} AS (
+            SELECT rel.vec_id, rel.sub, c.cluster,
+                   sum((rel.x - c.x) * (rel.x - c.x)) AS dist
+            FROM rel JOIN c{i} c ON rel.sub = c.sub AND rel.d = c.d
+            GROUP BY rel.vec_id, rel.sub, c.cluster
+        ),
+        g{i} AS (
+            SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, cluster) AS rn
+                FROM a{i}) WHERE rn = 1
+        )"""
+        )
+        if i < iters:
+            parts.append(
+                f""",
+        u{i + 1} AS (
+            SELECT g.sub, g.cluster, rel.d,
+                   CAST(floor((2 * sum(rel.x) + count(*)) * 1.0
+                              / (2 * count(*))) AS BIGINT) AS x
+            FROM g{i} g JOIN rel
+              ON g.vec_id = rel.vec_id AND g.sub = rel.sub
+            GROUP BY g.sub, g.cluster, rel.d
+        ),
+        c{i + 1} AS (
+            SELECT c{i}.cluster, c{i}.sub, c{i}.d,
+                   COALESCE(u{i + 1}.x, c{i}.x) AS x
+            FROM c{i} LEFT JOIN u{i + 1}
+              ON c{i}.cluster = u{i + 1}.cluster
+             AND c{i}.sub = u{i + 1}.sub AND c{i}.d = u{i + 1}.d
+        )"""
+            )
+    parts.append(
+        f""",
+        vc AS (SELECT DISTINCT vec_id, cell FROM rel),
+        qd AS (SELECT vec_id AS qid, d, x FROM el WHERE vec_id < {nq}),
+        qc AS (SELECT qd.qid, kcf.cluster AS cell,
+                      sum((qd.x - kcf.x) * (qd.x - kcf.x)) AS dist
+               FROM qd JOIN kc{iters} kcf ON qd.d = kcf.d
+               GROUP BY 1, 2),
+        pr AS (SELECT qid, cell FROM (
+                   SELECT qid, cell,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY dist, cell) AS rn
+                   FROM qc) WHERE rn <= {nprobe}),
+        qres AS (
+            SELECT qd.qid, pr.cell,
+                   CAST((qd.d - 1) // {sub_d} AS BIGINT) AS sub, qd.d,
+                   qd.x - kc{iters}.x AS x
+            FROM qd
+            JOIN pr ON pr.qid = qd.qid
+            JOIN kc{iters} ON kc{iters}.cluster = pr.cell
+                          AND kc{iters}.d = qd.d
+        ),
+        dt AS (SELECT qres.qid, qres.cell, cf.sub, cf.cluster,
+                      sum((qres.x - cf.x) * (qres.x - cf.x)) AS dd
+               FROM qres JOIN c{iters} cf
+                 ON qres.sub = cf.sub AND qres.d = cf.d
+               GROUP BY 1, 2, 3, 4),
+        adc AS (SELECT dt.qid, g.vec_id, sum(dt.dd) AS dist_sq
+                FROM g{iters} g
+                JOIN vc ON vc.vec_id = g.vec_id
+                JOIN dt ON dt.cell = vc.cell AND dt.sub = g.sub
+                       AND dt.cluster = g.cluster
+                WHERE g.vec_id >= {nq}
+                GROUP BY 1, 2)
+        SELECT qid AS query_id, vec_id, CAST(dist_sq AS BIGINT) AS dist_sq
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY dist_sq, vec_id) AS rn FROM adc)
+        WHERE rn <= {k_nn}"""
+    )
     return "".join(parts)
 
 
@@ -3934,6 +4099,10 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "cluster_kmeans": _kmeans_sql(k=8, iters=2),
+        # IVF-PQ: coarse chain + residual-PQ chain + probe + ADC
+        "knn_ivf_pq": _ivfpq_sql(
+            kc=4, nprobe=2, m=16, k=16, iters=2, sub_d=4, nq=10, k_nn=5
+        ),
         # product quantization: the k-means chain generalized with a
         # subspace key; codes + exact reconstruction error
         "pq_codes": _pq_sql(

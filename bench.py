@@ -291,6 +291,7 @@ def run_bench() -> dict:
         "copurchase_lift",
         "pq_codes",
         "knn_pq",
+        "knn_ivf_pq",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

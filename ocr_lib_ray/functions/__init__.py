@@ -4,6 +4,7 @@ from .chunking import chunk_documents, pack_sequences
 from .clustering import (
     kmeans_centroids,
     kmeans_milli,
+    knn_ivf_pq,
     knn_pq,
     pq_codebooks,
     pq_codes,
@@ -182,6 +183,7 @@ __all__ = [
     "winnow_fingerprint_batch",
     "build_vocab",
     "copurchase_lift",
+    "knn_ivf_pq",
     "knn_pq",
     "pq_codebooks",
     "pq_codes",

@@ -420,6 +420,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_ids=None,
+    coarse_centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: the vector space is split into
     ``m`` contiguous subspaces of D/m dims and an INDEPENDENT integer
@@ -460,6 +461,11 @@ def pq_codebooks(
             for s in seed_ids
         ]
     )
+    if coarse_centroids is not None:
+        # residual PQ (the IVF-PQ second stage): every vector is
+        # replaced by its residual to the nearest coarse centroid
+        # BEFORE subspace training — seeds included
+        full = full - coarse_centroids[_assign(full, coarse_centroids)]
     dim = full.shape[1]
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")
@@ -473,6 +479,8 @@ def pq_codebooks(
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
             q = quantize_milli(batch.column(vec_col))
+            if coarse_centroids is not None:
+                q = q - coarse_centroids[_assign(q, coarse_centroids)]
             subs, clusters, counts, sums = [], [], [], []
             for j in range(m):
                 qs = q[:, j * sub_d : (j + 1) * sub_d]
@@ -668,6 +676,161 @@ def knn_pq(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dist_sq", id_col], kind="mergesort").head(k_nn)
         return g.reset_index(drop=True)
+
+    return (
+        emb_ds.map_batches(local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def knn_ivf_pq(
+    emb_ds,
+    query_ids,
+    k_nn: int = 5,
+    k_coarse: int = 4,
+    nprobe: int = 2,
+    m: int = 16,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF-PQ ANN — the composed FAISS-style scale path: an integer
+    coarse quantizer (k_coarse cells, :func:`kmeans_centroids`)
+    partitions the corpus, a RESIDUAL product quantizer
+    (:func:`pq_codebooks` with ``coarse_centroids``) compresses each
+    vector's offset from its cell centroid, and each query scans only
+    its ``nprobe`` nearest cells via per-cell ADC distance tables.
+    Scanned fraction ≈ nprobe / k_coarse — the knob that keeps a
+    100 TB index sublinear.  Every quantity is exact int64 (milli
+    space), ties (dist ASC, vec_id ASC), cells and clusters tie to the
+    lowest index — so the ranking carries a bit-exact SQL oracle,
+    unlike the float sampled-centroid ``knn_ivf``.  Returns
+    (query_id, vec_id, dist_sq); vectors in unprobed cells are simply
+    never scored (recall < 1 by construction, measured in tests).
+
+    Scale shape: coarse centroids (k_coarse·D ints) + codebooks
+    (k·D ints) + the per-query per-probed-cell tables
+    (nq·nprobe·m·k ints) are all model-sized broadcasts; the corpus
+    pass is map-only; the only exchange is the nq-bounded final
+    top-k groupby."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    coarse = kmeans_centroids(emb_ds, k_coarse, iters, id_col, vec_col)
+    cb = pq_codebooks(
+        emb_ds, m, k, iters, id_col, vec_col, coarse_centroids=coarse
+    )
+    sub_d = cb.shape[2]
+    nprobe = min(nprobe, k_coarse)
+
+    qset = pa.array(sorted(int(q) for q in query_ids), pa.int64())
+    q_rows = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    q_ids = np.array(sorted(int(r[id_col]) for r in q_rows), dtype=np.int64)
+    by_id = {int(r[id_col]): r[vec_col] for r in q_rows}
+    q_mat = np.stack(
+        [
+            np.floor(np.asarray(by_id[i], dtype=np.float64) * MILLI + 0.5).astype(
+                np.int64
+            )
+            for i in q_ids
+        ]
+    )
+    nq = len(q_ids)
+    # probe the nprobe nearest cells per query (ties -> lowest cell)
+    dq = (
+        (q_mat * q_mat).sum(axis=1, keepdims=True)
+        - 2 * (q_mat @ coarse.T)
+        + (coarse * coarse).sum(axis=1)
+    )
+    probe = np.stack(
+        [np.lexsort((np.arange(k_coarse), dq[i]))[:nprobe] for i in range(nq)]
+    )
+    # per (query, probed cell): residual distance tables (m, k)
+    dtabs = np.zeros((nq, nprobe, m, k), dtype=np.int64)
+    for i in range(nq):
+        for pi, cell in enumerate(probe[i]):
+            res = q_mat[i] - coarse[cell]
+            for j in range(m):
+                rs = res[j * sub_d : (j + 1) * sub_d]
+                dtabs[i, pi, j, :] = (
+                    (rs * rs).sum() - 2 * (cb[j] @ rs) + (cb[j] * cb[j]).sum(axis=1)
+                )
+    ref = ray.put((coarse, cb, q_ids, probe, dtabs))
+
+    def local(b: pa.Table) -> pa.Table:
+        co, c, qi, pr, dt = ray.get(ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if exclude_self:
+            keep = ~np.isin(ids, qi)
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+        if not len(ids):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "dist_sq": pa.array([], pa.int64()),
+                }
+            )
+        qv = quantize_milli(b.column(vec_col))
+        cells = _assign(qv, co)
+        res = qv - co[cells]
+        codes = np.empty((len(ids), m), dtype=np.int64)
+        for j in range(m):
+            codes[:, j] = _assign(res[:, j * sub_d : (j + 1) * sub_d], c[j])
+        out_q, out_v, out_d = [], [], []
+        for i in range(len(qi)):
+            sel_d = []
+            sel_v = []
+            for pi, cell in enumerate(pr[i]):
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                dist = np.zeros(int(mask.sum()), dtype=np.int64)
+                cj = codes[mask]
+                for j in range(m):
+                    dist += dt[i, pi, j, :][cj[:, j]]
+                sel_d.append(dist)
+                sel_v.append(ids[mask])
+            if not sel_d:
+                continue
+            dist = np.concatenate(sel_d)
+            vids = np.concatenate(sel_v)
+            kk = min(k_nn, len(vids))
+            order = np.lexsort((vids, dist))[:kk]
+            out_q.append(np.full(kk, qi[i], np.int64))
+            out_v.append(vids[order])
+            out_d.append(dist[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "dist_sq": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_v)),
+                "dist_sq": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["dist_sq", id_col], kind="mergesort")
+            .head(k_nn)
+            .reset_index(drop=True)
+        )
 
     return (
         emb_ds.map_batches(local, batch_format="pyarrow")

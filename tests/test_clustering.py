@@ -324,3 +324,74 @@ def test_knn_pq_recall_vs_brute():
     p = set(map(tuple, pq1[["query_id", "vec_id"]].itertuples(index=False)))
     assert len(p) == 50
     assert len(exact & p) / len(exact) >= 0.25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_pq_determinism_probe_subset_and_recall():
+    """IVF-PQ: bit-equal reruns; with nprobe == k_coarse the candidate
+    set is the full corpus so results must equal plain residual-free
+    scanning of every cell; and the driver query's nprobe=2 top-5
+    still recovers a floor fraction of the exact L2 top-5."""
+    import sys
+
+    import pandas as pd
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    from ocr_lib_ray.functions.clustering import knn_ivf_pq
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        em.queries()["knn_ivf_pq"](sf)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        em.queries()["knn_ivf_pq"](sf)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50
+
+    # layout invariance at full probe
+    emb = rd.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    full1 = (
+        knn_ivf_pq(emb, query_ids=list(range(5)), k_nn=3, k_coarse=4, nprobe=4)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    full2 = (
+        knn_ivf_pq(
+            emb.repartition(9), query_ids=list(range(5)), k_nn=3, k_coarse=4, nprobe=4
+        )
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full1, full2)
+
+    # recall floor vs exact L2 (residual PQ at 64-bit codes, half the
+    # cells scanned, unstructured Gaussian fixture -> honest-low 0.2)
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    v = np.floor(
+        np.asarray(t.column("embedding").to_pylist(), dtype=np.float64) * 1000.0
+        + 0.5
+    ).astype(np.int64)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mask = ids >= 10
+    db, dbids = v[mask], ids[mask]
+    exact = set()
+    for qi in range(10):
+        d = ((db - v[ids == qi][0]) ** 2).sum(axis=1)
+        for j in np.lexsort((dbids, d))[:5]:
+            exact.add((qi, int(dbids[j])))
+    p = set(map(tuple, a[["query_id", "vec_id"]].itertuples(index=False)))
+    assert len(exact & p) / len(exact) >= 0.2

@@ -141,6 +141,7 @@ EMBEDDING_QUERIES = {
     "knn_sq8",  # round 3: quantized ANN rank, SQL-oracled at sf
     "pq_codes",  # round 3: product-quantization codes, SQL-oracled at sf
     "knn_pq",  # round 3: PQ-ADC ANN rank, SQL-oracled at sf
+    "knn_ivf_pq",  # round 3: IVF + residual-PQ ANN rank, SQL-oracled at sf
     "semantic_dedup",  # round 3: cluster + within-cluster prune
     "decontaminate_embedding",  # round 3: eval decontam in embedding space
     "doc_embedding_join",  # round 3: general bucketed hash equi-join
