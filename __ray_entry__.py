@@ -2442,6 +2442,55 @@ def _q_promo_revenue(sf_dir: str):
     )
 
 
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_3's per-year share of ASIA's ECONOMY-part
+    market; the widest star chain, part semi-gate first, supplier
+    carrying one is_target bit, customer region-gated by a broadcast
+    nation⋈region lookup."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import market_share
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    return market_share(
+        li,
+        orders,
+        cust,
+        supp,
+        part,
+        nation,
+        region,
+        target_nation="NATION_3",
+        region_name="ASIA",
+        part_type="ECONOMY",
+        lo_us=_ts_us("1996-01-01"),
+        hi_us=_ts_us("1998-01-01"),
+    )
+
+
 def _q_copurchase_lift(sf_dir: str):
     """Market-basket pair support + lift over the order⋈part graph
     (association-rules level 1); DISTINCT basket semantics, exact
@@ -2715,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_enrich": _q_group_enrich,
         "sample_k_per_group": _q_sample_k_per_group,
         "copurchase_lift": _q_copurchase_lift,
+        "market_share": _q_market_share,
         "order_count_dist": _q_order_count_dist,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -5351,6 +5401,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN pc ca ON p.part_a = ca.pk
             JOIN pc cb ON p.part_b = cb.pk, n
+        """,
+        "market_share": """
+            WITH rev AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev_u4,
+                       CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                           AS is_target
+                FROM lineitem l
+                JOIN part p     ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+                JOIN orders o   ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+                JOIN region r   ON cn.n_regionkey = r.r_regionkey
+                WHERE p.p_type = 'ECONOMY'
+                  AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   CAST(COALESCE(sum(CASE WHEN is_target = 1
+                                          THEN rev_u4 END), 0) AS BIGINT)
+                       AS target_u4,
+                   CAST(sum(rev_u4) AS BIGINT) AS total_u4,
+                   CAST((COALESCE(sum(CASE WHEN is_target = 1
+                                           THEN rev_u4 END), 0) * 1000000)
+                        // sum(rev_u4) AS BIGINT) AS share_micro
+            FROM rev GROUP BY 1
         """,
         "order_count_dist": """
             WITH oc AS (SELECT c.c_custkey AS custkey,

@@ -292,6 +292,7 @@ def run_bench() -> dict:
         "pq_codes",
         "knn_pq",
         "knn_ivf_pq",
+        "market_share",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

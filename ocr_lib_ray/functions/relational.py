@@ -18,6 +18,7 @@ corpus-scale deployment runs next to its extraction jobs:
 * ``small_qty_revenue``    — correlated AVG subquery, decorrelated (Q17 shape)
 * ``idle_customers``       — scalar-broadcast filter + anti join (Q22 shape)
 * ``nation_volume``        — two-fact two-dim join chain (Q7 shape)
+* ``market_share``         — share-of-aggregate star chain (Q8 shape)
 
 Money is integer.  Every monetary input column is 2-decimal exact
 (verified against the fixture generator: max |x*100 − round(x*100)|
@@ -1272,3 +1273,187 @@ def nation_volume(
         .groupby(["supp_nation", "cust_nation"])
         .aggregate(Sum("rev", alias_name="revenue_u4"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape — national market share (share-of-aggregate CASE ratio per year)
+# --------------------------------------------------------------------------
+
+
+def market_share(
+    lineitem_ds,
+    orders_ds,
+    customer_ds,
+    supplier_ds,
+    part_ds,
+    nation_tbl: pa.Table,
+    region_tbl: pa.Table,
+    target_nation: str,
+    region_name: str,
+    part_type: str,
+    lo_us: int,
+    hi_us: int,
+    num_partitions: int = 32,
+):
+    """Per-order-year share of one nation's suppliers in a region's
+    market for one part type (TPC-H Q8 shape — the widest star join
+    plus a share-of-aggregate CASE ratio).  Output: (o_year,
+    target_u4, total_u4, share_micro) with share_micro =
+    (target_u4 · 1e6) // total_u4 exact int64 — the same integer-ratio
+    discipline as promo_revenue; the int64 bound (target_u4 below
+    ~9.2e12) is documented there.
+
+    Scale shape, join order: part reduces to the type's keys and SEMI-
+    gates lineitem first (the chain's biggest prune); supplier rides
+    the bucketed hash join carrying only an ``is_target`` bit (nation
+    names resolved by the O(25)-row broadcast before the join, so the
+    corpus-scaled supplier table ships one extra int8, not a string);
+    the stream is pre-aggregated per (orderkey, is_target) before the
+    orders join and per (custkey, year, is_target) before the customer
+    join; customer is region-gated by a broadcast nation⋈region lookup
+    at prep time.  The final groupby is |years|-sized over integer
+    partials."""
+
+    nat_ref = make_dim_ref(nation_tbl, "n_nationkey", ["n_name"])
+    # nationkey -> region name, resolved driver-side (both dims O(25))
+    nk = nation_tbl.column("n_nationkey").to_pylist()
+    nrk = nation_tbl.column("n_regionkey").to_pylist()
+    rk = region_tbl.column("r_regionkey").to_pylist()
+    rn = region_tbl.column("r_name").to_pylist()
+    r_by_k = dict(zip(rk, rn))
+    region_nationkeys = sorted(
+        int(a) for a, b in zip(nk, nrk) if r_by_k.get(b) == region_name
+    )
+
+    def type_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("p_type"), part_type))
+        return pa.table({"partkey": t.column("p_partkey")})
+
+    tp = part_ds.map_batches(type_keys, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        base = cents(b.column("l_extendedprice"))
+        disc = pct(b.column("l_discount"))
+        rev = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {
+                "partkey": b.column("l_partkey"),
+                "orderkey": b.column("l_orderkey"),
+                "suppkey": b.column("l_suppkey"),
+                "rev_u4": rev,
+            }
+        )
+
+    li = hash_join(
+        lineitem_ds.map_batches(li_prep, batch_format="pyarrow"),
+        tp,
+        "partkey",
+        how="semi",
+        num_partitions=num_partitions,
+    )
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        import ray
+
+        keys, vals = ray.get(nat_ref)
+        nkk = np.asarray(b.column("s_nationkey").to_numpy(zero_copy_only=False))
+        mask, pos = dim_lookup(nkk, (keys, vals))
+        names = vals["n_name"].take(pa.array(pos))
+        is_t = pc.equal(names, target_nation).cast(pa.int64())
+        return pa.table(
+            {"suppkey": b.column("s_suppkey"), "is_target": is_t}
+        ).filter(pa.array(mask))
+
+    supp = supplier_ds.map_batches(supp_prep, batch_format="pyarrow")
+    with_supp = hash_join(
+        li,
+        supp,
+        "suppkey",
+        right_value_cols=["is_target"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def order_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["orderkey", "is_target_r", "rev_u4"]).to_pandas()
+        df.columns = ["orderkey", "is_target", "rev_u4"]
+        g = (
+            df.groupby(["orderkey", "is_target"], sort=False)["rev_u4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = with_supp.map_batches(order_parts, batch_format="pyarrow")
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.int64())
+        t = b.filter(pc.and_(pc.greater_equal(d, lo_us), pc.less(d, hi_us)))
+        yr = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        return pa.table(
+            {
+                "orderkey": t.column("o_orderkey"),
+                "custkey": t.column("o_custkey"),
+                "o_year": yr,
+            }
+        )
+
+    orders = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
+    with_orders = hash_join(
+        per_order,
+        orders,
+        "orderkey",
+        right_value_cols=["custkey", "o_year"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def cust_key_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["custkey_r", "o_year_r", "is_target", "rev_u4"]).to_pandas()
+        df.columns = ["custkey", "o_year", "is_target", "rev_u4"]
+        g = (
+            df.groupby(["custkey", "o_year", "is_target"], sort=False)["rev_u4"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = with_orders.map_batches(cust_key_parts, batch_format="pyarrow")
+
+    rkeys = pa.array(region_nationkeys, pa.int32())
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("c_nationkey"), value_set=rkeys))
+        return pa.table({"custkey": t.column("c_custkey")})
+
+    cust = customer_ds.map_batches(cust_prep, batch_format="pyarrow")
+    gated = hash_join(
+        per_cust, cust, "custkey", how="semi", num_partitions=num_partitions
+    )
+
+    def year_parts(b: pa.Table) -> pa.Table:
+        df = b.select(["o_year", "is_target", "rev_u4"]).to_pandas()
+        df["target"] = df["rev_u4"] * df["is_target"]
+        g = df.groupby("o_year", sort=False).agg(
+            target_u4=("target", "sum"), total_u4=("rev_u4", "sum")
+        ).reset_index()
+        g["target_u4"] = g["target_u4"].astype(np.int64)
+        g["total_u4"] = g["total_u4"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        gated.map_batches(year_parts, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_u4", alias_name="target_u4"),
+            Sum("total_u4", alias_name="total_u4"),
+        )
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        t = b.column("target_u4").to_numpy(zero_copy_only=False)
+        tot = b.column("total_u4").to_numpy(zero_copy_only=False)
+        micro = np.where(tot > 0, (t * 1_000_000) // np.maximum(tot, 1), 0)
+        return b.append_column("share_micro", pa.array(micro.astype(np.int64)))
+
+    return agg.map_batches(share, batch_format="pyarrow")

@@ -178,6 +178,7 @@ OTHER_TABLES = {
     "idle_customers",  # round 3: Q22 shape (scalar broadcast + anti join;
     # typed-empty fixture in test_relational.py)
     "nation_volume",  # round 3: Q7 shape (two-fact two-dim join chain)
+    "market_share",  # round 3: Q8 shape (share-of-aggregate star chain)
     "copurchase_lift",  # round 3: market-basket pairs (hand-built basket
     # + guard + invariance fixtures in test_basket.py)
 }

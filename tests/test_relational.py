@@ -560,3 +560,10 @@ def test_nation_volume_matches_duckdb():
     import __ray_entry__ as entry
 
     _cmp(entry.queries()["nation_volume"](SF), entry.oracle_sql()["nation_volume"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_market_share_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["market_share"](SF), entry.oracle_sql()["market_share"])
