@@ -5427,9 +5427,11 @@ def oracle_sql() -> dict[str, str]:
                                           THEN rev_u4 END), 0) AS BIGINT)
                        AS target_u4,
                    CAST(sum(rev_u4) AS BIGINT) AS total_u4,
-                   CAST((COALESCE(sum(CASE WHEN is_target = 1
-                                           THEN rev_u4 END), 0) * 1000000)
-                        // sum(rev_u4) AS BIGINT) AS share_micro
+                   CAST(CASE WHEN sum(rev_u4) = 0 THEN 0
+                             ELSE (COALESCE(sum(CASE WHEN is_target = 1
+                                                     THEN rev_u4 END), 0)
+                                   * 1000000) // sum(rev_u4)
+                        END AS BIGINT) AS share_micro
             FROM rev GROUP BY 1
         """,
         "order_count_dist": """

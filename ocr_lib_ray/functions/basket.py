@@ -57,6 +57,12 @@ def copurchase_lift(
 
     def prep(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey")
+        if ok.null_count or b.column("l_partkey").null_count:
+            raise ValueError(
+                "copurchase_lift: null l_orderkey/l_partkey values are "
+                "unsupported — filter them first (pandas would silently "
+                "drop the basket while the SQL DISTINCT keeps the row)"
+            )
         # bucket the exchange (crc32 % P, the repo's per-key-sort
         # pattern): one group = many whole orders, so the group fn runs
         # P times, not #orders times

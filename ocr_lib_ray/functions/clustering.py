@@ -612,6 +612,12 @@ def knn_pq(
         lambda b: b.filter(pc.is_in(b.column(id_col), value_set=qset)),
         batch_format="pyarrow",
     ).take_all()
+    if len(q_rows) != len(set(int(q) for q in query_ids)):
+        raise ValueError(
+            f"knn_pq: query_ids matched {len(q_rows)} corpus rows, "
+            f"expected {len(set(int(q) for q in query_ids))} — a missing "
+            "id would silently shrink the result"
+        )
     q_ids = np.array(sorted(int(r[id_col]) for r in q_rows), dtype=np.int64)
     by_id = {int(r[id_col]): r[vec_col] for r in q_rows}
     q_mat = np.stack(
@@ -733,6 +739,12 @@ def knn_ivf_pq(
         lambda b: b.filter(pc.is_in(b.column(id_col), value_set=qset)),
         batch_format="pyarrow",
     ).take_all()
+    if len(q_rows) != len(set(int(q) for q in query_ids)):
+        raise ValueError(
+            f"knn_ivf_pq: query_ids matched {len(q_rows)} corpus rows, "
+            f"expected {len(set(int(q) for q in query_ids))} — a missing "
+            "id would silently shrink the result"
+        )
     q_ids = np.array(sorted(int(r[id_col]) for r in q_rows), dtype=np.int64)
     by_id = {int(r[id_col]): r[vec_col] for r in q_rows}
     q_mat = np.stack(

@@ -200,6 +200,13 @@ def source_divergence(docs_ds, text_col: str = "text", source_col: str = "source
     from .text_stats import normalize_expr
 
     def st_partials(b: pa.Table) -> pa.Table:
+        if b.column(source_col).null_count:
+            raise ValueError(
+                f"source_divergence: null values in {source_col!r} are "
+                "unsupported — filter or fill them first (pandas groupby "
+                "would silently DROP those tokens while SQL groups them, "
+                "shifting every other source's KL)"
+            )
         norm = normalize_expr(b.column(text_col))
         keep = pc.greater(pc.utf8_length(norm), 0)
         src = b.column(source_col).filter(keep)

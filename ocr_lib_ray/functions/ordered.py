@@ -332,6 +332,12 @@ def transition_counts(events_ds, num_buckets: int = 64):
         )
 
     def prep(batch: pa.Table) -> pa.Table:
+        if batch.column("event_type").null_count:
+            raise ValueError(
+                "transition_counts: null event_type values are unsupported — "
+                "filter or fill them first (pandas groupby would silently "
+                "DROP the pair while SQL groups it under NULL)"
+            )
         ts_us = batch.column("ts").cast(pa.int64())
         return pa.Table.from_arrays(
             [

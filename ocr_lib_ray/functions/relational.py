@@ -802,14 +802,16 @@ def order_count_dist(
     orders_ds,
     customer_ds,
     include_prefix: str = "1-",
-    num_partitions: int = 32,
 ):
     """Distribution of per-customer order counts, counting only orders
     whose priority starts with ``include_prefix`` (TPC-H Q13 shape —
     LEFT JOIN with a filtered right side, then a second aggregation
     over the first's result).  Customers with NO qualifying orders land
-    in the ``c_count = 0`` bucket — the outer-join zero path.  Output:
-    (c_count, custdist), exact int64.
+    in the ``c_count = 0`` bucket — the outer-join zero path — and,
+    matching LEFT JOIN semantics exactly, orders whose custkey has no
+    customer row are DROPPED (an ``is_cust`` presence flag rides the
+    same exchange, so referential orphans cost no extra join).
+    Output: (c_count, custdist), exact int64.
 
     Scale shape: the outer join is eliminated, not shuffled — every
     customer enters the SAME custkey groupby as a zero-count partial
@@ -824,6 +826,7 @@ def order_count_dist(
         df = pa.table({"custkey": t.column("o_custkey")}).to_pandas()
         g = df.groupby("custkey", sort=False).size().reset_index(name="n")
         g["n"] = g["n"].astype(np.int64)
+        g["is_cust"] = np.zeros(len(g), np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def cust_zeros(b: pa.Table) -> pa.Table:
@@ -831,15 +834,20 @@ def order_count_dist(
             {
                 "custkey": b.column("c_custkey"),
                 "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "is_cust": pa.array(np.ones(b.num_rows, np.int64)),
             }
         )
 
     parts = orders_ds.map_batches(order_parts, batch_format="pyarrow").union(
         customer_ds.map_batches(cust_zeros, batch_format="pyarrow")
     )
-    per_cust = parts.groupby("custkey").aggregate(Sum("n", alias_name="c_count"))
+    per_cust = parts.groupby("custkey").aggregate(
+        Sum("n", alias_name="c_count"), Sum("is_cust", alias_name="is_cust")
+    )
 
     def dist_parts(b: pa.Table) -> pa.Table:
+        # drop order-side orphans: custkeys with no customer row
+        b = b.filter(pc.greater(b.column("is_cust"), 0))
         df = b.select(["c_count"]).to_pandas()
         g = df.groupby("c_count", sort=False).size().reset_index(name="nd")
         g["nd"] = g["nd"].astype(np.int64)
@@ -1042,7 +1050,11 @@ def idle_customers(
             }
         )
 
-    seg = customer_ds.map_batches(seg_prep, batch_format="pyarrow")
+    # the thin 3-column segment slice feeds TWO passes (the scalar
+    # reduce, then the rich filter); materialize it once so the
+    # corpus-scale customer read + segment filter never re-executes —
+    # 24 B/row, the object store spills if a giant segment demands it
+    seg = customer_ds.map_batches(seg_prep, batch_format="pyarrow").materialize()
 
     def pos_parts(b: pa.Table) -> pa.Table:
         bal = b.column("bal").filter(pc.greater(b.column("bal"), 0))
@@ -1268,11 +1280,25 @@ def nation_volume(
         g.columns = ["supp_nation", "cust_nation", "rev"]
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
+    out = (
         joined.map_batches(pair_parts, batch_format="pyarrow")
         .groupby(["supp_nation", "cust_nation"])
         .aggregate(Sum("rev", alias_name="revenue_u4"))
     )
+    # empty window / no matching pair leaves ZERO blocks, which drop
+    # the documented schema in to_pandas(); the aggregate is at most
+    # 2 rows, so materializing it is free (same pattern as
+    # idle_customers / top_supplier)
+    res = out.materialize()
+    if res.count() == 0:
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "revenue_u4": pa.array([], pa.int64()),
+            }
+        ).to_pandas()
+    return res
 
 
 # --------------------------------------------------------------------------
@@ -1456,4 +1482,17 @@ def market_share(
         micro = np.where(tot > 0, (t * 1_000_000) // np.maximum(tot, 1), 0)
         return b.append_column("share_micro", pa.array(micro.astype(np.int64)))
 
-    return agg.map_batches(share, batch_format="pyarrow")
+    # materialize the |years|-sized final aggregate so an empty
+    # window/type/region hands back the typed empty frame instead of a
+    # schema-less zero-block dataset (same pattern as nation_volume)
+    res = agg.map_batches(share, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "target_u4": pa.array([], pa.int64()),
+                "total_u4": pa.array([], pa.int64()),
+                "share_micro": pa.array([], pa.int64()),
+            }
+        ).to_pandas()
+    return res

@@ -78,3 +78,16 @@ def test_copurchase_giant_order_guard():
     with pytest.raises(Exception) as ei:
         copurchase_lift(_li(rows), max_items_per_order=10).to_pandas()
     assert "max_items_per_order" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_null_keys_raise():
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, None], pa.int64()),
+            "l_partkey": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        copurchase_lift(rd.from_arrow(t)).to_pandas()
+    assert "null l_orderkey" in str(ei.value)

@@ -549,3 +549,20 @@ def test_transition_counts_single_event_users_drop_out():
     assert got["prev_type"].tolist() == ["view"]
     assert got["next_type"].tolist() == ["click"]
     assert got["n"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transition_counts_null_event_type_raises():
+    from ocr_lib_ray.functions.ordered import transition_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+            "event_type": pa.array(["view", None], pa.string()),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        transition_counts(rd.from_arrow(t)).to_pandas()
+    assert "null event_type" in str(ei.value)

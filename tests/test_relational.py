@@ -567,3 +567,65 @@ def test_market_share_matches_duckdb():
     import __ray_entry__ as entry
 
     _cmp(entry.queries()["market_share"](SF), entry.oracle_sql()["market_share"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_count_dist_drops_order_side_orphans():
+    """LEFT JOIN semantics exactly: an order whose custkey has no
+    customer row contributes nothing (review finding — the zero-union
+    rewrite used to count orphans)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import order_count_dist
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 99], pa.int64()),  # 99 is an orphan
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        }
+    )
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64())})
+    out = (
+        order_count_dist(rd.from_arrow(orders), rd.from_arrow(cust))
+        .to_pandas()
+        .sort_values("c_count")
+        .reset_index(drop=True)
+    )
+    # cust 1: one urgent order; cust 2: zero; orphan 99: DROPPED
+    assert out["c_count"].tolist() == [0, 1]
+    assert out["custdist"].tolist() == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nation_volume_and_market_share_empty_are_typed():
+    """Empty windows hand back typed empty frames, not schema-less
+    zero-block datasets (review finding)."""
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import market_share, nation_volume
+
+    lo = int(pd.Timestamp("2050-01-01").value // 1000)
+    hi = int(pd.Timestamp("2051-01-01").value // 1000)
+    li = rd.from_arrow(pq2.read_table(f"{SF}/lineitem.parquet"))
+    orders = rd.from_arrow(pq2.read_table(f"{SF}/orders.parquet"))
+    cust = rd.from_arrow(pq2.read_table(f"{SF}/customer.parquet"))
+    supp = rd.from_arrow(pq2.read_table(f"{SF}/supplier.parquet"))
+    part = rd.from_arrow(pq2.read_table(f"{SF}/part.parquet"))
+    nation = pq2.read_table(f"{SF}/nation.parquet")
+    region = pq2.read_table(f"{SF}/region.parquet")
+    nv = nation_volume(
+        li, orders, cust, supp, nation, "NATION_3", "NATION_7", lo, hi
+    )
+    nv = nv.to_pandas() if hasattr(nv, "to_pandas") else nv
+    assert len(nv) == 0
+    assert sorted(nv.columns) == ["cust_nation", "revenue_u4", "supp_nation"]
+    ms = market_share(
+        li, orders, cust, supp, part, nation, region,
+        "NATION_3", "ASIA", "ECONOMY", lo, hi,
+    )
+    ms = ms.to_pandas() if hasattr(ms, "to_pandas") else ms
+    assert len(ms) == 0
+    assert sorted(ms.columns) == [
+        "o_year", "share_micro", "target_u4", "total_u4",
+    ]
