@@ -656,6 +656,14 @@ def _q_entity_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(entity_counts_batch, batch_format="pyarrow")
 
 
+def _q_extract_fields(sf_dir: str):
+    """Structured first-match extraction (the capture sibling of
+    entity_counts): one RE2 extract_regex per pattern, map-only."""
+    from ocr_lib_ray.functions.redact import extract_fields_batch
+
+    return _docs(sf_dir).map_batches(extract_fields_batch, batch_format="pyarrow")
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher intra-doc repetition filters — stateless tasks (pure
     map, no state at all)."""
@@ -2491,6 +2499,30 @@ def _q_market_share(sf_dir: str):
     )
 
 
+def _q_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR-of-(brand × quantity-band) revenue; the
+    quantity-union prune runs map-only BEFORE the bucketed part join,
+    the exact band disjunction after it."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import band_revenue
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    return band_revenue(
+        li,
+        part,
+        bands=[
+            ("Brand#12", 1, 11),
+            ("Brand#23", 10, 20),
+            ("Brand#34", 20, 30),
+        ],
+    )
+
+
 def _q_copurchase_lift(sf_dir: str):
     """Market-basket pair support + lift over the order⋈part graph
     (association-rules level 1); DISTINCT basket semantics, exact
@@ -2659,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "outlier_mad": _q_outlier_mad,
         "entity_counts": _q_entity_counts,
+        "extract_fields": _q_extract_fields,
         "readability": _q_readability,
         "nb_classify": _q_nb_classify,
         "countmin_topk": _q_countmin_topk,
@@ -2764,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_enrich": _q_group_enrich,
         "sample_k_per_group": _q_sample_k_per_group,
         "copurchase_lift": _q_copurchase_lift,
+        "band_revenue": _q_band_revenue,
         "market_share": _q_market_share,
         "order_count_dist": _q_order_count_dist,
         "top_supplier": _q_top_supplier,
@@ -3892,6 +3926,24 @@ def oracle_sql() -> dict[str, str]:
                      AS n_longnums,
                    len(regexp_extract_all(coalesce(text, ''), '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))
                      AS n_phones
+            FROM documents
+        """,
+        # first-match capture per pattern: regexp_extract is the same
+        # RE2 leftmost scan as Arrow extract_regex; '' on no match on
+        # BOTH sides (never null-vs-'' ambiguity)
+        "extract_fields": """
+            SELECT doc_id,
+                   regexp_extract(coalesce(text, ''),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                     AS email,
+                   regexp_extract(coalesce(text, ''),
+                     'https?://[^ \\t\\n\\r\\f\\v]+') AS url,
+                   regexp_extract(coalesce(text, ''),
+                     '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b') AS ipv4,
+                   regexp_extract(coalesce(text, ''), '\\b[0-9]{9,}\\b')
+                     AS longnum,
+                   regexp_extract(coalesce(text, ''),
+                     '\\+?[0-9][0-9()\\- ]{7,}[0-9]') AS phone
             FROM documents
         """,
         # corpus-trained multinomial NB: per-(token,class) micro
@@ -5401,6 +5453,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN pc ca ON p.part_a = ca.pk
             JOIN pc cb ON p.part_b = cb.pk, n
+        """,
+        "band_revenue": """
+            SELECT COALESCE(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                       AS BIGINT), 0) AS revenue_u4,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23'
+                   AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34'
+                   AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
         """,
         "market_share": """
             WITH rev AS (

@@ -293,6 +293,8 @@ def run_bench() -> dict:
         "knn_pq",
         "knn_ivf_pq",
         "market_share",
+        "band_revenue",
+        "extract_fields",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

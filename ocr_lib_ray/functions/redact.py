@@ -98,3 +98,35 @@ def entity_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         arrays.append(pc.count_substring_regex(col, pat).cast(pa.int64()))
         names.append(name)
     return pa.Table.from_arrays(arrays, names=names)
+
+
+def extract_fields_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Structured first-match extraction: the FIRST email / URL / IPv4 /
+    long digit run / phone-shaped span of each document as typed string
+    columns — the capture sibling of :func:`entity_counts_batch` (route
+    on the counts, extract the value).  Non-matching documents get the
+    empty string, matching DuckDB's ``regexp_extract`` contract, so
+    the column never mixes null and '' (a hash-ambiguity the oracle
+    could not express).
+
+    Vectorized: one ``pyarrow.compute.extract_regex`` (RE2 leftmost
+    match over the Arrow buffer) per pattern; DuckDB's
+    ``regexp_extract`` is the same RE2 leftmost scan — bit-equal.
+    """
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column(text_col), "")
+    arrays = [batch.column("doc_id")]
+    names = ["doc_id"]
+    for name, pat in (
+        ("email", EMAIL),
+        ("url", URL),
+        ("ipv4", IPV4),
+        ("longnum", LONGNUM),
+        ("phone", PHONE),
+    ):
+        st = pc.extract_regex(col, f"(?P<m>{pat})")
+        val = pc.fill_null(pc.struct_field(st, "m"), "")
+        arrays.append(val)
+        names.append(name)
+    return pa.Table.from_arrays(arrays, names=names)

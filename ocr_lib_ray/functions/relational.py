@@ -1496,3 +1496,96 @@ def market_share(
             }
         ).to_pandas()
     return res
+
+
+# --------------------------------------------------------------------------
+# Q19 shape — disjunctive predicate-band revenue
+# --------------------------------------------------------------------------
+
+
+def band_revenue(
+    lineitem_ds,
+    part_ds,
+    bands: list,
+    num_partitions: int = 32,
+):
+    """Revenue matched by a DISJUNCTION of (brand, qty_lo, qty_hi)
+    bands (TPC-H Q19 shape — the OR-of-conjunctions predicate that
+    defeats naive pushdown).  A lineitem qualifies when its part's
+    brand and its quantity fall inside ANY band (qty bounds
+    inclusive).  Output: one-row DataFrame (revenue_u4, n), (0, 0)
+    when nothing matches.
+
+    Scale shape: the predicate is split across the join — the quantity
+    disjunction (brand-independent part) cannot prune alone, so
+    lineitem is reduced to (partkey, qty, rev) rows filtered to the
+    UNION of all quantity ranges first (a map-only prune that keeps
+    only potentially-matching lines), the part side is reduced to the
+    banded brands' keys + brand, and the bucketed hash join carries
+    thin rows; the final band check and (rev, n) reduction are
+    map-only.  No driver-side collection beyond the two scalars."""
+    import pandas as pd
+
+    if not bands:
+        raise ValueError("band_revenue: need at least one (brand, lo, hi) band")
+    brands = sorted({b for b, _, _ in bands})
+    qty_lo = min(lo for _, lo, _ in bands)
+    qty_hi = max(hi for _, _, hi in bands)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        qty = pc.round(b.column("l_quantity"), ndigits=0).cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(qty, qty_lo), pc.less_equal(qty, qty_hi)
+        )
+        base = cents(b.column("l_extendedprice"))
+        disc = pct(b.column("l_discount"))
+        rev = pc.multiply(base, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {
+                "partkey": b.column("l_partkey"),
+                "qty": qty,
+                "rev_u4": rev,
+            }
+        ).filter(keep)
+
+    li = lineitem_ds.map_batches(li_prep, batch_format="pyarrow")
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("p_brand"), value_set=pa.array(brands)))
+        return pa.table(
+            {"partkey": t.column("p_partkey"), "brand": t.column("p_brand")}
+        )
+
+    part = part_ds.map_batches(part_prep, batch_format="pyarrow")
+    joined = hash_join(
+        li,
+        part,
+        "partkey",
+        right_value_cols=["brand"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def band_parts(b: pa.Table) -> pa.Table:
+        brand = b.column("brand_r").to_numpy(zero_copy_only=False)
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        rev = b.column("rev_u4").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(brand), dtype=bool)
+        for bb, lo, hi in bands:
+            keep |= (brand == bb) & (qty >= lo) & (qty <= hi)
+        return pa.table(
+            {
+                "rev_u4": pa.array([int(rev[keep].sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = joined.map_batches(band_parts, batch_format="pyarrow").aggregate(
+        Sum("rev_u4", alias_name="revenue_u4"), Sum("n", alias_name="n")
+    )
+    return pd.DataFrame(
+        {
+            "revenue_u4": [int(agg["revenue_u4"] or 0)],
+            "n": [int(agg["n"] or 0)],
+        }
+    )

@@ -112,6 +112,8 @@ QUERIES = [
     "dsir_weights",  # round 3: DSIR hashed-ngram importance weights
     "bm25_topk",  # round 3: Okapi BM25 retrieval (terms may all miss)
     "outlier_mad",  # round 3: per-lang median/MAD flags (MAD=0 groups)
+    "extract_fields",  # round 3: first-match capture (planted test in
+    # test_redact.py; edge/fixture docs extract '')
     "entity_counts",  # round 3: RE2 entity density (planted-entity test
     # in test_redact.py pins non-zero counts; edge/fixture docs are 0)
     "nb_classify",  # round 3: corpus-trained NB (empty docs = prior-only)
@@ -179,6 +181,8 @@ OTHER_TABLES = {
     # typed-empty fixture in test_relational.py)
     "nation_volume",  # round 3: Q7 shape (two-fact two-dim join chain)
     "market_share",  # round 3: Q8 shape (share-of-aggregate star chain)
+    "band_revenue",  # round 3: Q19 shape (disjunctive band fixture in
+    # test_relational.py)
     "copurchase_lift",  # round 3: market-basket pairs (hand-built basket
     # + guard + invariance fixtures in test_basket.py)
 }

@@ -94,3 +94,52 @@ def test_entity_counts_planted_vs_duckdb():
         """
     ).df().set_index("doc_id")
     assert (got.astype("int64") == want.astype("int64")).all().all()
+
+
+def test_extract_fields_planted_vs_duckdb():
+    """First-match capture: Arrow extract_regex and DuckDB
+    regexp_extract are both RE2 LEFTMOST scans, '' on no match — the
+    planted texts pin the actual values (sf fixtures extract '')."""
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_lib_ray.functions.redact import extract_fields_batch
+
+    texts = [
+        "mail a@b.co and c.d+x@e-f.org, see https://x.io/p?q=1 http://y.z/",
+        "ip 10.0.0.1 and 255.255.255.255; card 1234567890123456",
+        "call +1 (555) 123-4567 now",
+        "",
+        None,
+    ]
+    batch = pa.Table.from_arrays(
+        [pa.array(list(range(5)), pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+    got = extract_fields_batch(batch).to_pandas().set_index("doc_id")
+    assert got.loc[0, "email"] == "a@b.co"
+    assert got.loc[0, "url"] == "https://x.io/p?q=1"
+    assert got.loc[1, "ipv4"] == "10.0.0.1"
+    assert got.loc[1, "longnum"] == "1234567890123456"
+    assert (got.loc[3] == "").all() and (got.loc[4] == "").all()
+
+    con = duckdb.connect()
+    con.register("docs", batch)
+    want = con.execute(
+        """
+        SELECT doc_id,
+               regexp_extract(coalesce(text, ''),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS email,
+               regexp_extract(coalesce(text, ''),
+                 'https?://[^ \\t\\n\\r\\f\\v]+') AS url,
+               regexp_extract(coalesce(text, ''),
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b') AS ipv4,
+               regexp_extract(coalesce(text, ''), '\\b[0-9]{9,}\\b') AS longnum,
+               regexp_extract(coalesce(text, ''),
+                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]') AS phone
+        FROM docs
+        """
+    ).df().set_index("doc_id")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)

@@ -629,3 +629,43 @@ def test_nation_volume_and_market_share_empty_are_typed():
     assert sorted(ms.columns) == [
         "o_year", "share_micro", "target_u4", "total_u4",
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_revenue_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(entry.queries()["band_revenue"](SF), entry.oracle_sql()["band_revenue"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_revenue_disjunction_semantics():
+    """A line matching the qty range of ANOTHER brand's band must NOT
+    count (the OR is of conjunctions, not of separate predicates)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import band_revenue
+
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 2], pa.int64()),
+            "l_quantity": [5.0, 5.0, 15.0],
+            "l_extendedprice": [100.0, 200.0, 400.0],
+            "l_discount": [0.0, 0.0, 0.0],
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_brand": ["A", "B"],
+        }
+    )
+    out = band_revenue(
+        rd.from_arrow(li).repartition(2),
+        rd.from_arrow(part),
+        bands=[("A", 1, 10), ("B", 11, 20)],
+    )
+    # line 1 (A, qty 5): in A's band; line 2 (B, qty 5): qty only fits
+    # A's band -> excluded; line 3 (B, qty 15): in B's band
+    assert out["revenue_u4"].tolist() == [(10_000 + 40_000) * 100]
+    assert out["n"].tolist() == [2]
