@@ -53,8 +53,6 @@ def copurchase_lift(
     distinct orders; ``part_a < part_b``; duplicate lines of the same
     part within one order count once (DISTINCT basket semantics)."""
 
-    import zlib
-
     def prep(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey")
         if ok.null_count or b.column("l_partkey").null_count:
@@ -63,12 +61,14 @@ def copurchase_lift(
                 "unsupported — filter them first (pandas would silently "
                 "drop the basket while the SQL DISTINCT keeps the row)"
             )
-        # bucket the exchange (crc32 % P, the repo's per-key-sort
-        # pattern): one group = many whole orders, so the group fn runs
-        # P times, not #orders times
-        bk = [
-            zlib.crc32(str(k).encode()) % num_partitions for k in ok.to_pylist()
-        ]
+        # bucket the exchange (the repo's per-key-sort pattern): one
+        # group = many whole orders, so the group fn runs P times, not
+        # #orders times; vectorized integer hash, no per-row loop
+        from .joins import bucket_ints
+
+        bk = bucket_ints(
+            np.asarray(ok.to_numpy(zero_copy_only=False)), num_partitions
+        )
         return pa.table(
             {
                 "ok": ok,

@@ -31,6 +31,23 @@ def _key_list(key_col) -> list:
     return [key_col] if isinstance(key_col, str) else list(key_col)
 
 
+def bucket_ints(vals: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Vectorized bucket assignment for INTEGER keys: the splitmix64
+    finalizer mix in numpy uint64 — no per-row Python loop.  Buckets
+    are internal partitioning only (never part of any output or
+    oracle), so the hash only needs to be stable within a run and well
+    mixed; it IS deterministic across runs too (pure value function).
+    The string-key path keeps the crc32 loop (bytes are needed
+    per row anyway)."""
+    x = vals.astype(np.int64).view(np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(num_partitions)).astype(np.int32)
+
+
 def _union_bucketed(
     left_ds,
     right_ds,
@@ -115,6 +132,22 @@ def _union_bucketed(
                 for c in all_cols
             ]
             key_cols = _key_list(key_col)
+            if hot is None and len(key_cols) == 1:
+                kc = batch.column(key_cols[0])
+                import pyarrow.types as pat
+
+                if pat.is_integer(kc.type):
+                    # fast path: vectorized integer bucketing (the
+                    # overwhelmingly common case — int64 ids); null
+                    # keys are rejected later by the same merge-side
+                    # guard, but view() needs them filled first
+                    iv = kc.fill_null(0).to_numpy(zero_copy_only=False)
+                    bk = bucket_ints(np.asarray(iv), num_partitions)
+                    arrays.append(pa.array(bk, pa.int32()))
+                    arrays.append(pa.array([side] * n, pa.int8()))
+                    return pa.Table.from_arrays(
+                        arrays, names=all_cols + ["bucket", "side"]
+                    )
             if len(key_cols) == 1:
                 keys = batch.column(key_cols[0]).to_pylist()
             else:

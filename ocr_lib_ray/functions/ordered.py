@@ -42,16 +42,33 @@ _I64 = np.int64
 
 
 def _add_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
-    """Append crc32(key) % num_buckets — the stable shuffle key."""
-    if batch.column(key_col).null_count:
+    """Append a stable hash-bucket shuffle key (vectorized splitmix64
+    mix for integer keys, crc32 loop otherwise; buckets are internal
+    partitioning only — never part of an output or oracle)."""
+    import pyarrow.types as pat
+
+    kc = batch.column(key_col)
+    if kc.null_count:
         raise ValueError(
             f"ordered: null values in key column {key_col!r} are unsupported — "
             "filter or fill them first (SQL PARTITION BY would make a NULL "
             "peer group; silence would diverge from the oracle)"
         )
-    keys = batch.column(key_col).to_pylist()
-    b = [zlib.crc32(str(k).encode()) % num_buckets for k in keys]
-    return batch.append_column("bucket", pa.array(b, pa.int32()))
+    if pat.is_integer(kc.type):
+        from .joins import bucket_ints
+
+        b = pa.array(
+            bucket_ints(
+                np.asarray(kc.to_numpy(zero_copy_only=False)), num_buckets
+            ),
+            pa.int32(),
+        )
+    else:
+        b = pa.array(
+            [zlib.crc32(str(k).encode()) % num_buckets for k in kc.to_pylist()],
+            pa.int32(),
+        )
+    return batch.append_column("bucket", b)
 
 
 def _sorted_frame(g: pd.DataFrame, key_col: str, order_cols: list) -> pd.DataFrame:
