@@ -2499,6 +2499,21 @@ def _q_market_share(sf_dir: str):
     )
 
 
+def _q_customer_features(sf_dir: str):
+    """Per-customer lifetime order features (feature-store shape):
+    per-block combiners → one #customers groupby → map-only integer
+    ratio derivations."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import customer_features
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return customer_features(orders)
+
+
 def _q_band_revenue(sf_dir: str):
     """TPC-H Q19 shape: OR-of-(brand × quantity-band) revenue; the
     quantity-union prune runs map-only BEFORE the bucketed part join,
@@ -2798,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_group": _q_sample_k_per_group,
         "copurchase_lift": _q_copurchase_lift,
         "band_revenue": _q_band_revenue,
+        "customer_features": _q_customer_features,
         "market_share": _q_market_share,
         "order_count_dist": _q_order_count_dist,
         "top_supplier": _q_top_supplier,
@@ -5453,6 +5469,23 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN pc ca ON p.part_a = ca.pk
             JOIN pc cb ON p.part_b = cb.pk, n
+        """,
+        "customer_features": """
+            WITH a AS (SELECT o_custkey AS custkey,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              min(epoch_us(o_orderdate)) AS first_us,
+                              max(epoch_us(o_orderdate)) AS last_us,
+                              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                   AS BIGINT) AS total_cents
+                       FROM orders GROUP BY 1)
+            SELECT custkey, n_orders, first_us, last_us,
+                   CAST(last_us - first_us AS BIGINT) AS span_us,
+                   total_cents,
+                   CAST(total_cents // n_orders AS BIGINT) AS avg_order_cents,
+                   CAST(CASE WHEN n_orders > 1
+                             THEN (last_us - first_us) // (n_orders - 1)
+                             ELSE -1 END AS BIGINT) AS avg_gap_us
+            FROM a
         """,
         "band_revenue": """
             SELECT COALESCE(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)

@@ -295,6 +295,7 @@ def run_bench() -> dict:
         "market_share",
         "band_revenue",
         "extract_fields",
+        "customer_features",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -1589,3 +1589,88 @@ def band_revenue(
             "n": [int(agg["n"] or 0)],
         }
     )
+
+
+# --------------------------------------------------------------------------
+# feature-store shape — per-customer lifetime aggregates
+# --------------------------------------------------------------------------
+
+
+def customer_features(
+    orders_ds,
+    num_partitions: int = 32,
+):
+    """Per-customer lifetime order features — the feature-store /
+    churn-model input shape: (custkey, n_orders, first_us, last_us,
+    span_us, total_cents, avg_order_cents, avg_gap_us), every value
+    exact int64.  ``avg_order_cents = total_cents // n_orders`` and
+    ``avg_gap_us = span_us // (n_orders - 1)`` (floor; ``-1`` for
+    single-order customers — an integer sentinel, never a float NaN).
+
+    Scale shape: one corpus pass emits per-block per-customer partials
+    (min/max/sum/count — a combiner, so the groupby ships ≤ #customers
+    rows per block, never raw orders), then ONE #customers-scale
+    groupby; the derived ratios are map-only integer divisions."""
+    from ray.data.aggregate import Max, Min
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "custkey": b.column("o_custkey"),
+                "d_us": b.column("o_orderdate").cast(pa.int64()),
+                "cents": cents(b.column("o_totalprice")),
+            }
+        )
+        df = t.to_pandas()
+        g = df.groupby("custkey", sort=False).agg(
+            n=("cents", "size"),
+            first_us=("d_us", "min"),
+            last_us=("d_us", "max"),
+            total_cents=("cents", "sum"),
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Min("first_us", alias_name="first_us"),
+            Max("last_us", alias_name="last_us"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        n = b.column("n_orders").to_numpy(zero_copy_only=False)
+        first = b.column("first_us").to_numpy(zero_copy_only=False)
+        last = b.column("last_us").to_numpy(zero_copy_only=False)
+        tot = b.column("total_cents").to_numpy(zero_copy_only=False)
+        span = last - first
+        avg_order = tot // np.maximum(n, 1)
+        gap = np.where(n > 1, span // np.maximum(n - 1, 1), -1)
+        return pa.Table.from_arrays(
+            [
+                b.column("custkey"),
+                pa.array(n.astype(np.int64)),
+                pa.array(first.astype(np.int64)),
+                pa.array(last.astype(np.int64)),
+                pa.array(span.astype(np.int64)),
+                pa.array(tot.astype(np.int64)),
+                pa.array(avg_order.astype(np.int64)),
+                pa.array(gap.astype(np.int64)),
+            ],
+            names=[
+                "custkey",
+                "n_orders",
+                "first_us",
+                "last_us",
+                "span_us",
+                "total_cents",
+                "avg_order_cents",
+                "avg_gap_us",
+            ],
+        )
+
+    return agg.map_batches(derive, batch_format="pyarrow")

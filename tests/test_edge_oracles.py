@@ -183,6 +183,8 @@ OTHER_TABLES = {
     "market_share",  # round 3: Q8 shape (share-of-aggregate star chain)
     "band_revenue",  # round 3: Q19 shape (disjunctive band fixture in
     # test_relational.py)
+    "customer_features",  # round 3: per-key lifetime aggregates (single-
+    # order sentinel fixture in test_relational.py)
     "copurchase_lift",  # round 3: market-basket pairs (hand-built basket
     # + guard + invariance fixtures in test_basket.py)
 }

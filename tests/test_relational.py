@@ -669,3 +669,46 @@ def test_band_revenue_disjunction_semantics():
     # A's band -> excluded; line 3 (B, qty 15): in B's band
     assert out["revenue_u4"].tolist() == [(10_000 + 40_000) * 100]
     assert out["n"].tolist() == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_features_matches_duckdb():
+    import __ray_entry__ as entry
+
+    _cmp(
+        entry.queries()["customer_features"](SF),
+        entry.oracle_sql()["customer_features"],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_features_single_order_sentinel():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import customer_features
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 2, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [
+                    pd.Timestamp("1997-01-01"),
+                    pd.Timestamp("1997-01-01"),
+                    pd.Timestamp("1997-01-03"),
+                ]
+            ),
+            "o_totalprice": [10.0, 20.0, 40.0],
+        }
+    )
+    out = (
+        customer_features(rd.from_arrow(orders).repartition(2))
+        .to_pandas()
+        .set_index("custkey")
+        .sort_index()
+    )
+    assert out.loc[1, "avg_gap_us"] == -1  # single order: sentinel
+    assert out.loc[1, "span_us"] == 0
+    assert out.loc[2, "n_orders"] == 2
+    assert out.loc[2, "span_us"] == 2 * 86_400_000_000
+    assert out.loc[2, "avg_gap_us"] == 2 * 86_400_000_000
+    assert out.loc[2, "avg_order_cents"] == 3000
