@@ -1486,6 +1486,16 @@ def _q_source_divergence(sf_dir: str):
     return source_divergence(docs)
 
 
+def _q_bpe_train(sf_dir: str):
+    """Full iterative BPE training (8 merges): ONE distributed
+    word-count pass, then the published driver-side merge loop over
+    the Heaps-law-sublinear word-frequency dict; padded-space replace
+    semantics shared bit-exactly with the SQL oracle."""
+    from ocr_lib_ray.functions.tokens import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=8)
+
+
 def _q_vocab_ranked(sf_dir: str):
     """Frequency-ranked vocabulary with DISTRIBUTED id assignment —
     no global sort, no driver-side vocab: (n, md5-prefix-bucket)
@@ -2769,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "vocab_ranked": _q_vocab_ranked,
         "vocab_encode": _q_vocab_encode,
+        "bpe_train": _q_bpe_train,
         "source_divergence": _q_source_divergence,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "char_entropy": _q_char_entropy,
@@ -3123,6 +3134,54 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, sub_d: int = 16, tail: str =
         )"""
             )
     parts.append(tail)
+    return "".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Unrolled-CTE oracle for the iterative BPE merge loop (spec in
+    functions/tokens.bpe_train): word-frequency table once, then per
+    round (pair counts weighted by word freq → best by (n DESC, left,
+    right) → padded-space replace, which is the same leftmost
+    non-overlapping scan in DuckDB ``replace`` and Python
+    ``str.replace``)."""
+    parts = [
+        f"""
+        WITH t AS (SELECT str_split({_NORM}, ' ') AS ws FROM documents
+                   WHERE {_NORM} <> ''),
+        c AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+              FROM t, unnest(ws) AS u(w) GROUP BY 1),
+        w0 AS (SELECT token, freq,
+                      ' ' || array_to_string(
+                          list_transform(generate_series(1, len(token)),
+                                         i -> token[i]), ' ') || ' ' AS s
+               FROM c)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+        p{i} AS (
+            SELECT syms[i] AS l, syms[i + 1] AS r,
+                   CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT freq, str_split(trim(s), ' ') AS syms FROM w{i}),
+                 unnest(generate_series(1, len(syms) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ),
+        b{i} AS (
+            SELECT l, r, n FROM p{i}
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ),
+        w{i + 1} AS (
+            SELECT w.token, w.freq,
+                   replace(w.s, ' ' || b.l || ' ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') AS s
+            FROM w{i} w, b{i} b
+        )"""
+        )
+    sel = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right, n FROM b{i}"
+        for i in range(n_merges)
+    )
+    parts.append(f"\n        {sel}")
     return "".join(parts)
 
 
@@ -4712,6 +4771,9 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT w AS token, count(*) AS n FROM t, unnest(ws) AS u(w) GROUP BY 1)
             SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 20
         """,
+        # iterative BPE merges: 8 rounds unrolled; replace() is the
+        # same leftmost non-overlapping scan as Python str.replace
+        "bpe_train": _bpe_train_sql(8),
         # per-source unigram KL vs the corpus: one micro-nat conversion
         # per (source, token) — the same floor(ln·1e6+0.5) IEEE chain
         # as the bigram-LM family — then exact int64 sums

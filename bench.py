@@ -296,6 +296,7 @@ def run_bench() -> dict:
         "band_revenue",
         "extract_fields",
         "customer_features",
+        "bpe_train",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -106,7 +106,14 @@ from .text_stats import (
     fingerprint_batch,
     winnow_fingerprint_batch,
 )
-from .tokens import build_vocab, cooccurrence_topk, encode_docs, token_counts, top_tokens
+from .tokens import (
+    bpe_train,
+    build_vocab,
+    cooccurrence_topk,
+    encode_docs,
+    token_counts,
+    top_tokens,
+)
 from .urls import canonicalize_url
 from .windows import (
     heavy_hitters,
@@ -181,6 +188,7 @@ __all__ = [
     "doc_stats_batch",
     "fingerprint_batch",
     "winnow_fingerprint_batch",
+    "bpe_train",
     "build_vocab",
     "copurchase_lift",
     "knn_ivf_pq",

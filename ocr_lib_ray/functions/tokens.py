@@ -380,3 +380,82 @@ def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256):
         )
 
     return docs_ds.map_batches(enc, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# BPE training (Sennrich et al. 2016) — the full iterative merge loop
+# --------------------------------------------------------------------------
+
+#: driver-side word-frequency dict guard for bpe_train
+BPE_TRAIN_MAX_WORDS = 2_000_000
+
+
+def bpe_train(docs_ds, n_merges: int = 8, max_words: int | None = None):
+    """Byte-pair-encoding training: learn the first ``n_merges`` merge
+    rules over the corpus (Sennrich et al. 2016 — the algorithm behind
+    GPT-2/RoBERTa vocabularies).  Returns one row per merge:
+    (rank, left, right, n) where (left, right) is the most frequent
+    adjacent symbol pair at that round (frequency summed over word
+    occurrences) and ``n`` its count; ties break (n DESC, left ASC,
+    right ASC).
+
+    Merge semantics contract (chosen to be SQL-replicable AND faithful
+    to the reference implementation's behavior class): a word's symbol
+    sequence is represented as a space-joined string padded with one
+    space on each side, and a merge applies
+    ``padded.replace(f" {l} {r} ", f" {l}{r} ")`` — leftmost
+    non-overlapping, scan continuing AFTER each replacement (both
+    Python ``str.replace`` and DuckDB ``replace`` do exactly this, so
+    a run of four identical symbols merges 1st+2nd but not 3rd+4th in
+    the same pass, just like the published re.sub implementation).
+
+    Scale shape: the CORPUS work is one distributed word-count pass
+    (the same partial-combine + groupby as ``token_counts``); the
+    merge loop then runs driver-side over the word-FREQUENCY dict —
+    exactly how the published trainers work, because the dict grows
+    sublinearly (Heaps' law) while the corpus grows linearly.  The
+    dict is guarded by ``max_words`` (default
+    ``BPE_TRAIN_MAX_WORDS``); past it, pre-filter rare words
+    (min-frequency) upstream — a documented knob, not a silent cap."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_train: n_merges must be >= 1, got {n_merges}")
+    limit = BPE_TRAIN_MAX_WORDS if max_words is None else max_words
+
+    counts = token_counts(docs_ds).materialize()
+    n_words = counts.count()
+    if n_words > limit:
+        raise ValueError(
+            f"bpe_train: {n_words} distinct words exceed the driver-dict "
+            f"guard ({limit}) — min-frequency-filter the corpus first or "
+            "raise max_words"
+        )
+    rows = counts.take_all()
+    # symbol string per word: ' c h a r s ' (padded space-join)
+    words = [(" " + " ".join(r["token"]) + " ", int(r["n"])) for r in rows]
+
+    out_rank, out_l, out_r, out_n = [], [], [], []
+    for rank in range(n_merges):
+        pair_counts: dict = {}
+        for s, freq in words:
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n = best
+        out_rank.append(rank)
+        out_l.append(left)
+        out_r.append(right)
+        out_n.append(n)
+        pat, repl = f" {left} {right} ", f" {left}{right} "
+        words = [(s.replace(pat, repl), freq) for s, freq in words]
+
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "left": pa.array(out_l, pa.string()),
+            "right": pa.array(out_r, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )

@@ -192,3 +192,45 @@ def test_build_vocab_rejects_bad_buckets():
         build_vocab(None, rank_buckets=100)  # not a divisor of 65536
     with pytest.raises(ValueError):
         build_vocab(None, max_vocab=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_hand_checked_merge_loop():
+    """The iterative loop actually iterates: after 'l'+'l' merges,
+    round 2 must count the NEW 'll' symbol, and the padded-space
+    replace semantics leave a 4-run as [ll, l, l]-style greedy output
+    exactly like str.replace."""
+    from ocr_lib_ray.functions.tokens import bpe_train
+
+    # 'hello' x3, 'llll' x1:
+    # round 0 pairs: l+l: hello has 1, llll has 2 (greedy pairs at
+    # offsets 1,2,3 -> adjacent count is 3 occurrences but COUNTING is
+    # per adjacency: l-l appears 1 (hello) *3 + 3 (llll) = 6
+    out = bpe_train(
+        rd.from_arrow(_docs(["hello hello hello", "llll"])), n_merges=2
+    ).to_pandas()
+    assert out.loc[0, "left"] == "l" and out.loc[0, "right"] == "l"
+    assert out.loc[0, "n"] == 6
+    # after merging: hello -> h e ll o; llll -> ll ll
+    # round 1 pairs: (e,ll):3 (h,e):3 (ll,o):3 (ll,ll):1 -> tie on 3,
+    # lexicographic (left, right): ('e','ll') < ('h','e')? 'e'<'h' yes
+    assert out.loc[1, "left"] == "e" and out.loc[1, "right"] == "ll"
+    assert out.loc[1, "n"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_train_layout_invariance_and_guard():
+    import pandas as pd
+
+    from ocr_lib_ray.functions.tokens import bpe_train
+
+    texts = ["the quick brown fox", "the lazy dog the end", "quick quick"]
+    a = bpe_train(rd.from_arrow(_docs(texts)), n_merges=4).to_pandas()
+    b = bpe_train(
+        rd.from_arrow(_docs(texts)).repartition(3), n_merges=4
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="max_words"):
+        bpe_train(rd.from_arrow(_docs(texts)), n_merges=1, max_words=2)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(rd.from_arrow(_docs(texts)), n_merges=0)
