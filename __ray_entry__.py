@@ -1486,6 +1486,14 @@ def _q_source_divergence(sf_dir: str):
     return source_divergence(docs)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """BPE train-then-apply: the corpus's own 8 merges segment every
+    word; broadcast word→pieces table, map-only encode."""
+    from ocr_lib_ray.functions.tokens import bpe_encode
+
+    return bpe_encode(_docs(sf_dir), n_merges=8)
+
+
 def _q_bpe_train(sf_dir: str):
     """Full iterative BPE training (8 merges): ONE distributed
     word-count pass, then the published driver-side merge loop over
@@ -2780,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_ranked": _q_vocab_ranked,
         "vocab_encode": _q_vocab_encode,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "source_divergence": _q_source_divergence,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "char_entropy": _q_char_entropy,
@@ -3137,7 +3146,7 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, sub_d: int = 16, tail: str =
     return "".join(parts)
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
+def _bpe_train_sql(n_merges: int = 8, tail: str | None = None) -> str:
     """Unrolled-CTE oracle for the iterative BPE merge loop (spec in
     functions/tokens.bpe_train): word-frequency table once, then per
     round (pair counts weighted by word freq → best by (n DESC, left,
@@ -3177,11 +3186,13 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
             FROM w{i} w, b{i} b
         )"""
         )
-    sel = "\n        UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right, n FROM b{i}"
-        for i in range(n_merges)
-    )
-    parts.append(f"\n        {sel}")
+    if tail is None:
+        sel = "\n        UNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right, n FROM b{i}"
+            for i in range(n_merges)
+        )
+        tail = f"\n        {sel}"
+    parts.append(tail)
     return "".join(parts)
 
 
@@ -4774,6 +4785,24 @@ def oracle_sql() -> dict[str, str]:
         # iterative BPE merges: 8 rounds unrolled; replace() is the
         # same leftmost non-overlapping scan as Python str.replace
         "bpe_train": _bpe_train_sql(8),
+        # train-then-apply: the chain's final w8 state IS the per-word
+        # segmentation; flatten per (doc, word position, piece)
+        "bpe_encode": _bpe_train_sql(
+            8,
+            tail=f""",
+        pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                FROM (SELECT doc_id, str_split({_NORM}, ' ') AS ws
+                      FROM documents WHERE {_NORM} <> '')),
+        wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos,
+                      ws[i] AS token FROM pos),
+        pieces AS (SELECT token, str_split(trim(s), ' ') AS ps FROM w8),
+        fl AS (SELECT wd.doc_id, wd.word_pos, ps,
+                      unnest(generate_series(1, len(ps))) AS j
+               FROM wd JOIN pieces USING (token))
+        SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+               ps[j] AS piece
+        FROM fl""",
+        ),
         # per-source unigram KL vs the corpus: one micro-nat conversion
         # per (source, token) — the same floor(ln·1e6+0.5) IEEE chain
         # as the bigram-LM family — then exact int64 sums

@@ -297,6 +297,7 @@ def run_bench() -> dict:
         "extract_fields",
         "customer_features",
         "bpe_train",
+        "bpe_encode",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -107,6 +107,7 @@ from .text_stats import (
     winnow_fingerprint_batch,
 )
 from .tokens import (
+    bpe_encode,
     bpe_train,
     build_vocab,
     cooccurrence_topk,
@@ -188,6 +189,7 @@ __all__ = [
     "doc_stats_batch",
     "fingerprint_batch",
     "winnow_fingerprint_batch",
+    "bpe_encode",
     "bpe_train",
     "build_vocab",
     "copurchase_lift",

@@ -459,3 +459,98 @@ def bpe_train(docs_ds, n_merges: int = 8, max_words: int | None = None):
             "n": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def bpe_encode(docs_ds, n_merges: int = 8, max_words: int | None = None):
+    """Encode every document into BPE subword pieces under merges
+    trained on the SAME corpus (the train-then-apply tokenizer shape,
+    companion of :func:`bpe_train`).  Returns flattened rows
+    (doc_id, word_pos, piece_pos, piece): word_pos is the word's
+    0-based position in the normalized document, piece_pos the piece's
+    0-based position within the word after applying all merges in rank
+    order.  Empty documents emit no rows.
+
+    Scale shape: training as in :func:`bpe_train` (one corpus pass +
+    the driver merge loop); the word→pieces table is the word dict
+    itself (guarded, model-scale), broadcast once via ``ray.put`` into
+    a map-only encode; a word unseen at train time (impossible here,
+    where train and apply corpora coincide, but reachable through the
+    public API) is segmented by applying the SAME merge list on the
+    fly — identical algorithm, no silent divergence."""
+    import numpy as np
+    import ray
+
+    if n_merges < 1:
+        raise ValueError(f"bpe_encode: n_merges must be >= 1, got {n_merges}")
+    limit = BPE_TRAIN_MAX_WORDS if max_words is None else max_words
+
+    counts = token_counts(docs_ds).materialize()
+    n_words = counts.count()
+    if n_words > limit:
+        raise ValueError(
+            f"bpe_encode: {n_words} distinct words exceed the driver-dict "
+            f"guard ({limit}) — min-frequency-filter the corpus first or "
+            "raise max_words"
+        )
+    rows = counts.take_all()
+    words = [(r["token"], " " + " ".join(r["token"]) + " ", int(r["n"])) for r in rows]
+    merges: list = []
+    cur = [(s, f) for _, s, f in words]
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for s, freq in cur:
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        (left, right), _n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right))
+        pat, repl = f" {left} {right} ", f" {left}{right} "
+        cur = [(s.replace(pat, repl), f) for s, f in cur]
+
+    def apply_merges(word: str) -> list:
+        s = " " + " ".join(word) + " "
+        for left, right in merges:
+            s = s.replace(f" {left} {right} ", f" {left}{right} ")
+        return s.split()
+
+    pieces_by_word = {
+        w: s.split() for (w, _, _), (s, _) in zip(words, cur)
+    }
+    ref = ray.put((pieces_by_word, tuple(merges)))
+
+    import pyarrow.compute as pc
+
+    from .text_stats import normalize_expr
+
+    def enc(b: pa.Table) -> pa.Table:
+        table, mg = ray.get(ref)
+        norm = normalize_expr(b.column("text"))
+        keep = pc.greater(pc.utf8_length(norm), 0)
+        doc_id = b.column("doc_id").filter(keep).to_pylist()
+        texts = norm.filter(keep).to_pylist()
+        out_d, out_w, out_p, out_piece = [], [], [], []
+        for did, t in zip(doc_id, texts):
+            for wi, w in enumerate(t.split(" ")):
+                ps = table.get(w)
+                if ps is None:
+                    s = " " + " ".join(w) + " "
+                    for left, right in mg:
+                        s = s.replace(f" {left} {right} ", f" {left}{right} ")
+                    ps = s.split()
+                for pi, piece in enumerate(ps):
+                    out_d.append(did)
+                    out_w.append(wi)
+                    out_p.append(pi)
+                    out_piece.append(piece)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "word_pos": pa.array(np.asarray(out_w, dtype=np.int64)),
+                "piece_pos": pa.array(np.asarray(out_p, dtype=np.int64)),
+                "piece": pa.array(out_piece, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(enc, batch_format="pyarrow")

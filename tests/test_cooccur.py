@@ -234,3 +234,40 @@ def test_bpe_train_layout_invariance_and_guard():
         bpe_train(rd.from_arrow(_docs(texts)), n_merges=1, max_words=2)
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(rd.from_arrow(_docs(texts)), n_merges=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_encode_roundtrip_and_oov_path():
+    """Pieces concatenate back to the word (lossless segmentation),
+    layout-invariant; an OOV word (not in the training dict) segments
+    by applying the same merge list on the fly."""
+    import pandas as pd
+
+    from ocr_lib_ray.functions.tokens import bpe_encode
+
+    texts = ["hello hello world", "hold the world"]
+    got = (
+        bpe_encode(rd.from_arrow(_docs(texts)), n_merges=3)
+        .to_pandas()
+        .sort_values(["doc_id", "word_pos", "piece_pos"])
+        .reset_index(drop=True)
+    )
+    # roundtrip: concat pieces per (doc, word) == the original word
+    joined = (
+        got.groupby(["doc_id", "word_pos"], sort=True)["piece"]
+        .apply("".join)
+        .reset_index()
+    )
+    want_words = {
+        (0, 0): "hello", (0, 1): "hello", (0, 2): "world",
+        (1, 0): "hold", (1, 1): "the", (1, 2): "world",
+    }
+    for _, r in joined.iterrows():
+        assert r["piece"] == want_words[(r["doc_id"], r["word_pos"])]
+    b = (
+        bpe_encode(rd.from_arrow(_docs(texts)).repartition(3), n_merges=3)
+        .to_pandas()
+        .sort_values(["doc_id", "word_pos", "piece_pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, b)

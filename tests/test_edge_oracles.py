@@ -66,6 +66,7 @@ QUERIES = [
     "vocab_ranked",  # round 3: distributed id rank (empty docs, tiny vocab)
     "vocab_encode",  # round 3: train-then-encode (empty docs emit no rows)
     "bpe_train",  # round 3: iterative merges (1-char words contribute none)
+    "bpe_encode",  # round 3: train-then-apply segmentation (1-char words)
     "source_divergence",  # round 3: per-source KL (1-token sources, empties)
     "cooccurrence_topk",  # round 3: window > doc length, empty docs
     "ngram_jaccard",
