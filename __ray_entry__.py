@@ -1359,6 +1359,19 @@ def _q_sessionize_assign(sf_dir: str):
     return sessionize_assign(events, gap_seconds=1800)
 
 
+def _q_ab_metrics(sf_dir: str):
+    """A/B experiment readout: stable md5 variant assignment + ordered
+    view→purchase funnel conversion per arm, exact integer rates."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.experiments import ab_metrics
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return ab_metrics(events)
+
+
 def _q_transition_counts(sf_dir: str):
     """Markov event-type transition matrix over per-user ordered
     streams (LAG-pair counting — the next-event-model training shape)."""
@@ -2769,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_assign": _q_sessionize_assign,
         "cohort_retention": _q_cohort_retention,
         "transition_counts": _q_transition_counts,
+        "ab_metrics": _q_ab_metrics,
         "window_topk": _q_window_topk,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -4641,6 +4655,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM p JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # A/B readout: md5_number_lower variant hash (the repo's
+        # Python-parity bridge), first-view funnel bound strict >
+        "ab_metrics": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            lab AS (SELECT user_id,
+                           CAST(md5_number_lower('ab' ||
+                                CAST(user_id AS VARCHAR)) % 2 AS BIGINT)
+                               AS variant
+                    FROM u),
+            fv AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+            cv AS (SELECT DISTINCT e.user_id, 1 AS conv
+                   FROM events e JOIN fv USING (user_id)
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > fv.v_us)
+            SELECT lab.variant,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(count(fv.v_us) AS BIGINT) AS n_exposed,
+                   CAST(count(cv.conv) AS BIGINT) AS n_converted,
+                   CAST(CASE WHEN count(fv.v_us) = 0 THEN 0
+                             ELSE (count(cv.conv) * 1000000)
+                                  // count(fv.v_us)
+                        END AS BIGINT) AS cvr_micro
+            FROM lab
+            LEFT JOIN fv USING (user_id)
+            LEFT JOIN cv USING (user_id)
+            GROUP BY 1
         """,
         # Markov transitions: LAG over the same (ts, event_id) per-user
         # order as the Ray bucketed sort; the first event of each user

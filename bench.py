@@ -298,6 +298,7 @@ def run_bench() -> dict:
         "customer_features",
         "bpe_train",
         "bpe_encode",
+        "ab_metrics",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

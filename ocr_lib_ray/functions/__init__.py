@@ -24,6 +24,7 @@ from .dedup import (
 )
 from .graph import pagerank_micro, purchase_graph_edges
 from .basket import copurchase_lift
+from .experiments import ab_metrics
 from .importance import dsir_weights, source_divergence
 from .joins import asof_join, hash_join, range_join_count
 from .lm import bigram_logprob, ccnet_buckets, train_bigram_model
@@ -189,6 +190,7 @@ __all__ = [
     "doc_stats_batch",
     "fingerprint_batch",
     "winnow_fingerprint_batch",
+    "ab_metrics",
     "bpe_encode",
     "bpe_train",
     "build_vocab",

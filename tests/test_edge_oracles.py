@@ -216,6 +216,7 @@ EVENT_SIDE = {
     "window_outliers",  # round 3: per-type MAD burst flags (MAD=0 ties)
     "props_stats",  # round 3: JSON props extraction (malformed/typed edges)
     "transition_counts",  # round 3: LAG-pair Markov matrix (ts-tie order)
+    "ab_metrics",  # round 3: hash-arm funnel rates (same-ts non-convert)
 }
 
 
@@ -340,6 +341,7 @@ EVENT_QUERIES = [
     "cohort_retention",  # round 3: epoch-0 cohort + single-event user
     "window_topk",  # round 3: count ties inside the sparse edge hours
     "transition_counts",  # round 3: ts-tie LAG pairs + single-event user
+    "ab_metrics",  # round 3: same-ts purchase non-convert + no-view users
 ]
 
 

@@ -566,3 +566,52 @@ def test_transition_counts_null_event_type_raises():
     with pytest.raises(Exception) as ei:
         transition_counts(rd.from_arrow(t)).to_pandas()
     assert "null event_type" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ab_metrics_funnel_and_assignment_semantics():
+    """Hand-built arms: conversion requires a purchase STRICTLY after
+    the first view; unexposed purchasers never convert; assignment is
+    the stable md5 hash (pinned against DuckDB in the edge gate)."""
+    from ocr_lib_ray.functions.experiments import ab_metrics, _variant_of
+
+    rows = [
+        # user 10: view then purchase -> converts
+        (0, 10, 0, "view"), (1, 10, 5, "purchase"),
+        # user 11: purchase AT the first-view ts -> does NOT convert
+        (2, 11, 0, "view"), (3, 11, 0, "purchase"),
+        # user 12: purchase only, never exposed -> not exposed/converted
+        (4, 12, 3, "purchase"),
+        # user 13: view only
+        (5, 13, 1, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        ab_metrics(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("variant")
+        .sort_index()
+    )
+    by_variant = {0: [0, 0, 0], 1: [0, 0, 0]}
+    expect = {
+        10: (True, True), 11: (True, False), 12: (False, False), 13: (True, False)
+    }
+    for u, (exposed, conv) in expect.items():
+        v = _variant_of(u, "ab", 2)
+        by_variant[v][0] += 1
+        by_variant[v][1] += int(exposed)
+        by_variant[v][2] += int(conv)
+    for v, (nu, ne, nc) in by_variant.items():
+        if nu == 0:
+            assert v not in out.index
+            continue
+        assert out.loc[v, "n_users"] == nu
+        assert out.loc[v, "n_exposed"] == ne
+        assert out.loc[v, "n_converted"] == nc
