@@ -3194,10 +3194,15 @@ def _bpe_train_sql(n_merges: int = 8, tail: str | None = None) -> str:
             ORDER BY n DESC, l ASC, r ASC LIMIT 1
         ),
         w{i + 1} AS (
+            -- LEFT JOIN, not a cross join: when the pairs exhaust
+            -- before round {i} (small corpora), b{i} is EMPTY and a
+            -- cross join would zero out every later round while the
+            -- engine's loop just stops merging; COALESCE carries the
+            -- state forward unchanged instead
             SELECT w.token, w.freq,
-                   replace(w.s, ' ' || b.l || ' ' || b.r || ' ',
-                           ' ' || b.l || b.r || ' ') AS s
-            FROM w{i} w, b{i} b
+                   COALESCE(replace(w.s, ' ' || b.l || ' ' || b.r || ' ',
+                                    ' ' || b.l || b.r || ' '), w.s) AS s
+            FROM w{i} w LEFT JOIN b{i} b ON TRUE
         )"""
         )
     if tail is None:

@@ -49,6 +49,13 @@ def ab_metrics(
     from .ordered import _add_bucket
 
     def prep(b: pa.Table) -> pa.Table:
+        if b.column("ts").null_count:
+            raise ValueError(
+                "ab_metrics: null ts values are unsupported — filter or "
+                "fill them first (a NaN first-view min would cast to "
+                "INT64_MIN and silently count the user exposed AND "
+                "converted, while SQL's NULL comparisons count neither)"
+            )
         ts_us = b.column("ts").cast(pa.int64())
         return pa.Table.from_arrays(
             [b.column("user_id"), ts_us, b.column("event_type")],

@@ -1614,6 +1614,12 @@ def customer_features(
     from ray.data.aggregate import Max, Min
 
     def partials(b: pa.Table) -> pa.Table:
+        if b.column("o_custkey").null_count:
+            raise ValueError(
+                "customer_features: null o_custkey values are unsupported — "
+                "filter them first (pandas groupby would silently drop the "
+                "rows while SQL emits a NULL-custkey group)"
+            )
         t = pa.table(
             {
                 "custkey": b.column("o_custkey"),

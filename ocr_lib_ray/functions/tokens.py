@@ -390,6 +390,37 @@ def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256):
 BPE_TRAIN_MAX_WORDS = 2_000_000
 
 
+def _bpe_merge_loop(states: list, n_merges: int) -> tuple:
+    """The single source of truth for the merge iteration (shared by
+    :func:`bpe_train` and :func:`bpe_encode` so the two can never
+    drift): ``states`` is [(padded_symbol_string, freq)]; returns
+    (merges, final_states) with merges = [(left, right, n), ...] in
+    rank order, stopping early when no pairs remain."""
+    merges: list = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for s, freq in states:
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
+        if not pair_counts:
+            break
+        (left, right), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, n))
+        pat, repl = f" {left} {right} ", f" {left}{right} "
+        states = [(s.replace(pat, repl), f) for s, f in states]
+    return merges, states
+
+
+def _bpe_apply(word: str, merges: list) -> list:
+    """Segment ONE word by replaying the merge list — the OOV path of
+    :func:`bpe_encode`; identical replace semantics to the loop."""
+    s = " " + " ".join(word) + " "
+    for left, right, _n in merges:
+        s = s.replace(f" {left} {right} ", f" {left}{right} ")
+    return s.split()
+
+
 def bpe_train(docs_ds, n_merges: int = 8, max_words: int | None = None):
     """Byte-pair-encoding training: learn the first ``n_merges`` merge
     rules over the corpus (Sennrich et al. 2016 — the algorithm behind
@@ -432,31 +463,14 @@ def bpe_train(docs_ds, n_merges: int = 8, max_words: int | None = None):
     rows = counts.take_all()
     # symbol string per word: ' c h a r s ' (padded space-join)
     words = [(" " + " ".join(r["token"]) + " ", int(r["n"])) for r in rows]
-
-    out_rank, out_l, out_r, out_n = [], [], [], []
-    for rank in range(n_merges):
-        pair_counts: dict = {}
-        for s, freq in words:
-            syms = s.split()
-            for a, b in zip(syms, syms[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
-        if not pair_counts:
-            break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        (left, right), n = best
-        out_rank.append(rank)
-        out_l.append(left)
-        out_r.append(right)
-        out_n.append(n)
-        pat, repl = f" {left} {right} ", f" {left}{right} "
-        words = [(s.replace(pat, repl), freq) for s, freq in words]
+    merges, _states = _bpe_merge_loop(words, n_merges)
 
     return pa.table(
         {
-            "rank": pa.array(out_rank, pa.int64()),
-            "left": pa.array(out_l, pa.string()),
-            "right": pa.array(out_r, pa.string()),
-            "n": pa.array(out_n, pa.int64()),
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
 
@@ -493,30 +507,13 @@ def bpe_encode(docs_ds, n_merges: int = 8, max_words: int | None = None):
             "raise max_words"
         )
     rows = counts.take_all()
-    words = [(r["token"], " " + " ".join(r["token"]) + " ", int(r["n"])) for r in rows]
-    merges: list = []
-    cur = [(s, f) for _, s, f in words]
-    for _ in range(n_merges):
-        pair_counts: dict = {}
-        for s, freq in cur:
-            syms = s.split()
-            for a, b in zip(syms, syms[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + freq
-        if not pair_counts:
-            break
-        (left, right), _n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((left, right))
-        pat, repl = f" {left} {right} ", f" {left}{right} "
-        cur = [(s.replace(pat, repl), f) for s, f in cur]
-
-    def apply_merges(word: str) -> list:
-        s = " " + " ".join(word) + " "
-        for left, right in merges:
-            s = s.replace(f" {left} {right} ", f" {left}{right} ")
-        return s.split()
-
+    tokens = [r["token"] for r in rows]
+    states = [
+        (" " + " ".join(r["token"]) + " ", int(r["n"])) for r in rows
+    ]
+    merges, final_states = _bpe_merge_loop(states, n_merges)
     pieces_by_word = {
-        w: s.split() for (w, _, _), (s, _) in zip(words, cur)
+        w: s.split() for w, (s, _f) in zip(tokens, final_states)
     }
     ref = ray.put((pieces_by_word, tuple(merges)))
 
@@ -535,10 +532,7 @@ def bpe_encode(docs_ds, n_merges: int = 8, max_words: int | None = None):
             for wi, w in enumerate(t.split(" ")):
                 ps = table.get(w)
                 if ps is None:
-                    s = " " + " ".join(w) + " "
-                    for left, right in mg:
-                        s = s.replace(f" {left} {right} ", f" {left}{right} ")
-                    ps = s.split()
+                    ps = _bpe_apply(w, mg)
                 for pi, piece in enumerate(ps):
                     out_d.append(did)
                     out_w.append(wi)

@@ -271,3 +271,39 @@ def test_bpe_encode_roundtrip_and_oov_path():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_merge_exhaustion_matches_oracle():
+    """A corpus whose pairs exhaust before n_merges: the engine stops
+    merging, and the oracle's LEFT-JOIN rounds carry the state forward
+    instead of zeroing the encode (review finding)."""
+    import duckdb
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    from ocr_lib_ray.functions.tokens import bpe_encode, bpe_train
+
+    docs = _docs(["ab ab"])
+    t = bpe_train(rd.from_arrow(docs), n_merges=8).to_pandas()
+    assert len(t) == 1 and t.loc[0, "left"] == "a" and t.loc[0, "right"] == "b"
+    got = (
+        bpe_encode(rd.from_arrow(docs), n_merges=8)
+        .to_pandas()
+        .sort_values(["doc_id", "word_pos", "piece_pos"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(em.oracle_sql()["bpe_encode"])
+        .df()
+        .sort_values(["doc_id", "word_pos", "piece_pos"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "word_pos": "int64", "piece_pos": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["piece"].tolist() == ["ab", "ab"]

@@ -615,3 +615,19 @@ def test_ab_metrics_funnel_and_assignment_semantics():
         assert out.loc[v, "n_users"] == nu
         assert out.loc[v, "n_exposed"] == ne
         assert out.loc[v, "n_converted"] == nc
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ab_metrics_null_ts_raises():
+    from ocr_lib_ray.functions.experiments import ab_metrics
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([None, 5_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["view", "purchase"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        ab_metrics(rd.from_arrow(t)).to_pandas()
+    assert "null ts" in str(ei.value)

@@ -712,3 +712,21 @@ def test_customer_features_single_order_sentinel():
     assert out.loc[2, "span_us"] == 2 * 86_400_000_000
     assert out.loc[2, "avg_gap_us"] == 2 * 86_400_000_000
     assert out.loc[2, "avg_order_cents"] == 3000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_features_null_custkey_raises():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import customer_features
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, None], pa.int64()),
+            "o_orderdate": pa.array([pd.Timestamp("1997-01-01")] * 2),
+            "o_totalprice": [10.0, 20.0],
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        customer_features(rd.from_arrow(orders)).to_pandas()
+    assert "null o_custkey" in str(ei.value)
