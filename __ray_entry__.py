@@ -656,6 +656,19 @@ def _q_entity_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(entity_counts_batch, batch_format="pyarrow")
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Declared-vs-predicted language confusion matrix (model
+    monitoring): map-only LangId + per-block |langs|² partials."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.text_stats import lang_confusion
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return lang_confusion(docs)
+
+
 def _q_extract_fields(sf_dir: str):
     """Structured first-match extraction (the capture sibling of
     entity_counts): one RE2 extract_regex per pattern, map-only."""
@@ -2744,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "bpe_pairs": _q_bpe_pairs,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
         "minhash_components": _q_minhash_components,
@@ -4186,6 +4200,14 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "lang_id": _lang_id_sql(norm),
+        # confusion matrix: the lang_id oracle as a subquery (single
+        # source of truth for the prediction), joined to the labels
+        "lang_confusion": f"""
+            SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM ({_lang_id_sql(norm)}) p
+            JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        """,
         "ngram_jaccard": f"""
             {_ngram_pairs_cte(norm)}
             SELECT d1, d2, jaccard FROM pairs

@@ -299,6 +299,7 @@ def run_bench() -> dict:
         "bpe_train",
         "bpe_encode",
         "ab_metrics",
+        "lang_confusion",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -556,3 +556,42 @@ def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ],
         names=["doc_id", "n_words", "n_sentences", "n_syllables", "flesch_micro"],
     )
+
+
+def lang_confusion(docs_ds):
+    """Declared-vs-predicted language confusion matrix — the model
+    monitoring readout a corpus pipeline runs after every LangId
+    change: (lang, lang_pred, n) counting documents per (declared
+    label, prediction) cell.  Scale shape: the prediction is the
+    map-only :func:`lang_id_batch` pass fused with a per-block
+    ≤|langs|² partial count; the global groupby is |langs|²-sized."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def parts(b: pa.Table) -> pa.Table:
+        pred = lang_id_batch(b)
+        df = pd.DataFrame(
+            {
+                "lang": b.column("lang").to_pylist(),
+                "lang_pred": pred.column("lang_pred").to_pylist(),
+            }
+        )
+        g = (
+            df.groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["lang"], pa.string()),
+                pa.array(g["lang_pred"], pa.string()),
+                pa.array(g["n"].astype("int64")),
+            ],
+            names=["lang", "lang_pred", "n"],
+        )
+
+    return (
+        docs_ds.map_batches(parts, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -51,6 +51,7 @@ QUERIES = [
     "quality_score",
     "model_score",
     "lang_id",
+    "lang_confusion",  # round 3: declared-vs-predicted matrix (und/zh edges)
     "char_entropy",
     "code_detect",  # round 3: code-vs-prose router, all-integer thresholds
     "bpe_token_count",
