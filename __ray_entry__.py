@@ -737,6 +737,16 @@ def _q_minhash_components(sf_dir: str):
     return connected_components(pairs, node_col="doc_id")
 
 
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size distribution over minhash components
+    (singletons included) — the dedup-tuning dashboard number."""
+    from ocr_lib_ray.functions.dedup import dup_cluster_sizes, minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dup_cluster_sizes(docs, pairs)
+
+
 def _q_dedup_fuzzy_keep_best(sf_dir: str):
     """Near-dup dedup keeping the quality winner per cluster (max
     n_chars, min-id tie) — minhash pairs → distributed CC → bucketed
@@ -2761,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
         "minhash_components": _q_minhash_components,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_fuzzy_keep_best": _q_dedup_fuzzy_keep_best,
@@ -5396,6 +5407,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _simhash_pairs_sql(norm),
         "minhash_components": _minhash_pairs_sql(norm, components=True),
+        # cluster-size histogram over the SAME bit-exact CC labels,
+        # singletons coalesced to their own id
+        "dup_cluster_sizes": f"""
+            WITH cc AS ({_minhash_pairs_sql(norm, components=True)}),
+            lab AS (SELECT d.doc_id,
+                           coalesce(cc.component, d.doc_id) AS comp
+                    FROM documents d LEFT JOIN cc USING (doc_id)),
+            sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS size
+                   FROM lab GROUP BY 1)
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY 1
+        """,
         # fuzzy keep-best: the same bit-exact CC labels, quality winner
         # (n_chars DESC, doc_id ASC) per component, singletons survive
         "dedup_fuzzy_keep_best": f"""

@@ -300,6 +300,7 @@ def run_bench() -> dict:
         "bpe_encode",
         "ab_metrics",
         "lang_confusion",
+        "dup_cluster_sizes",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -16,6 +16,7 @@ from .dedup import (
     dedup_by_pairs_join,
     dedup_connected,
     dedup_minhash_incremental,
+    dup_cluster_sizes,
     expand_components,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -132,6 +133,7 @@ __all__ = [
     "dedup_by_pairs_join",
     "dedup_connected",
     "dedup_minhash_incremental",
+    "dup_cluster_sizes",
     "expand_components",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

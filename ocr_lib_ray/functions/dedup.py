@@ -1317,3 +1317,73 @@ def dedup_fuzzy_keep_best(
     return winners.map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def dup_cluster_sizes(docs_ds, pairs_ds, id_col: str = "doc_id"):
+    """Near-duplicate CLUSTER SIZE distribution — the dedup-tuning
+    dashboard number (how much of the corpus sits in 2-clusters vs
+    giant cliques decides band/threshold settings and predicts dedup
+    yield): (size, n_clusters) over connected components of
+    ``pairs_ds``, with every unpaired document counted as its own
+    singleton cluster.
+
+    Scale shape: distributed CC over the pair set (bucketed min-label
+    propagation — the repo's connected_components), then one bucketed
+    LEFT hash join stamps components onto the id stream (singletons
+    coalesce to their own id), a per-block partial count per
+    component, a #components-scale groupby, a per-block size-histogram
+    partial and a ≤ max-cluster-size-sized final groupby.  Nothing is
+    driver-collected."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    cc = connected_components(pairs_ds, node_col=id_col)
+    ids = docs_ds.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
+    )
+    labeled = hash_join(
+        ids,
+        cc,
+        id_col,
+        right_value_cols=["component"],
+        how="left",
+    )
+
+    def comp_parts(b: pa.Table) -> pa.Table:
+        # LEFT-join misses are float NaN; singleton component = own id.
+        # ids are int64 < 2^53 by the repo's id contract for float64
+        # round-trips (the documented hash_join "left" caveat)
+        comp = b.column("component_r").to_pandas()
+        own = b.column(id_col).to_pandas()
+        lab = comp.fillna(own).astype("int64")
+        g = lab.value_counts().reset_index()
+        g.columns = ["component", "n"]
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["component"].astype("int64")),
+                pa.array(g["n"].astype("int64")),
+            ],
+            names=["component", "n"],
+        )
+
+    sizes = (
+        labeled.map_batches(comp_parts, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Sum("n", alias_name="size"))
+    )
+
+    def size_parts(b: pa.Table) -> pa.Table:
+        g = b.column("size").to_pandas().value_counts().reset_index()
+        g.columns = ["size", "nc"]
+        return pa.Table.from_arrays(
+            [pa.array(g["size"].astype("int64")), pa.array(g["nc"].astype("int64"))],
+            names=["size", "nc"],
+        )
+
+    return (
+        sizes.map_batches(size_parts, batch_format="pyarrow")
+        .groupby("size")
+        .aggregate(Sum("nc", alias_name="n_clusters"))
+    )

@@ -514,3 +514,40 @@ def test_dedup_fuzzy_keep_best_modes_equivalent():
     docs2 = rd.read_parquet(sf, columns=["doc_id", "text", "n_chars"])
     b = set(dedup_fuzzy_keep_best(docs2, mode="join").to_pandas()["doc_id"])
     assert a == b and len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_cluster_sizes_hand_checked():
+    """Planted clusters: a 3-clique (chain pairs suffice — CC closes
+    it), one 2-cluster, and singletons; the histogram counts each
+    exactly once, at any block layout."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.dedup import dup_cluster_sizes
+
+    docs = pa.table({"doc_id": pa.array(list(range(8)), pa.int64())})
+    pairs = pa.table(
+        {
+            "d1": pa.array([0, 1, 4], pa.int64()),
+            "d2": pa.array([1, 2, 5], pa.int64()),
+        }
+    )
+    out = (
+        dup_cluster_sizes(
+            rd.from_arrow(docs).repartition(3), rd.from_arrow(pairs)
+        )
+        .to_pandas()
+        .sort_values("size")
+        .reset_index(drop=True)
+    )
+    # clusters: {0,1,2} size 3; {4,5} size 2; 3,6,7 singletons
+    assert out["size"].tolist() == [1, 2, 3]
+    assert out["n_clusters"].tolist() == [3, 1, 1]
+    again = (
+        dup_cluster_sizes(rd.from_arrow(docs), rd.from_arrow(pairs).repartition(2))
+        .to_pandas()
+        .sort_values("size")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)

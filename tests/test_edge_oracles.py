@@ -95,6 +95,7 @@ QUERIES = [
     "dedup_incremental_minhash",  # round 3: NEAR-dup crawl-over-crawl
     "minhash_pairs",  # round 3: splitmix64 minhash replicated in SQL
     "minhash_components",  # round 3: distributed CC over LSH pairs
+    "dup_cluster_sizes",  # round 3: size histogram (empty-doc cliques)
     "stratified_sample",
     "weighted_sample",  # round 3: quality-proportional md5 sampling
     "weighted_sample_k",  # round 3: A-ES exact-k (0-weight docs excluded)
