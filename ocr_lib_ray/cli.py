@@ -147,6 +147,28 @@ def main(argv=None) -> int:
         "the budget stage's two passes re-read parquet instead of "
         "re-running filter+dedup)",
     )
+    tk = sub.add_parser(
+        "tokenize",
+        help="train a frequency-ranked vocabulary on an EXTRACTED "
+        "corpus (documents schema) and encode it: writes vocab.parquet "
+        "+ shard-partitioned (doc_id, pos, token_id) parquet (OOV -1)",
+    )
+    tk.add_argument("--input", help="documents dir/file (doc_id, text)")
+    tk.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "jsonl", "csv"],
+        help="storage format of --input",
+    )
+    tk.add_argument("--sf-dir", help="testdata dir; use its documents.parquet")
+    tk.add_argument("--output", required=True, help="output dir")
+    tk.add_argument("--max-vocab", type=int, default=4096)
+    tk.add_argument("--shards", type=int, default=16)
+    tk.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="wipe a non-empty --output even without a prior-run marker",
+    )
     cu.add_argument(
         "--overwrite",
         action="store_true",
@@ -233,6 +255,63 @@ def main(argv=None) -> int:
             json.dumps(
                 {
                     "rows": rows,
+                    "shards": args.shards,
+                    "wall_sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+        if owns_session:
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "tokenize":
+        import pyarrow as pa_
+
+        from .functions.tokens import build_vocab, encode_docs
+        from .sources.text_files import read_documents
+        from .stages.manifest import safe_wipe_output
+
+        docs_path = args.input or f"{args.sf_dir}/documents.parquet"
+        docs = read_documents(
+            docs_path,
+            format=args.input_format if args.input else "parquet",
+            columns=["doc_id", "text"],
+        )
+        safe_wipe_output(args.output, overwrite=args.overwrite)
+        vocab = build_vocab(docs, max_vocab=args.max_vocab)
+        vdf = vocab.to_pandas()
+        import pyarrow.parquet as pqt_
+
+        import os
+
+        os.makedirs(f"{args.output}/vocab", exist_ok=True)
+        pqt_.write_table(
+            pa_.Table.from_pandas(vdf, preserve_index=False),
+            f"{args.output}/vocab/vocab.parquet",
+        )
+        enc = encode_docs(docs, max_vocab=args.max_vocab, vocab_df=vdf)
+
+        def add_shard(b):
+            import numpy as np_
+
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            shard = (ids % args.shards).astype(np_.int32)
+            return b.append_column("shard", pa_.array(shard))
+
+        enc.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+            f"{args.output}/encoded", partition_cols=["shard"]
+        )
+        import glob
+
+        rows = sum(
+            pqt_.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(f"{args.output}/encoded/**/*.parquet", recursive=True)
+        )
+        print(
+            json.dumps(
+                {
+                    "rows": rows,
+                    "vocab_size": int(len(vdf)),
                     "shards": args.shards,
                     "wall_sec": round(time.time() - t0, 3),
                 }

@@ -332,11 +332,14 @@ def build_vocab(docs_ds, max_vocab: int | None = None, rank_buckets: int = 256):
     )
 
 
-def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256):
+def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256, vocab_df=None):
     """Encode every document as (doc_id, pos, token_id) rows against
     the top-``max_vocab`` vocabulary of the SAME corpus (the tokenizer
     train-then-encode shape); out-of-vocabulary tokens get id ``-1``
-    (UNK).  Empty documents produce no rows.
+    (UNK).  Empty documents produce no rows.  Pass ``vocab_df`` (a
+    (token, token_id) frame from a prior :func:`build_vocab`) to skip
+    re-training — the CLI uses this to write the vocab AND the encoded
+    corpus from one training pass.
 
     Scale shape: the capped vocabulary is model-sized by construction,
     so it is collected once and broadcast via ``ray.put`` into a
@@ -347,8 +350,11 @@ def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256):
 
     from .text_stats import normalize_expr
 
-    vocab = build_vocab(docs_ds, max_vocab=max_vocab, rank_buckets=rank_buckets)
-    vdf = vocab.to_pandas()
+    if vocab_df is None:
+        vocab = build_vocab(docs_ds, max_vocab=max_vocab, rank_buckets=rank_buckets)
+        vdf = vocab.to_pandas()
+    else:
+        vdf = vocab_df
     vmap = dict(zip(vdf["token"], vdf["token_id"].astype(np.int64)))
     vref = ray.put(vmap)
 

@@ -680,3 +680,54 @@ def test_cli_report(sf_small, capsys):
     assert sum(g["n_docs"] for g in out["groups"]) == 500
     for g in out["groups"]:
         assert g["n_tokens_sum"] > 0 and g["avg_tokens"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_tokenize_matches_oracle(sf_small, tmp_path, capsys):
+    """cli tokenize writes vocab.parquet + shard-partitioned encoded
+    rows byte-equal to the vocab_encode oracle."""
+    import glob
+    import json
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as em
+    from ocr_lib_ray.cli import main
+
+    out = str(tmp_path / "tok")
+    rc = main(
+        [
+            "tokenize",
+            "--sf-dir",
+            sf_small,
+            "--output",
+            out,
+            "--max-vocab",
+            "32",
+            "--shards",
+            "4",
+        ]
+    )
+    assert rc in (0, None)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["vocab_size"] >= 1 and line["rows"] > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = (
+        con.execute(em.oracle_sql()["vocab_encode"])
+        .df()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "pos": "int64", "token_id": "int64"})
+    )
+    files = glob.glob(f"{out}/encoded/**/*.parquet", recursive=True)
+    got = con.execute(
+        f"SELECT doc_id, pos, token_id FROM read_parquet({files!r}) "
+        "ORDER BY doc_id, pos"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
