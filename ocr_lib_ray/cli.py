@@ -147,6 +147,20 @@ def main(argv=None) -> int:
         "the budget stage's two passes re-read parquet instead of "
         "re-running filter+dedup)",
     )
+    cp = sub.add_parser(
+        "compact",
+        help="compact a parquet dir's many small files into "
+        "--target-files (content-preserving; footer row counts "
+        "validated before reporting success)",
+    )
+    cp.add_argument("--input", required=True, help="parquet dir to compact")
+    cp.add_argument("--output", required=True, help="compacted parquet dir")
+    cp.add_argument("--target-files", type=int, default=16)
+    cp.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="wipe a non-empty --output even without a prior-run marker",
+    )
     tk = sub.add_parser(
         "tokenize",
         help="train a frequency-ranked vocabulary on an EXTRACTED "
@@ -182,6 +196,51 @@ def main(argv=None) -> int:
         result = validate_job(args.output)
         print(json.dumps(result))
         return 0 if not result["invalid"] else 1
+
+    if args.cmd == "compact":
+        import glob
+
+        import pyarrow.parquet as pqt_
+
+        import ray
+
+        owns_session = not ray.is_initialized()
+        if owns_session:
+            ray.init(logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import time as _t
+
+        import ray.data as rd
+
+        from .stages.manifest import safe_wipe_output
+
+        t0 = _t.time()
+        in_files = glob.glob(f"{args.input}/**/*.parquet", recursive=True)
+        in_rows = sum(pqt_.ParquetFile(f).metadata.num_rows for f in in_files)
+        safe_wipe_output(args.output, overwrite=args.overwrite)
+        rd.read_parquet(args.input).repartition(args.target_files).write_parquet(
+            args.output
+        )
+        out_files = glob.glob(f"{args.output}/**/*.parquet", recursive=True)
+        out_rows = sum(pqt_.ParquetFile(f).metadata.num_rows for f in out_files)
+        ok = out_rows == in_rows
+        print(
+            json.dumps(
+                {
+                    "rows_in": in_rows,
+                    "rows_out": out_rows,
+                    "files_in": len(in_files),
+                    "files_out": len(out_files),
+                    "row_counts_match": ok,
+                    "wall_sec": round(_t.time() - t0, 3),
+                }
+            )
+        )
+        if owns_session:
+            ray.shutdown()
+        return 0 if ok else 1
 
     if bool(args.input) == bool(args.sf_dir):
         p.error("exactly one of --input / --sf-dir is required")

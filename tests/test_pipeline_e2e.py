@@ -731,3 +731,52 @@ def test_cli_tokenize_matches_oracle(sf_small, tmp_path, capsys):
         "ORDER BY doc_id, pos"
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_compact_preserves_content(sf_small, tmp_path, capsys):
+    """compact rewrites many small files into few, content-preserving
+    (hive partition column folded into the data, full row multiset
+    equal via DuckDB sorted compare)."""
+    import glob
+    import json
+
+    import duckdb
+
+    from ocr_lib_ray.cli import main
+
+    tok = str(tmp_path / "tok")
+    rc = main(
+        ["tokenize", "--sf-dir", sf_small, "--output", tok, "--max-vocab", "8",
+         "--shards", "4"]
+    )
+    assert rc in (0, None)
+    out = str(tmp_path / "compact")
+    rc = main(
+        ["compact", "--input", f"{tok}/encoded", "--output", out,
+         "--target-files", "2"]
+    )
+    assert rc in (0, None)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["row_counts_match"] is True
+    assert line["files_out"] < line["files_in"]
+
+    con = duckdb.connect()
+    a = glob.glob(f"{tok}/encoded/**/*.parquet", recursive=True)
+    b = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    diff = con.execute(
+        f"""
+        SELECT count(*) FROM (
+            (SELECT doc_id, pos, token_id, shard
+             FROM read_parquet({a!r}, hive_partitioning=1)
+             EXCEPT
+             SELECT doc_id, pos, token_id, shard FROM read_parquet({b!r}))
+            UNION ALL
+            (SELECT doc_id, pos, token_id, shard FROM read_parquet({b!r})
+             EXCEPT
+             SELECT doc_id, pos, token_id, shard
+             FROM read_parquet({a!r}, hive_partitioning=1))
+        )
+        """
+    ).fetchone()[0]
+    assert diff == 0
