@@ -357,7 +357,13 @@ def main(argv=None) -> int:
             shard = (ids % args.shards).astype(np_.int32)
             return b.append_column("shard", pa_.array(shard))
 
-        enc.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        # group by shard BEFORE the partitioned write (the
+        # shuffle_shards layout discipline): write_parquet emits one
+        # file per (block, partition) pair, so shard-grouped blocks
+        # give exactly one file per shard instead of per-block shrapnel
+        enc.map_batches(add_shard, batch_format="pyarrow").groupby(
+            "shard"
+        ).map_groups(lambda g: g, batch_format="pyarrow").write_parquet(
             f"{args.output}/encoded", partition_cols=["shard"]
         )
         import glob
