@@ -656,6 +656,20 @@ def _q_entity_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(entity_counts_batch, batch_format="pyarrow")
 
 
+def _q_table_checksum(sf_dir: str):
+    """Anti-entropy checksum of the documents table (replication /
+    migration validation): map-only modular row-hash sums, no shuffle."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import table_checksum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return table_checksum(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def _q_lang_confusion(sf_dir: str):
     """Declared-vs-predicted language confusion matrix (model
     monitoring): map-only LangId + per-block |langs|² partials."""
@@ -2768,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
+        "table_checksum": _q_table_checksum,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
         "minhash_components": _q_minhash_components,
@@ -4211,6 +4226,26 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "lang_id": _lang_id_sql(norm),
+        # anti-entropy checksum: md5-lower64 per row of the \\x1f-joined
+        # CAST(x AS VARCHAR) rendering (NULL -> ''), two modular sums
+        "table_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(sum(md5_number_lower(
+                            COALESCE(CAST(doc_id AS VARCHAR), '') || chr(31)
+                            || COALESCE(text, '') || chr(31)
+                            || COALESCE(lang, '') || chr(31)
+                            || COALESCE(source, '') || chr(31)
+                            || COALESCE(CAST(n_chars AS VARCHAR), ''))
+                          % 2147483647), 0) % 2147483647 AS BIGINT) AS ck1,
+                   CAST(COALESCE(sum(md5_number_lower(
+                            COALESCE(CAST(doc_id AS VARCHAR), '') || chr(31)
+                            || COALESCE(text, '') || chr(31)
+                            || COALESCE(lang, '') || chr(31)
+                            || COALESCE(source, '') || chr(31)
+                            || COALESCE(CAST(n_chars AS VARCHAR), ''))
+                          % 2147483629), 0) % 2147483629 AS BIGINT) AS ck2
+            FROM documents
+        """,
         # confusion matrix: the lang_id oracle as a subquery (single
         # source of truth for the prediction), joined to the labels
         "lang_confusion": f"""

@@ -301,6 +301,7 @@ def run_bench() -> dict:
         "ab_metrics",
         "lang_confusion",
         "dup_cluster_sizes",
+        "table_checksum",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

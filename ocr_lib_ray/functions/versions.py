@@ -146,3 +146,71 @@ def crawl_diff(new_ds, prior_ds, id_col: str = "doc_id", text_col: str = "text")
         )
 
     return joined.map_batches(stamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# anti-entropy table checksum (replication / migration validation)
+# --------------------------------------------------------------------------
+
+#: two independent 31-bit primes: a collision must defeat both sums
+CHECKSUM_P1 = 2_147_483_647  # 2^31 - 1
+CHECKSUM_P2 = 2_147_483_629
+
+
+def table_checksum(ds, cols: list, sep: str = "\x1f"):
+    """Order-free whole-table checksum — the anti-entropy primitive a
+    multi-cluster deployment runs after replication, migration or a
+    compaction job: two independent modular sums of per-row
+    md5-lower64 hashes (duplicate rows shift the sum, unlike an XOR
+    fold, and integer modular addition commutes, so the value is
+    independent of block order and partitioning).  Returns a one-row
+    DataFrame (n_rows, ck1, ck2); two tables are replicas iff all
+    three match.
+
+    Row hash: md5-lower64 of the ``sep``-joined column values, with
+    every value rendered EXACTLY as SQL's ``CAST(x AS VARCHAR)`` does
+    (ints verbatim, strings raw — callers must not put ``sep`` inside
+    data, the same \\x1f contract as the composite join keys) and NULL
+    rendered as the empty string via COALESCE on both sides.
+
+    Scale shape: map-only per-block (n, s1, s2) partials, one scalar
+    aggregate — no shuffle at all."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def parts(b: pa.Table) -> pa.Table:
+        col_lists = []
+        for c in cols:
+            vals = b.column(c).to_pylist()
+            col_lists.append(
+                ["" if v is None else str(v) for v in vals]
+            )
+        s1 = 0
+        s2 = 0
+        n = b.num_rows
+        for row in zip(*col_lists):
+            h = int.from_bytes(
+                hashlib.md5(sep.join(row).encode("utf-8")).digest()[8:], "little"
+            )
+            s1 = (s1 + h % CHECKSUM_P1) % CHECKSUM_P1
+            s2 = (s2 + h % CHECKSUM_P2) % CHECKSUM_P2
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s1": pa.array([s1], pa.int64()),
+                "s2": pa.array([s2], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(parts, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2")
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(agg["n"] or 0)],
+            "ck1": [int(agg["s1"] or 0) % CHECKSUM_P1],
+            "ck2": [int(agg["s2"] or 0) % CHECKSUM_P2],
+        }
+    )

@@ -52,6 +52,7 @@ QUERIES = [
     "model_score",
     "lang_id",
     "lang_confusion",  # round 3: declared-vs-predicted matrix (und/zh edges)
+    "table_checksum",  # round 3: anti-entropy sums (null text, short rows)
     "char_entropy",
     "code_detect",  # round 3: code-vs-prose router, all-integer thresholds
     "bpe_token_count",

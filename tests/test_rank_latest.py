@@ -261,3 +261,46 @@ def test_percent_rank_int64_above_2_53_with_nulls():
     )
     assert got["pct_rank"].tolist() == want["pct_rank"].tolist()
     assert got["cume_dist"].tolist() == want["cume_dist"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_checksum_detects_any_change_and_ignores_layout():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import table_checksum
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["aa", "bb", None],
+        }
+    )
+    cols = ["doc_id", "text"]
+    a = table_checksum(rd.from_arrow(t), cols)
+    b = table_checksum(rd.from_arrow(t).repartition(3), cols)
+    assert a.equals(b)  # layout-free
+    # duplicate a row: an XOR fold would cancel; the modular sum shifts
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 3], pa.int64()),
+            "text": ["aa", "bb", None, None],
+        }
+    )
+    c = table_checksum(rd.from_arrow(t2), cols)
+    assert c["n_rows"][0] == 4 and (
+        c["ck1"][0] != a["ck1"][0] or c["ck2"][0] != a["ck2"][0]
+    )
+    # flip one byte: both sums move with overwhelming probability
+    t3 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["aa", "bb", "x"],
+        }
+    )
+    d = table_checksum(rd.from_arrow(t3), cols)
+    assert d["ck1"][0] != a["ck1"][0] or d["ck2"][0] != a["ck2"][0]
+    # empty table: typed zeros
+    e = table_checksum(
+        rd.from_arrow(t).filter(lambda r: False), cols
+    )
+    assert e["n_rows"][0] == 0 and e["ck1"][0] == 0 and e["ck2"][0] == 0
