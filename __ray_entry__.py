@@ -656,6 +656,22 @@ def _q_entity_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(entity_counts_batch, batch_format="pyarrow")
 
 
+def _q_topk_with_ties(sf_dir: str):
+    """RANK-semantics per-source leaderboard: every document tied with
+    the 5th-longest is kept (ties never cut — the set needs no id
+    tie-break to be deterministic)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ranking import topk_with_ties
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return topk_with_ties(
+        docs, group_col="source", order_col="n_chars", k=5, id_col="doc_id"
+    )
+
+
 def _q_table_checksum(sf_dir: str):
     """Anti-entropy checksum of the documents table (replication /
     migration validation): map-only modular row-hash sums, no shuffle."""
@@ -2783,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
         "table_checksum": _q_table_checksum,
+        "topk_with_ties": _q_topk_with_ties,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
         "minhash_components": _q_minhash_components,
@@ -5075,6 +5092,14 @@ def oracle_sql() -> dict[str, str]:
             WITH r AS (SELECT source, doc_id, n_chars,
                    row_number() OVER (PARTITION BY source
                                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+               FROM documents)
+            SELECT source, doc_id, n_chars FROM r WHERE rk <= 5
+        """,
+        # RANK (ties kept) sibling of the row_number top-k above
+        "topk_with_ties": """
+            WITH r AS (SELECT source, doc_id, n_chars,
+                   rank() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC) AS rk
                FROM documents)
             SELECT source, doc_id, n_chars FROM r WHERE rk <= 5
         """,

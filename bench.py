@@ -302,6 +302,7 @@ def run_bench() -> dict:
         "lang_confusion",
         "dup_cluster_sizes",
         "table_checksum",
+        "topk_with_ties",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

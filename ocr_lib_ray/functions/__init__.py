@@ -59,7 +59,7 @@ from .quantiles import (
     histogram_quantiles,
     sort_quantiles,
 )
-from .ranking import tfidf_top_terms, topk_per_group
+from .ranking import tfidf_top_terms, topk_per_group, topk_with_ties
 from .relational import (
     large_orders,
     late_order_priority,
@@ -179,6 +179,7 @@ __all__ = [
     "weighted_sample",
     "tfidf_top_terms",
     "topk_per_group",
+    "topk_with_ties",
     "score_documents",
     "cosine_dup_pairs",
     "cosine_dup_pairs_lsh",

@@ -193,3 +193,75 @@ def tfidf_top_terms(
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_with_ties(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+):
+    """Top-k rows per group under RANK semantics — every row TIED with
+    the k-th value is kept (``RANK() OVER (...) <= k``), the
+    leaderboard contract where cutting a tie arbitrarily would be
+    wrong; the ROW_NUMBER sibling is :func:`topk_per_group`.  The
+    selected SET is deterministic without any id tie-break, because
+    ties are never cut.
+
+    Scale shape, same two stages as topk_per_group with a ties-safe
+    prune: stage 1 keeps each block's rows with fewer than k STRICTLY
+    better values in that block (local RANK <= k) — sound because a
+    row with k strictly-better rows in its own block has at least k
+    globally, so its global rank already exceeds k; stage 2 is the
+    exact per-group RANK filter over the pruned candidates.  A
+    pathological all-tied group keeps everything — that is the
+    semantics, and the map_groups task bound is the group's tied-row
+    count (use topk_per_group when a hard k bound matters more than
+    tie fairness).
+
+    Output columns: (group_col, id_col, order_col).
+    """
+    cols = [group_col, id_col, order_col]
+
+    def _rank_keep(vals: "np.ndarray") -> "np.ndarray":
+        # rank-with-ties filter: strictly-better count < k
+        import numpy as np
+
+        if descending:
+            order = np.sort(vals)[::-1]
+        else:
+            order = np.sort(vals)
+        if len(order) <= k:
+            return np.ones(len(vals), dtype=bool)
+        kth = order[k - 1]
+        return vals >= kth if descending else vals <= kth
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.column(group_col).null_count:
+            raise ValueError(
+                f"topk_with_ties: null values in group column {group_col!r} "
+                "are unsupported — filter or fill them first"
+            )
+        import numpy as np
+        import pandas as pd
+
+        df = batch.select(cols).to_pandas()
+        keep = np.zeros(len(df), dtype=bool)
+        for _, idx in df.groupby(group_col, sort=False).indices.items():
+            vals = df[order_col].to_numpy()[idx]
+            keep[idx] = _rank_keep(vals)
+        return batch.select(cols).filter(pa.array(keep))
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        vals = g[order_col].to_numpy()
+        return g.loc[_rank_keep(vals)].reset_index(drop=True)
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )

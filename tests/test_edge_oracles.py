@@ -104,6 +104,7 @@ QUERIES = [
     "sample_fixed_k",
     "sample_k_per_group",  # round 3: per-group bottom-k (groups < k)
     "topk_per_group",
+    "topk_with_ties",  # round 3: RANK semantics, boundary ties kept
     "tfidf_top_terms",
     "dup_ngram_stats",
     "dup_ngram_stats_join",  # round 3: no-broadcast scale path

@@ -406,3 +406,37 @@ def test_sample_k_per_group_exact_and_layout_invariant():
     # reference: bottom-5 of g1 by the same md5 stamp
     want = sorted(range(30), key=lambda i: (_md5_hex("gk", i)[:16], i))[:5]
     assert sorted(a.loc[a["lang"] == "g1", "doc_id"]) == sorted(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_with_ties_keeps_boundary_ties_any_layout():
+    """RANK semantics: a tie AT the k boundary keeps every tied row
+    (unlike topk_per_group's row_number cut), and a block whose own
+    top-k hides a boundary tie still yields the exact global set."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ranking import topk_with_ties
+
+    # group g: values 9,8,7,7,7,1 with k=3 -> keep 9,8,7,7,7 (5 rows)
+    t = pa.table(
+        {
+            "g": pa.array(["g"] * 6 + ["h"] * 2, pa.string()),
+            "id": pa.array(list(range(8)), pa.int64()),
+            "v": pa.array([9, 8, 7, 7, 7, 1, 5, 5], pa.int64()),
+        }
+    )
+    for parts in (1, 4, 8):
+        out = (
+            topk_with_ties(
+                rd.from_arrow(t).repartition(parts),
+                group_col="g", order_col="v", k=3, id_col="id",
+            )
+            .to_pandas()
+            .sort_values(["g", "id"])
+            .reset_index(drop=True)
+        )
+        got = out.groupby("g")["id"].apply(list).to_dict()
+        assert got["g"] == [0, 1, 2, 3, 4], parts
+        assert got["h"] == [6, 7], parts
