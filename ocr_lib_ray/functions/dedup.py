@@ -1352,12 +1352,16 @@ def dup_cluster_sizes(docs_ds, pairs_ds, id_col: str = "doc_id"):
     )
 
     def comp_parts(b: pa.Table) -> pa.Table:
-        # LEFT-join misses are float NaN; singleton component = own id.
-        # ids are int64 < 2^53 by the repo's id contract for float64
-        # round-trips (the documented hash_join "left" caveat)
-        comp = b.column("component_r").to_pandas()
-        own = b.column(id_col).to_pandas()
-        lab = comp.fillna(own).astype("int64")
+        # LEFT-join misses are float NaN (an all-miss batch even types
+        # component_r as Arrow null) — coalesce in Arrow like
+        # dedup_fuzzy_keep_best does, never pandas fillna downcasting;
+        # singleton component = own id.  ids are int64 < 2^53 by the
+        # repo's id contract for float64 round-trips (the documented
+        # hash_join "left" caveat)
+        lab = pc.coalesce(
+            b.column("component_r").cast(pa.float64()),
+            b.column(id_col).cast(pa.float64()),
+        ).cast(pa.int64()).to_pandas()
         g = lab.value_counts().reset_index()
         g.columns = ["component", "n"]
         return pa.Table.from_arrays(

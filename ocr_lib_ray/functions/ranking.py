@@ -223,6 +223,8 @@ def topk_with_ties(
 
     Output columns: (group_col, id_col, order_col).
     """
+    if k < 1:
+        raise ValueError(f"topk_with_ties: k must be >= 1, got {k}")
     cols = [group_col, id_col, order_col]
 
     def _rank_keep(vals: "np.ndarray") -> "np.ndarray":
@@ -243,6 +245,13 @@ def topk_with_ties(
             raise ValueError(
                 f"topk_with_ties: null values in group column {group_col!r} "
                 "are unsupported — filter or fill them first"
+            )
+        if batch.column(order_col).null_count:
+            raise ValueError(
+                f"topk_with_ties: null values in order column {order_col!r} "
+                "are unsupported — filter or fill them first (NaN would "
+                "poison the kth threshold and silently drop valid rows, "
+                "while SQL RANK sorts NULLS LAST)"
             )
         import numpy as np
         import pandas as pd

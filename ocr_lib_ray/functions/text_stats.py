@@ -569,6 +569,13 @@ def lang_confusion(docs_ds):
     from ray.data.aggregate import Sum
 
     def parts(b: pa.Table) -> pa.Table:
+        if b.column("lang").null_count:
+            raise ValueError(
+                "lang_confusion: null values in the declared lang column "
+                "are unsupported — filter or fill them first (pandas "
+                "groupby would silently drop the rows while SQL groups "
+                "them under NULL)"
+            )
         pred = lang_id_batch(b)
         df = pd.DataFrame(
             {

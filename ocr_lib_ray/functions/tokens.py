@@ -354,7 +354,10 @@ def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256, vocab_d
         vocab = build_vocab(docs_ds, max_vocab=max_vocab, rank_buckets=rank_buckets)
         vdf = vocab.to_pandas()
     else:
-        vdf = vocab_df
+        # the cap is part of the documented contract even for a
+        # caller-supplied vocabulary: an uncapped build_vocab frame
+        # would otherwise silently encode every token with no UNKs
+        vdf = vocab_df[vocab_df["token_id"] < max_vocab]
     vmap = dict(zip(vdf["token"], vdf["token_id"].astype(np.int64)))
     vref = ray.put(vmap)
 

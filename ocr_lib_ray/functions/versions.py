@@ -207,10 +207,15 @@ def table_checksum(ds, cols: list, sep: str = "\x1f"):
     agg = ds.map_batches(parts, batch_format="pyarrow").aggregate(
         Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2")
     )
+    # a ZERO-block dataset makes aggregate() return None itself (not
+    # per-key Nones) — the empty side of a replication check must
+    # report n_rows=0, not crash
+    if agg is None:
+        agg = {}
     return pd.DataFrame(
         {
-            "n_rows": [int(agg["n"] or 0)],
-            "ck1": [int(agg["s1"] or 0) % CHECKSUM_P1],
-            "ck2": [int(agg["s2"] or 0) % CHECKSUM_P2],
+            "n_rows": [int(agg.get("n") or 0)],
+            "ck1": [int(agg.get("s1") or 0) % CHECKSUM_P1],
+            "ck2": [int(agg.get("s2") or 0) % CHECKSUM_P2],
         }
     )

@@ -307,3 +307,24 @@ def test_bpe_merge_exhaustion_matches_oracle():
     )
     pd.testing.assert_frame_equal(got, want)
     assert got["piece"].tolist() == ["ab", "ab"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_encode_docs_vocab_df_respects_cap():
+    """A caller-supplied UNCAPPED vocab frame still encodes under the
+    max_vocab contract (ids >= cap become OOV -1)."""
+    from ocr_lib_ray.functions.tokens import build_vocab, encode_docs
+
+    texts = ["a a a b b c"]
+    ds = rd.from_arrow(_docs(texts))
+    full = build_vocab(ds).to_pandas()  # 3 tokens, uncapped
+    assert len(full) == 3
+    out = (
+        encode_docs(ds, max_vocab=2, vocab_df=full)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # token ranked 2 (the singleton 'c') must be OOV
+    assert (out["token_id"] == -1).sum() == 1
+    assert set(out["token_id"]) == {0, 1, -1}

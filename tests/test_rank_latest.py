@@ -304,3 +304,16 @@ def test_table_checksum_detects_any_change_and_ignores_layout():
         rd.from_arrow(t).filter(lambda r: False), cols
     )
     assert e["n_rows"][0] == 0 and e["ck1"][0] == 0 and e["ck2"][0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_checksum_zero_block_dataset():
+    """limit(0) produces a ZERO-block dataset (aggregate returns None
+    itself) — the empty side of a replication check reports zeros."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import table_checksum
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a"]})
+    out = table_checksum(rd.from_arrow(t).limit(0), ["doc_id", "text"])
+    assert out["n_rows"][0] == 0 and out["ck1"][0] == 0 and out["ck2"][0] == 0

@@ -440,3 +440,24 @@ def test_topk_with_ties_keeps_boundary_ties_any_layout():
         got = out.groupby("g")["id"].apply(list).to_dict()
         assert got["g"] == [0, 1, 2, 3, 4], parts
         assert got["h"] == [6, 7], parts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_with_ties_null_order_and_bad_k_raise():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.ranking import topk_with_ties
+
+    t = pa.table(
+        {
+            "g": ["a", "a"],
+            "id": pa.array([1, 2], pa.int64()),
+            "v": pa.array([5, None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        topk_with_ties(rd.from_arrow(t), "g", "v", 1, "id").to_pandas()
+    assert "null values in order column" in str(ei.value)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        topk_with_ties(rd.from_arrow(t), "g", "v", 0, "id")
