@@ -686,6 +686,22 @@ def _q_table_checksum(sf_dir: str):
     return table_checksum(docs, ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_group_checksum(sf_dir: str):
+    """Per-source anti-entropy checksums (the drill-down of
+    table_checksum — localize WHICH partition diverged)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import group_checksum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return group_checksum(
+        docs, "source", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_lang_confusion(sf_dir: str):
     """Declared-vs-predicted language confusion matrix (model
     monitoring): map-only LangId + per-block |langs|² partials."""
@@ -2799,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
         "table_checksum": _q_table_checksum,
+        "group_checksum": _q_group_checksum,
         "topk_with_ties": _q_topk_with_ties,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_components": _q_dup_components,
@@ -4262,6 +4279,27 @@ def oracle_sql() -> dict[str, str]:
                             || COALESCE(CAST(n_chars AS VARCHAR), ''))
                           % 2147483629), 0) % 2147483629 AS BIGINT) AS ck2
             FROM documents
+        """,
+        # per-group drill-down of the same checksum contract
+        "group_checksum": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(md5_number_lower(
+                            COALESCE(CAST(doc_id AS VARCHAR), '') || chr(31)
+                            || COALESCE(text, '') || chr(31)
+                            || COALESCE(lang, '') || chr(31)
+                            || COALESCE(source, '') || chr(31)
+                            || COALESCE(CAST(n_chars AS VARCHAR), ''))
+                          % 2147483647) % 2147483647 AS BIGINT) AS ck1,
+                   CAST(sum(md5_number_lower(
+                            COALESCE(CAST(doc_id AS VARCHAR), '') || chr(31)
+                            || COALESCE(text, '') || chr(31)
+                            || COALESCE(lang, '') || chr(31)
+                            || COALESCE(source, '') || chr(31)
+                            || COALESCE(CAST(n_chars AS VARCHAR), ''))
+                          % 2147483629) % 2147483629 AS BIGINT) AS ck2
+            FROM documents
+            GROUP BY 1
         """,
         # confusion matrix: the lang_id oracle as a subquery (single
         # source of truth for the prediction), joined to the labels

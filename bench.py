@@ -303,6 +303,7 @@ def run_bench() -> dict:
         "dup_cluster_sizes",
         "table_checksum",
         "topk_with_ties",
+        "group_checksum",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -92,7 +92,7 @@ from .similarity import (
     knn_lsh,
 )
 from .streaming import streaming_sessionize
-from .versions import keep_latest, table_checksum
+from .versions import group_checksum, keep_latest, table_checksum
 from .sketches import (
     approx_distinct_users_per_type,
     bloom_build,
@@ -158,6 +158,7 @@ __all__ = [
     "hash_join",
     "histogram_quantiles",
     "keep_latest",
+    "group_checksum",
     "table_checksum",
     "sort_quantiles",
     "union_find_components",

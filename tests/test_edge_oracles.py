@@ -53,6 +53,7 @@ QUERIES = [
     "lang_id",
     "lang_confusion",  # round 3: declared-vs-predicted matrix (und/zh edges)
     "table_checksum",  # round 3: anti-entropy sums (null text, short rows)
+    "group_checksum",  # round 3: per-source drill-down of the same sums
     "char_entropy",
     "code_detect",  # round 3: code-vs-prose router, all-integer thresholds
     "bpe_token_count",

@@ -317,3 +317,35 @@ def test_table_checksum_zero_block_dataset():
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a"]})
     out = table_checksum(rd.from_arrow(t).limit(0), ["doc_id", "text"])
     assert out["n_rows"][0] == 0 and out["ck1"][0] == 0 and out["ck2"][0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_checksum_localizes_the_diverging_partition():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.versions import group_checksum
+
+    t = pa.table(
+        {
+            "src": ["a", "a", "b"],
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["x", "y", "z"],
+        }
+    )
+    t2 = pa.table(
+        {
+            "src": ["a", "a", "b"],
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["x", "y", "Z"],  # only partition b changed
+        }
+    )
+    cols = ["doc_id", "text"]
+    a = (
+        group_checksum(rd.from_arrow(t).repartition(3), "src", cols)
+        .to_pandas()
+        .set_index("src")
+        .sort_index()
+    )
+    b = group_checksum(rd.from_arrow(t2), "src", cols).to_pandas().set_index("src").sort_index()
+    assert a.loc["a"].equals(b.loc["a"])  # untouched partition matches
+    assert not a.loc["b"].equals(b.loc["b"])  # diverging one localized
