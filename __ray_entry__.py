@@ -1428,6 +1428,19 @@ def _q_sessionize_assign(sf_dir: str):
     return sessionize_assign(events, gap_seconds=1800)
 
 
+def _q_user_type_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy in exact micro-nat·n units
+    (behavioral-diversity feature, order-free)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import user_type_entropy
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return user_type_entropy(events)
+
+
 def _q_ab_metrics(sf_dir: str):
     """A/B experiment readout: stable md5 variant assignment + ordered
     view→purchase funnel conversion per arm, exact integer rates."""
@@ -2857,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "transition_counts": _q_transition_counts,
         "ab_metrics": _q_ab_metrics,
+        "user_type_entropy": _q_user_type_entropy,
         "window_topk": _q_window_topk,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -4783,6 +4797,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM p JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # per-user entropy scaled by n: H*n = n*ln(n) - sum c*ln(c),
+        # every ln through the floor(ln*1e6+0.5) chain
+        "user_type_entropy": """
+            WITH ut AS (SELECT user_id, event_type,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, c,
+                         CASE WHEN c > 1
+                              THEN c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                       * 1000000 + 0.5) AS BIGINT)
+                              ELSE 0 END AS clnc
+                  FROM ut)
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(CASE WHEN sum(c) > 1
+                             THEN sum(c) * CAST(floor(
+                                      ln(CAST(sum(c) AS DOUBLE))
+                                      * 1000000 + 0.5) AS BIGINT)
+                                  - sum(clnc)
+                             ELSE 0 END AS BIGINT) AS h_micro_n
+            FROM t GROUP BY 1
         """,
         # A/B readout: md5_number_lower variant hash (the repo's
         # Python-parity bridge), first-view funnel bound strict >

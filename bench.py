@@ -304,6 +304,7 @@ def run_bench() -> dict:
         "table_checksum",
         "topk_with_ties",
         "group_checksum",
+        "user_type_entropy",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

@@ -120,6 +120,7 @@ from .tokens import (
 from .urls import canonicalize_url
 from .windows import (
     heavy_hitters,
+    user_type_entropy,
     sessionize,
     sessionize_salted,
     sliding_window,
@@ -217,4 +218,5 @@ __all__ = [
     "sessionize_salted",
     "sliding_window",
     "tumbling_window",
+    "user_type_entropy",
 ]

@@ -439,3 +439,104 @@ def window_topk(events_ds, window_seconds: int = 3600, k: int = 3):
     return counts.groupby("window_start_us").map_groups(
         topk, batch_format="pyarrow"
     )
+
+
+def user_type_entropy(events_ds):
+    """Per-user behavioral diversity: the Shannon entropy of each
+    user's event-type distribution — the bot/churn feature (a scraper
+    fires one type; an engaged user mixes them).  To stay bit-exact,
+    the output is the entropy SCALED BY n (exact integer identity
+    ``H·n = n·ln(n) − Σ c·ln(c)`` over micro-nat logs):
+    (user_id, n_events, n_types, h_micro_n) with
+    ``H ≈ h_micro_n / (n_events · 1e6)`` nats; ln terms use the repo's
+    ``floor(ln(x)·1e6 + 0.5)`` IEEE chain, so every value is an int64
+    and the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: per-block (user, type) count partials → one groupby
+    at |users × types| scale → the per-row c·ln(c) term map-side → a
+    second #users-scale groupby → map-only final identity.  No
+    ordered exchange needed (entropy is order-free)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def ut_parts(b: pa.Table) -> pa.Table:
+        if b.column("event_type").null_count:
+            raise ValueError(
+                "user_type_entropy: null event_type values are unsupported "
+                "— filter or fill them first (pandas groupby would drop "
+                "them while SQL groups them under NULL)"
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_pylist(),
+                "event_type": b.column("event_type").to_pylist(),
+            }
+        )
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["user_id"].astype("int64")),
+                pa.array(g["event_type"], pa.string()),
+                pa.array(g["c"].astype("int64")),
+            ],
+            names=["user_id", "event_type", "c"],
+        )
+
+    ut = (
+        events_ds.map_batches(ut_parts, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def term(b: pa.Table) -> pa.Table:
+        cs = b.column("c").to_pylist()
+        t = [
+            c * math.floor(math.log(float(c)) * 1e6 + 0.5) if c > 1 else 0
+            for c in cs
+        ]
+        return pa.Table.from_arrays(
+            [
+                b.column("user_id"),
+                pa.array(cs, pa.int64()),
+                pa.array(t, pa.int64()),
+                pa.array([1] * len(cs), pa.int64()),
+            ],
+            names=["user_id", "c", "clnc", "one"],
+        )
+
+    agg = (
+        ut.map_batches(term, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("c", alias_name="n_events"),
+            Sum("clnc", alias_name="sum_clnc"),
+            Sum("one", alias_name="n_types"),
+        )
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = b.column("n_events").to_pylist()
+        s = b.column("sum_clnc").to_pylist()
+        h = [
+            ni * math.floor(math.log(float(ni)) * 1e6 + 0.5) - si if ni > 1 else 0
+            for ni, si in zip(n, s)
+        ]
+        return pa.Table.from_arrays(
+            [
+                b.column("user_id"),
+                b.column("n_events"),
+                b.column("n_types"),
+                pa.array(np.asarray(h, dtype=np.int64)),
+            ],
+            names=["user_id", "n_events", "n_types", "h_micro_n"],
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

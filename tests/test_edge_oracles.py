@@ -222,6 +222,7 @@ EVENT_SIDE = {
     "props_stats",  # round 3: JSON props extraction (malformed/typed edges)
     "transition_counts",  # round 3: LAG-pair Markov matrix (ts-tie order)
     "ab_metrics",  # round 3: hash-arm funnel rates (same-ts non-convert)
+    "user_type_entropy",  # round 3: micro-nat entropy (1-event users = 0)
 }
 
 
@@ -347,6 +348,7 @@ EVENT_QUERIES = [
     "window_topk",  # round 3: count ties inside the sparse edge hours
     "transition_counts",  # round 3: ts-tie LAG pairs + single-event user
     "ab_metrics",  # round 3: same-ts purchase non-convert + no-view users
+    "user_type_entropy",  # round 3: single-event/single-type users = 0
 ]
 
 

@@ -631,3 +631,36 @@ def test_ab_metrics_null_ts_raises():
     with pytest.raises(Exception) as ei:
         ab_metrics(rd.from_arrow(t)).to_pandas()
     assert "null ts" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_type_entropy_hand_checked():
+    """Uniform 2-type user: H = ln 2, so h_micro_n = n*ln(n)micro -
+    2*(n/2)*ln(n/2)micro; single-event and single-type users get 0."""
+    import math
+
+    from ocr_lib_ray.functions.windows import user_type_entropy
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(
+                ["a", "a", "b", "b", "x", "y", "y"], pa.string()
+            ),
+        }
+    )
+    out = (
+        user_type_entropy(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ln = lambda x: math.floor(math.log(float(x)) * 1e6 + 0.5)
+    # user 1: n=4, two types with c=2 each
+    assert out.loc[1, "h_micro_n"] == 4 * ln(4) - 2 * (2 * ln(2))
+    assert out.loc[1, "n_types"] == 2
+    # user 2: single event -> 0; user 3: single type -> n*ln(n)-n*ln(n)=0
+    assert out.loc[2, "h_micro_n"] == 0
+    assert out.loc[3, "h_micro_n"] == 3 * 0 if False else out.loc[3, "h_micro_n"] == 2 * ln(2) - 2 * ln(2)
+    # implied entropy ~ ln 2 for user 1
+    assert abs(out.loc[1, "h_micro_n"] / (4 * 1e6) - math.log(2)) < 1e-5
