@@ -702,6 +702,14 @@ def _q_group_checksum(sf_dir: str):
     )
 
 
+def _q_length_histogram(sf_dir: str):
+    """Log2-bucketed token-length profile (truncation planning / the
+    first dashboard to move on an extraction bug)."""
+    from ocr_lib_ray.functions.text_stats import length_histogram
+
+    return length_histogram(_docs(sf_dir))
+
+
 def _q_lang_confusion(sf_dir: str):
     """Declared-vs-predicted language confusion matrix (model
     monitoring): map-only LangId + per-block |langs|² partials."""
@@ -2827,6 +2835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
+        "length_histogram": _q_length_histogram,
         "table_checksum": _q_table_checksum,
         "group_checksum": _q_group_checksum,
         "topk_with_ties": _q_topk_with_ties,
@@ -4274,6 +4283,22 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "lang_id": _lang_id_sql(norm),
+        # log2 buckets from an INTEGER powers table (never a float log2
+        # rounded at a power-of-two boundary); -1 = empty docs
+        "length_histogram": f"""
+            WITH d AS (SELECT CASE WHEN {norm} = '' THEN 0
+                              ELSE len(str_split({norm}, ' ')) END AS n
+                       FROM documents),
+            p AS (SELECT g AS k, CAST(power(2, g) AS BIGINT) AS pw
+                  FROM generate_series(0, 40) t(g)),
+            b AS (SELECT CASE WHEN n = 0 THEN -1
+                         ELSE (SELECT max(k) FROM p WHERE pw <= d.n)
+                         END AS bucket
+                  FROM d)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1
+        """,
         # anti-entropy checksum: md5-lower64 per row of the \\x1f-joined
         # CAST(x AS VARCHAR) rendering (NULL -> ''), two modular sums
         "table_checksum": """

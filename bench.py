@@ -305,6 +305,7 @@ def run_bench() -> dict:
         "topk_with_ties",
         "group_checksum",
         "user_type_entropy",
+        "length_histogram",
     ):
         # min-of-2, same protocol as the headline: the shared host's
         # bursty load makes single-shot per-op numbers meaningless

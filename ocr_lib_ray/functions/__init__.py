@@ -102,6 +102,8 @@ from .sketches import (
 )
 from .text_stats import (
     LangId,
+    lang_confusion,
+    length_histogram,
     QualityScore,
     code_detect_batch,
     doc_stats_batch,

@@ -602,3 +602,41 @@ def lang_confusion(docs_ds):
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def length_histogram(docs_ds):
+    """Log2-bucketed token-length distribution — the corpus profiling
+    histogram (truncation-vs-padding planning, chunk-size choice, and
+    the first thing that moves when an extraction bug ships):
+    (bucket, n_docs) with bucket k covering [2^k, 2^(k+1)) tokens and
+    bucket -1 = empty documents.
+
+    Exactness: the bucket is the integer bit-length (numpy ``frexp``
+    exponent — exact for counts < 2^53), never a float ``log2``
+    rounded at a power-of-two boundary; the oracle derives the same
+    bucket from an integer powers-of-two table.  Scale shape: map-only
+    per-block bucket partials, one ≤ 42-row groupby."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def parts(b: pa.Table) -> pa.Table:
+        norm = normalize_expr(b.column("text"))
+        n = token_count(norm).to_numpy(zero_copy_only=False).astype(np.int64)
+        _m, e = np.frexp(n.astype(np.float64))
+        bucket = np.where(n == 0, np.int64(-1), (e - 1).astype(np.int64))
+        g = pd.Series(bucket).value_counts().reset_index()
+        g.columns = ["bucket", "n"]
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["bucket"].astype(np.int64)),
+                pa.array(g["n"].astype(np.int64)),
+            ],
+            names=["bucket", "n"],
+        )
+
+    return (
+        docs_ds.map_batches(parts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )

@@ -52,6 +52,7 @@ QUERIES = [
     "model_score",
     "lang_id",
     "lang_confusion",  # round 3: declared-vs-predicted matrix (und/zh edges)
+    "length_histogram",  # round 3: log2 buckets (empty-doc -1 bucket)
     "table_checksum",  # round 3: anti-entropy sums (null text, short rows)
     "group_checksum",  # round 3: per-source drill-down of the same sums
     "char_entropy",

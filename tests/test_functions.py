@@ -1026,3 +1026,34 @@ def test_source_divergence_zero_for_identical_blends_and_positive_for_skew():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_histogram_boundaries_and_empty_bucket():
+    """Power-of-two boundaries land in the RIGHT bucket (the float-log2
+    hazard this op avoids): 1->b0, 2,3->b1, 4->b2, 8->b3; empty -> -1."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.text_stats import length_histogram
+
+    def doc(n):
+        return " ".join(["w"] * n)
+
+    texts = ["", doc(1), doc(2), doc(3), doc(4), doc(7), doc(8)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        length_histogram(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    assert out.loc[-1, "n_docs"] == 1
+    assert out.loc[0, "n_docs"] == 1      # n=1
+    assert out.loc[1, "n_docs"] == 2      # n=2,3
+    assert out.loc[2, "n_docs"] == 2      # n=4,7
+    assert out.loc[3, "n_docs"] == 1      # n=8
