@@ -3196,14 +3196,24 @@ def _kmeans_sql(k: int = 8, iters: int = 2, tail: str | None = None) -> str:
     return "".join(parts)
 
 
-def _pq_sql(m: int = 4, k: int = 8, iters: int = 2, sub_d: int = 16, tail: str = "") -> str:
+def _pq_sql(
+    m: int = 4, k: int = 8, iters: int = 2, sub_d: int = 16, tail: str = "", dim: int = 64
+) -> str:
     """Unrolled-CTE oracle for product quantization: the
     :func:`_kmeans_sql` chain generalized with a ``sub`` (subspace)
     key — m independent integer k-means run in ONE chain because every
     join/group simply adds ``sub``.  Same exactness rules: milli
     quantization, exact int64 squared distances, ties to lowest
     cluster, half-up-rounded integer means, empty clusters COALESCE,
-    seeds = vec_ids 0..k-1 sliced per subspace."""
+    seeds = vec_ids 0..k-1 sliced per subspace.  The SQL derives the
+    subspace key solely from ``sub_d``, so ``m`` is validated against
+    the fixture dim here to keep it from drifting from the engine
+    call's (m, sub_d) pair."""
+    if m * sub_d != dim:
+        raise ValueError(
+            f"_pq_sql: m * sub_d must equal the embedding dim ({dim}); "
+            f"got m={m}, sub_d={sub_d}"
+        )
     parts = [
         f"""
         WITH el AS (
@@ -3321,13 +3331,22 @@ def _ivfpq_sql(
     sub_d: int = 4,
     nq: int = 10,
     k_nn: int = 5,
+    dim: int = 64,
 ) -> str:
     """Unrolled-CTE oracle for IVF-PQ ADC search: the coarse k-means
     chain (kc*/ka*/kg*/ku* prefixes), residuals against the final
     coarse centroids, the residual-PQ chain (same exactness rules as
     :func:`_pq_sql`), per-query nprobe cell probing (ties → lowest
     cell), per-(query, cell) distance tables, and the cell-gated ADC
-    sum.  Queries are vec_ids 0..nq-1 and excluded from the corpus."""
+    sum.  Queries are vec_ids 0..nq-1 and excluded from the corpus.
+    ``m`` is validated against the fixture dim (the SQL derives
+    subspaces solely from ``sub_d``) so the oracle cannot drift from
+    the engine call's (m, sub_d) pair."""
+    if m * sub_d != dim:
+        raise ValueError(
+            f"_ivfpq_sql: m * sub_d must equal the embedding dim ({dim}); "
+            f"got m={m}, sub_d={sub_d}"
+        )
     parts = [
         f"""
         WITH el AS (

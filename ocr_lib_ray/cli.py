@@ -326,7 +326,7 @@ def main(argv=None) -> int:
     if args.cmd == "tokenize":
         import pyarrow as pa_
 
-        from .functions.tokens import build_vocab, encode_docs
+        from .functions.tokens import build_vocab, encode_docs, vocab_frame
         from .sources.text_files import read_documents
         from .stages.manifest import safe_wipe_output
 
@@ -338,7 +338,7 @@ def main(argv=None) -> int:
         )
         safe_wipe_output(args.output, overwrite=args.overwrite)
         vocab = build_vocab(docs, max_vocab=args.max_vocab)
-        vdf = vocab.to_pandas()
+        vdf = vocab_frame(vocab)
         import pyarrow.parquet as pqt_
 
         import os

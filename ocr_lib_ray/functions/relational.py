@@ -821,6 +821,12 @@ def order_count_dist(
     (c_count, n) partials into a ≤ max-order-count-sized groupby."""
 
     def order_parts(b: pa.Table) -> pa.Table:
+        if b.column("o_custkey").null_count:
+            raise ValueError(
+                "order_count_dist: null o_custkey values are unsupported — "
+                "filter them first (pandas groupby would silently drop the "
+                "rows while SQL keeps a NULL-custkey group)"
+            )
         keep = pc.starts_with(b.column("o_orderpriority"), include_prefix)
         t = b.filter(keep)
         df = pa.table({"custkey": t.column("o_custkey")}).to_pandas()
@@ -830,6 +836,12 @@ def order_count_dist(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def cust_zeros(b: pa.Table) -> pa.Table:
+        if b.column("c_custkey").null_count:
+            raise ValueError(
+                "order_count_dist: null c_custkey values are unsupported — "
+                "filter them first (the groupby would silently diverge from "
+                "the SQL oracle's NULL-key group)"
+            )
         return pa.table(
             {
                 "custkey": b.column("c_custkey"),

@@ -189,6 +189,30 @@ def _md5_hex(token: str) -> str:
     return hashlib.md5(token.encode()).hexdigest()
 
 
+def _empty_vocab_table() -> pa.Table:
+    """Typed empty (token, token_id, n) table for all-empty corpora."""
+    return pa.Table.from_arrays(
+        [
+            pa.array([], pa.string()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.int64()),
+        ],
+        names=["token", "token_id", "n"],
+    )
+
+
+def vocab_frame(vocab_ds) -> pd.DataFrame:
+    """Collect a :func:`build_vocab` dataset to pandas, coercing the
+    zero-row case to the typed (token, token_id, n) frame — Ray's
+    ``to_pandas()`` drops columns on ANY zero-row dataset even when the
+    schema is known, so consumers (``encode_docs``, ``cli tokenize``)
+    must go through this instead of calling ``to_pandas()`` raw."""
+    df = vocab_ds.to_pandas()
+    if not len(df):
+        return _empty_vocab_table().to_pandas()
+    return df
+
+
 def build_vocab(docs_ds, max_vocab: int | None = None, rank_buckets: int = 256):
     """Frequency-ranked vocabulary over the corpus: (token, token_id, n)
     with ``token_id`` = 0-based rank in the deterministic total order
@@ -272,11 +296,18 @@ def build_vocab(docs_ds, max_vocab: int | None = None, rank_buckets: int = 256):
                 names=["token", "token_id", "n"],
             )
 
-        return (
+        capped = (
             hashed.map_batches(prune, batch_format="pyarrow")
             .repartition(1)
             .map_batches(finish, batch_format="pyarrow")
+            .materialize()
         )
+        # zero-block to_pandas() drops columns even with a known schema
+        # (the top_supplier empty-frame pattern): hand callers a typed
+        # empty table so encode_docs / cli tokenize degrade cleanly
+        if capped.count() == 0:
+            return ray.data.from_arrow(_empty_vocab_table())
+        return capped
 
     # ---- uncapped: distributed rank ------------------------------------
     import numpy as np
@@ -303,6 +334,8 @@ def build_vocab(docs_ds, max_vocab: int | None = None, rank_buckets: int = 256):
             "the guard or lower rank_buckets"
         )
     hdf = hist.to_pandas()
+    if not len(hdf):
+        return ray.data.from_arrow(_empty_vocab_table())
     hdf = hdf.sort_values(["n", "bucket"], ascending=[False, True]).reset_index(
         drop=True
     )
@@ -352,7 +385,7 @@ def encode_docs(docs_ds, max_vocab: int = 4096, rank_buckets: int = 256, vocab_d
 
     if vocab_df is None:
         vocab = build_vocab(docs_ds, max_vocab=max_vocab, rank_buckets=rank_buckets)
-        vdf = vocab.to_pandas()
+        vdf = vocab_frame(vocab)
     else:
         # the cap is part of the documented contract even for a
         # caller-supplied vocabulary: an uncapped build_vocab frame

@@ -328,3 +328,18 @@ def test_encode_docs_vocab_df_respects_cap():
     # token ranked 2 (the singleton 'c') must be OOV
     assert (out["token_id"] == -1).sum() == 1
     assert set(out["token_id"]) == {0, 1, -1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_build_vocab_empty_corpus_typed():
+    """All-empty corpus: both rank paths hand back the typed empty
+    (token, token_id, n) frame via vocab_frame (Ray drops columns on
+    zero-row to_pandas), and encode_docs yields zero rows cleanly."""
+    from ocr_lib_ray.functions.tokens import build_vocab, encode_docs, vocab_frame
+
+    ds = rd.from_arrow(_docs(["", ""]))
+    for kwargs in ({"max_vocab": 10}, {}):
+        vdf = vocab_frame(build_vocab(ds, **kwargs))
+        assert list(vdf.columns) == ["token", "token_id", "n"]
+        assert vdf["token_id"].dtype == "int64" and len(vdf) == 0
+    assert encode_docs(ds, max_vocab=10).count() == 0

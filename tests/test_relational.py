@@ -730,3 +730,32 @@ def test_customer_features_null_custkey_raises():
     with pytest.raises(Exception) as ei:
         customer_features(rd.from_arrow(orders)).to_pandas()
     assert "null o_custkey" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_count_dist_null_keys_raise():
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.relational import order_count_dist
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, None], pa.int64()),
+            "o_orderpriority": ["1-URGENT", "1-URGENT"],
+        }
+    )
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        order_count_dist(rd.from_arrow(orders), rd.from_arrow(cust)).to_pandas()
+    assert "null o_custkey" in str(ei.value)
+
+    orders_ok = pa.table(
+        {
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderpriority": ["1-URGENT"],
+        }
+    )
+    cust_null = pa.table({"c_custkey": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        order_count_dist(rd.from_arrow(orders_ok), rd.from_arrow(cust_null)).to_pandas()
+    assert "null c_custkey" in str(ei.value)
