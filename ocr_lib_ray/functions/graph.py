@@ -75,10 +75,61 @@ def _distinct_nodes(edges_ds):
     )
 
 
-def pagerank_micro(edges_ds, iters: int = 3, num_partitions: int = 32):
+#: below this out-degree a source is never worth salting — replicating
+#: its state row into every bucket would cost more than the skew saves
+PAGERANK_HOT_MIN_DEGREE = 1024
+
+
+def _hot_keys(
+    ds, key_col: str, deg_col: str, n_edges: int, num_partitions: int, hot_degree_min
+):
+    """Detect hub keys whose edge rows would dominate one merge bucket
+    of a join keyed on them: degree >= max(E / P, floor).  The
+    collected set is BOUNDED by construction — at most E / threshold <=
+    num_partitions keys can exceed E / P — so the driver-side take is
+    hub-count-sized, never graph-sized."""
+    import pyarrow.compute as pc
+
+    thr = (
+        int(hot_degree_min)
+        if hot_degree_min is not None
+        else max(n_edges // max(num_partitions, 1), PAGERANK_HOT_MIN_DEGREE)
+    )
+    if thr < 1:
+        thr = 1
+    rows = (
+        ds.map_batches(
+            lambda b, _t=thr: b.filter(pc.greater_equal(b.column(deg_col), _t)),
+            batch_format="pyarrow",
+        )
+        .select_columns([key_col])
+        .take_all()
+    )
+    return {int(r[key_col]) for r in rows}
+
+
+def _hot_sources(outdeg_ds, n_edges: int, num_partitions: int, hot_degree_min):
+    """PageRank view of :func:`_hot_keys` over the (n, outdeg) table."""
+    return _hot_keys(
+        outdeg_ds, "n", "outdeg", n_edges, num_partitions, hot_degree_min
+    )
+
+
+def pagerank_micro(
+    edges_ds, iters: int = 3, num_partitions: int = 32, hot_degree_min=None
+):
     """PageRank over DISTINCT directed edges (src, dst) — integer
     micro-unit spec in the module docstring.  Returns Dataset
-    (node, rank_micro) after ``iters`` damped updates."""
+    (node, rank_micro) after ``iters`` damped updates.
+
+    Hub-skew hardening: sources whose out-degree exceeds
+    max(E / num_partitions, ``hot_degree_min`` or
+    :data:`PAGERANK_HOT_MIN_DEGREE`) are salted through the contribs
+    join (``hash_join(replicate_keys=...)``) — their single state row
+    replicates into every bucket while their edge rows spread
+    uniformly, so a power-law hub cannot melt one merge task.  The
+    output is bit-identical with or without salting (the join result
+    SET is unchanged)."""
     from ray.data.aggregate import Sum
 
     from .joins import hash_join
@@ -88,7 +139,8 @@ def pagerank_micro(edges_ds, iters: int = 3, num_partitions: int = 32):
 
     outdeg = edges.groupby("src").count().map_batches(
         lambda b: b.rename_columns(["n", "outdeg"]), batch_format="pyarrow"
-    )
+    ).materialize()
+    hot = _hot_sources(outdeg, edges.count(), num_partitions, hot_degree_min)
 
     state = hash_join(
         nodes, outdeg, key_col="n", right_value_cols=["outdeg"],
@@ -150,6 +202,7 @@ def pagerank_micro(edges_ds, iters: int = 3, num_partitions: int = 32):
         contribs = hash_join(
             edges, srcs, key_col="src", right_value_cols=["r", "outdeg"],
             how="inner", suffix="", num_partitions=num_partitions,
+            replicate_keys=hot or None,
         ).map_batches(
             lambda b: pa.Table.from_arrays(
                 [
@@ -228,9 +281,16 @@ def purchase_graph_edges(orders_ds, lineitem_ds, num_partitions: int = 32):
     )
 
     def to_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cust = b.column("cust").to_numpy(zero_copy_only=False).astype(np.int64)
         supp = b.column("supp").to_numpy(zero_copy_only=False).astype(np.int64)
-        flag = np.asarray(b.column("flag").to_pylist()) == "R"
+        flag = (
+            pc.equal(b.column("flag"), "R")
+            .combine_chunks()
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+        )
         src = np.concatenate([2 * cust, (2 * supp + 1)[flag]])
         dst = np.concatenate([2 * supp + 1, (2 * cust)[flag]])
         return pa.Table.from_arrays([pa.array(src), pa.array(dst)], names=["src", "dst"])
@@ -250,11 +310,11 @@ def cosupplier_edges(lineitem_ds, num_partitions: int = 32):
     orders are resolved vectorized inside the bucket and pair emission
     loops over ORDERS (small, bounded by order size), never rows.
     Deduped with the :func:`_distinct_pairs` partial-then-groupby."""
-    import zlib
+    from .joins import bucket_ints
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
-        bk = [zlib.crc32(str(k).encode()) % num_partitions for k in ok]
+        bk = bucket_ints(np.asarray(ok).astype(np.int64), num_partitions)
         return pa.Table.from_arrays(
             [b.column("l_orderkey"), b.column("l_suppkey"),
              pa.array(bk, pa.int32())],
@@ -299,38 +359,96 @@ def cosupplier_edges(lineitem_ds, num_partitions: int = 32):
     return _distinct_pairs(pairs)
 
 
-def triangle_support(edges_ds, max_wedges: int = 50_000_000):
+def triangle_support(edges_ds, max_wedges: int = 50_000_000, num_partitions: int = 32):
     """Per-edge triangle support over an undirected graph given as
-    DISTINCT (src, dst) with src < dst: for every edge (a, b), the
-    number of common neighbors u < a closing a triangle — i.e. each
-    triangle {u < a < b} is counted exactly once, at its closing edge.
-    Returns (a, b, n_tri) for edges with support >= 1 (sum(n_tri) =
+    DISTINCT (src, dst) with src < dst: each triangle is counted
+    exactly once — at its minimum-(degree, id) apex — and attributed to
+    the id-normalized pair (a, b), a < b, of its other two vertices.
+    Returns (a, b, n_tri) for pairs with support >= 1 (sum(n_tri) =
     total triangle count; per-edge support is the k-truss building
-    block).
+    block).  On a regular graph (all degrees equal, e.g. K_n) the
+    (degree, id) tie-break reduces to pure id orientation, so the
+    counts coincide with the classic u < a < b attribution.
 
-    Shape: wedges (u→a, u→b) are generated per apex group (one
-    map_groups over the smallest-id endpoint; id orientation makes
-    every triangle a unique wedge + closing edge), pre-counted per
-    (a, b) inside the group, then matched against the edge set with a
-    TAGGED UNION + one (a, b) groupby — no join operator needed.
+    Shape — DEGREE-ORDERED orientation (the Chiba–Nishizeki /
+    Ortmann–Brandes discipline): each undirected edge is oriented from
+    its lower-(degree, id) endpoint toward the higher, so per-apex
+    out-degree is O(sqrt(E)) and total wedge volume is O(E^1.5) even on
+    power-law (hub-skewed) graphs — a star graph generates ZERO wedges
+    instead of C(hub_degree, 2).  Wedges are generated per apex inside
+    HASH-BUCKET groups (bucket-first, never per-key dispatch),
+    pre-counted per (a, b) inside the bucket, then matched against the
+    edge set with a TAGGED UNION + one (a, b) groupby.  The two degree
+    joins are themselves hub-salted (``replicate_keys``) so the hub's
+    edge rows never funnel into one merge task.
 
-    Guard, not a silent melt: the wedge volume Σ C(outdeg, 2) is
-    pre-computed DISTRIBUTED from the (materialized) edge table and the
-    op raises above ``max_wedges`` — dense graphs (the uniform fixture
-    tables project to near-complete co-occurrence graphs; any exact
-    algorithm is Θ(#triangles) there) must be thresholded/sampled
-    upstream, and real hub skew wants the degree-ordered orientation
-    (orient toward higher degree — one extra degree join per endpoint,
-    bounding wedges by O(E^1.5)).
+    Guard, not a silent melt: the wedge volume Σ C(out-deg, 2) over the
+    ORIENTED graph is pre-computed distributed and the op raises above
+    ``max_wedges`` — dense graphs (the uniform fixture tables project
+    to near-complete co-occurrence graphs; any exact algorithm is
+    Θ(#triangles) there) must be thresholded/sampled upstream.
     """
     from ray.data.aggregate import Sum
 
-    # one materialization: the edge table feeds the guard scan, the
-    # wedge generation AND the closing union — without it each consumer
-    # re-executes the construction lineage (the rollup_stats lesson)
-    edges_ds = edges_ds.materialize()
+    from .joins import bucket_ints, hash_join
 
-    # exact wedge bound from per-src out-degrees: one count groupby,
+    # one materialization: the edge table feeds the degree scan, the
+    # orientation joins AND the closing union — without it each
+    # consumer re-executes the construction lineage (rollup_stats)
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+
+    # per-node UNDIRECTED degree: per-batch partials over src ∪ dst,
+    # then one node-scale groupby
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        u, c = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
+            names=["node", "d_part"],
+        )
+
+    deg = (
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d_part", alias_name="deg"))
+        .materialize()
+    )
+    hot = _hot_keys(deg, "node", "deg", n_edges, num_partitions, None)
+
+    deg_s = deg.map_batches(
+        lambda b: b.rename_columns(["src", "deg_s"]), batch_format="pyarrow"
+    )
+    deg_d = deg.map_batches(
+        lambda b: b.rename_columns(["dst", "deg_d"]), batch_format="pyarrow"
+    )
+    e1 = hash_join(
+        edges_ds, deg_s, key_col="src", right_value_cols=["deg_s"],
+        how="inner", suffix="", num_partitions=num_partitions,
+        replicate_keys=hot or None,
+    )
+    e2 = hash_join(
+        e1, deg_d, key_col="dst", right_value_cols=["deg_d"],
+        how="inner", suffix="", num_partitions=num_partitions,
+        replicate_keys=hot or None,
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        gs = b.column("deg_s").to_numpy(zero_copy_only=False).astype(np.int64)
+        gd = b.column("deg_d").to_numpy(zero_copy_only=False).astype(np.int64)
+        src_first = (gs < gd) | ((gs == gd) & (s < d))
+        apex = np.where(src_first, s, d)
+        other = np.where(src_first, d, s)
+        return pa.Table.from_arrays(
+            [pa.array(apex), pa.array(other)], names=["apex", "other"]
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # exact wedge bound from ORIENTED out-degrees: one count groupby,
     # per-batch partial Σ C(deg, 2), one scalar to the driver
     def degree_partial(b: pa.Table) -> pa.Table:
         c = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -339,7 +457,7 @@ def triangle_support(edges_ds, max_wedges: int = 50_000_000):
         )
 
     n_wedges = (
-        edges_ds.groupby("src")
+        oriented.groupby("apex")
         .count()
         .map_batches(degree_partial, batch_format="pyarrow")
         .sum("nw")
@@ -348,32 +466,56 @@ def triangle_support(edges_ds, max_wedges: int = 50_000_000):
     if n_wedges > max_wedges:
         raise ValueError(
             f"triangle_support: wedge volume {n_wedges} exceeds max_wedges="
-            f"{max_wedges} — the graph is too dense for the id-oriented "
-            "exact count; threshold/sample edges upstream or use the "
-            "degree-ordered orientation"
+            f"{max_wedges} — the graph is too dense even under the "
+            "degree-ordered orientation; threshold/sample edges upstream"
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        a = b.column("apex").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array(bucket_ints(a, num_partitions), pa.int32())
         )
 
     def wedges(g: pa.Table) -> pa.Table:
-        nbrs = np.sort(g.column("dst").to_numpy(zero_copy_only=False))
-        if len(nbrs) < 2:
+        # per-bucket: vectorized lexsort into apex segments, triangle
+        # pair emission per apex (loop over APEXES, bounded by the
+        # O(sqrt(E)) oriented out-degree, never over rows)
+        a = g.column("apex").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = g.column("other").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((o, a))
+        a, o = a[order], o[order]
+        starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+        ends = np.concatenate([starts[1:], [len(a)]])
+        As, Bs = [], []
+        for lo, hi in zip(starts, ends):
+            if hi - lo < 2:
+                continue
+            nb = o[lo:hi]  # ascending by lexsort -> pairs come out a < b
+            iu, iv = np.triu_indices(hi - lo, k=1)
+            As.append(nb[iu])
+            Bs.append(nb[iv])
+        if not As:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()),
                  pa.array([], pa.int64()), pa.array([], pa.int64())],
                 names=["a", "b", "nw", "has_edge"],
             )
-        iu, iv = np.triu_indices(len(nbrs), k=1)
+        pairs = np.stack([np.concatenate(As), np.concatenate(Bs)], axis=1)
+        u, c = np.unique(pairs, axis=0, return_counts=True)
         return pa.Table.from_arrays(
             [
-                pa.array(nbrs[iu]),
-                pa.array(nbrs[iv]),
-                pa.array(np.ones(len(iu), dtype=np.int64)),
-                pa.array(np.zeros(len(iu), dtype=np.int64)),
+                pa.array(u[:, 0]),
+                pa.array(u[:, 1]),
+                pa.array(c.astype(np.int64)),
+                pa.array(np.zeros(len(u), dtype=np.int64)),
             ],
             names=["a", "b", "nw", "has_edge"],
         )
 
-    wedge_rows = edges_ds.groupby("src").map_groups(
-        wedges, batch_format="pyarrow"
+    wedge_rows = (
+        oriented.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pyarrow")
     )
 
     def tag_edges(b: pa.Table) -> pa.Table:

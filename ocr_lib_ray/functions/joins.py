@@ -121,6 +121,11 @@ def _union_bucketed(
         return pa.nulls(n, t)
 
     hot = set(replicate_keys) if replicate_keys else None
+    # hot-set fast path: an all-integer hot set over a single integer
+    # key column stays fully vectorized (np.isin + splitmix64 re-mix)
+    hot_ints = None
+    if hot is not None and all(isinstance(k, (int, np.integer)) for k in hot):
+        hot_ints = np.fromiter((int(k) for k in hot), dtype=np.int64, count=len(hot))
 
     def aligner(present: list, side: int):
         def align(batch: pa.Table) -> pa.Table:
@@ -132,17 +137,54 @@ def _union_bucketed(
                 for c in all_cols
             ]
             key_cols = _key_list(key_col)
-            if hot is None and len(key_cols) == 1:
+            if len(key_cols) == 1:
                 kc = batch.column(key_cols[0])
                 import pyarrow.types as pat
 
-                if pat.is_integer(kc.type):
+                if pat.is_integer(kc.type) and (hot is None or hot_ints is not None):
                     # fast path: vectorized integer bucketing (the
                     # overwhelmingly common case — int64 ids); null
                     # keys are rejected later by the same merge-side
                     # guard, but view() needs them filled first
-                    iv = kc.fill_null(0).to_numpy(zero_copy_only=False)
-                    bk = bucket_ints(np.asarray(iv), num_partitions)
+                    iv = np.asarray(
+                        kc.fill_null(0).to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                    bk = bucket_ints(iv, num_partitions)
+                    if hot_ints is not None:
+                        mask = np.isin(iv, hot_ints)
+                        if mask.any() and side == 0:
+                            # hot LEFT rows spread uniformly: re-mix the
+                            # key with a per-row ordinal (which bucket a
+                            # row lands in is irrelevant — every bucket
+                            # holds the key's full right side)
+                            idx = np.flatnonzero(mask).astype(np.uint64)
+                            mix = iv[mask].astype(np.uint64) + (
+                                (idx + np.uint64(1)) << np.uint64(32)
+                            )
+                            bk[mask] = bucket_ints(
+                                mix.view(np.int64), num_partitions
+                            )
+                        elif mask.any():
+                            # hot RIGHT rows replicate into EVERY bucket
+                            t = pa.Table.from_arrays(arrays, names=all_cols)
+                            cold = t.filter(pa.array(~mask)).append_column(
+                                "bucket", pa.array(bk[~mask], pa.int32())
+                            )
+                            hot_t = t.filter(pa.array(mask))
+                            parts = [cold]
+                            for bnum in range(num_partitions):
+                                parts.append(
+                                    hot_t.append_column(
+                                        "bucket",
+                                        pa.array(
+                                            [bnum] * hot_t.num_rows, pa.int32()
+                                        ),
+                                    )
+                                )
+                            out = pa.concat_tables(parts)
+                            return out.append_column(
+                                "side", pa.array([side] * out.num_rows, pa.int8())
+                            )
                     arrays.append(pa.array(bk, pa.int32()))
                     arrays.append(pa.array([side] * n, pa.int8()))
                     return pa.Table.from_arrays(

@@ -176,8 +176,19 @@ def test_triangle_support_matches_duckdb_on_sparse_graph():
     want = (
         con.execute(
             """
-            WITH w AS (SELECT e1.v AS a, e2.v AS b
-                       FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v)
+            WITH deg AS (
+                SELECT node, count(*) AS d FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY 1),
+            o AS (
+                SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                            THEN e.u ELSE e.v END AS s,
+                       CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                            THEN e.v ELSE e.u END AS t
+                FROM e JOIN deg du ON du.node = e.u
+                       JOIN deg dv ON dv.node = e.v),
+            w AS (SELECT o1.t AS a, o2.t AS b
+                  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t)
             SELECT w.a, w.b, count(*) AS n_tri
             FROM w JOIN e ON e.u = w.a AND e.v = w.b GROUP BY 1, 2
             """
@@ -229,3 +240,92 @@ def test_cosupplier_edges_layout_invariant():
     pd.testing.assert_frame_equal(a, b)
     assert (a["src"] < a["dst"]).all()
     assert not a.duplicated(["src", "dst"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_hub_salting_bit_equal():
+    """A power-law hub (one source holding most edges) detected by the
+    hot-source threshold must yield BIT-identical ranks to the unsalted
+    path — replicate_keys changes bucket placement, never the result."""
+    from ocr_lib_ray.functions.graph import pagerank_micro
+
+    # hub 0 -> 1..120 (plus a sparse cold tail and back-edges to 0)
+    edges = [(0, i) for i in range(1, 121)]
+    edges += [(i, (i * 7) % 120 + 1) for i in range(1, 40)]
+    edges += [(5, 0), (11, 0)]
+    salted = (
+        pagerank_micro(edge_ds(edges), iters=3, num_partitions=8, hot_degree_min=10)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    plain = (
+        pagerank_micro(
+            edge_ds(edges), iters=3, num_partitions=8, hot_degree_min=10**9
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted, plain)
+    # and both match the pure-python integer reference
+    want = ref_pagerank(edges, 3)
+    got = dict(zip(salted["node"], salted["rank_micro"]))
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_source_detection_bounded():
+    """_hot_sources collects only above-threshold hubs (bounded by
+    E/threshold keys, never graph-sized)."""
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.graph import _hot_sources
+
+    outdeg = rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([0, 1, 2, 3], pa.int64()),
+                "outdeg": pa.array([5000, 3, 2, 1], pa.int64()),
+            }
+        )
+    )
+    # auto threshold = max(E // P, PAGERANK_HOT_MIN_DEGREE floor)
+    assert _hot_sources(outdeg, 5006, num_partitions=8, hot_degree_min=None) == {0}
+    assert _hot_sources(outdeg, 5006, num_partitions=8, hot_degree_min=3) == {0, 1}
+    # the 1024 floor keeps tiny graphs unsalted even when E/P is small
+    outdeg_small = rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([0, 1], pa.int64()),
+                "outdeg": pa.array([500, 3], pa.int64()),
+            }
+        )
+    )
+    assert _hot_sources(outdeg_small, 503, num_partitions=8, hot_degree_min=None) == set()
+    # explicit threshold above every degree -> empty set (no salting)
+    assert _hot_sources(outdeg, 5006, num_partitions=8, hot_degree_min=10**9) == set()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_support_star_graph_degree_oriented():
+    """A hub star (the power-law worst case): degree orientation points
+    every edge AT the hub, so the wedge volume is ZERO — id orientation
+    would generate C(1999, 2) ≈ 2M wedges and trip max_wedges=1000."""
+    from ocr_lib_ray.functions.graph import triangle_support
+
+    star = [(0, i) for i in range(1, 2000)]
+    got = triangle_support(_edges_ds(star), max_wedges=1000)
+    assert got.count() == 0  # a star has no triangles
+
+    # hub PLUS one triangle: the triangle survives degree orientation
+    starred = star + [(1, 2)]
+    out = (
+        triangle_support(_edges_ds(starred), max_wedges=1000)
+        .to_pandas()
+        .astype("int64")
+    )
+    assert len(out) == 1 and out["n_tri"].sum() == 1
+    # apex = min-(degree, id) vertex of {0, 1, 2} = 1 or 2 (degree 2)
+    # vs hub 0 (degree 1999) -> apex 1, closing pair (0, 2) id-ordered
+    assert (int(out["a"].iloc[0]), int(out["b"].iloc[0])) == (0, 2)
