@@ -533,7 +533,9 @@ def connected_components(
     corpus-sized (crawl snapshots with 40%+ duplication).  Here the
     label state stays a Dataset end-to-end: min-label propagation where
     each round (a) unions the (node, label) state with the static
-    directed edge list under ``crc32(node) % num_buckets`` tags — the
+    directed edge list under ``hash(node) % num_buckets`` tags
+    (vectorized splitmix64 for integer nodes, factorized crc32
+    otherwise) — the
     same bucketed-groupby join discipline as
     :func:`dedup_by_pairs_join`, NOT ``Dataset.join`` — so a
     groupby(bucket) ``map_groups`` can look up each edge source's label
@@ -550,7 +552,6 @@ def connected_components(
     chains — raising it is safe, just slow, and the raise names the
     knob.
     """
-    import zlib
 
     import ray.data as rd
 
@@ -585,13 +586,10 @@ def connected_components(
         return rd.from_arrow(empty)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column("node").to_pylist()
+        from .joins import bucket_col
+
         return b.append_column(
-            "bucket",
-            pa.array(
-                [zlib.crc32(str(k).encode()) % num_buckets for k in keys],
-                pa.int32(),
-            ),
+            "bucket", pa.array(bucket_col(b.column("node"), num_buckets), pa.int32())
         )
 
     def take_min(g: pd.DataFrame) -> pd.DataFrame:

@@ -48,6 +48,39 @@ def bucket_ints(vals: np.ndarray, num_partitions: int) -> np.ndarray:
     return (x % np.uint64(num_partitions)).astype(np.int32)
 
 
+def bucket_int_pairs(a: np.ndarray, b: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Vectorized bucket for a COMPOSITE integer key (a, b): golden-ratio
+    combine in wrapping uint64, then the splitmix64 finalizer via
+    :func:`bucket_ints`.  Internal partitioning only — never output."""
+    x = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(np.uint64)
+    return bucket_ints(x.view(np.int64), num_partitions)
+
+
+def bucket_col(col, num_partitions: int, crc_compat: bool = False) -> np.ndarray:
+    """Vectorized bucket assignment for an Arrow column: splitmix64 for
+    integer columns, factorized crc32 otherwise (the Python crc32 runs
+    once per UNIQUE key, not per row — bit-equal to the historical
+    per-row loop).  ``crc_compat=True`` forces the crc32 path even for
+    integers — for sites where the bucket value is pinned by an
+    on-disk layout (the streaming session log) and must never change
+    across engine versions."""
+    import pyarrow.types as pat
+
+    if not crc_compat and pat.is_integer(col.type):
+        iv = np.asarray(col.fill_null(0).to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        return bucket_ints(iv, num_partitions)
+    vals = col.to_pylist()
+    codes, uniq = pd.factorize(np.asarray(vals, dtype=object))
+    ub = np.fromiter(
+        (zlib.crc32(str(k).encode()) % num_partitions for k in uniq),
+        dtype=np.int32,
+        count=len(uniq),
+    )
+    return ub[codes]
+
+
 def _union_bucketed(
     left_ds,
     right_ds,

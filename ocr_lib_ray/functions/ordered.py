@@ -22,7 +22,6 @@ repo's no-float-reassociation discipline.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -64,10 +63,11 @@ def _add_bucket(batch: pa.Table, key_col: str, num_buckets: int) -> pa.Table:
             pa.int32(),
         )
     else:
-        b = pa.array(
-            [zlib.crc32(str(k).encode()) % num_buckets for k in kc.to_pylist()],
-            pa.int32(),
-        )
+        from .joins import bucket_col
+
+        # factorized crc32: the Python hash runs once per UNIQUE key
+        # (bit-equal to the historical per-row loop)
+        b = pa.array(bucket_col(kc, num_buckets, crc_compat=True), pa.int32())
     return batch.append_column("bucket", b)
 
 

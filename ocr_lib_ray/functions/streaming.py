@@ -58,7 +58,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -223,9 +222,14 @@ def prepare_bucket_log(
     os.makedirs(log_dir, exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
+        from .joins import bucket_col
+
         ts = batch.column("ts").cast(pa.int64())
-        users = batch.column("user_id").to_pylist()
-        b = [zlib.crc32(str(u).encode()) % num_buckets for u in users]
+        # crc_compat: the bucket value is pinned by the on-disk log
+        # layout (bucket=N.parquet) that checkpoints replay against —
+        # it must never change across engine versions; the factorized
+        # form runs crc32 once per UNIQUE user, not per row
+        b = bucket_col(batch.column("user_id"), num_buckets, crc_compat=True)
         return pa.Table.from_arrays(
             [batch.column("user_id"), ts, batch.column("value"), pa.array(b, pa.int32())],
             names=LOG_COLUMNS + ["bucket"],

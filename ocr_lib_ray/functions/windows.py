@@ -92,36 +92,79 @@ def heavy_hitters(events_ds, k: int = 10):
     )
 
 
-def sessionize(events_ds, gap_seconds: int = 1800):
-    """Session windows per user: events sorted by ts within a user group;
-    a gap > ``gap_seconds`` starts a new session.  Expressed as
-    ``groupby(user_id).map_groups`` (the partition-by-key +
-    in-group-order pattern for stream-shaped data; ordering assumption:
-    per-user history fits one group).  Returns one row per session:
-    (user_id, session_id, session_start_us, n_events, value_sum).
-    """
+def sessionize(events_ds, gap_seconds: int = 1800, num_buckets: int = 64):
+    """Session windows per user: events sorted by ts within a user;
+    a gap > ``gap_seconds`` starts a new session.  Returns one row per
+    session: (user_id, session_id, session_start_us, n_events,
+    value_sum).
+
+    Groups on a HASH BUCKET of the user (never the raw key — per-key
+    ``map_groups`` dispatch is the dominant cost on near-singleton
+    keys, the cosupplier_edges lesson) and sessionizes every user in
+    the bucket in ONE vectorized pass (stable sort by (user, ts),
+    break-mask cumsum).  Ordering assumption: per-USER history fits a
+    task along with its bucket peers; a user holding a large share of
+    the corpus still lands in one bucket — use
+    :func:`sessionize_salted` for hot-key corpora (it splits the heavy
+    key by time window)."""
+    import numpy as np
     import pandas as pd
+
+    from .joins import bucket_col
 
     gap_us = gap_seconds * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        ts = g["ts"].astype("int64")
-        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(bucket_col(batch.column("user_id"), num_buckets), pa.int32()),
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        gap_brk = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = u[1:] != u[:-1]
+            gap_brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        brk = new_user | gap_brk
+        gsid = np.cumsum(brk) - 1  # bucket-global session ordinal
+        # per-user session_id: gsid minus gsid at the user's first row
+        # (gsid is nondecreasing, so a running max of the user-start
+        # values propagates the right base to every row)
+        user_base = np.maximum.accumulate(np.where(new_user, gsid, 0))
+        df = pd.DataFrame(
+            {
+                "user_id": u,
+                "g": gsid,
+                "sid": gsid - user_base,
+                "ts_us": ts,
+                "value": g["value"].to_numpy(),
+            }
+        )
         out = (
-            g.assign(session_id=new_session - 1, ts_us=ts)
-            .groupby("session_id", sort=True)
+            df.groupby("g", sort=True)
             .agg(
+                user_id=("user_id", "first"),
+                session_id=("sid", "first"),
                 session_start_us=("ts_us", "min"),
                 n_events=("ts_us", "count"),
                 value_sum=("value", "sum"),
             )
-            .reset_index()
+            .reset_index(drop=True)
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        return out[
+            ["user_id", "session_id", "session_start_us", "n_events", "value_sum"]
+        ]
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sessionize_salted(
@@ -156,14 +199,28 @@ def sessionize_salted(
     window_us = window_seconds * 1_000_000
 
     def add_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.types as pat
+
+        from .joins import bucket_int_pairs
+
         ts = batch.column("ts").cast(pa.int64())
         win = pc.multiply(pc.divide(ts, window_us), window_us)
-        users = batch.column("user_id").to_pylist()
-        wins = win.to_pylist()
-        b1 = [
-            zlib.crc32(f"{u}|{w}".encode()) % num_buckets
-            for u, w in zip(users, wins)
-        ]
+        uc = batch.column("user_id")
+        wv = np.asarray(win.to_numpy(zero_copy_only=False)).astype(np.int64)
+        if pat.is_integer(uc.type):
+            uv = np.asarray(
+                uc.fill_null(0).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            b1 = bucket_int_pairs(uv, wv, num_buckets)
+        else:
+            b1 = np.fromiter(
+                (
+                    zlib.crc32(f"{u}|{w}".encode()) % num_buckets
+                    for u, w in zip(uc.to_pylist(), wv)
+                ),
+                dtype=np.int32,
+                count=len(wv),
+            )
         return batch.append_column("win", win).append_column(
             "bucket", pa.array(b1, pa.int32())
         )
@@ -211,8 +268,9 @@ def sessionize_salted(
     )
 
     def add_user_bucket(batch: pa.Table) -> pa.Table:
-        users = batch.column("user_id").to_pylist()
-        b2 = [zlib.crc32(str(u).encode()) % num_buckets for u in users]
+        from .joins import bucket_col
+
+        b2 = bucket_col(batch.column("user_id"), num_buckets)
         return batch.append_column("ubucket", pa.array(b2, pa.int32()))
 
     def merge_users(g: pd.DataFrame) -> pd.DataFrame:

@@ -1057,3 +1057,45 @@ def test_length_histogram_boundaries_and_empty_bucket():
     assert out.loc[1, "n_docs"] == 2      # n=2,3
     assert out.loc[2, "n_docs"] == 2      # n=4,7
     assert out.loc[3, "n_docs"] == 1      # n=8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_bucketed_hot_user_and_hand_check():
+    """Bucket-first sessionize: a hot user holding most of the corpus
+    plus cold singleton users — per-user session ids, gap breaks, and
+    sums must match a pandas reference regardless of bucketing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.windows import sessionize
+
+    gap = 1800
+    rows = []
+    # hot user 7: 5000 events in 10 bursts separated by > gap
+    base = 1_600_000_000_000_000
+    for burst in range(10):
+        t0 = base + burst * 10**10
+        for i in range(500):
+            rows.append((7, t0 + i * 1_000_000, 1.0))
+    # cold users 100..149: one event each
+    for u in range(100, 150):
+        rows.append((u, base + u, 2.0))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    ds = rd.from_pandas(df).repartition(8)
+    for nb in (4, 64):
+        got = (
+            sessionize(ds, gap_seconds=gap, num_buckets=nb)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        hot = got[got["user_id"] == 7]
+        assert len(hot) == 10
+        assert list(hot["session_id"]) == list(range(10))
+        assert (hot["n_events"] == 500).all()
+        assert np.allclose(hot["value_sum"], 500.0)
+        cold = got[got["user_id"] >= 100]
+        assert len(cold) == 50
+        assert (cold["session_id"] == 0).all()
+        assert (cold["n_events"] == 1).all()
