@@ -1064,27 +1064,88 @@ def _q_knn_brute(sf_dir: str):
     )
 
 
+#: planted-twin id offset for the ANN subset oracles — twins are exact
+#: duplicates of vec_ids 0..9, so ANY correct LSH/IVF index MUST
+#: retrieve them (identical vectors share every hyperplane sign / cell
+#: and have maximal cosine); missing one is a real bug, not recall loss
+_PLANT_OFFSET = 1_000_000
+_PLANT_NQ = 10
+
+
+def _emb_with_planted(sf_dir: str):
+    """embeddings ∪ exact-duplicate twins of vec_ids 0..nq-1 (twin id =
+    src + _PLANT_OFFSET, identical embedding)."""
+    import pyarrow.compute as pc
+
+    emb = _emb(sf_dir)
+
+    def twin(b):
+        t = b.filter(pc.less(b.column("vec_id"), _PLANT_NQ))
+        return t.set_column(
+            t.column_names.index("vec_id"),
+            "vec_id",
+            pc.add(t.column("vec_id"), _PLANT_OFFSET),
+        )
+
+    return emb.union(emb.map_batches(twin, batch_format="pyarrow"))
+
+
+def _keep_planted_knn(out_ds):
+    """Project an ANN top-k result to its planted rows: (query, twin)."""
+    import pyarrow.compute as pc
+
+    def keep(b):
+        m = pc.equal(
+            pc.subtract(b.column("vec_id"), b.column("query_id")), _PLANT_OFFSET
+        )
+        return b.filter(m).select(["query_id", "vec_id"])
+
+    return out_ds.map_batches(keep, batch_format="pyarrow")
+
+
+_PLANTED_KNN_SQL = f"""
+    SELECT vec_id AS query_id, vec_id + {_PLANT_OFFSET} AS vec_id
+    FROM embeddings WHERE vec_id < {_PLANT_NQ}
+"""
+
+
 def _q_knn_lsh(sf_dir: str):
-    """Hyperplane-LSH ANN — recall < 1 by construction → rows-only.
-    Audited for a brute-equality oracle (round 3): measured recall on
-    the sf0.01 fixture is ~0.97, NOT 1.0, so an exact oracle would
-    assert a false equivalence; the pytest recall floor + the
-    multi-table no-false-positive invariant remain the gates."""
+    """Hyperplane-LSH ANN, gated by the PLANTED-TWIN subset oracle
+    (round 4): a full brute-equality oracle would assert a false
+    equivalence (measured fixture recall ~0.97 < 1 by construction),
+    but an exact duplicate planted in the corpus shares every
+    hyperplane sign with its source, so a correct index retrieves it
+    DETERMINISTICALLY — the query runs the unchanged operator over
+    corpus ∪ twins and returns the (query, twin) rows found, which must
+    hash-equal the planted mapping.  Full-rank recall stays pinned by
+    the pytest floor + the multi-table no-false-positive invariant."""
     from ocr_lib_ray.functions.similarity import knn_lsh
 
-    return knn_lsh(_emb(sf_dir), query_ids=list(range(10)), k=5)
+    return _keep_planted_knn(
+        knn_lsh(_emb_with_planted(sf_dir), query_ids=list(range(_PLANT_NQ)), k=5)
+    )
 
 
 def _q_knn_ivf(sf_dir: str):
     """IVF ANN (deterministic k-means coarse quantizer, nprobe cells
-    scanned) — recall < 1 by construction → rows-only; recall and the
-    nprobe=n_centroids==brute equivalence are pinned in pytest.
-    Audited for a brute-equality oracle (round 3): at nprobe=6 the
-    fixture output differs from brute (recall < 1 is real), so no
-    honest exact oracle exists at these parameters."""
+    scanned), gated by the PLANTED-TWIN subset oracle (round 4): an
+    exact duplicate is assigned to the same coarse cell its source
+    probes first, so retrieval is deterministic even at nprobe < K —
+    the (query, twin) projection must hash-equal the planted mapping.
+    Full-rank recall and the nprobe=n_centroids==brute equivalence
+    remain pinned in pytest (a brute-equality oracle would be false:
+    at nprobe=6 fixture recall < 1 is real)."""
     from ocr_lib_ray.functions.similarity import knn_ivf
 
-    return knn_ivf(_emb(sf_dir), query_ids=list(range(10)), k=5, n_centroids=16, nprobe=6)
+    return _keep_planted_knn(
+        knn_ivf(
+            _emb_with_planted(sf_dir),
+            query_ids=list(range(_PLANT_NQ)),
+            k=5,
+            n_centroids=16,
+            nprobe=6,
+        )
+    )
 
 
 def _q_graph_triangles(sf_dir: str):
@@ -1854,11 +1915,26 @@ def _q_contamination_report(sf_dir: str):
 
 
 def _q_cosine_dups_lsh(sf_dir: str):
+    """LSH near-dup pairs, gated by the PLANTED-TWIN subset oracle
+    (round 4): planted exact duplicates share every (table, bucket), so
+    a correct bucketing emits each (src, twin) pair deterministically
+    (cosine 1 >= any threshold); the projection to pairs differing by
+    exactly _PLANT_OFFSET must hash-equal the planted mapping.  Recall
+    on non-identical pairs stays pytest-gated against the brute path."""
+    import pyarrow.compute as pc
+
     from ocr_lib_ray.functions.similarity import cosine_dup_pairs_lsh
 
-    return cosine_dup_pairs_lsh(_emb(sf_dir), threshold=0.4, n_planes=2).select_columns(
-        ["d1", "d2"]
-    )
+    out = cosine_dup_pairs_lsh(
+        _emb_with_planted(sf_dir), threshold=0.4, n_planes=2
+    ).select_columns(["d1", "d2"])
+
+    def keep(b):
+        return b.filter(
+            pc.equal(pc.subtract(b.column("d2"), b.column("d1")), _PLANT_OFFSET)
+        )
+
+    return out.map_batches(keep, batch_format="pyarrow")
 
 
 def _q_redact_pii(sf_dir: str):
@@ -4555,6 +4631,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS d1, b.vec_id AS d2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # planted-twin subset oracles for the approximate ANN family
+        # (round 4): the queries project their output to the planted
+        # exact-duplicate rows, whose retrieval is DETERMINISTIC for
+        # any correct LSH/IVF index — so the oracle is the planted
+        # mapping itself; full-rank recall stays pytest-gated
+        "knn_lsh": _PLANTED_KNN_SQL,
+        "knn_ivf": _PLANTED_KNN_SQL,
+        "cosine_dups_lsh": f"""
+            SELECT vec_id AS d1, vec_id + {_PLANT_OFFSET} AS d2
+            FROM embeddings WHERE vec_id < {_PLANT_NQ}
         """,
         # embedding-space eval decontamination: id-set output (the same
         # no-float-column discipline as cosine_dups); eval rows drop as

@@ -96,8 +96,7 @@ def main() -> int:
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only ({len(got)} rows, cols {list(got.columns)}) [{dt:.1f}s]")
-            # rows-only ops that can legitimately return zero rows
-            if len(got) == 0 and name not in ("cosine_dups_lsh",):
+            if len(got) == 0:
                 print(f"  WARNING: empty result")
             continue
         want = norm_df(con.execute(oracles[name]).df())
