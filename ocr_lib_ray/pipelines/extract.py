@@ -24,13 +24,18 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..sources.pages import synthesize_pages_batch
-from ..stages.extract_stage import ExtractDocuments, extract_batch
+from ..stages.extract_stage import (
+    ExtractDocuments,
+    RoutedExtractDocuments,
+    extract_batch,
+    routed_extract_batch,
+)
 from ..stages.manifest import (
     completed_partitions,
     make_partition_writer,
     make_resume_filter,
 )
-from ..stages.partition import add_partition_meta, drop_columns, make_size_filter
+from ..stages.partition import add_partition_meta, drop_columns
 
 
 def build_pages_dataset(sf_dir: str, repeat: int = 1) -> rd.Dataset:
@@ -75,13 +80,15 @@ def extract_pipeline(
     * ``bundle_ref`` set — ACTOR POOL: the classifier bundle (the
       ``signs`` template-store analog) is fetched once per actor in
       ``__init__`` and shared across batches.
-    * ``skew_route=True`` — dual-path on ``len(html)``: bulk rows in
-      normal batches, giant rows in ``giant_batch_size`` batches on a
-      small pool.  Costs one extra pass over the (column-pruned) source,
-      so it is opt-in for corpora that actually contain giant pages.
-      Independent of routing, the kernel parses any page above
-      ``giant_threshold`` in bounded chunk passes, and ``batch_size``
-      bounds co-resident rows — routing only narrows tail latency.
+    * ``skew_route=True`` — SINGLE-PASS in-task routing on
+      ``len(html)``: each batch splits into bulk rows (vectorized
+      extract) and giant rows (sequential, one kernel call per row, so
+      per-task peak memory is bounded by ONE giant parse).  The source
+      is read exactly once (round 4; the old dual-filter path paid a
+      second pruned read).  Independent of routing, the kernel parses
+      any page above ``giant_threshold`` in bounded chunk passes, and
+      ``batch_size`` bounds co-resident rows — routing only narrows
+      tail latency.
     """
     import functools
 
@@ -99,27 +106,25 @@ def extract_pipeline(
     else:
         extract_kw = dict(fn=functools.partial(extract_batch, cfg=cfg))
     if skew_route:
-        bulk = ds.map_batches(
-            make_size_filter(0, cfg.giant_threshold), batch_format="pyarrow"
-        ).map_batches(
+        # SINGLE-PASS routing (round 4): one stage splits each batch
+        # in-task on html_len — bulk rows extract vectorized, giant
+        # rows parse sequentially (memory bounded by ONE giant parse
+        # per task).  The old dual path paid a second full pass over
+        # the (pruned) source for the giant filter; a bundle reaches
+        # both routes by construction here (one instance).
+        if bundle_ref is not None:
+            return ds.map_batches(
+                RoutedExtractDocuments,
+                fn_constructor_args=(cfg, bundle_ref),
+                concurrency=_pool_size(cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.bulk_batch_size,
+            )
+        return ds.map_batches(
+            functools.partial(routed_extract_batch, cfg=cfg),
             batch_format="pyarrow",
             batch_size=cfg.bulk_batch_size,
-            **extract_kw,
         )
-        giant = ds.map_batches(
-            make_size_filter(cfg.giant_threshold, 1 << 62),
-            batch_format="pyarrow",
-        ).map_batches(
-            ExtractDocuments,
-            # bundle_ref must flow to BOTH routes: a re-taught TagConfig that
-            # applied only to bulk rows would silently classify giant pages
-            # with DEFAULT_TAGS (route-dependent semantics).
-            fn_constructor_args=(cfg, bundle_ref),
-            batch_format="pyarrow",
-            batch_size=cfg.giant_batch_size,
-            concurrency=(1, 2),
-        )
-        return bulk.union(giant)
     return ds.map_batches(
         batch_format="pyarrow",
         batch_size=cfg.bulk_batch_size,
