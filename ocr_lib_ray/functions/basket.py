@@ -41,17 +41,38 @@ from .joins import hash_join
 
 __all__ = ["copurchase_lift"]
 
+#: driver-side SON candidate-set guard — locally-frequent pairs are
+#: model-sized by construction, but a pathological (min_support,
+#: num_partitions) pair could still explode; raise loudly instead
+SON_MAX_CANDIDATES = 5_000_000
+
 
 def copurchase_lift(
     lineitem_ds,
     min_support: int = 2,
     max_items_per_order: int = 10_000,
     num_partitions: int = 32,
+    son_prune: bool = True,
 ):
     """(part_a, part_b, n_pair, n_a, n_b, lift_micro) for every
     unordered part pair co-occurring in at least ``min_support``
     distinct orders; ``part_a < part_b``; duplicate lines of the same
-    part within one order count once (DISTINCT basket semantics)."""
+    part within one order count once (DISTINCT basket semantics).
+
+    SON candidate filter (Savasere–Omiecinski–Navathe two-pass shape,
+    round 4): each bucket marks pairs reaching LOCAL support
+    ``L = ceil(min_support / num_partitions)`` as candidates; a pair
+    below L in every one of the P buckets totals at most P·(L−1) <
+    min_support, so every frequent pair is a candidate somewhere.  The
+    candidate set (bounded, guarded by ``SON_MAX_CANDIDATES``) is
+    collected once and broadcast, and the pair-groupby exchange then
+    ships ONLY candidate partials — counted over ALL their partials, so
+    the final counts (and the output) are bit-identical to the
+    unpruned path (tested).  The filter only bites when
+    ``min_support > num_partitions`` (L = 1 marks everything
+    otherwise — a cross-bucket pair of singletons can still reach
+    support 2); the dropped-partial count is logged so the reduction
+    is never silent."""
 
     def prep(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey")
@@ -76,6 +97,11 @@ def copurchase_lift(
                 "bucket": pa.array(bk, pa.int32()),
             }
         )
+
+    # SON local threshold: sound superset filter (see docstring)
+    local_min = (
+        -(-min_support // max(num_partitions, 1)) if son_prune else 1
+    )
 
     def per_order(g: pd.DataFrame) -> pa.Table:
         # the bucketed group may hold MANY orders: dedup (ok, pk) then
@@ -118,10 +144,19 @@ def copurchase_lift(
             )
         else:
             pairs = pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        # SON pass 1: pairs reaching local support are CANDIDATES; the
+        # partials themselves all ride (candidates are re-counted over
+        # every bucket, so the final counts are exact)
+        cand = (
+            pairs[pairs["n"] >= local_min]
+            if local_min > 1 and len(pairs)
+            else pairs.iloc[0:0]
+        )
         parts = u.groupby("pk", sort=False).size().reset_index(name="n")
         n_orders = u["ok"].nunique()
         # tagged union: kind 0 = pair partial, 1 = part partial,
-        # 2 = order-count partial (part_a/part_b zero-filled)
+        # 2 = order-count partial (part_a/part_b zero-filled),
+        # 3 = SON candidate marker (only emitted when local_min > 1)
         z = np.int64(0)
         return pa.Table.from_arrays(
             [
@@ -131,6 +166,7 @@ def copurchase_lift(
                             pairs["part_a"].to_numpy(dtype=np.int64),
                             parts["pk"].to_numpy(dtype=np.int64),
                             np.array([z]),
+                            cand["part_a"].to_numpy(dtype=np.int64),
                         ]
                     )
                 ),
@@ -140,6 +176,7 @@ def copurchase_lift(
                             pairs["part_b"].to_numpy(dtype=np.int64),
                             np.zeros(len(parts), np.int64),
                             np.array([z]),
+                            cand["part_b"].to_numpy(dtype=np.int64),
                         ]
                     )
                 ),
@@ -149,6 +186,7 @@ def copurchase_lift(
                             pairs["n"].to_numpy(dtype=np.int64),
                             parts["n"].to_numpy(dtype=np.int64),
                             np.array([np.int64(n_orders)]),
+                            np.ones(len(cand), np.int64),
                         ]
                     )
                 ),
@@ -158,6 +196,7 @@ def copurchase_lift(
                             np.zeros(len(pairs), np.int8),
                             np.ones(len(parts), np.int8),
                             np.array([2], np.int8),
+                            np.full(len(cand), 3, np.int8),
                         ]
                     )
                 ),
@@ -195,9 +234,65 @@ def copurchase_lift(
         .materialize()  # catalog-sized; joined twice below, and
         # hash_join's schema probe would execute the lazy groupby anyway
     )
+    pair_stream = tagged.map_batches(kind_eq(0), batch_format="pyarrow")
+    if local_min > 1:
+        # SON pass 2: only candidate partials enter the pair exchange.
+        # Candidates are bounded (locally frequent in >= 1 bucket) and
+        # the take is guarded, never corpus-sized.
+        import logging
+
+        import ray
+
+        cand_rows = (
+            tagged.map_batches(kind_eq(3), batch_format="pyarrow")
+            .groupby(["part_a", "part_b"])
+            .count()
+            .select_columns(["part_a", "part_b"])
+            .take_all()
+        )
+        if len(cand_rows) > SON_MAX_CANDIDATES:
+            raise ValueError(
+                f"copurchase_lift: {len(cand_rows)} SON candidates exceed "
+                f"SON_MAX_CANDIDATES ({SON_MAX_CANDIDATES}) — lower "
+                "num_partitions, raise min_support, or pass son_prune=False"
+            )
+        # combined key built in numpy int64 on BOTH sides (same wrap
+        # semantics); a collision can only keep an extra non-candidate
+        # partial — counts stay exact either way
+        cand_a = np.fromiter(
+            (r["part_a"] for r in cand_rows), np.int64, count=len(cand_rows)
+        )
+        cand_b = np.fromiter(
+            (r["part_b"] for r in cand_rows), np.int64, count=len(cand_rows)
+        )
+        cand_keys = np.sort((cand_a << 32) | cand_b)
+        cand_ref = ray.put(cand_keys)
+        total_partials = pair_stream.count()
+
+        def keep_candidates(b: pa.Table) -> pa.Table:
+            keys = (
+                b.column("part_a").to_numpy(zero_copy_only=False).astype(np.int64)
+                << 32
+            ) | b.column("part_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = np.isin(keys, ray.get(cand_ref))
+            return b.filter(pa.array(mask))
+
+        pair_stream = pair_stream.map_batches(
+            keep_candidates, batch_format="pyarrow"
+        ).materialize()
+        logging.getLogger(__name__).info(
+            "copurchase_lift SON filter: %d of %d pair partials survive "
+            "(%d candidates at local support %d, min_support=%d over %d "
+            "buckets)",
+            pair_stream.count(),
+            total_partials,
+            len(cand_keys),
+            local_min,
+            min_support,
+            num_partitions,
+        )
     pairs = (
-        tagged.map_batches(kind_eq(0), batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
+        pair_stream.groupby(["part_a", "part_b"])
         .aggregate(Sum("n", alias_name="n_pair"))
         .map_batches(
             lambda b: b.filter(pc.greater_equal(b.column("n_pair"), min_support)),

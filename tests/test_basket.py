@@ -91,3 +91,44 @@ def test_copurchase_null_keys_raise():
     with pytest.raises(Exception) as ei:
         copurchase_lift(rd.from_arrow(t)).to_pandas()
     assert "null l_orderkey" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_son_prune_bit_equal():
+    """SON local prune (min_support > buckets so L > 1): output must be
+    BIT-identical to the unpruned path, and a pair spread one-per-bucket
+    below min_support must vanish from both."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.functions.basket import copurchase_lift
+
+    rows = []
+    # pair (1, 2) in 6 orders -> frequent at min_support=6
+    for ok in range(6):
+        rows += [(ok, 1), (ok, 2)]
+    # pair (3, 4) in 2 orders -> infrequent; locally ~1 per bucket
+    rows += [(100, 3), (100, 4), (101, 3), (101, 4)]
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(li).repartition(4)
+    kw = dict(min_support=6, num_partitions=2)
+    a = (
+        copurchase_lift(ds, son_prune=True, **kw)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        copurchase_lift(ds, son_prune=False, **kw)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(zip(a["part_a"], a["part_b"])) == {(1, 2)}
