@@ -125,15 +125,18 @@ def _training_data_sql(mixture: bool = False, decontam: bool = False) -> str:
             WITH RECURSIVE gold AS (
               SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                      'Document ' || doc_id ||
-                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                               AND {_NORM} <> ''
                             THEN chr(10) || {_NORM}
-                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                               AND {_NORM} <> ''
                               AND len(str_split({_NORM}, ' ')) >= 3
                             THEN chr(10) || {_NORM} ELSE '' END ||
                        CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
-                            THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text
+                            THEN chr(10) || 'DRAFT ' || doc_id
+                            WHEN doc_id % 17 <> 3 AND doc_id % 19 <> 4
+                              AND doc_id % 29 <> 8 AND doc_id % 23 = 6
+                            THEN chr(10) || 'SHEAR ' || doc_id ELSE '' END AS text
               FROM documents{mix_where}),
             red AS (SELECT url, {_REDACT_T.format(x="text")} AS text FROM gold),
             lx AS (SELECT url, ls, unnest(generate_series(1, len(ls))) AS i
@@ -2247,6 +2250,7 @@ def _payload_cte_sql(norm: str) -> str:
                  CASE WHEN doc_id % 17 = 3 THEN 'pdf'
                       WHEN doc_id % 19 = 4 THEN 'pdf_rot'
                       WHEN doc_id % 29 = 8 THEN 'pdf_prop'
+                      WHEN doc_id % 23 = 6 THEN 'pdf_shear'
                       WHEN doc_id % 13 = 5 THEN 'malformed'
                       WHEN doc_id % 11 = 7 THEN 'noisy'
                       ELSE 'plain' END AS kind
@@ -2277,7 +2281,7 @@ def _payload_cte_sql(norm: str) -> str:
             || e' archive. <a href="/terms">Terms</a> '
             || e'<a href="/privacy">Privacy</a></p></footer>\\n</body>\\n</html>\\n'
             AS payload
-          FROM d WHERE kind NOT IN ('pdf', 'pdf_rot', 'pdf_prop')),
+          FROM d WHERE kind NOT IN ('pdf', 'pdf_rot', 'pdf_prop', 'pdf_shear')),
         pw AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws FROM d WHERE kind = 'pdf'),
         pw2 AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws
                 FROM d WHERE kind = 'pdf_rot'),
@@ -2313,6 +2317,23 @@ def _payload_cte_sql(norm: str) -> str:
                  e'\\n')
             || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
           FROM pw),
+        pw4 AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws
+                FROM d WHERE kind = 'pdf_shear'),
+        pdf4 AS (
+          SELECT url,
+            e'%PDF-1.4\\n1 0 obj << /Type /Catalog >> endobj\\nstream\\n'
+            || e'BT\\n/F1 12 Tf\\n'
+            || array_to_string(
+                 list_prepend('1 0 0 1 72 760 Tm (Document ' || doc_id || ') Tj',
+                   CASE WHEN nm = '' THEN []
+                        ELSE [ '1 0 0 1 72 ' || (700 - 14 * (i - 1)) || ' Tm ('
+                               || {esc_pdf.format(x="array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')")}
+                               || ') Tj'
+                               FOR i IN generate_series(1, (len(ws) + 7) // 8) ] END)
+                 || ['1 0 0.3 1 200 320 Tm (SHEAR ' || doc_id || ') Tj'],
+                 e'\\n')
+            || e'\\nET\\nendstream\\n%%EOF\\n' AS payload
+          FROM pw4),
         pw3 AS (SELECT url, doc_id, nm, str_split(nm, ' ') AS ws
                 FROM d WHERE kind = 'pdf_prop'),
         ppl AS (SELECT url, ws,
@@ -2369,7 +2390,8 @@ def _payload_cte_sql(norm: str) -> str:
         p AS (SELECT url, payload FROM htm
               UNION ALL SELECT url, payload FROM pdf
               UNION ALL SELECT url, payload FROM pdf2
-              UNION ALL SELECT url, payload FROM pdf3)
+              UNION ALL SELECT url, payload FROM pdf3
+              UNION ALL SELECT url, payload FROM pdf4)
     """
 
 
@@ -3760,15 +3782,18 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": f"""
             SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                    'Document ' || doc_id ||
-                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                             AND {norm} <> ''
                           THEN chr(10) || {norm}
-                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                             AND {norm} <> ''
                             AND len(str_split({norm}, ' ')) >= 3
                           THEN chr(10) || {norm} ELSE '' END ||
                      CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
-                          THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text,
+                          THEN chr(10) || 'DRAFT ' || doc_id
+                          WHEN doc_id % 17 <> 3 AND doc_id % 19 <> 4
+                            AND doc_id % 29 <> 8 AND doc_id % 23 = 6
+                          THEN chr(10) || 'SHEAR ' || doc_id ELSE '' END AS text,
                    lang
             FROM documents
         """,
@@ -3787,8 +3812,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 17 = 3 THEN 1 + CAST(ceil(nw / 8.0) AS BIGINT)
                         WHEN doc_id % 19 = 4 THEN 2 + CAST(ceil(nw / 8.0) AS BIGINT)
                         WHEN doc_id % 29 = 8 THEN 1 + CAST(ceil(nw / 8.0) AS BIGINT)
+                        WHEN doc_id % 23 = 6 THEN 2 + CAST(ceil(nw / 8.0) AS BIGINT)
                         WHEN nw >= 3 THEN 2 ELSE 1 END AS n_spans,
                    CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8
+                          OR doc_id % 23 = 6
                         THEN 0
                         WHEN nw >= 3 OR nw = 0 THEN 6
                         ELSE 7 END AS n_residuals
@@ -3796,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sniff_kinds": """
             SELECT CASE WHEN doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8
+                          OR doc_id % 23 = 6
                         THEN 'pdf' ELSE 'html' END AS doc_kind,
                    count(*) AS n
             FROM documents GROUP BY 1
@@ -3803,15 +3831,18 @@ def oracle_sql() -> dict[str, str]:
         "extract_by_lang": f"""
             SELECT lang, count(*) AS n,
                    CAST(sum(len('Document ' || doc_id) + len(
-                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                     CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                             AND {norm} <> ''
                           THEN chr(10) || {norm}
-                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                          WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                             AND {norm} <> ''
                             AND len(str_split({norm}, ' ')) >= 3
                           THEN chr(10) || {norm} ELSE '' END) + len(
                      CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
-                          THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END))
+                          THEN chr(10) || 'DRAFT ' || doc_id
+                          WHEN doc_id % 17 <> 3 AND doc_id % 19 <> 4
+                            AND doc_id % 29 <> 8 AND doc_id % 23 = 6
+                          THEN chr(10) || 'SHEAR ' || doc_id ELSE '' END))
                      AS BIGINT) AS text_chars
             FROM documents GROUP BY lang
         """,
@@ -5479,15 +5510,18 @@ def oracle_sql() -> dict[str, str]:
             WITH gold AS (
               SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
                      'Document ' || doc_id ||
-                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                       CASE WHEN (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                               AND {norm} <> ''
                             THEN chr(10) || {norm}
-                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8)
+                            WHEN NOT (doc_id % 17 = 3 OR doc_id % 19 = 4 OR doc_id % 29 = 8 OR doc_id % 23 = 6)
                               AND {norm} <> ''
                               AND len(str_split({norm}, ' ')) >= 3
                             THEN chr(10) || {norm} ELSE '' END ||
                        CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 4
-                            THEN chr(10) || 'DRAFT ' || doc_id ELSE '' END AS text
+                            THEN chr(10) || 'DRAFT ' || doc_id
+                            WHEN doc_id % 17 <> 3 AND doc_id % 19 <> 4
+                              AND doc_id % 29 <> 8 AND doc_id % 23 = 6
+                            THEN chr(10) || 'SHEAR ' || doc_id ELSE '' END AS text
               FROM documents),
             dedup AS (SELECT md5(text) AS fp, min(url) AS url,
                              min(len(text)) AS text_chars

@@ -67,9 +67,15 @@ class GlyphRun:
     rotated: bool = False  # Tm with b≠0 or c≠0 (rotation/shear)
     #: baseline angle of a PURE rotation (radians in [0, 2π), quantized
     #: to 1e-6 for grouping); None for upright runs AND for non-rigid
-    #: (sheared) runs — the latter cannot be re-flowed and reject to
-    #: residuals.
+    #: (sheared / anisotropically scaled) runs.
     angle: float | None = None
+    #: the full (a, b, c, d) text matrix, quantized to 1e-6, for
+    #: NON-RIGID but INVERTIBLE runs (shear / anisotropic scale) —
+    #: these re-flow through the inverse matrix (round 4); None for
+    #: upright runs, pure rotations (which carry ``angle``) and
+    #: DEGENERATE matrices (|det| ≈ 0, the only remaining residual
+    #: class).
+    mat: tuple | None = None
 
 
 def tokenize_pdf(data: str) -> list:
@@ -95,6 +101,7 @@ def tokenize_pdf(data: str) -> list:
     size = 12.0
     rotated = False
     angle: float | None = None
+    mat: tuple | None = None
     leading = 14.0
     in_text = False
 
@@ -110,6 +117,7 @@ def tokenize_pdf(data: str) -> list:
                     size=size,
                     rotated=rotated,
                     angle=angle,
+                    mat=mat,
                 )
             )
 
@@ -120,6 +128,7 @@ def tokenize_pdf(data: str) -> list:
             ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
             rotated = False
             angle = None
+            mat = None
         elif m.group("et"):
             in_text = False
         elif m.group("tl"):
@@ -131,16 +140,20 @@ def tokenize_pdf(data: str) -> list:
             # rotation/shear detection: b or c ≠ 0.  Rotation persists
             # until the next Tm or BT (Td/TD translate WITHIN the
             # current matrix).  A PURE rotation (a≈d, b≈-c) carries its
-            # baseline angle for re-flow; a non-rigid matrix (shear /
-            # anisotropic scale) carries angle=None and rejects to
-            # residuals downstream.
+            # baseline angle for re-flow; a NON-RIGID but invertible
+            # matrix (shear / anisotropic scale) carries the quantized
+            # matrix for inverse-matrix re-flow (round 4); only a
+            # DEGENERATE matrix (|det| ≈ 0: the glyphs collapse onto a
+            # line, no reading frame exists) rejects to residuals.
             ma, mb = float(m.group("tma")), float(m.group("tmb"))
             mc, md = float(m.group("tmc")), float(m.group("tmd"))
             rotated = abs(mb) > 1e-9 or abs(mc) > 1e-9
+            angle = None
+            mat = None
             if rotated and abs(ma - md) <= 1e-6 and abs(mb + mc) <= 1e-6:
                 angle = round(math.atan2(mb, ma) % (2.0 * math.pi), 6)
-            else:
-                angle = None
+            elif rotated and abs(ma * md - mb * mc) > 1e-9:
+                mat = (round(ma, 6), round(mb, 6), round(mc, 6), round(md, 6))
         elif m.group("td"):
             tdx, tdy = float(m.group("tdx")), float(m.group("tdy"))
             x += tdx * ma + tdy * mc
@@ -192,10 +205,18 @@ def run_advance(r: GlyphRun, widths: dict | None = None) -> float:
     state/bundle.learn_glyph_widths, the nauci-slova analog) — chars
     missing from the table fall back to the flat heuristic, and
     ``widths=None`` (untaught) is exactly the frozen flat behavior.
-    """
+
+    KERNING PAIRS (round 4): the same table may carry TWO-char keys —
+    ``widths["AV"] = -0.08`` adds that (signed) fraction-of-font-size
+    delta for every adjacent "AV" in the run, the pair-advance
+    refinement the reference's greedy width split lacks
+    (core_helper.clj:324-361 models per-char widths only).  A table
+    with no pair keys behaves bit-identically to round 3."""
     if widths is None:
         return GLYPH_WIDTH_FRACTION * r.size * len(r.text)
-    return r.size * sum(widths.get(ch, GLYPH_WIDTH_FRACTION) for ch in r.text)
+    adv = sum(widths.get(ch, GLYPH_WIDTH_FRACTION) for ch in r.text)
+    kern = sum(widths.get(a + b, 0.0) for a, b in zip(r.text, r.text[1:]))
+    return r.size * (adv + kern)
 
 
 def cluster_lines(runs: list, cfg: ExtractConfig) -> list:
@@ -354,12 +375,21 @@ def _extract_pdf_page(data: str, cfg: ExtractConfig):
     in ascending-angle order (deterministic reading order: upright
     content first, then each rotated layer).
 
-    NON-RIGID runs (shear / anisotropic scale — angle is None) cannot
-    be re-flowed: they reject into the residual stream in deterministic
-    (-y, x, start) fallback order, one residual per run, ids continuing
-    after ALL content blocks and capped at ``cfg.residual_cap`` (texts
-    kept under ``cfg.keep_residual_texts``) — the unknown-sign-reject
-    analog, core.clj:1637-1672.
+    NON-RIGID but INVERTIBLE runs (shear / anisotropic scale — round 4,
+    the deterministic shear normalization) re-flow through the INVERSE
+    text matrix: device coordinates map back into text space, where
+    baselines are horizontal by construction (for a pure rotation the
+    inverse IS the transpose, so this generalizes the rotation path —
+    verified equal).  Each quantized-matrix group lays out in its own
+    frame and appends after the rotation layers in ascending matrix
+    order.
+
+    DEGENERATE runs (|det| ≈ 0 — the glyphs collapse onto a line, so
+    no reading frame exists) reject into the residual stream in
+    deterministic (-y, x, start) fallback order, one residual per run,
+    ids continuing after ALL content blocks and capped at
+    ``cfg.residual_cap`` (texts kept under ``cfg.keep_residual_texts``)
+    — the unknown-sign-reject analog, core.clj:1637-1672.
     """
     import math
     from dataclasses import replace
@@ -384,8 +414,29 @@ def _extract_pdf_page(data: str, cfg: ExtractConfig):
         spans.extend(sp)
         n_blocks += nb
 
+    # re-flow each non-rigid invertible matrix group via M^-1
+    by_mat: dict = {}
+    for r in runs:
+        if r.rotated and r.angle is None and r.mat is not None:
+            by_mat.setdefault(r.mat, []).append(r)
+    for key in sorted(by_mat):
+        a, b, c, d = key
+        det = a * d - b * c
+        frame = [
+            replace(
+                r,
+                x=(d * r.x - c * r.y) / det,
+                y=(-b * r.x + a * r.y) / det,
+            )
+            for r in by_mat[key]
+        ]
+        parts, sp, nb = _layout_blocks(frame, cfg, n_blocks)
+        out_parts.extend(parts)
+        spans.extend(sp)
+        n_blocks += nb
+
     sheared = sorted(
-        (r for r in runs if r.rotated and r.angle is None),
+        (r for r in runs if r.rotated and r.angle is None and r.mat is None),
         key=lambda r: (-r.y, r.x, r.start),
     )
     residuals = []

@@ -19,6 +19,10 @@ lang:string)``.  The page kind is a pure function of ``doc_id``:
   :data:`PROP_WIDTHS` table; the flat width heuristic still merges them
   → same golden/spans as ``pdf``, while a bundle taught with
   PROP_WIDTHS splits them — the learned-width discriminator)
+* ``doc_id % 23 == 6``  → ``pdf_shear`` (sheared-stamp content stream,
+  round 4: the non-rigid [1 0 0.3 1] stamp RE-FLOWS through the inverse
+  matrix and appends as the final block → golden gains a trailing
+  ``SHEAR {id}`` line)
 * ``doc_id % 13 == 5``  → ``malformed`` (unclosed/mis-nested tags; the
   tag-stack recovery rules neutralize them → same golden text)
 * ``doc_id % 11 == 7``  → ``noisy``     (comments, tracking pixels,
@@ -26,11 +30,12 @@ lang:string)``.  The page kind is a pure function of ``doc_id``:
 * otherwise             → ``plain``
 
 All kinds share ONE golden, ``"Document {doc_id}\\n" + collapse_ws(text)``
-(title heading block + body content block) — except ``pdf_rot``, whose
-re-flowed watermark appends ``"\\nDRAFT {doc_id}"`` — which keeps the
-DuckDB oracle SQL a closed form while still exercising error recovery,
-noise removal, boilerplate rejection, both branch dispatches and the
-rotation re-flow.
+(title heading block + body content block) — except ``pdf_rot``
+(``"\\nDRAFT {doc_id}"`` appended) and ``pdf_shear``
+(``"\\nSHEAR {doc_id}"``) — which keeps the DuckDB oracle SQL a closed
+form while still exercising error recovery, noise removal, boilerplate
+rejection, both branch dispatches, the rotation re-flow and the
+inverse-matrix shear re-flow.
 """
 
 from __future__ import annotations
@@ -61,6 +66,8 @@ def page_kind(doc_id: int) -> str:
         return "pdf_rot"  # two-font + rotated-watermark content stream
     if doc_id % 29 == 8:
         return "pdf_prop"  # proportional-font two-run lines
+    if doc_id % 23 == 6:
+        return "pdf_shear"  # sheared-stamp content stream (round 4)
     if doc_id % 13 == 5:
         return "malformed"
     if doc_id % 11 == 7:
@@ -177,6 +184,33 @@ def make_pdf_rot(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+def make_pdf_shear(doc_id: int, text: str) -> bytes:
+    """Sheared-stamp content stream (round-4 PDF-depth fixture): title +
+    body upright (same layout as ``pdf``), plus a ``SHEAR {doc_id}``
+    stamp under the non-rigid matrix [1 0 0.3 1] (horizontal shear,
+    det = 1).  Round 4: the extractor re-flows non-rigid INVERTIBLE
+    matrices through M⁻¹ and appends the layer as the final block —
+    the golden is every other kind's golden plus a trailing
+    ``SHEAR {doc_id}`` line (see golden_text).  Before round 4 this
+    stamp would have rejected to residuals."""
+    words = collapse_ws(text).split(" ") if collapse_ws(text) else []
+    lines = [
+        " ".join(words[i : i + PDF_WORDS_PER_LINE])
+        for i in range(0, len(words), PDF_WORDS_PER_LINE)
+    ]
+    ops = [f"1 0 0 1 72 760 Tm (Document {doc_id}) Tj"]
+    y = 700
+    for ln in lines:
+        ops.append(f"1 0 0 1 72 {y} Tm ({_esc_pdf(ln)}) Tj")
+        y -= 14
+    ops.append(f"1 0 0.3 1 200 320 Tm (SHEAR {doc_id}) Tj")
+    stream = "BT\n/F1 12 Tf\n" + "\n".join(ops) + "\nET\n"
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
+        "stream\n" + stream + "endstream\n%%EOF\n"
+    ).encode("utf-8")
+
+
 #: Proportional-font advance table (fraction of font size) — the public
 #: metrics of the ``pdf_prop`` fixture font and the table a deployment
 #: teaches through ``build_bundle(glyph_widths=PROP_WIDTHS)``.  Widths
@@ -268,11 +302,15 @@ def make_pdf_prop(doc_id: int, text: str) -> bytes:
 
 def golden_text(doc_id: int, text: str) -> str:
     """The frozen expected extraction per page kind: shared golden for
-    every kind, plus the re-flowed watermark line for ``pdf_rot``."""
+    every kind, plus the re-flowed watermark line for ``pdf_rot`` and
+    the re-flowed sheared stamp for ``pdf_shear`` (round 4)."""
     body = collapse_ws(text)
     golden = f"Document {doc_id}" + ("\n" + body if body else "")
-    if page_kind(doc_id) == "pdf_rot":
+    kind = page_kind(doc_id)
+    if kind == "pdf_rot":
         golden += f"\nDRAFT {doc_id}"
+    elif kind == "pdf_shear":
+        golden += f"\nSHEAR {doc_id}"
     return golden
 
 
@@ -295,6 +333,8 @@ def synthesize_pages_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
             payload = make_pdf_rot(doc_id, text)
         elif kind == "pdf_prop":
             payload = make_pdf_prop(doc_id, text)
+        elif kind == "pdf_shear":
+            payload = make_pdf_shear(doc_id, text)
         else:
             payload = make_html(doc_id, text, lang, source, kind)
         for rep in range(repeat):

@@ -172,8 +172,10 @@ def test_pdf_tj_array_and_line_ops():
 def test_pdf_tf_and_rotation():
     """Round-3 PDF depth: /Tf sizes ride on runs; PURE-rotation Tm runs
     re-flow along their own baseline and append as trailing blocks in
-    ascending-angle order; NON-RIGID (sheared) runs reject to residuals
-    in deterministic (-y, x) fallback order."""
+    ascending-angle order; round 4 — NON-RIGID but invertible (sheared)
+    runs re-flow through the INVERSE matrix as their own trailing
+    layer; only DEGENERATE matrices (det ≈ 0) reject to residuals in
+    deterministic (-y, x) fallback order."""
     import math
 
     from ocr_lib_ray.kernel.pdf import extract_pdf, tokenize_pdf
@@ -183,7 +185,8 @@ def test_pdf_tf_and_rotation():
         "/F1 12 Tf 1 0 0 1 72 700 Tm (body text here) Tj\n"
         "0.707107 0.707107 -0.707107 0.707107 180 400 Tm (WATERMARK) Tj\n"
         "0 1 -1 0 500 100 Tm (vertical label) Tj\n"
-        "1 0.5 0 1 300 200 Tm (skewed stamp) Tj ET"
+        "1 0.5 0 1 300 200 Tm (skewed stamp) Tj\n"
+        "1 1 1 1 300 100 Tm (degenerate stamp) Tj ET"
     )
     runs = tokenize_pdf(data)
     assert [(r.text, r.size, r.rotated) for r in runs] == [
@@ -192,19 +195,25 @@ def test_pdf_tf_and_rotation():
         ("WATERMARK", 12.0, True),
         ("vertical label", 12.0, True),
         ("skewed stamp", 12.0, True),
+        ("degenerate stamp", 12.0, True),
     ]
-    # pure rotations carry their baseline angle; shear carries None
+    # pure rotations carry their baseline angle; non-rigid invertible
+    # carries the quantized matrix; degenerate carries neither
     assert runs[2].angle == round(math.pi / 4, 6)
     assert runs[3].angle == round(math.pi / 2, 6)
-    assert runs[4].angle is None
+    assert runs[4].angle is None and runs[4].mat == (1.0, 0.5, 0.0, 1.0)
+    assert runs[5].angle is None and runs[5].mat is None
     text, spans, residuals, _ = extract_pdf(data, CFG)
     # upright blocks first, then rotated layers by ascending angle
-    # (45° watermark before the 90° vertical label); shear → residual
-    assert text == "Big Title\nbody text here\nWATERMARK\nvertical label"
-    assert residuals == [4]  # id continues after the 4 content blocks
+    # (45° watermark before the 90° vertical label), then the sheared
+    # layer re-flowed via M^-1; degenerate → residual
+    assert text == (
+        "Big Title\nbody text here\nWATERMARK\nvertical label\nskewed stamp"
+    )
+    assert residuals == [5]  # id continues after the 5 content blocks
     rt_cfg = ExtractConfig(keep_residual_texts=True)
     _, _, _, rtexts = extract_pdf(data, rt_cfg)
-    assert rtexts == ["skewed stamp"]
+    assert rtexts == ["degenerate stamp"]
     # rotation persists across Td until the next Tm/BT
     runs = tokenize_pdf("BT 0 1 -1 0 100 100 Tm (a) Tj 0 -14 Td (b) Tj ET")
     assert [r.rotated for r in runs] == [True, True]
@@ -216,12 +225,43 @@ def test_pdf_tf_and_rotation():
     )
     assert res_r == []
     assert text_r == "a b"
-    # residual cap applies to sheared runs
+    # residual cap applies to degenerate runs
     many = "BT " + " ".join(
-        f"1 0.5 0 1 {100 + i} 100 Tm (w{i}) Tj" for i in range(20)
+        f"1 1 1 1 {100 + i} 100 Tm (w{i}) Tj" for i in range(20)
     ) + " ET"
     _, _, res, _ = extract_pdf(many, ExtractConfig(residual_cap=3))
     assert len(res) == 3
+
+
+def test_pdf_shear_reflow_matches_text_space():
+    """Inverse-matrix re-flow: two runs sharing one sheared matrix whose
+    DEVICE y differs (the shear tilts the baseline) still cluster into
+    ONE line in text space, in baseline x order; a second shear layer
+    groups separately in ascending matrix order."""
+    from ocr_lib_ray.kernel.pdf import extract_pdf
+
+    # text-space positions (0, 0) and (100, 0) pushed through
+    # M = [1 0.5; 0 1]: device (x, y) = (tx, tx*0.5 + ty)
+    data = (
+        "BT 1 0.5 0 1 0 0 Tm (left) Tj\n"
+        "1 0.5 0 1 100 50 Tm (right) Tj\n"
+        "2 0 0.5 1 40 300 Tm (other layer) Tj ET"
+    )
+    text, spans, residuals, _ = extract_pdf(data, CFG)
+    assert residuals == []
+    assert text == "left right\nother layer"
+
+
+def test_run_advance_kerning_pairs():
+    """Two-char keys in the width table apply a signed per-pair delta;
+    a table without pair keys is bit-identical to round 3."""
+    from ocr_lib_ray.kernel.pdf import GlyphRun, run_advance
+
+    r = GlyphRun(x=0, y=0, text="AVA", start=0, end=3, size=10.0)
+    widths = {"A": 0.5, "V": 0.5}
+    assert run_advance(r, widths) == 10.0 * 1.5
+    kerned = {"A": 0.5, "V": 0.5, "AV": -0.1, "VA": -0.05}
+    assert abs(run_advance(r, kerned) - 10.0 * (1.5 - 0.15)) < 1e-9
 
 
 def test_pdf_font_size_line_tolerance():
@@ -325,13 +365,14 @@ def test_chunked_extraction_identical(chunked):
 
 
 def test_pdf_multipage_residual_ids_disjoint():
-    """A page-1 SHEARED stamp's residual id must not collide with
+    """A page-1 DEGENERATE stamp's residual id must not collide with
     page 2's content block ids (shared id space per document; pure
-    rotations re-flow, so only non-rigid runs reject now)."""
+    rotations AND invertible shears re-flow since round 4, so only
+    det≈0 runs reject now)."""
     data = (
         "stream\nBT 1 0 0 1 72 760 Tm (p1 title words) Tj "
         "1 0 0 1 72 700 Tm (p1 body words) Tj "
-        "1 0.5 0 1 200 400 Tm (WM) Tj ET\nendstream\n"
+        "1 1 1 1 200 400 Tm (WM) Tj ET\nendstream\n"
         "stream\nBT 1 0 0 1 72 760 Tm (p2 title words) Tj "
         "1 0 0 1 72 700 Tm (p2 body words) Tj ET\nendstream\n"
     )
