@@ -10,21 +10,35 @@ quantity a non-negative int64, every division a floor, so the result
 is order-free, batch-size-free, and bit-equal to the unrolled-CTE SQL
 oracle (DuckDB ``//`` truncates toward zero, which equals floor on the
 non-negative domain; the engine never produces a negative rank).
-Bound: per-node incoming mass <= total rank mass ~= N * 2.2e6, and the
-left join back onto the node table round-trips ``inc`` through float64
-(hash_join's how="left" dtype stabilization) — exactness therefore
-requires incoming < 2^53, i.e. N up to ~4e9 nodes (the Common Crawl
-host graph is ~1e8; a trillion-node graph would need an integer-safe
-join variant).
+Bound: per-node incoming mass <= total rank mass ~= N * 2.2e6; since
+round 4 the whole update is int64 end-to-end (no float64 left-join
+round-trip), so exactness holds for any graph whose TOTAL rank mass
+fits int64 — N up to ~4e12 nodes.
 
-Scale shape: one iteration = one bucketed hash-join of the static edge
-table against the rank table (keyed by source), a Sum groupby of the
-contributions (keyed by destination), and a left join back onto the
-node table — the canonical distributed PageRank exchange; nothing is
-collected on the driver except the two per-iteration scalars (dangling
-mass, node count).  The rank state is ``materialize()``d per iteration
-(object store, spills) — the standard iteration checkpoint that keeps
-lineage from re-executing all previous rounds.
+Scale shape (round-4 FUSED iteration): one iteration = exactly TWO
+bucket exchanges.  Exchange A (keyed by src) is a tagged union of the
+static pre-tagged edge table with the rank state; one map_groups task
+per bucket joins edges to their source state rows (searchsorted) AND
+pre-sums contributions per destination — the map-side combine of the
+old Sum groupby fused into the join task, so exchange B ships
+per-bucket partial sums (bounded by distinct dst per bucket), never
+per-edge rows.  Exchange B (keyed by dst == n) unions those partials
+with the node table and finishes {final Sum + left join + damped
+update} in one map_groups task per bucket.  The new state is then
+repartition-clamped to num_partitions: map_groups emits at most
+num_partitions NON-EMPTY blocks, but the sort shuffle's output block
+COUNT tracks its input block count, and left unclamped those empties
+compound geometrically across iterations (measured 24.5 s -> 107.7 s
+per iteration at sf0.01).  The clamp is a pass over the
+node-table-sized state — trivial next to the edge exchanges.  The old
+loop spent FOUR barriers per iteration (hash_join, Sum groupby, left
+hash_join, repartition) at ~5 s fixed exchange latency each (BASELINE
+anatomy note); the fused loop spends two sort exchanges plus the cheap
+clamp.  Nothing is collected on the driver except the two per-iteration
+scalars (dangling mass, node count).  The rank state is
+``materialize()``d per iteration (object store, spills) — the standard
+iteration checkpoint that keeps lineage from re-executing all previous
+rounds.
 """
 
 from __future__ import annotations
@@ -130,8 +144,6 @@ def pagerank_micro(
     uniformly, so a power-law hub cannot melt one merge task.  The
     output is bit-identical with or without salting (the join result
     SET is unchanged)."""
-    from ray.data.aggregate import Sum
-
     from .joins import hash_join
 
     edges = _distinct_pairs(edges_ds).materialize()
@@ -169,6 +181,165 @@ def pagerank_micro(
             lambda b: b.rename_columns(["node", "rank_micro"]), batch_format="pyarrow"
         )
 
+    from .joins import bucket_ints
+
+    hot_arr = (
+        np.fromiter((int(k) for k in hot), dtype=np.int64, count=len(hot))
+        if hot
+        else None
+    )
+
+    def _spread_hot(keys: np.ndarray, bk: np.ndarray) -> np.ndarray:
+        """Hot-SOURCE rows spread uniformly (per-row ordinal re-mix) —
+        which bucket a hot edge lands in is irrelevant because the hot
+        state row replicates into EVERY bucket; only that no single
+        merge task gets them all (the replicate_keys discipline,
+        joins.py:110-117)."""
+        if hot_arr is None:
+            return bk
+        mask = np.isin(keys, hot_arr)
+        if mask.any():
+            idx = np.flatnonzero(mask).astype(np.uint64)
+            mix = keys[mask].astype(np.uint64) + ((idx + np.uint64(1)) << np.uint64(32))
+            bk = bk.copy()
+            bk[mask] = bucket_ints(mix.view(np.int64), num_partitions)
+        return bk
+
+    # FUSED exchange A left side, tagged ONCE (static across iterations):
+    # edges under the union schema (k=src, dst, r=0, outdeg=0, side=0).
+    # The zero fills are the other side's columns and are never read
+    # (the _union_bucketed zero-fill discipline).
+    def tag_edges(b: pa.Table) -> pa.Table:
+        src = np.asarray(
+            b.column("src").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        bk = _spread_hot(src, bucket_ints(src, num_partitions))
+        n = b.num_rows
+        z = np.zeros(n, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                b.column("src"),
+                b.column("dst"),
+                pa.array(z),
+                pa.array(z),
+                pa.array(bk, pa.int32()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=["k", "dst", "r", "outdeg", "bucket", "side"],
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def tag_state_a(b: pa.Table) -> pa.Table:
+        """State under the exchange-A union schema (k=n, dst=0, r,
+        outdeg, side=1); HOT node rows replicate into every bucket."""
+        nk = np.asarray(b.column("n").to_numpy(zero_copy_only=False), dtype=np.int64)
+        bk = bucket_ints(nk, num_partitions)
+        n = b.num_rows
+        t = pa.Table.from_arrays(
+            [
+                b.column("n"),
+                pa.array(np.zeros(n, dtype=np.int64)),
+                b.column("r"),
+                b.column("outdeg"),
+            ],
+            names=["k", "dst", "r", "outdeg"],
+        )
+        if hot_arr is not None:
+            mask = np.isin(nk, hot_arr)
+            if mask.any():
+                cold = t.filter(pa.array(~mask)).append_column(
+                    "bucket", pa.array(bk[~mask], pa.int32())
+                )
+                hot_t = t.filter(pa.array(mask))
+                parts = [cold] + [
+                    hot_t.append_column(
+                        "bucket", pa.array([bnum] * hot_t.num_rows, pa.int32())
+                    )
+                    for bnum in range(num_partitions)
+                ]
+                out = pa.concat_tables(parts)
+                return out.append_column(
+                    "side", pa.array(np.ones(out.num_rows, dtype=np.int8))
+                )
+        return t.append_column("bucket", pa.array(bk, pa.int32())).append_column(
+            "side", pa.array(np.ones(n, dtype=np.int8))
+        )
+
+    def contrib_partials(g: pa.Table) -> pa.Table:
+        """Per-bucket fused join + partial Sum: edges meet their source
+        state rows (searchsorted on the sorted node keys — every cold
+        src hashes to this bucket with its state row, every hot src
+        finds the replicated row), emit (dst, contrib) PRE-SUMMED per
+        dst via sort + int64 reduceat (order-free integer adds, so the
+        result is batch/partition invariant)."""
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        k = np.asarray(g.column("k").to_numpy(zero_copy_only=False), dtype=np.int64)
+        st = side == 1
+        ek, ed = k[~st], np.asarray(
+            g.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64
+        )[~st]
+        if len(ek) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["k", "contrib"],
+            )
+        sk = k[st]
+        sr = np.asarray(g.column("r").to_numpy(zero_copy_only=False), dtype=np.int64)[st]
+        sod = np.asarray(
+            g.column("outdeg").to_numpy(zero_copy_only=False), dtype=np.int64
+        )[st]
+        order = np.argsort(sk, kind="stable")
+        sk, sr, sod = sk[order], sr[order], sod[order]
+        # hot replication can duplicate a state row in this bucket only
+        # for hot keys (replicated row + its home-bucket row never
+        # coexist: replication REPLACES the home placement) — but keep
+        # the lookup robust to duplicates via searchsorted-left anyway
+        pos = np.searchsorted(sk, ek)
+        contrib = sr[pos] // sod[pos]  # every src has outdeg >= 1
+        o = np.argsort(ed, kind="stable")
+        eds, cs = ed[o], contrib[o]
+        starts = np.flatnonzero(np.concatenate([[True], eds[1:] != eds[:-1]]))
+        sums = np.add.reduceat(cs, starts)
+        return pa.Table.from_arrays(
+            [pa.array(eds[starts]), pa.array(sums.astype(np.int64))],
+            names=["k", "contrib"],
+        )
+
+    def tag_state_b(b: pa.Table) -> pa.Table:
+        """State under the exchange-B union schema (k=n, outdeg,
+        contrib=0, side=1) — no hot handling: incoming partials are
+        pre-summed per bucket, so a hot DESTINATION carries at most
+        num_partitions partial rows globally."""
+        nk = np.asarray(b.column("n").to_numpy(zero_copy_only=False), dtype=np.int64)
+        bk = bucket_ints(nk, num_partitions)
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                b.column("n"),
+                pa.array(np.zeros(n, dtype=np.int64)),
+                b.column("outdeg"),
+                pa.array(bk, pa.int32()),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=["k", "contrib", "outdeg", "bucket", "side"],
+        )
+
+    def tag_partials_b(b: pa.Table) -> pa.Table:
+        dk = np.asarray(b.column("k").to_numpy(zero_copy_only=False), dtype=np.int64)
+        bk = bucket_ints(dk, num_partitions)
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                b.column("k"),
+                b.column("contrib"),
+                pa.array(np.zeros(n, dtype=np.int64)),
+                pa.array(bk, pa.int32()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=["k", "contrib", "outdeg", "bucket", "side"],
+        )
+
     for _ in range(iters):
         # dangling mass: tiny per-batch partials, reduced on the driver
         dang = sum(
@@ -196,58 +367,72 @@ def pagerank_micro(
         )
         dang_share = dang // n_nodes
 
-        srcs = state.map_batches(
-            lambda b: b.rename_columns(["src", "r", "outdeg"]), batch_format="pyarrow"
-        )
-        contribs = hash_join(
-            edges, srcs, key_col="src", right_value_cols=["r", "outdeg"],
-            how="inner", suffix="", num_partitions=num_partitions,
-            replicate_keys=hot or None,
-        ).map_batches(
-            lambda b: pa.Table.from_arrays(
-                [
-                    b.column("dst"),
-                    pa.array(
-                        b.column("r").to_numpy(zero_copy_only=False)
-                        // b.column("outdeg").to_numpy(zero_copy_only=False)
-                    ),
-                ],
-                names=["dst", "contrib"],
-            ),
-            batch_format="pyarrow",
-        )
-        # materialized: hash_join's schema guard would otherwise execute
-        # this whole shuffle chain once and materialize() a second time
-        incoming = (
-            contribs.groupby("dst")
-            .aggregate(Sum("contrib", alias_name="inc"))
-            .map_batches(
-                lambda b: b.rename_columns(["n", "inc"]), batch_format="pyarrow"
+        # FUSED exchange A (keyed by src == n): one tagged-union bucket
+        # groupby replaces {hash_join(edges, state) + contrib map +
+        # groupby(dst) partials} — the join AND the map-side combine of
+        # the old Sum aggregate run inside one map_groups task, so the
+        # downstream exchange ships per-bucket partial sums (<= distinct
+        # dst per bucket), never per-edge contrib rows.
+        partials = (
+            edges_tagged.union(
+                state.map_batches(tag_state_a, batch_format="pyarrow")
             )
-            .materialize()
+            .groupby("bucket")
+            .map_groups(contrib_partials, batch_format="pyarrow")
         )
 
-        def update(b: pa.Table, _share=dang_share) -> pa.Table:
-            inc = np.nan_to_num(
-                b.column("inc").to_numpy(zero_copy_only=False).astype(np.float64),
-                nan=0.0,
-            ).astype(np.int64)
+        def update_bucket(g: pa.Table, _share=dang_share) -> pa.Table:
+            """FUSED exchange B: final Sum of the partials + the left
+            join back onto the node table + the damped update, in one
+            map_groups task per bucket.  inc stays int64 end-to-end (no
+            float64 round-trip, so the 2^53 bound moves from the join
+            to nothing — exact at any node count whose TOTAL mass fits
+            int64)."""
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            k = np.asarray(
+                g.column("k").to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            st = side == 1
+            sk = k[st]
+            sod = np.asarray(
+                g.column("outdeg").to_numpy(zero_copy_only=False), dtype=np.int64
+            )[st]
+            order = np.argsort(sk, kind="stable")
+            sk, sod = sk[order], sod[order]
+            inc = np.zeros(len(sk), dtype=np.int64)
+            pk = k[~st]
+            if len(pk):
+                pcv = np.asarray(
+                    g.column("contrib").to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )[~st]
+                o = np.argsort(pk, kind="stable")
+                pks, pcs = pk[o], pcv[o]
+                starts = np.flatnonzero(
+                    np.concatenate([[True], pks[1:] != pks[:-1]])
+                )
+                sums = np.add.reduceat(pcs, starts)
+                pos = np.searchsorted(sk, pks[starts])
+                inc[pos] = sums  # every dst is a node in this bucket
             r = BASE + (DAMP_NUM * (inc + _share)) // DAMP_DEN
             return pa.Table.from_arrays(
-                [b.column("n"), pa.array(r), b.column("outdeg")],
+                [pa.array(sk), pa.array(r), pa.array(sod)],
                 names=["n", "r", "outdeg"],
             )
 
-        # repartition: each bucketed groupby multiplies tiny blocks;
-        # unclamped, the block count (and per-task scheduling cost)
-        # compounds every iteration
+        # map_groups emits <= num_partitions NON-EMPTY blocks, but the
+        # sort shuffle's OUTPUT block count tracks its INPUT block count
+        # (edges_blocks + 2*state_blocks), mostly empties — left
+        # unclamped that compounds geometrically across iterations (the
+        # round-3 lesson, re-confirmed here: 24.5 s -> 107.7 s per
+        # iteration at sf0.01).  The repartition clamp is a pass over
+        # the NODE-table-sized state, trivial next to the edge
+        # exchanges; the fusion still nets 4 barriers/iter -> 3.
         state = (
-            hash_join(
-                state.select_columns(["n", "outdeg"]), incoming,
-                key_col="n", right_value_cols=["inc"],
-                how="left", suffix="", num_partitions=num_partitions,
-            )
-            .map_batches(update, batch_format="pyarrow")
+            partials.map_batches(tag_partials_b, batch_format="pyarrow")
+            .union(state.map_batches(tag_state_b, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(update_bucket, batch_format="pyarrow")
             .repartition(num_partitions)
             .materialize()
         )
