@@ -786,13 +786,21 @@ def dedup_against_reference(
     tagged = docs_ds.map_batches(with_fp, batch_format="pyarrow")
 
     if mode == "broadcast":
-        ref = set(ref_fps_ds.unique("fingerprint") or [])
+        import pyarrow.compute as pc
+
+        ref = pa.array(
+            sorted(set(ref_fps_ds.unique("fingerprint") or [])), pa.string()
+        )
         ref_handle = ray.put(ref)
 
         def drop_seen(b: pa.Table) -> pa.Table:
             seen = ray.get(ref_handle)
-            keep = [f not in seen for f in b.column("_fp").to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_())).drop_columns(["_fp"])
+            # vectorized set membership; null fp (impossible here — fps
+            # are computed hexdigests) would keep, matching `not in set`
+            keep = pc.fill_null(
+                pc.invert(pc.is_in(b.column("_fp"), value_set=seen)), True
+            )
+            return b.filter(keep).drop_columns(["_fp"])
 
         return tagged.map_batches(drop_seen, batch_format="pyarrow")
     if mode != "join":
@@ -941,15 +949,23 @@ def dedup_minhash_incremental(
     if losers.count() == 0:
         return new_ds
     if mode == "broadcast":
-        ids = set()
-        for b in losers.iter_batches(batch_format="pyarrow"):
-            ids.update(b.column(id_col).to_pylist())
+        import pyarrow.compute as pc
+
+        chunks = [
+            b.column(id_col).combine_chunks()
+            for b in losers.iter_batches(batch_format="pyarrow")
+        ]
+        ids = pc.unique(pa.concat_arrays(chunks))
         handle = ray.put(ids)
 
         def drop(b: pa.Table) -> pa.Table:
             bad = ray.get(handle)
-            keep = [v not in bad for v in b.column(id_col).to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_()))
+            # vectorized set membership (null id would keep, matching
+            # `not in set`; loser ids come from non-null doc_id rows)
+            keep = pc.fill_null(
+                pc.invert(pc.is_in(b.column(id_col), value_set=bad)), True
+            )
+            return b.filter(keep)
 
         return new_ds.map_batches(drop, batch_format="pyarrow")
     union, doc_cols = _union_bucketed(new_ds, losers, id_col, num_partitions)

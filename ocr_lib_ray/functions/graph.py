@@ -12,8 +12,11 @@ oracle (DuckDB ``//`` truncates toward zero, which equals floor on the
 non-negative domain; the engine never produces a negative rank).
 Bound: per-node incoming mass <= total rank mass ~= N * 2.2e6; since
 round 4 the whole update is int64 end-to-end (no float64 left-join
-round-trip), so exactness holds for any graph whose TOTAL rank mass
-fits int64 — N up to ~4e12 nodes.
+round-trip).  The binding term is ``DAMP_NUM * (inc + share)`` inside
+:func:`update_bucket` — an 85× int64 multiply that numpy wraps
+silently — so exactness holds while TOTAL rank mass stays below
+2^63 / DAMP_NUM, i.e. N up to ~5e10 nodes (not 2^63 / N ~4e12 as the
+pre-round-5 docstring claimed).
 
 Scale shape (round-4 FUSED iteration): one iteration = exactly TWO
 bucket exchanges.  Exchange A (keyed by src) is a tagged union of the
@@ -296,6 +299,14 @@ def pagerank_micro(
         # coexist: replication REPLACES the home placement) — but keep
         # the lookup robust to duplicates via searchsorted-left anyway
         pos = np.searchsorted(sk, ek)
+        # fail loudly (like the old hash_join path) if the every-src-
+        # has-an-in-bucket-state-row invariant is ever broken by a
+        # future edit — otherwise mass silently credits the wrong node
+        if pos.max(initial=-1) >= len(sk) or not (sk[pos] == ek).all():
+            raise ValueError(
+                "pagerank exchange A: edge source missing its in-bucket "
+                "state row (hot-replication / bucketing invariant broken)"
+            )
         contrib = sr[pos] // sod[pos]  # every src has outdeg >= 1
         o = np.argsort(ed, kind="stable")
         eds, cs = ed[o], contrib[o]
@@ -385,9 +396,9 @@ def pagerank_micro(
             """FUSED exchange B: final Sum of the partials + the left
             join back onto the node table + the damped update, in one
             map_groups task per bucket.  inc stays int64 end-to-end (no
-            float64 round-trip, so the 2^53 bound moves from the join
-            to nothing — exact at any node count whose TOTAL mass fits
-            int64)."""
+            float64 round-trip, so the 2^53 join bound is gone); the
+            binding term is DAMP_NUM * (inc + share), so exactness
+            requires total rank mass < 2^63 / DAMP_NUM (N ~5e10)."""
             side = g.column("side").to_numpy(zero_copy_only=False)
             k = np.asarray(
                 g.column("k").to_numpy(zero_copy_only=False), dtype=np.int64
@@ -413,6 +424,17 @@ def pagerank_micro(
                 )
                 sums = np.add.reduceat(pcs, starts)
                 pos = np.searchsorted(sk, pks[starts])
+                # loud guard on the every-dst-is-a-node-in-this-bucket
+                # invariant (see contrib_partials): short-circuit the
+                # bound check before indexing sk
+                if pos.max(initial=-1) >= len(sk) or not (
+                    sk[pos] == pks[starts]
+                ).all():
+                    raise ValueError(
+                        "pagerank exchange B: contribution destination "
+                        "missing its in-bucket node row (bucketing "
+                        "invariant broken)"
+                    )
                 inc[pos] = sums  # every dst is a node in this bucket
             r = BASE + (DAMP_NUM * (inc + _share)) // DAMP_DEN
             return pa.Table.from_arrays(

@@ -211,16 +211,23 @@ def sessionize_salted(
             uv = np.asarray(
                 uc.fill_null(0).to_numpy(zero_copy_only=False)
             ).astype(np.int64)
-            b1 = bucket_int_pairs(uv, wv, num_buckets)
         else:
-            b1 = np.fromiter(
-                (
-                    zlib.crc32(f"{u}|{w}".encode()) % num_buckets
-                    for u, w in zip(uc.to_pylist(), wv)
-                ),
-                dtype=np.int32,
-                count=len(wv),
+            # factorized discipline (joins.bucket_col): the Python
+            # crc32 runs once per UNIQUE user, the per-row work is a
+            # vectorized code lookup + integer-pair combine.  Bucket
+            # values are internal partitioning only (a (user, win)
+            # group lands whole in one bucket either way), so swapping
+            # the per-row crc32-of-"u|w" for crc32(user)⊕window is
+            # output-invariant (pinned by the sessionize equivalence
+            # tests).
+            codes, uniq = pd.factorize(np.asarray(uc.to_pylist(), dtype=object))
+            uh = np.fromiter(
+                (zlib.crc32(str(k).encode()) for k in uniq),
+                dtype=np.int64,
+                count=len(uniq),
             )
+            uv = uh[codes]
+        b1 = bucket_int_pairs(uv, wv, num_buckets)
         return batch.append_column("win", win).append_column(
             "bucket", pa.array(b1, pa.int32())
         )
