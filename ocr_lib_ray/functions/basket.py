@@ -51,7 +51,7 @@ def copurchase_lift(
     lineitem_ds,
     min_support: int = 2,
     max_items_per_order: int = 10_000,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     son_prune: bool = True,
 ):
     """(part_a, part_b, n_pair, n_a, n_b, lift_micro) for every
@@ -73,6 +73,10 @@ def copurchase_lift(
     otherwise — a cross-bucket pair of singletons can still reach
     support 2); the dropped-partial count is logged so the reduction
     is never silent."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
 
     def prep(b: pa.Table) -> pa.Table:
         ok = b.column("l_orderkey")

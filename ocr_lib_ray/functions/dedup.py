@@ -520,7 +520,7 @@ def connected_components(
     pairs_ds,
     node_col: str = "doc_id",
     component_col: str = "component",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     max_rounds: int = 64,
 ):
     """Distributed connected components over a (d1, d2) pair Dataset:
@@ -552,6 +552,10 @@ def connected_components(
     chains — raising it is safe, just slow, and the raise names the
     knob.
     """
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(pairs_ds, floor=64)
 
     import ray.data as rd
 
@@ -678,7 +682,7 @@ def dedup_by_pairs(docs_ds, pairs_ds, id_col: str = "doc_id"):
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
 
 
-def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partitions: int = 32):
+def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partitions: int | None = None):
     """Scale variant of :func:`dedup_by_pairs`: bucketed anti-filter.
 
     The broadcast path ships the loser id set to every task — ideal
@@ -695,6 +699,10 @@ def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partition
     ``num_partitions`` ≈ corpus_bytes / 512 MB.  Output rows/columns
     equal the broadcast path (tested); works for any id dtype.
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs_ds, floor=32)
     import pandas as pd
 
     from .joins import _union_bucketed
@@ -746,7 +754,7 @@ def dedup_against_reference(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "join",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Incremental dedup: drop documents whose content fingerprint
     already exists in a REFERENCE snapshot (the fingerprints of a prior
@@ -772,6 +780,10 @@ def dedup_against_reference(
     :func:`dedup_exact`-style passes for that); two new docs sharing a
     fingerprint either both survive or both drop.
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs_ds, floor=32)
     import pandas as pd
 
     import ray
@@ -837,7 +849,7 @@ def dedup_minhash_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "join",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     approx_rows: int | None = None,
 ):
     """NEAR-dup incremental dedup: drop NEW docs whose estimated minhash
@@ -871,6 +883,10 @@ def dedup_minhash_incremental(
     real work starts — pass the estimate instead (same contract as
     ``minhash_lsh_pairs(approx_rows=...)``).
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(new_ds, floor=32)
     import pandas as pd
 
     import ray

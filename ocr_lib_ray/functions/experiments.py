@@ -38,12 +38,16 @@ def ab_metrics(
     convert_type: str = "purchase",
     salt: str = "ab",
     n_variants: int = 2,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """(variant, n_users, n_exposed, n_converted, cvr_micro): users
     assigned to ``n_variants`` arms by stable hash; exposed = any
     ``expose_type`` event; converted = any ``convert_type`` event
     strictly after the user's FIRST exposure."""
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     from ray.data.aggregate import Sum
 
     from .ordered import _add_bucket

@@ -133,7 +133,7 @@ def _hot_sources(outdeg_ds, n_edges: int, num_partitions: int, hot_degree_min):
 
 
 def pagerank_micro(
-    edges_ds, iters: int = 3, num_partitions: int = 32, hot_degree_min=None
+    edges_ds, iters: int = 3, num_partitions: int | None = None, hot_degree_min=None
 ):
     """PageRank over DISTINCT directed edges (src, dst) — integer
     micro-unit spec in the module docstring.  Returns Dataset
@@ -147,6 +147,10 @@ def pagerank_micro(
     uniformly, so a power-law hub cannot melt one merge task.  The
     output is bit-identical with or without salting (the join result
     SET is unchanged)."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(edges_ds, floor=32)
     from .joins import hash_join
 
     edges = _distinct_pairs(edges_ds).materialize()
@@ -464,12 +468,16 @@ def pagerank_micro(
     )
 
 
-def purchase_graph_edges(orders_ds, lineitem_ds, num_partitions: int = 32):
+def purchase_graph_edges(orders_ds, lineitem_ds, num_partitions: int | None = None):
     """The fixture graph: customer → supplier edges for every purchase
     (orders ⋈ lineitem on orderkey), plus supplier → customer
     BACK-edges for returned items (l_returnflag = 'R') so the graph is
     cyclic and the power iteration is non-trivial.  Node ids are
     parity-namespaced (customer c → 2c, supplier s → 2s+1)."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     from .joins import hash_join
 
     li = lineitem_ds.map_batches(
@@ -505,7 +513,7 @@ def purchase_graph_edges(orders_ds, lineitem_ds, num_partitions: int = 32):
     return joined.map_batches(to_edges, batch_format="pyarrow")
 
 
-def cosupplier_edges(lineitem_ds, num_partitions: int = 32):
+def cosupplier_edges(lineitem_ds, num_partitions: int | None = None):
     """Undirected co-purchase edges between suppliers: (u, v), u < v,
     iff both supplied the same order — the co-occurrence-graph
     construction (SKUs bought together, hosts linked from the same
@@ -517,6 +525,10 @@ def cosupplier_edges(lineitem_ds, num_partitions: int = 32):
     orders are resolved vectorized inside the bucket and pair emission
     loops over ORDERS (small, bounded by order size), never rows.
     Deduped with the :func:`_distinct_pairs` partial-then-groupby."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     from .joins import bucket_ints
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -566,7 +578,7 @@ def cosupplier_edges(lineitem_ds, num_partitions: int = 32):
     return _distinct_pairs(pairs)
 
 
-def triangle_support(edges_ds, max_wedges: int = 50_000_000, num_partitions: int = 32):
+def triangle_support(edges_ds, max_wedges: int = 50_000_000, num_partitions: int | None = None):
     """Per-edge triangle support over an undirected graph given as
     DISTINCT (src, dst) with src < dst: each triangle is counted
     exactly once — at its minimum-(degree, id) apex — and attributed to
@@ -595,6 +607,10 @@ def triangle_support(edges_ds, max_wedges: int = 50_000_000, num_partitions: int
     to near-complete co-occurrence graphs; any exact algorithm is
     Θ(#triangles) there) must be thresholded/sampled upstream.
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(edges_ds, floor=32)
     from ray.data.aggregate import Sum
 
     from .joins import bucket_ints, hash_join

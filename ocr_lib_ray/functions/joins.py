@@ -81,6 +81,50 @@ def bucket_col(col, num_partitions: int, crc_compat: bool = False) -> np.ndarray
     return ub[codes]
 
 
+#: floor for derived exchange widths — matches the historical static
+#: default, so small/bench corpora keep their measured parallelism and
+#: only corpora past ``floor * rows_per_group`` rows widen the exchange.
+DEFAULT_PARTITIONS = 32
+
+#: target rows per exchange group: every groupby(bucket) group
+#: materializes in ONE map_groups task, so this bounds per-task memory.
+ROWS_PER_EXCHANGE_GROUP = 100_000
+
+
+def derive_num_partitions(
+    ds,
+    floor: int = DEFAULT_PARTITIONS,
+    rows_per_group: int = ROWS_PER_EXCHANGE_GROUP,
+    approx_rows: int | None = None,
+) -> int:
+    """Size an INTERNAL exchange (bucket groupby) from corpus size:
+    ``max(floor, ceil(rows / rows_per_group))``.
+
+    The floor preserves parallelism on small inputs (the historical
+    static defaults — 32 join partitions, 64 window buckets); past
+    ``floor * rows_per_group`` rows the width grows so no single
+    map_groups task materializes an unbounded group (the
+    :func:`ocr_lib_ray.functions.dedup.derive_group_buckets` policy,
+    generalized).  Row count is METADATA-ONLY (parquet footers via
+    ``Dataset._meta_count()``): a transformed lineage with no metadata
+    count silently keeps the floor — this helper never executes
+    lineage, unlike derive_group_buckets's counted fallback, because
+    exchange width is a performance knob, not a correctness one.
+    Buckets are internal partitioning only, so the derived count is
+    output-invariant (pinned by the bucket-count invariance tests and
+    the oracle gate).  Callers with catalog row counts pass
+    ``approx_rows`` to size transformed lineages too.
+    """
+    if approx_rows is None:
+        try:
+            approx_rows = ds._meta_count()
+        except Exception:
+            approx_rows = None
+    if approx_rows is None:
+        return floor
+    return max(floor, -(-int(approx_rows) // rows_per_group))
+
+
 def _union_bucketed(
     left_ds,
     right_ds,
@@ -327,7 +371,7 @@ def asof_join(
     ts_col: str,
     right_value_cols: list,
     suffix: str = "_r",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """For every left row, the right row with the greatest ts ≤ left ts
     for the same key (backward as-of; null columns when none exists).
@@ -340,6 +384,8 @@ def asof_join(
     value column with ``suffix`` + the matched right ts as
     ``ts_col + suffix`` (float64, NaN when unmatched).
     """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(left_ds)
     _check_right_cols(left_ds, right_value_cols, suffix, extra=(ts_col,))
     # the matched right ts is part of the output: carry it as an
     # explicit value column (merge_asof consumes the join ts)
@@ -395,7 +441,7 @@ def hash_join(
     right_value_cols: list | None = None,
     how: str = "inner",
     suffix: str = "_r",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     replicate_keys=None,
     left_group_agg: dict | None = None,
 ):
@@ -474,6 +520,8 @@ def hash_join(
     left rows would split a group across buckets and the in-bucket
     agg would silently emit partial groups).
     """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(left_ds)
     if how not in ("inner", "left", "right", "full_outer", "semi", "anti"):
         raise ValueError(
             "how must be 'inner'/'left'/'right'/'full_outer'/'semi'/'anti',"
@@ -624,7 +672,7 @@ def range_join_count(
     key_col: str,
     ts_col: str,
     window: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per left row: how many right rows of the same key fall in
     ``(left_ts, left_ts + window]`` — the "responses within w" range
@@ -632,6 +680,8 @@ def range_join_count(
 
     Returns the left rows plus an ``n_in_window`` int64 column.
     """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(left_ds)
     union, left_cols = _union_bucketed(
         left_ds,
         right_ds.select_columns([key_col, ts_col]),

@@ -70,7 +70,7 @@ def remove_common_lines_join(
     text_col: str = "text",
     max_df: int = 1,
     id_col: str = "doc_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Scale variant of :func:`remove_common_lines`: hash-join rewrite.
 
@@ -89,6 +89,10 @@ def remove_common_lines_join(
     for bounded memory at any hot-set size.  Returns (id_col, text_col)
     only; text equals the broadcast path (tested).
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(ds, floor=32)
     import zlib
 
     import pandas as pd

@@ -265,7 +265,7 @@ def dup_ngram_stats_join(
     min_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """:func:`dup_ngram_stats` with NO driver-side hot set — the scale
     path the broadcast docstring points at, for dup-heavy crawls where
@@ -286,6 +286,10 @@ def dup_ngram_stats_join(
     its keys, not the corpus.  Prefer the broadcast form while the hot
     set fits ``max_hot`` — it is two shuffles cheaper.
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs_ds, floor=32)
     import numpy as np
     import pandas as pd
     from ray.data.aggregate import Sum as AggSum
@@ -381,7 +385,7 @@ def remove_dup_ngrams_join(
     min_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """:func:`remove_dup_ngrams` with NO driver-side hot set — the
     rewrite sibling of :func:`dup_ngram_stats_join` for dup-heavy
@@ -395,6 +399,10 @@ def remove_dup_ngrams_join(
     doc-keyed shuffle (inherent for a rewrite: the output IS text);
     positions cross the gram-keyed semi join.  Nothing collected.
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs_ds, floor=32)
     import pandas as pd
 
     hot = _hot_ngrams_ds(docs_ds, text_col, n, min_df)

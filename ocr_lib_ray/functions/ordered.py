@@ -98,7 +98,7 @@ def _prep_events(batch: pa.Table) -> pa.Table:
     )
 
 
-def rolling_stats(events_ds, k: int = 5, num_buckets: int = 64):
+def rolling_stats(events_ds, k: int = 5, num_buckets: int | None = None):
     """Per-user moving sum/count of the last ``k`` events (inclusive),
     ordered by (ts, event_id) — SQL ``SUM(cents) OVER (PARTITION BY
     user_id ORDER BY ts_us, event_id ROWS BETWEEN k-1 PRECEDING AND
@@ -109,6 +109,10 @@ def rolling_stats(events_ds, k: int = 5, num_buckets: int = 64):
     and window start ``s = max(segment_start, i - k + 1)``,
     ``roll_sum = c0[i+1] - c0[s]`` — O(bucket) regardless of k.
     """
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     if k < 1:
         raise ValueError(f"rolling_stats: k must be >= 1, got {k}")
 
@@ -139,13 +143,17 @@ def rolling_stats(events_ds, k: int = 5, num_buckets: int = 64):
     )
 
 
-def lag_intervals(events_ds, num_buckets: int = 64):
+def lag_intervals(events_ds, num_buckets: int | None = None):
     """Per-user inter-arrival gap: ``ts_us - LAG(ts_us) OVER (PARTITION
     BY user_id ORDER BY ts_us, event_id)``, with ``-1`` for each user's
     first event (COALESCE'd in the oracle too — int64 end to end, no
     null-vs-NaN hash ambiguity).  Returns
     (event_id, user_id, ts_us, prev_gap_us).
     """
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(events_ds, floor=64)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = _sorted_frame(g, "user_id", ["ts_us", "event_id"])
@@ -185,7 +193,7 @@ def lag_intervals(events_ds, num_buckets: int = 64):
 def funnel_stages(
     events_ds,
     stages: tuple = ("view", "click", "purchase"),
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-user sequential conversion funnel: stage i+1 counts only
     STRICTLY AFTER the user's first completion of stage i (the classic
@@ -197,6 +205,10 @@ def funnel_stages(
     passes over the bucket, never a per-row loop); an unreached stage
     poisons later ones via a +inf sentinel.
     """
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     if len(stages) < 1:
         raise ValueError("funnel_stages: need at least one stage")
 
@@ -250,7 +262,7 @@ def funnel_stages(
     )
 
 
-def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int = 64):
+def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int | None = None):
     """Per-EVENT session labels: every event gets its (user, session)
     id — the labeling sibling of windows.sessionize (which returns one
     SUMMARY row per session).  Downstream feature building ("events in
@@ -263,6 +275,10 @@ def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int = 64)
     Same bucketed per-key-sort shape as the rest of this module;
     the in-group compute is one diff + cumsum per bucket.
     """
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     gap_us = gap_seconds * 1_000_000
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -306,7 +322,7 @@ def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int = 64)
     )
 
 
-def transition_counts(events_ds, num_buckets: int = 64):
+def transition_counts(events_ds, num_buckets: int | None = None):
     """Markov event-type transition matrix: counts of consecutive
     (prev_type, next_type) pairs within each user's (ts, event_id)-
     ordered stream — SQL ``LAG(event_type) OVER (PARTITION BY user_id
@@ -319,6 +335,10 @@ def transition_counts(events_ds, num_buckets: int = 64):
     partial (numpy shift mask + pandas groupby — no row loop), and the
     final global groupby is |types|²-sized.
     """
+    if num_buckets is None:
+        from .joins import derive_num_partitions
+
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     from ray.data.aggregate import Sum
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:

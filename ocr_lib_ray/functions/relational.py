@@ -219,7 +219,7 @@ def _revenue_by_custkey(
     lo_us,
     hi_us,
     flag=None,
-    num_partitions=32,
+    num_partitions=None,
     as_partials: bool = False,
 ):
     """lineitem ⋈ orders-in-window → exact integer revenue per custkey.
@@ -230,6 +230,10 @@ def _revenue_by_custkey(
     PARTIAL sums instead of the final per-custkey aggregate, so a
     downstream join can fuse that aggregate into its own exchange too.
     """
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     rev = lineitem_ds.map_batches(
         lambda b: _revenue_partials(b, flag), batch_format="pyarrow"
     )
@@ -271,13 +275,17 @@ def star_revenue(
     region_name: str,
     lo_us: int,
     hi_us: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Revenue per nation for customers in ``region_name``, orders in
     [lo_us, hi_us): the star-join shape.  nation⋈region is pre-joined
     driver-side (≤ 30 rows total at ANY scale) and broadcast; customer
     goes through the bucketed hash join (it scales with the corpus).
     Output: (n_name, revenue_u4), exact integer units."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     rev_cust_partials = _revenue_by_custkey(
         lineitem_ds,
         orders_ds,
@@ -356,7 +364,7 @@ def top_customers(
     lo_us: int,
     hi_us: int,
     k: int = 10,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Top-``k`` customers by returned ('R') revenue for orders in
     [lo_us, hi_us), joined back to the customer name.  Global top-k is
@@ -364,6 +372,10 @@ def top_customers(
     row per customer) → single-partition final prune; ties break
     (revenue DESC, custkey ASC) so the k-boundary is deterministic.
     Output: (custkey, c_name, revenue_u4)."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     rev_cust = _revenue_by_custkey(
         lineitem_ds, orders_ds, lo_us, hi_us, flag="R", num_partitions=num_partitions
     )
@@ -409,7 +421,7 @@ def top_customers(
 # --------------------------------------------------------------------------
 
 
-def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_partitions: int = 32):
+def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_partitions: int | None = None):
     """Per-priority count of orders in [lo_us, hi_us) that have at
     least one lineitem shipped AFTER the order date (the
     EXISTS-with-cross-table-predicate shape, TPC-H Q4).  The predicate
@@ -418,6 +430,10 @@ def late_order_priority(lineitem_ds, orders_ds, lo_us: int, hi_us: int, num_part
     tiny groupby) inner-joined to orders then filtered — equivalent
     because only the latest shipment decides existence.  Output:
     (o_orderpriority, n)."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
 
     def ship_partials(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -478,7 +494,7 @@ def ship_priority(
     segment: str,
     cutoff_us: int,
     k: int = 10,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Top-``k`` orders by revenue of lineitems NOT YET shipped at
     ``cutoff_us``, for orders placed before the cutoff by customers in
@@ -491,6 +507,10 @@ def ship_priority(
     through the shuffle, orders columns never multiply); global top-k
     is per-block prune → single-partition final prune, so only
     k × #blocks rows ever reach one task."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
 
     def seg_keys(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("c_mktsegment"), segment))
@@ -626,7 +646,7 @@ def large_orders(
     orders_ds,
     customer_ds,
     min_qty: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Orders whose TOTAL lineitem quantity exceeds ``min_qty``, joined
     to order metadata and the customer name (TPC-H Q18 shape — the
@@ -640,6 +660,10 @@ def large_orders(
     #orders scale → the > min_qty filter shrinks the left side BEFORE
     both joins, so the joins shuffle only qualifying orders; customer
     is a bucketed hash join (corpus-sized side, never broadcast)."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
 
     def qty_parts(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -721,7 +745,7 @@ def promo_revenue(
     lo_us: int,
     hi_us: int,
     promo_prefix: str = "PROMO",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Promotion revenue share over lineitems shipped in [lo_us, hi_us)
     (TPC-H Q14 shape — the fact⋈product-dimension CASE-ratio).  Output:
@@ -737,6 +761,10 @@ def promo_revenue(
     the catalog, so it goes through the bucketed hash join (reduced to
     (partkey, is_promo) first — two thin columns), never a broadcast;
     the final reduction ships one (promo, total) pair per block."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     import pandas as pd
 
     def rev_parts(b: pa.Table) -> pa.Table:
@@ -877,7 +905,7 @@ def order_count_dist(
 # --------------------------------------------------------------------------
 
 
-def top_supplier(lineitem_ds, supplier_ds, lo_us: int, hi_us: int, num_partitions: int = 32):
+def top_supplier(lineitem_ds, supplier_ds, lo_us: int, hi_us: int, num_partitions: int | None = None):
     """Supplier(s) achieving the maximum revenue over lineitems shipped
     in [lo_us, hi_us) (TPC-H Q15 shape — a view-level aggregate whose
     MAX feeds a self-filter, then an enrich join).  ALL tied suppliers
@@ -892,6 +920,10 @@ def top_supplier(lineitem_ds, supplier_ds, lo_us: int, hi_us: int, num_partition
     the corpus lineage.  Only ONE scalar (the max) reaches the driver;
     winners (a handful of rows) join names through the bucketed hash
     join, since supplier scales with the corpus — never broadcast."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
 
     def rev_parts(b: pa.Table) -> pa.Table:
         d = b.column("l_shipdate").cast(pa.int64())
@@ -959,7 +991,7 @@ def small_qty_revenue(
     brand: str,
     frac_num: int = 1,
     frac_den: int = 5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Revenue sitting in small-quantity lineitems of one brand's parts
     (TPC-H Q17 shape — the correlated per-part AVG subquery,
@@ -978,6 +1010,10 @@ def small_qty_revenue(
     each group computes its own avg AND filters its own rows
     (groupby().map_groups — subquery and probe fused, no second join);
     per-group (cents, n) partials reduce to a single driver pair."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     import pandas as pd
 
     def li_prep(b: pa.Table) -> pa.Table:
@@ -1034,7 +1070,7 @@ def idle_customers(
     orders_ds,
     segments: list,
     cutoff_us: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-segment count and balance of high-balance customers with NO
     order on/after ``cutoff_us`` (TPC-H Q22 shape — a global-scalar AVG
@@ -1051,6 +1087,10 @@ def idle_customers(
     custkeys (orders scale with the corpus — never broadcast, and the
     date filter prunes the right side before its exchange); the final
     groupby is |segments|-sized over per-block partials."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(customer_ds, floor=32)
 
     def seg_prep(b: pa.Table) -> pa.Table:
         t = b.filter(pc.is_in(b.column("c_mktsegment"), value_set=pa.array(segments)))
@@ -1157,7 +1197,7 @@ def nation_volume(
     nation_b: str,
     lo_us: int,
     hi_us: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Revenue flow between two nations in both directions — supplier
     nation → customer nation (TPC-H Q7 shape: the longest join chain in
@@ -1176,6 +1216,10 @@ def nation_volume(
     per-block partials finish map-side.  supplier/customer/orders all
     scale with the corpus — every one goes through a bucketed hash
     join, never a broadcast."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     import pandas as pd
 
     nat_ref = make_dim_ref(nation_tbl, "n_nationkey", ["n_name"])
@@ -1331,7 +1375,7 @@ def market_share(
     part_type: str,
     lo_us: int,
     hi_us: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-order-year share of one nation's suppliers in a region's
     market for one part type (TPC-H Q8 shape — the widest star join
@@ -1351,6 +1395,10 @@ def market_share(
     join; customer is region-gated by a broadcast nation⋈region lookup
     at prep time.  The final groupby is |years|-sized over integer
     partials."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
 
     nat_ref = make_dim_ref(nation_tbl, "n_nationkey", ["n_name"])
     # nationkey -> region name, resolved driver-side (both dims O(25))
@@ -1519,7 +1567,7 @@ def band_revenue(
     lineitem_ds,
     part_ds,
     bands: list,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Revenue matched by a DISJUNCTION of (brand, qty_lo, qty_hi)
     bands (TPC-H Q19 shape — the OR-of-conjunctions predicate that
@@ -1536,6 +1584,10 @@ def band_revenue(
     banded brands' keys + brand, and the bucketed hash join carries
     thin rows; the final band check and (rev, n) reduction are
     map-only.  No driver-side collection beyond the two scalars."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(lineitem_ds, floor=32)
     import pandas as pd
 
     if not bands:
@@ -1610,7 +1662,7 @@ def band_revenue(
 
 def customer_features(
     orders_ds,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Per-customer lifetime order features — the feature-store /
     churn-model input shape: (custkey, n_orders, first_us, last_us,
@@ -1623,6 +1675,10 @@ def customer_features(
     (min/max/sum/count — a combiner, so the groupby ships ≤ #customers
     rows per block, never raw orders), then ONE #customers-scale
     groupby; the derived ratios are map-only integer divisions."""
+    if num_partitions is None:
+        from .joins import derive_num_partitions
+
+        num_partitions = derive_num_partitions(orders_ds, floor=32)
     from ray.data.aggregate import Max, Min
 
     def partials(b: pa.Table) -> pa.Table:

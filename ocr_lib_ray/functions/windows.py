@@ -92,7 +92,9 @@ def heavy_hitters(events_ds, k: int = 10):
     )
 
 
-def sessionize(events_ds, gap_seconds: int = 1800, num_buckets: int = 64):
+def sessionize(
+    events_ds, gap_seconds: int = 1800, num_buckets: int | None = None
+):
     """Session windows per user: events sorted by ts within a user;
     a gap > ``gap_seconds`` starts a new session.  Returns one row per
     session: (user_id, session_id, session_start_us, n_events,
@@ -110,8 +112,10 @@ def sessionize(events_ds, gap_seconds: int = 1800, num_buckets: int = 64):
     import numpy as np
     import pandas as pd
 
-    from .joins import bucket_col
+    from .joins import bucket_col, derive_num_partitions
 
+    if num_buckets is None:
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     gap_us = gap_seconds * 1_000_000
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -171,7 +175,7 @@ def sessionize_salted(
     events_ds,
     gap_seconds: int = 1800,
     window_seconds: int = 86_400,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Skew-safe sessionize: a HOT user (one key holding a large share
     of the corpus) melts :func:`sessionize`'s per-user group.  Here the
@@ -195,6 +199,10 @@ def sessionize_salted(
     import pandas as pd
     import pyarrow.compute as pc
 
+    from .joins import derive_num_partitions
+
+    if num_buckets is None:
+        num_buckets = derive_num_partitions(events_ds, floor=64)
     gap_us = gap_seconds * 1_000_000
     window_us = window_seconds * 1_000_000
 
