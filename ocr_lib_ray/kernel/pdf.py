@@ -448,3 +448,36 @@ def _extract_pdf_page(data: str, cfg: ExtractConfig):
         if cfg.keep_residual_texts:
             residual_texts.append(collapse_ws(r.text))
     return "\n".join(out_parts), spans, residuals, residual_texts, n_blocks
+
+
+def width_samples(data: str, cfg: ExtractConfig | None = None) -> list:
+    """Observed run-extent samples for CORPUS-SIDE width inference —
+    the measurement half of the ``nauci-slova`` learning analog
+    (core_helper.clj:1833-1989 learns glyph metrics from sample data at
+    load time; here the samples come from the document stream itself,
+    so no taught bundle is required).
+
+    For every pair of ADJACENT upright runs on one baseline with the
+    SAME font size, the observed extent of the left run is
+    ``x_right − x_left`` — its true glyph advance plus whatever
+    inter-run gap the producer left.  Returns
+    ``[(text, size, extent), ...]`` with extent in points; the solver
+    (``state.bundle.infer_glyph_widths``) models the shared gap as one
+    extra unknown.  Pairs with non-positive extent (overlapping or
+    re-ordered runs) and mixed-size pairs (the fraction-of-size model
+    would conflate two bases) are skipped.  Pages iterate exactly like
+    :func:`extract_pdf`; rotated/sheared runs are excluded — their
+    extents live in a different frame.
+    """
+    if cfg is None:
+        cfg = ExtractConfig()
+    pages = [m.group(1) for m in _STREAM_RE.finditer(data)] or [data]
+    samples: list = []
+    for body in pages:
+        upright = [r for r in tokenize_pdf(body) if not r.rotated]
+        for _y, rs in cluster_lines(upright, cfg):
+            for prev, r in zip(rs, rs[1:]):
+                extent = r.x - prev.x
+                if prev.text and extent > 0 and prev.size == r.size:
+                    samples.append((prev.text, prev.size, extent))
+    return samples

@@ -125,6 +125,152 @@ def learn_glyph_widths(samples, min_count: int = 1) -> dict:
     }
 
 
+def infer_glyph_widths(
+    samples, min_count: int = 3, pair_candidates=None
+) -> tuple:
+    """Infer per-glyph advance fractions (and optionally pair-kerning
+    deltas) from OBSERVED run extents — no taught table required.  The
+    corpus-side completion of the ``nauci-slova`` analog
+    (core_helper.clj:1833-1989 learns glyph metrics from sample data;
+    :func:`learn_glyph_widths` needs the caller to hand it TRUE
+    advances, this solver works from what a document stream actually
+    exposes).
+
+    ``samples``: ``[(text, font_size, observed_extent), ...]`` from
+    :func:`ocr_lib_ray.kernel.pdf.width_samples` — each extent is the
+    left run's true advance PLUS the producer's inter-run gap.  Model:
+    ``extent / size = Σ_c count(c)·w_c [+ Σ_p count(p)·k_p] + gap``
+    with ONE shared gap unknown (fraction of font size) absorbing the
+    constant inter-run spacing, solved by numpy lstsq (deterministic).
+    Heterogeneous gaps (mixed word gaps and column gaps) blur into the
+    residual — this is an estimator, not the exact solve of
+    learn_glyph_widths; the inference test pins that it still recovers
+    the fixture font exactly (integer geometry → exact system).
+
+    Kerning (``pair_candidates``): a caller-named CANDIDATE set of
+    two-char keys (the AV/To/Ta table every font ships) gets one
+    column each; deltas may be negative and plug into run_advance's
+    round-4 pair keys.  Candidates, not an open set, by necessity:
+    natural text is composed from a word vocabulary, so the sample
+    count-matrix rank is bounded by the DISTINCT-WORD count — jointly
+    solving every observed pair is structurally underdetermined (a
+    measured rank of 12 on 60 samples over 12 words), and min-norm
+    lstsq would smear the gap across phantom pair deltas.  Single-font
+    model: one table for the corpus, fractions of font size (document
+    multi-font corpora by splitting the sample stream upstream).
+
+    Returns ``(widths, gap_fraction)`` — ``widths`` plugs directly into
+    ``build_bundle(glyph_widths=...)`` / ``cfg.pdf_glyph_widths``;
+    chars below ``min_count`` or with non-positive/non-finite solutions
+    are omitted (flat-heuristic fallback at use time, exactly like
+    learn_glyph_widths).
+    """
+    import numpy as np
+
+    samples = [
+        (t, float(s), float(e)) for t, s, e in samples if t and s > 0
+    ]
+    if not samples:
+        return {}, 0.0
+    chars = sorted({ch for t, _s, _e in samples for ch in t})
+    keys = list(chars)
+    if pair_candidates:
+        # candidate pairs only, and only past min_count observations:
+        # an under-observed column makes the system underdetermined and
+        # min-norm lstsq smears the shared gap across it
+        cand = set(pair_candidates)
+        pair_counts: dict = {}
+        for t, _s, _e in samples:
+            for a_ch, b_ch in zip(t, t[1:]):
+                p = a_ch + b_ch
+                if p in cand:
+                    pair_counts[p] = pair_counts.get(p, 0) + 1
+        keys += sorted(p for p, n in pair_counts.items() if n >= min_count)
+    idx = {k: i for i, k in enumerate(keys)}
+    n_cols = len(keys) + 1  # + shared gap column
+    a = np.zeros((len(samples), n_cols), dtype=np.float64)
+    b = np.zeros(len(samples), dtype=np.float64)
+    counts = np.zeros(len(keys), dtype=np.int64)
+    for row, (t, size, extent) in enumerate(samples):
+        for ch in t:
+            a[row, idx[ch]] += 1.0
+            counts[idx[ch]] += 1
+        if pair_candidates:
+            for pre, nxt in zip(t, t[1:]):
+                j = idx.get(pre + nxt)
+                if j is not None:  # non-candidate/rare pairs: no column
+                    a[row, j] += 1.0
+                    counts[j] += 1
+        a[row, n_cols - 1] = 1.0
+        b[row] = extent / size
+    w, *_ = np.linalg.lstsq(a, b, rcond=None)
+    out = {}
+    for k, i in idx.items():
+        if counts[i] < min_count or not np.isfinite(w[i]):
+            continue
+        if len(k) == 1 and w[i] <= 0:
+            continue  # per-char advances must be positive; pairs may kern
+        out[k] = round(float(w[i]), 6)
+    gap = float(w[n_cols - 1])
+    return out, (round(gap, 6) if np.isfinite(gap) else 0.0)
+
+
+def infer_glyph_widths_ds(
+    pages_ds,
+    max_samples: int = 200_000,
+    min_count: int = 3,
+    pair_candidates=None,
+):
+    """Distributed width inference over a pages Dataset: a map-only
+    sample pass (PDF pages → (text, size, extent) rows via the kernel's
+    :func:`ocr_lib_ray.kernel.pdf.width_samples`) bounded by
+    ``limit(max_samples)`` — the driver collects at most that many tiny
+    rows regardless of corpus size — then one deterministic lstsq solve
+    (:func:`infer_glyph_widths`).  The solve is
+    O(max_samples × observed-glyph-alphabet), driver-side by design:
+    the model is one small shared table, the same shape as every other
+    broadcast-weights training pass in this engine.
+
+    Returns ``(widths, gap_fraction)``; feed ``widths`` to
+    ``build_bundle(glyph_widths=...)`` for a no-taught-bundle
+    deployment.
+    """
+    import pyarrow as pa
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        from ..kernel.extract import sniff_kind
+        from ..kernel.pdf import width_samples
+
+        texts, sizes, extents = [], [], []
+        for payload in batch.column("html").to_pylist():
+            if payload is None or sniff_kind(payload) != "pdf":
+                continue
+            for t, s, e in width_samples(
+                payload.decode("utf-8", errors="replace")
+            ):
+                texts.append(t)
+                sizes.append(s)
+                extents.append(e)
+        return pa.table(
+            {
+                "t": pa.array(texts, pa.string()),
+                "s": pa.array(sizes, pa.float64()),
+                "e": pa.array(extents, pa.float64()),
+            }
+        )
+
+    rows = (
+        pages_ds.map_batches(sample_batch, batch_format="pyarrow")
+        .limit(max_samples)
+        .take_all()
+    )
+    return infer_glyph_widths(
+        [(r["t"], r["s"], r["e"]) for r in rows],
+        min_count=min_count,
+        pair_candidates=pair_candidates,
+    )
+
+
 def broadcast_bundle(bundle: ClassifierBundle):
     """``ray.put`` once; hand the ref to actor constructors."""
     import ray

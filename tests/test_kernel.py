@@ -431,3 +431,114 @@ def test_learn_glyph_widths_recovers_table():
     cfg = bundle.apply_to(ExtractConfig())
     assert cfg.pdf_glyph_widths == learned
     assert ExtractConfig().pdf_glyph_widths is None  # untaught default
+
+
+def test_infer_glyph_widths_from_corpus_extents():
+    """Round-5 inference analog of nauci-slova: NO taught table — the
+    solver works from the run extents the document stream itself
+    exposes (true advance + the producer's constant gap, modeled as
+    one shared unknown).  On the integer-geometry pdf_prop fixture the
+    system is exact: recovered widths match PROP_WIDTHS, the gap
+    matches PROP_GAP, and extraction with the INFERRED table splits
+    identically to extraction taught the true table."""
+    from ocr_lib_ray.kernel.pdf import width_samples
+    from ocr_lib_ray.sources.pages import PROP_GAP, PROP_WIDTHS, make_pdf_prop
+    from ocr_lib_ray.state.bundle import infer_glyph_widths
+
+    # a deterministic 20-doc corpus with rotating word mixes AND word
+    # counts NOT ≡ 0 (mod words-per-line), so (a) the sample count well
+    # exceeds the observed alphabet (full-rank system — with too few
+    # samples min-norm lstsq smears the shared gap across chars) and
+    # (b) tail lines carry fewer words, breaking the constant-space-
+    # count collinearity between the space column and the gap column
+    pool = (
+        "some sensible words make each generated line split across runs "
+        "narrow fill till rift mass stone loom rates moon tiles quick "
+        "brown vixens jump over lazy dogs while zebras graze Words Like "
+        "These Should Also Split Very Often"
+    ).split(" ")
+    corpus = [
+        (d, " ".join(pool[(7 * i + 3 * d) % len(pool)] for i in range(37)))
+        for d in range(20)
+    ]
+    samples = []
+    for doc_id, text in corpus:
+        payload = make_pdf_prop(doc_id, text)
+        samples.extend(width_samples(payload.decode("utf-8")))
+    assert len(samples) > 60, "fixture corpus must emit many split lines"
+    widths, gap = infer_glyph_widths(samples, min_count=3)
+    assert abs(gap - PROP_GAP / 12.0) < 1e-3
+    for c, w in widths.items():
+        assert abs(w - PROP_WIDTHS[c]) < 1e-3, (c, w, PROP_WIDTHS[c])
+    # behavioral closure: the inferred table splits exactly like the
+    # taught one on a fresh document of the same font
+    payload = make_pdf_prop(66, corpus[0][1])
+    inferred = extract_document(payload, ExtractConfig(pdf_glyph_widths=widths))
+    taught = extract_document(
+        payload, ExtractConfig(pdf_glyph_widths=dict(PROP_WIDTHS))
+    )
+    untaught = extract_document(payload)
+    assert inferred.text == taught.text == untaught.text
+    assert len(inferred.spans) == len(taught.spans) > len(untaught.spans)
+
+
+def test_infer_glyph_widths_learns_pair_kerning():
+    """pair_candidates recovers a negative kerning delta from observed
+    extents: runs containing 'AV' advance 0.1 em less than their
+    per-char sum, and the solved table carries that as a two-char key
+    (the run_advance kerning consumer added in round 4).  The pair set
+    is caller-named — open-set pair inference is structurally
+    underdetermined on word-composed text (rank bounded by the word
+    vocabulary), see the solver docstring."""
+    from ocr_lib_ray.kernel.pdf import width_samples
+    from ocr_lib_ray.state.bundle import infer_glyph_widths
+
+    w = {"A": 0.5, "V": 0.5, "a": 0.5, "o": 0.5, "n": 0.5, "e": 0.5,
+         "t": 0.25, " ": 0.25}
+    kern = {"AV": -0.1}
+    gap = 10.0  # points between runs
+
+    def adv(text):
+        a = sum(w[c] for c in text) + sum(
+            kern.get(x + y, 0.0) for x, y in zip(text, text[1:])
+        )
+        return 12.0 * a
+
+    # enough varied lines for a full-rank system over the small
+    # alphabet + the frequent pairs (min-norm smears otherwise)
+    # "Aton"/"neAt" carry A WITHOUT a following V (else the A and AV
+    # columns are perfectly collinear); word LENGTHS vary 3-5 (else
+    # char-count/4 − space-count ≡ 1 duplicates the gap column)
+    pool = ["AVon", "oat", "tean", "AVet", "onat", "atone",
+            "AVan", "tone", "neAt", "aeon", "Vane", "Aton"]
+    lines, y = [], 3000
+    for i in range(60):
+        # 1-3 words per left run — a CONSTANT space count would be
+        # collinear with the shared gap column (min-norm smears)
+        nw = 1 + (i % 3)
+        left = " ".join(pool[(i * 5 + 3 * j + 3) % len(pool)] for j in range(nw))
+        x2 = 72 + adv(left) + gap
+        lines.append(f"1 0 0 1 72 {y} Tm ({left}) Tj")
+        lines.append(f"1 0 0 1 {x2} {y} Tm (Vote) Tj")
+        y -= 20
+    stream = "BT /F1 12 Tf\n" + "\n".join(lines) + "\nET"
+    samples = width_samples(stream)
+    assert len(samples) == 60
+    widths, g = infer_glyph_widths(
+        samples, min_count=2, pair_candidates=["AV", "To"]
+    )
+    assert abs(g - gap / 12.0) < 1e-3
+    assert abs(widths["AV"] - kern["AV"]) < 1e-3
+    for c in "AVonet":
+        assert abs(widths[c] - w[c]) < 1e-3
+
+
+def test_infer_glyph_widths_empty_and_bounds():
+    from ocr_lib_ray.state.bundle import infer_glyph_widths
+
+    assert infer_glyph_widths([]) == ({}, 0.0)
+    # zero/negative sizes are skipped, under-observed chars omitted
+    widths, _g = infer_glyph_widths(
+        [("ab", 0.0, 10.0), ("q", 12.0, 6.3)], min_count=2
+    )
+    assert widths == {}

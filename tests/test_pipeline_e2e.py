@@ -780,3 +780,45 @@ def test_cli_compact_preserves_content(sf_small, tmp_path, capsys):
         """
     ).fetchone()[0]
     assert diff == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_infer_glyph_widths_ds_distributed():
+    """Distributed width inference (round 5, the corpus-side
+    nauci-slova completion): a pages Dataset of pdf_prop fixtures plus
+    non-PDF noise yields the fixture font table with NO taught bundle,
+    and the inferred table splits proportional lines exactly like the
+    taught PROP_WIDTHS."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.config import ExtractConfig
+    from ocr_lib_ray.kernel.extract import extract_document
+    from ocr_lib_ray.sources.pages import PROP_GAP, PROP_WIDTHS, make_pdf_prop
+    from ocr_lib_ray.state.bundle import infer_glyph_widths_ds
+
+    pool = (
+        "some sensible words make each generated line split across runs "
+        "narrow fill till rift mass stone loom rates moon tiles quick "
+        "brown vixens jump over lazy dogs while zebras graze Words Like "
+        "These Should Also Split Very Often"
+    ).split(" ")
+    texts = {
+        d: " ".join(pool[(7 * i + 3 * d) % len(pool)] for i in range(37))
+        for d in range(20)
+    }
+    payloads = [make_pdf_prop(d, t) for d, t in texts.items()]
+    payloads += [b"<html><body><p>not a pdf</p></body></html>", None]
+    pages = rd.from_arrow(pa.table({"html": pa.array(payloads, pa.binary())}))
+    widths, gap = infer_glyph_widths_ds(pages, min_count=3)
+    assert abs(gap - PROP_GAP / 12.0) < 1e-3
+    assert widths, "must learn something"
+    for c, w in widths.items():
+        assert abs(w - PROP_WIDTHS[c]) < 1e-3, (c, w)
+    payload = make_pdf_prop(0, texts[0])
+    inferred = extract_document(payload, ExtractConfig(pdf_glyph_widths=widths))
+    taught = extract_document(
+        payload, ExtractConfig(pdf_glyph_widths=dict(PROP_WIDTHS))
+    )
+    assert inferred.text == taught.text
+    assert len(inferred.spans) == len(taught.spans)
