@@ -547,10 +547,15 @@ def connected_components(
     count of changed labels per round (scalar aggregate over the
     materialized state — per-round materialization is REQUIRED for any
     iterative Dataset algorithm; without it lineage re-executes all
-    prior rounds).  Rounds needed ≈ graph diameter: near-dup components
-    are near-cliques (2–3 rounds); ``max_rounds`` guards pathological
-    chains — raising it is safe, just slow, and the raise names the
-    knob.
+    prior rounds).  Since round 5 each round ALSO propagates label ←
+    label-of-label (POINTER DOUBLING, a third tagged side riding the
+    same two exchanges — see the loop comment), so rounds needed ≈
+    log2(graph diameter), not diameter: near-dup components are
+    near-cliques (2–3 rounds either way), but chains halve their
+    round count and the per-round fixed exchange latency that
+    dominates small dup graphs (the dup_cluster_sizes wall) amortizes
+    twice as fast.  ``max_rounds`` still guards pathological cases —
+    raising it is safe, just slow, and the raise names the knob.
     """
     if num_buckets is None:
         from .joins import derive_num_partitions
@@ -558,8 +563,6 @@ def connected_components(
         num_buckets = derive_num_partitions(pairs_ds, floor=64)
 
     import ray.data as rd
-
-    from .joins import _union_bucketed
 
     sch = pairs_ds.schema()
     id_type = sch.types[sch.names.index("d1")]
@@ -630,20 +633,75 @@ def connected_components(
 
     labels = min_round(edges.map_batches(init_cands, batch_format="pyarrow"))
 
+    # uniform (key, val, side) tagged-union schema shared by all three
+    # message kinds; the bucket is always hashed on ``key``:
+    #   side 0 — state row:      key=node,  val=label   (label lookup)
+    #   side 1 — edge:           key=node,  val=peer    (send label(node) to peer)
+    #   side 2 — pointer double: key=label, val=node    (send label(label) to node)
+    # Side 2 is the round-5 POINTER-DOUBLING message (label ←
+    # label-of-label): labels are always node ids, so ``key=label``
+    # lands in the bucket holding that node's own state row and the
+    # lookup is one dict hit — the doubling rides the SAME two
+    # exchanges per round, and round count drops from O(diameter) to
+    # O(log diameter) (a diameter-9 chain converges in 5 rounds, not
+    # 10 — each round's reach doubles instead of growing by one hop).
+    def tag_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                b.column("node"),
+                b.column("peer"),
+                pa.array(np.ones(n, dtype=np.int8)),
+            ],
+            names=["key", "val", "side"],
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def tag_state(b: pa.Table) -> pa.Table:
+        node = b.column("node").combine_chunks()
+        lab = b.column("label").combine_chunks()
+        n = len(node)
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([node, lab]),
+                pa.concat_arrays([lab, node]),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.full(n, 2, dtype=np.int8)]
+                    )
+                ),
+            ],
+            names=["key", "val", "side"],
+        )
+
+    def add_key_bucket(b: pa.Table) -> pa.Table:
+        from .joins import bucket_col
+
+        return b.append_column(
+            "bucket", pa.array(bucket_col(b.column("key"), num_buckets), pa.int32())
+        )
+
     for _ in range(max_rounds):
         state = labels.select_columns(["node", "label"])
-        union, _cols = _union_bucketed(state, edges, "node", num_buckets)
+        union = (
+            state.map_batches(tag_state, batch_format="pyarrow")
+            .union(edges_tagged)
+            .map_batches(add_key_bucket, batch_format="pyarrow")
+        )
 
         def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
             lab = g[g["side"] == 0]
             ed = g[g["side"] == 1]
-            lmap = dict(zip(lab["node"], lab["label"]))
-            cands = [lmap[s] for s in ed["node"]]
+            dbl = g[g["side"] == 2]
+            lmap = dict(zip(lab["key"], lab["val"]))
+            edge_cands = [lmap[s] for s in ed["key"]]
+            dbl_cands = [lmap[s] for s in dbl["key"]]  # label(label)
             return pd.DataFrame(
                 {
-                    "node": list(ed["peer"]) + list(lab["node"]),
-                    "cand": cands + list(lab["label"]),
-                    "is_self": [0] * len(ed) + [1] * len(lab),
+                    "node": list(ed["val"]) + list(dbl["val"]) + list(lab["key"]),
+                    "cand": edge_cands + dbl_cands + list(lab["val"]),
+                    "is_self": [0] * (len(ed) + len(dbl)) + [1] * len(lab),
                 }
             )
 

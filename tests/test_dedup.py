@@ -240,6 +240,11 @@ def test_connected_components_string_ids_and_long_chain():
     out = connected_components(pairs, node_col="url").to_pandas()
     assert set(out["component"]) == {urls[0]}
     assert len(out) == len(urls)
+    # pointer-doubling regression pin: reach doubles per round, so the
+    # diameter-9 chain converges (incl. the certifying zero-change
+    # round) within 5 rounds — plain propagation needed 10
+    out5 = connected_components(pairs, node_col="url", max_rounds=5).to_pandas()
+    assert set(out5["component"]) == {urls[0]}
     with pytest.raises(RuntimeError, match="max_rounds"):
         connected_components(pairs, max_rounds=1)
 
