@@ -1205,17 +1205,23 @@ def nation_volume(
     Output: (supp_nation, cust_nation, revenue_u4), one row per
     surviving direction, exact integer u4.
 
-    Scale shape, in join order: nation (O(25) rows at ANY scale) is
-    broadcast onto supplier and customer map-side; the supplier side is
-    then FILTERED to the two nations (~2/|nations| of suppliers)
-    before its bucketed hash join with the windowed lineitem — the
-    chain's biggest prune runs earliest.  Between the two fact joins
-    the stream is pre-aggregated per (orderkey, supp_nation) per block,
-    so the orders join shuffles ~#orders rows, never #lineitems; after
-    the custkey join the pair filter + a |2×2|-sized groupby over
-    per-block partials finish map-side.  supplier/customer/orders all
-    scale with the corpus — every one goes through a bucketed hash
-    join, never a broadcast."""
+    Scale shape (round-5 restructure — one exchange fewer, depth 3→2):
+    nation (O(25) rows at ANY scale) is broadcast onto supplier and
+    customer map-side; the supplier side is then FILTERED to the two
+    nations (~2/|nations| of suppliers) before its bucketed hash join
+    with the windowed lineitem — the chain's biggest prune runs
+    earliest.  The customer enrich moved OFF the fact chain: orders
+    join the pair-filtered customers in a SIDE BRANCH (one
+    custkey-keyed exchange over the orders table, run CONCURRENTLY
+    with the lineitem⋈supplier exchange by the streaming executor —
+    both joins are 1:1 on their keys, so reordering them preserves the
+    row set), and the per-(orderkey, supp_nation) partials meet the
+    cust_nation-enriched orders in ONE orderkey exchange.  The final
+    |2×2|-sized aggregate is a DRIVER-side reduce of per-block integer
+    partials (the market_share pattern) — no all-to-all for a
+    handful of rows.  supplier/customer/orders all scale with the
+    corpus — every one goes through a bucketed hash join, never a
+    broadcast."""
     if num_partitions is None:
         from .joins import derive_num_partitions
 
@@ -1275,33 +1281,6 @@ def nation_volume(
 
     per_order = with_supp.map_batches(order_parts, batch_format="pyarrow")
 
-    orders = orders_ds.map_batches(
-        lambda b: pa.table(
-            {"orderkey": b.column("o_orderkey"), "custkey": b.column("o_custkey")}
-        ),
-        batch_format="pyarrow",
-    )
-    with_cust_key = hash_join(
-        per_order,
-        orders,
-        "orderkey",
-        right_value_cols=["custkey"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-
-    def cust_key_parts(b: pa.Table) -> pa.Table:
-        df = b.select(["custkey_r", "supp_nation", "rev_u4"]).to_pandas()
-        df.columns = ["custkey", "supp_nation", "rev_u4"]
-        g = (
-            df.groupby(["custkey", "supp_nation"], sort=False)["rev_u4"]
-            .sum()
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    per_cust = with_cust_key.map_batches(cust_key_parts, batch_format="pyarrow")
-
     def cust_prep(b: pa.Table) -> pa.Table:
         import ray
 
@@ -1315,10 +1294,38 @@ def nation_volume(
         return t.filter(pc.is_in(t.column("cust_nation"), value_set=pa.array(sorted(pair))))
 
     cust = customer_ds.map_batches(cust_prep, batch_format="pyarrow")
-    joined = hash_join(
-        per_cust,
+    orders = orders_ds.map_batches(
+        lambda b: pa.table(
+            {"orderkey": b.column("o_orderkey"), "custkey": b.column("o_custkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    # cust_nation enrich on the ORDERS side branch (concurrent with the
+    # lineitem⋈supplier fact exchange); custkey never ships down the
+    # fact stream.  Inner join also GATES orders to the pair's
+    # customers, so the orderkey exchange below ships ~2/|nations| of
+    # the per-order partials' join partners.
+    enriched_orders = hash_join(
+        orders,
         cust,
         "custkey",
+        right_value_cols=["cust_nation"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def orders_project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": b.column("orderkey"),
+                "cust_nation": b.column("cust_nation_r"),
+            }
+        )
+
+    joined = hash_join(
+        per_order,
+        enriched_orders.map_batches(orders_project, batch_format="pyarrow"),
+        "orderkey",
         right_value_cols=["cust_nation"],
         how="inner",
         num_partitions=num_partitions,
@@ -1336,17 +1343,12 @@ def nation_volume(
         g.columns = ["supp_nation", "cust_nation", "rev"]
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        joined.map_batches(pair_parts, batch_format="pyarrow")
-        .groupby(["supp_nation", "cust_nation"])
-        .aggregate(Sum("rev", alias_name="revenue_u4"))
-    )
-    # empty window / no matching pair leaves ZERO blocks, which drop
-    # the documented schema in to_pandas(); the aggregate is at most
-    # 2 rows, so materializing it is free (same pattern as
-    # idle_customers / top_supplier)
-    res = out.materialize()
-    if res.count() == 0:
+    # final |2×2|-sized aggregate: driver-side reduce of per-block
+    # integer partials (market_share pattern) — the old groupby paid a
+    # full all-to-all's fixed latency to sum at most a handful of rows,
+    # and the empty case hands back the typed frame directly
+    parts = joined.map_batches(pair_parts, batch_format="pyarrow").take_all()
+    if not parts:
         return pa.table(
             {
                 "supp_nation": pa.array([], pa.string()),
@@ -1354,7 +1356,15 @@ def nation_volume(
                 "revenue_u4": pa.array([], pa.int64()),
             }
         ).to_pandas()
-    return res
+    agg = (
+        pd.DataFrame(parts)
+        .groupby(["supp_nation", "cust_nation"], sort=True)["rev"]
+        .sum()
+        .reset_index()
+    )
+    agg.columns = ["supp_nation", "cust_nation", "revenue_u4"]
+    agg["revenue_u4"] = agg["revenue_u4"].astype(np.int64)
+    return agg
 
 
 # --------------------------------------------------------------------------
@@ -1385,16 +1395,23 @@ def market_share(
     discipline as promo_revenue; the int64 bound (target_u4 below
     ~9.2e12) is documented there.
 
-    Scale shape, join order: part reduces to the type's keys and SEMI-
-    gates lineitem first (the chain's biggest prune); supplier rides
-    the bucketed hash join carrying only an ``is_target`` bit (nation
-    names resolved by the O(25)-row broadcast before the join, so the
-    corpus-scaled supplier table ships one extra int8, not a string);
-    the stream is pre-aggregated per (orderkey, is_target) before the
-    orders join and per (custkey, year, is_target) before the customer
-    join; customer is region-gated by a broadcast nation⋈region lookup
-    at prep time.  The final groupby is |years|-sized over integer
-    partials."""
+    Scale shape (round-5 restructure — two exchanges fewer, depth 5→3):
+    part reduces to the type's keys and SEMI-gates lineitem first (the
+    chain's biggest prune); supplier rides the bucketed hash join
+    carrying only an ``is_target`` bit (nation names resolved by the
+    O(25)-row broadcast before the join, so the corpus-scaled supplier
+    table ships one extra int8, not a string); the stream is
+    pre-aggregated per (orderkey, is_target) before the orders join.
+    The customer region gate moved OFF the fact chain: orders are
+    semi-gated by the region's customers in a SIDE BRANCH (one
+    custkey-keyed exchange over the orders table that the streaming
+    executor runs CONCURRENTLY with the part/supplier fact exchanges —
+    the gate commutes with the 1:1 orderkey join, so the row set is
+    identical), and the fact stream meets the pre-gated orders in one
+    orderkey exchange.  The final |years|-sized aggregate is a
+    DRIVER-side reduce of per-block integer partials (≤ blocks×years×2
+    tiny rows at any corpus size) — the old groupby paid a full
+    all-to-all's fixed latency to sum a handful of rows."""
     if num_partitions is None:
         from .joins import derive_num_partitions
 
@@ -1484,28 +1501,6 @@ def market_share(
             }
         )
 
-    orders = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
-    with_orders = hash_join(
-        per_order,
-        orders,
-        "orderkey",
-        right_value_cols=["custkey", "o_year"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-
-    def cust_key_parts(b: pa.Table) -> pa.Table:
-        df = b.select(["custkey_r", "o_year_r", "is_target", "rev_u4"]).to_pandas()
-        df.columns = ["custkey", "o_year", "is_target", "rev_u4"]
-        g = (
-            df.groupby(["custkey", "o_year", "is_target"], sort=False)["rev_u4"]
-            .sum()
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    per_cust = with_orders.map_batches(cust_key_parts, batch_format="pyarrow")
-
     rkeys = pa.array(region_nationkeys, pa.int32())
 
     def cust_prep(b: pa.Table) -> pa.Table:
@@ -1513,12 +1508,27 @@ def market_share(
         return pa.table({"custkey": t.column("c_custkey")})
 
     cust = customer_ds.map_batches(cust_prep, batch_format="pyarrow")
-    gated = hash_join(
-        per_cust, cust, "custkey", how="semi", num_partitions=num_partitions
+    # region gate on the ORDERS side branch (concurrent with the fact
+    # chain); custkey never ships down the fact stream
+    gated_orders = hash_join(
+        orders_ds.map_batches(orders_prep, batch_format="pyarrow"),
+        cust,
+        "custkey",
+        how="semi",
+        num_partitions=num_partitions,
+    ).select_columns(["orderkey", "o_year"])
+    with_orders = hash_join(
+        per_order,
+        gated_orders,
+        "orderkey",
+        right_value_cols=["o_year"],
+        how="inner",
+        num_partitions=num_partitions,
     )
 
     def year_parts(b: pa.Table) -> pa.Table:
-        df = b.select(["o_year", "is_target", "rev_u4"]).to_pandas()
+        df = b.select(["o_year_r", "is_target", "rev_u4"]).to_pandas()
+        df.columns = ["o_year", "is_target", "rev_u4"]
         df["target"] = df["rev_u4"] * df["is_target"]
         g = df.groupby("o_year", sort=False).agg(
             target_u4=("target", "sum"), total_u4=("rev_u4", "sum")
@@ -1527,26 +1537,15 @@ def market_share(
         g["total_u4"] = g["total_u4"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        gated.map_batches(year_parts, batch_format="pyarrow")
-        .groupby("o_year")
-        .aggregate(
-            Sum("target_u4", alias_name="target_u4"),
-            Sum("total_u4", alias_name="total_u4"),
-        )
-    )
+    # final aggregate: DRIVER-side reduce of the per-block partials —
+    # bounded by output-blocks × |years| tiny integer rows at any
+    # corpus size, so the collect is scalar-like (the pagerank
+    # dangling-mass pattern), and the old |years|-groupby's full
+    # all-to-all fixed latency is gone
+    import pandas as pd
 
-    def share(b: pa.Table) -> pa.Table:
-        t = b.column("target_u4").to_numpy(zero_copy_only=False)
-        tot = b.column("total_u4").to_numpy(zero_copy_only=False)
-        micro = np.where(tot > 0, (t * 1_000_000) // np.maximum(tot, 1), 0)
-        return b.append_column("share_micro", pa.array(micro.astype(np.int64)))
-
-    # materialize the |years|-sized final aggregate so an empty
-    # window/type/region hands back the typed empty frame instead of a
-    # schema-less zero-block dataset (same pattern as nation_volume)
-    res = agg.map_batches(share, batch_format="pyarrow").materialize()
-    if res.count() == 0:
+    parts = with_orders.map_batches(year_parts, batch_format="pyarrow").take_all()
+    if not parts:
         return pa.table(
             {
                 "o_year": pa.array([], pa.int64()),
@@ -1555,7 +1554,21 @@ def market_share(
                 "share_micro": pa.array([], pa.int64()),
             }
         ).to_pandas()
-    return res
+    agg = (
+        pd.DataFrame(parts)
+        .groupby("o_year", sort=True)
+        .agg(target_u4=("target_u4", "sum"), total_u4=("total_u4", "sum"))
+        .reset_index()
+    )
+    t = agg["target_u4"].to_numpy(dtype=np.int64)
+    tot = agg["total_u4"].to_numpy(dtype=np.int64)
+    agg["target_u4"] = t
+    agg["total_u4"] = tot
+    agg["share_micro"] = np.where(
+        tot > 0, (t * 1_000_000) // np.maximum(tot, 1), 0
+    ).astype(np.int64)
+    agg["o_year"] = agg["o_year"].astype(np.int64)
+    return agg
 
 
 # --------------------------------------------------------------------------
