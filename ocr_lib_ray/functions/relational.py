@@ -349,7 +349,24 @@ def star_revenue(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = tagged.map_batches(part, batch_format="pyarrow")
-    return partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue_u4"))
+    # driver-side reduce of the per-block partials (≤ blocks × |region
+    # nations| tiny integer rows at any corpus size) — the old
+    # groupby paid a full all-to-all's fixed latency to sum a
+    # |nations|-sized result (round-5 market_share pattern)
+    import pandas as pd
+
+    rows = partials.take_all()
+    if not rows:
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series(dtype=object),
+                "revenue_u4": pd.Series(dtype="int64"),
+            }
+        )
+    agg = pd.DataFrame(rows).groupby("n_name", sort=True)["rev"].sum().reset_index()
+    agg.columns = ["n_name", "revenue_u4"]
+    agg["revenue_u4"] = agg["revenue_u4"].astype(np.int64)
+    return agg
 
 
 # --------------------------------------------------------------------------
@@ -369,9 +386,13 @@ def top_customers(
     """Top-``k`` customers by returned ('R') revenue for orders in
     [lo_us, hi_us), joined back to the customer name.  Global top-k is
     per-block prune to k (on the per-custkey aggregate — already one
-    row per customer) → single-partition final prune; ties break
-    (revenue DESC, custkey ASC) so the k-boundary is deterministic.
-    Output: (custkey, c_name, revenue_u4)."""
+    row per customer) → DRIVER merge of the ≤ blocks × k pruned rows
+    (round 5: the old repartition(1) paid an all-to-all barrier for
+    the same merge); ties break (revenue DESC, custkey ASC) so the
+    k-boundary is deterministic.  The k winner keys then BROADCAST
+    into a map-only name lookup over the corpus-scaled customer table
+    — never an exchange for k rows.  Output: pandas
+    (custkey, c_name, revenue_u4)."""
     if num_partitions is None:
         from .joins import derive_num_partitions
 
@@ -388,32 +409,53 @@ def top_customers(
         )
         return b.take(idx[:k])
 
-    winners = (
-        rev_cust.map_batches(prune, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(prune, batch_format="pyarrow")
+    # per-block prune → DRIVER merge (≤ blocks × k tiny rows; the old
+    # repartition(1) paid an all-to-all for the same merge), then the
+    # k winner keys BROADCAST into a map-only name lookup over the
+    # corpus-scaled customer table — the old final hash_join shipped
+    # every customer row through an exchange to join k winners
+    import pandas as pd
+    import ray
+
+    pruned = rev_cust.map_batches(prune, batch_format="pyarrow").take_all()
+    empty = pd.DataFrame(
+        {
+            "custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype=object),
+            "revenue_u4": pd.Series(dtype="int64"),
+        }
+    )
+    if not pruned:
+        return empty
+    top = (
+        pd.DataFrame(pruned)
+        .sort_values(
+            ["revenue_u4", "custkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    key_ref = ray.put(
+        pa.array(sorted(int(x) for x in top["custkey"]), pa.int64())
     )
 
-    cust = customer_ds.map_batches(
-        lambda b: pa.table(
+    def match_names(b: pa.Table) -> pa.Table:
+        want = ray.get(key_ref)
+        t = pa.table(
             {"custkey": b.column("c_custkey"), "c_name": b.column("c_name")}
-        ),
-        batch_format="pyarrow",
-    )
-    out = hash_join(
-        winners,
-        cust,
-        "custkey",
-        right_value_cols=["c_name"],
-        how="inner",
-        num_partitions=4,
-    )
-    return out.map_batches(
-        lambda b: b.select(["custkey", "c_name_r", "revenue_u4"]).rename_columns(
-            ["custkey", "c_name", "revenue_u4"]
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        return t.filter(pc.is_in(t.column("custkey"), value_set=want))
+
+    names = customer_ds.map_batches(match_names, batch_format="pyarrow").take_all()
+    name_by_key = {int(r["custkey"]): r["c_name"] for r in names}
+    # inner-join semantics: winners missing from customer drop
+    top = top[top["custkey"].astype("int64").isin(name_by_key)].reset_index(drop=True)
+    if top.empty:
+        return empty
+    top["c_name"] = [name_by_key[int(ck)] for ck in top["custkey"]]
+    top["custkey"] = top["custkey"].astype(np.int64)
+    top["revenue_u4"] = top["revenue_u4"].astype(np.int64)
+    return top[["custkey", "c_name", "revenue_u4"]]
 
 
 # --------------------------------------------------------------------------
@@ -505,8 +547,10 @@ def ship_priority(
     pre-aggregated to one (orderkey, rev) row per block before its
     join; the segment gate is a SEMI join (only deduped custkeys ship
     through the shuffle, orders columns never multiply); global top-k
-    is per-block prune → single-partition final prune, so only
-    k × #blocks rows ever reach one task."""
+    is per-block prune → DRIVER merge of the ≤ k × #blocks pruned
+    rows (round 5: the old repartition(1) paid an all-to-all barrier
+    for the same merge).  Output: pandas (orderkey, o_date_us,
+    revenue_u4)."""
     if num_partitions is None:
         from .joins import derive_num_partitions
 
@@ -569,11 +613,27 @@ def ship_priority(
         )
         return b.take(idx[:k])
 
-    return (
-        joined.map_batches(prune, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(prune, batch_format="pyarrow")
+    # per-block prune → DRIVER merge of ≤ blocks × k tiny rows (the
+    # old repartition(1) paid an all-to-all barrier for the same merge)
+    import pandas as pd
+
+    pruned = joined.map_batches(prune, batch_format="pyarrow").take_all()
+    cols = ["orderkey", "o_date_us", "revenue_u4"]
+    if not pruned:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    top = (
+        pd.DataFrame(pruned)
+        .sort_values(
+            ["revenue_u4", "o_date_us", "orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
     )
+    for c in cols:
+        top[c] = top[c].astype(np.int64)
+    return top[cols]
 
 
 # --------------------------------------------------------------------------

@@ -134,8 +134,9 @@ def test_empty_order_window_yields_zero_rows():
     cust = rd.from_arrow(pq.read_table(f"{SF}/customer.parquet"))
     nation = pq.read_table(f"{SF}/nation.parquet")
     region = pq.read_table(f"{SF}/region.parquet")
-    out = star_revenue(li, orders, cust, nation, region, "ASIA", lo, hi).to_pandas()
+    out = star_revenue(li, orders, cust, nation, region, "ASIA", lo, hi)
     assert len(out) == 0
+    assert list(out.columns) == ["n_name", "revenue_u4"]
     out2 = late_order_priority(li, orders, lo, hi).to_pandas()
     assert len(out2) == 0
 
@@ -179,7 +180,7 @@ def test_top_customers_tie_break_boundary():
         lo,
         hi,
         k=2,
-    ).to_pandas()
+    )
     assert sorted(out["custkey"].tolist()) == [1, 2]
 
 
@@ -249,7 +250,7 @@ def test_ship_priority_tie_break_boundary():
         segment="BUILDING",
         cutoff_us=cut,
         k=2,
-    ).to_pandas()
+    )
     # all revenues tie: date breaks first (order 3), then orderkey (1)
     assert sorted(out["orderkey"].tolist()) == [1, 3]
 
@@ -298,7 +299,7 @@ def test_ship_priority_segment_gate_and_shipped_excluded():
         segment="BUILDING",
         cutoff_us=cut,
         k=10,
-    ).to_pandas()
+    )
     # order 2's customer is outside the segment; order 1 counts only
     # its unshipped 70.0 @ 50% line = 7000 cents * 50 = 350000 u4
     assert out["orderkey"].tolist() == [1]
