@@ -65,13 +65,14 @@ class ExtractConfig:
     #    the tag-stack across the seam; must equal unchunked parse.
     chunk_size: int = 256 * 1024
     # -- intra-document PARALLEL band parse (the pcalls analog,
-    #    core.clj:1460-1514): opt-in — a state-only skeleton scan finds
-    #    each band's entry state, then bands parse as independent Ray
-    #    tasks.  Only worth it when ONE page exceeds a worker (the
-    #    sequential chunked parse already bounds memory); nested tasks
-    #    also hold the parent's CPU while blocked, so enable it on the
-    #    giant route only, where parents are few.
-    giant_band_parallel: bool = False
+    #    core.clj:1460-1514): a state-only skeleton scan finds each
+    #    band's entry state, then bands parse as independent Ray tasks.
+    #    Default-ON since round 5: it only engages past band_size (the
+    #    sequential chunked parse already bounds memory below that),
+    #    the parent parses the first band inline, and a task blocked in
+    #    ray.get releases its CPU — concurrent giants cannot deadlock
+    #    (pinned at num_cpus=4 by the concurrent-parents test).
+    giant_band_parallel: bool = True
     band_size: int = 32 * 1024 * 1024  # 32 MiB per band task
 
     # -- partitioning (north_rule: partition by url-hash)

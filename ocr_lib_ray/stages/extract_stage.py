@@ -165,10 +165,15 @@ def tokenize_giant_parallel(data: str, cfg: ExtractConfig, tags):
     bands then parse as INDEPENDENT Ray tasks against one ``ray.put``
     copy of the page, and outputs concatenate in band order.
 
-    Output-equivalent to the sequential chunked parse (tested).  Nested
-    tasks hold the calling worker's CPU while it blocks on ray.get —
-    use from the giant route only, where concurrent parents are few.
-    Falls back to the in-process banded parse when Ray is not
+    Output-equivalent to the sequential chunked parse (tested).
+    Scheduler-safe by construction (round 5, default-ON): the parent
+    parses the FIRST band inline while the remaining bands run as
+    tasks, and a Ray TASK blocked in ``ray.get`` releases its CPU
+    resource back to the scheduler — so concurrent giant parents
+    cannot deadlock the cluster even at num_cpus=4 (pinned by
+    test_giant_band_parallel_concurrent_parents_no_deadlock; brief
+    oversubscription when a blocked parent resumes is the documented
+    cost).  Falls back to the in-process banded parse when Ray is not
     initialized or the page fits one band.
     """
     import ray
@@ -180,8 +185,10 @@ def tokenize_giant_parallel(data: str, cfg: ExtractConfig, tags):
         return merge_docs([tokenize_band(data, s, e, st, tags) for s, e, st in bands])
     href = ray.put(data)
     task = _band_task_fn()
-    refs = [task.remote(href, s, e, st, tags) for s, e, st in bands]
-    return merge_docs(ray.get(refs))
+    refs = [task.remote(href, s, e, st, tags) for s, e, st in bands[1:]]
+    s0, e0, st0 = bands[0]
+    first = tokenize_band(data, s0, e0, st0, tags)  # parent works, not waits
+    return merge_docs([first] + ray.get(refs))
 
 
 def extract_batch(

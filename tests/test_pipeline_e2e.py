@@ -822,3 +822,54 @@ def test_infer_glyph_widths_ds_distributed():
     )
     assert inferred.text == taught.text
     assert len(inferred.spans) == len(taught.spans)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_giant_band_parallel_concurrent_parents_no_deadlock():
+    """Round-5 default-ON pin: at the session's num_cpus=4, EIGHT
+    concurrent giant parents each fanning out band tasks must complete
+    (a blocked parent task releases its CPU — no nested-task deadlock)
+    and extract identically to the sequential chunked path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_lib_ray.stages.extract_stage import extract_batch
+
+    def page(i: int) -> bytes:
+        return (
+            "<main>"
+            + "".join(
+                f"<article><h1>G{i} s{j}</h1><p>words for {i}/{j} "
+                + "filler " * 40
+                + "</p></article>"
+                for j in range(400)
+            )
+            + "</main>"
+        ).encode()
+
+    rows = pa.table(
+        {
+            "url": pa.array([f"https://x/g{i}" for i in range(8)], pa.string()),
+            "html": pa.array([page(i) for i in range(8)], pa.binary()),
+        }
+    )
+    cfg = ExtractConfig(band_size=16 * 1024)  # default giant_band_parallel=True
+    assert cfg.giant_band_parallel  # the round-5 default
+    assert all(len(h.as_py()) > 5 * cfg.band_size for h in rows.column("html"))
+    par = (
+        rd.from_arrow(rows)
+        .repartition(8)
+        .map_batches(lambda b, _c=cfg: extract_batch(b, _c), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    seq = (
+        extract_batch(rows, ExtractConfig(giant_band_parallel=False))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (par["url"] == seq["url"]).all()
+    assert (par["text"] == seq["text"]).all()
+    assert (par["text"].str.len() > 10_000).all()
