@@ -76,22 +76,6 @@ def _distinct_pairs(pairs_ds):
     )
 
 
-def _distinct_nodes(edges_ds):
-    """(n,) distinct over src ∪ dst — same partial-then-groupby shape."""
-
-    def partial(b: pa.Table) -> pa.Table:
-        s = b.column("src").to_numpy(zero_copy_only=False)
-        d = b.column("dst").to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays([pa.array(np.unique(np.concatenate([s, d])))], names=["n"])
-
-    return (
-        edges_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("n")
-        .count()
-        .select_columns(["n"])
-    )
-
-
 #: below this out-degree a source is never worth salting — replicating
 #: its state row into every bucket would cost more than the skew saves
 PAGERANK_HOT_MIN_DEGREE = 1024
@@ -125,13 +109,6 @@ def _hot_keys(
     return {int(r[key_col]) for r in rows}
 
 
-def _hot_sources(outdeg_ds, n_edges: int, num_partitions: int, hot_degree_min):
-    """PageRank view of :func:`_hot_keys` over the (n, outdeg) table."""
-    return _hot_keys(
-        outdeg_ds, "n", "outdeg", n_edges, num_partitions, hot_degree_min
-    )
-
-
 def pagerank_micro(
     edges_ds, iters: int = 3, num_partitions: int | None = None, hot_degree_min=None
 ):
@@ -151,44 +128,118 @@ def pagerank_micro(
         from .joins import derive_num_partitions
 
         num_partitions = derive_num_partitions(edges_ds, floor=32)
-    from .joins import hash_join
+    import ray.data as rd
 
-    edges = _distinct_pairs(edges_ds).materialize()
-    nodes = _distinct_nodes(edges)
+    from .joins import bucket_int_pairs, bucket_ints
 
-    outdeg = edges.groupby("src").count().map_batches(
-        lambda b: b.rename_columns(["n", "outdeg"]), batch_format="pyarrow"
-    ).materialize()
-    hot = _hot_sources(outdeg, edges.count(), num_partitions, hot_degree_min)
+    # --- FUSED setup (round 5): TWO exchanges replace the old four
+    # ({distinct-pairs groupby, distinct-nodes groupby, outdeg groupby,
+    # nodes⋈outdeg hash_join}).  Exchange S1 dedups edges bucketed by
+    # the (src, dst) PAIR hash — hub-safe (a hub's edges spread across
+    # buckets; same pair → same bucket, so in-bucket np.unique IS the
+    # global distinct).  Because each distinct pair then lives in
+    # exactly ONE output block, per-block node sets and per-block
+    # (src, count) rows are valid PARTIALS, and exchange S2 (keyed by
+    # n) unions them to finish {distinct nodes + outdeg Sum + the left
+    # join + r0 seed} in one map_groups task per bucket — the same
+    # tagged-union shape as the iteration's exchange B.
 
-    state = hash_join(
-        nodes, outdeg, key_col="n", right_value_cols=["outdeg"],
-        how="left", suffix="", num_partitions=num_partitions,
-    ).map_batches(
-        # left-join misses are NaN float64 → dangling outdeg 0; seed r0
-        lambda b: pa.Table.from_arrays(
-            [
-                b.column("n"),
-                pa.array(np.full(b.num_rows, R0, dtype=np.int64)),
-                pa.array(
-                    np.nan_to_num(
-                        b.column("outdeg").to_numpy(zero_copy_only=False).astype(np.float64),
-                        nan=0.0,
-                    ).astype(np.int64)
-                ),
-            ],
-            names=["n", "r", "outdeg"],
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    n_nodes = state.count()
-    if n_nodes == 0:
-        return state.select_columns(["n", "r"]).map_batches(
-            lambda b: b.rename_columns(["node", "rank_micro"]), batch_format="pyarrow"
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src").to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(b.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64)
+        u = np.unique(np.stack([s, d], axis=1), axis=0)  # per-block partial
+        bk = bucket_int_pairs(u[:, 0], u[:, 1], num_partitions)
+        return pa.Table.from_arrays(
+            [pa.array(u[:, 0]), pa.array(u[:, 1]), pa.array(bk, pa.int32())],
+            names=["src", "dst", "bucket"],
         )
 
-    from .joins import bucket_ints
+    def uniq_pairs(g: pa.Table) -> pa.Table:
+        s = np.asarray(g.column("src").to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(g.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64)
+        u = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.Table.from_arrays(
+            [pa.array(u[:, 0]), pa.array(u[:, 1])], names=["src", "dst"]
+        )
+
+    edges = (
+        edges_ds.map_batches(tag_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def state_partials(b: pa.Table) -> pa.Table:
+        """Per-block node-set + outdeg partials under one union schema
+        (n, deg, side): side 0 = distinct endpoint, side 1 = per-src
+        distinct-dst count (valid partial — each distinct pair lives in
+        exactly one block after S1)."""
+        s = np.asarray(b.column("src").to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(b.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64)
+        nodes_u = np.unique(np.concatenate([s, d]))
+        su, cnt = np.unique(s, return_counts=True)
+        n_col = np.concatenate([nodes_u, su])
+        deg = np.concatenate([np.zeros(len(nodes_u), dtype=np.int64), cnt.astype(np.int64)])
+        side = np.concatenate(
+            [np.zeros(len(nodes_u), dtype=np.int8), np.ones(len(su), dtype=np.int8)]
+        )
+        bk = bucket_ints(n_col, num_partitions)
+        return pa.Table.from_arrays(
+            [pa.array(n_col), pa.array(deg), pa.array(side), pa.array(bk, pa.int32())],
+            names=["n", "deg", "side", "bucket"],
+        )
+
+    def init_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        n_col = np.asarray(g.column("n").to_numpy(zero_copy_only=False), dtype=np.int64)
+        nodes_u = np.unique(n_col[side == 0])
+        outdeg = np.zeros(len(nodes_u), dtype=np.int64)
+        sk = n_col[side == 1]
+        if len(sk):
+            dv = np.asarray(
+                g.column("deg").to_numpy(zero_copy_only=False), dtype=np.int64
+            )[side == 1]
+            o = np.argsort(sk, kind="stable")
+            sks, dvs = sk[o], dv[o]
+            starts = np.flatnonzero(np.concatenate([[True], sks[1:] != sks[:-1]]))
+            sums = np.add.reduceat(dvs, starts)
+            pos = np.searchsorted(nodes_u, sks[starts])
+            if pos.max(initial=-1) >= len(nodes_u) or not (
+                nodes_u[pos] == sks[starts]
+            ).all():
+                raise ValueError(
+                    "pagerank setup: outdeg source missing from the node "
+                    "set (every src IS an endpoint — invariant broken)"
+                )
+            outdeg[pos] = sums
+        return pa.Table.from_arrays(
+            [
+                pa.array(nodes_u),
+                pa.array(np.full(len(nodes_u), R0, dtype=np.int64)),
+                pa.array(outdeg),
+            ],
+            names=["n", "r", "outdeg"],
+        )
+
+    state = (
+        edges.map_batches(state_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(init_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    hot = _hot_keys(state, "n", "outdeg", n_edges, num_partitions, hot_degree_min)
+
+    n_nodes = state.count()
 
     hot_arr = (
         np.fromiter((int(k) for k in hot), dtype=np.int64, count=len(hot))

@@ -276,11 +276,14 @@ def test_pagerank_hub_salting_bit_equal():
 
 @pytest.mark.usefixtures("ray_session")
 def test_hot_source_detection_bounded():
-    """_hot_sources collects only above-threshold hubs (bounded by
+    """_hot_keys collects only above-threshold hubs (bounded by
     E/threshold keys, never graph-sized)."""
     import ray.data as rd
 
-    from ocr_lib_ray.functions.graph import _hot_sources
+    from ocr_lib_ray.functions.graph import _hot_keys
+
+    def _hot_sources(ds, n_edges, num_partitions, hot_degree_min):
+        return _hot_keys(ds, "n", "outdeg", n_edges, num_partitions, hot_degree_min)
 
     outdeg = rd.from_arrow(
         pa.table(
