@@ -516,16 +516,30 @@ def expand_components(pairs_ds, max_component: int = 100_000):
     )
 
 
+#: below this many DIRECTED edge rows (2 × pairs) the label propagation
+#: is pure fixed exchange latency — a driver union-find labels the same
+#: graph in microseconds with bounded memory (the pair set is already
+#: materialized and orders of magnitude smaller than the corpus)
+CC_SMALL_GRAPH_MAX_EDGES = 400_000
+
+
 def connected_components(
     pairs_ds,
     node_col: str = "doc_id",
     component_col: str = "component",
     num_buckets: int | None = None,
     max_rounds: int = 64,
+    small_graph_max_edges: int | None = CC_SMALL_GRAPH_MAX_EDGES,
 ):
     """Distributed connected components over a (d1, d2) pair Dataset:
     one (node, component) row per node appearing in any pair, with
     component = the MIN node id reachable from it (ints or strings).
+
+    Graphs at or below ``small_graph_max_edges`` directed edge rows
+    take an ADAPTIVE driver union-find cutover (round 5) — identical
+    labels, none of the per-round fixed exchange latency that
+    dominates gate-scale dup graphs; the distributed path below is the
+    scale path and is what the rest of this docstring describes.
 
     This is the scale path :func:`union_find_components` /
     :func:`expand_components` cannot take — those collect the full pair
@@ -589,8 +603,26 @@ def connected_components(
     # materialized once: every round re-reads blocks instead of
     # re-executing the (possibly expensive) pair lineage
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(empty)
+    if small_graph_max_edges and n_edges <= small_graph_max_edges:
+        # ADAPTIVE CUTOVER (round 5): at this size every propagation
+        # round is pure fixed exchange latency, so label on the driver
+        # (same fixpoint — component minima — by construction; the
+        # equality is pinned against the distributed path in tests).
+        # Pass small_graph_max_edges=0/None to force distribution.
+        rows = edges.take_all()
+        labels_map = union_find_components(
+            [r["node"] for r in rows], [r["peer"] for r in rows]
+        )
+        ks = sorted(labels_map)
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array(ks, id_type), pa.array([labels_map[k] for k in ks], id_type)],
+                names=[node_col, component_col],
+            )
+        )
 
     def add_bucket(b: pa.Table) -> pa.Table:
         from .joins import bucket_col

@@ -215,12 +215,17 @@ def test_connected_components_matches_union_find():
     want = union_find_components(d1, d2)
     for buckets in (1, 7):
         out = (
-            connected_components(pairs, num_buckets=buckets)
+            connected_components(
+                pairs, num_buckets=buckets, small_graph_max_edges=0
+            )
             .to_pandas()
             .sort_values("doc_id")
         )
         got = dict(zip(out["doc_id"], out["component"]))
         assert got == want, buckets
+    # adaptive small-graph cutover (the default) must label identically
+    adaptive = connected_components(pairs).to_pandas()
+    assert dict(zip(adaptive["doc_id"], adaptive["component"])) == want
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -237,16 +242,20 @@ def test_connected_components_string_ids_and_long_chain():
     pairs = rd.from_pandas(
         pd.DataFrame({"d1": urls[:-1], "d2": urls[1:]})
     )
-    out = connected_components(pairs, node_col="url").to_pandas()
+    out = connected_components(
+        pairs, node_col="url", small_graph_max_edges=0
+    ).to_pandas()
     assert set(out["component"]) == {urls[0]}
     assert len(out) == len(urls)
     # pointer-doubling regression pin: reach doubles per round, so the
     # diameter-9 chain converges (incl. the certifying zero-change
     # round) within 5 rounds — plain propagation needed 10
-    out5 = connected_components(pairs, node_col="url", max_rounds=5).to_pandas()
+    out5 = connected_components(
+        pairs, node_col="url", max_rounds=5, small_graph_max_edges=0
+    ).to_pandas()
     assert set(out5["component"]) == {urls[0]}
     with pytest.raises(RuntimeError, match="max_rounds"):
-        connected_components(pairs, max_rounds=1)
+        connected_components(pairs, max_rounds=1, small_graph_max_edges=0)
 
 
 @pytest.mark.usefixtures("ray_session")
