@@ -46,6 +46,11 @@ __all__ = ["copurchase_lift"]
 #: num_partitions) pair could still explode; raise loudly instead
 SON_MAX_CANDIDATES = 5_000_000
 
+#: part_counts rows at or below this broadcast into the lift annotation
+#: (two int64 arrays ≈ 80 MB at the bound) instead of paying two
+#: bucketed exchanges; above it the exact hash-join path runs
+PART_COUNTS_BROADCAST_MAX = 5_000_000
+
 
 def copurchase_lift(
     lineitem_ds,
@@ -304,26 +309,65 @@ def copurchase_lift(
         )
     )
 
-    with_a = hash_join(
-        pairs,
-        part_counts.map_batches(
-            lambda b: b.rename_columns(["part_a", "n_a"]), batch_format="pyarrow"
-        ),
-        "part_a",
-        right_value_cols=["n_a"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-    with_b = hash_join(
-        with_a,
-        part_counts.map_batches(
-            lambda b: b.rename_columns(["part_b", "n_b"]), batch_format="pyarrow"
-        ),
-        "part_b",
-        right_value_cols=["n_b"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
+    # lift annotation: every surviving pair needs (n_a, n_b) from the
+    # catalog-sized part_counts table.  ADAPTIVE (round 5): when the
+    # count table fits a broadcast (≤ PART_COUNTS_BROADCAST_MAX rows —
+    # SKU catalogs usually do even when the fact table is 100 TB), ship
+    # it once via ray.put and annotate map-side with two searchsorted
+    # lookups, saving TWO bucketed exchanges; past the bound, fall back
+    # to the exact same bucketed hash joins (bit-identical output —
+    # inner joins on keys that exist by construction).
+    n_parts = part_counts.count()
+    if n_parts <= PART_COUNTS_BROADCAST_MAX:
+        import ray
+
+        rows = part_counts.take_all()
+        pk_arr = np.fromiter((r["pk"] for r in rows), np.int64, count=len(rows))
+        np_arr = np.fromiter((r["n_p"] for r in rows), np.int64, count=len(rows))
+        o = np.argsort(pk_arr)
+        counts_ref = ray.put((pk_arr[o], np_arr[o]))
+
+        def add_counts(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(counts_ref)
+
+            def look(col):
+                x = np.asarray(
+                    b.column(col).to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                pos = np.searchsorted(keys, x)
+                if pos.max(initial=-1) >= len(keys) or not (keys[pos] == x).all():
+                    raise ValueError(
+                        "copurchase_lift: pair part missing from part_counts "
+                        "(every pair part has a kind-1 row by construction)"
+                    )
+                return vals[pos]
+
+            return b.append_column("n_a_r", pa.array(look("part_a"))).append_column(
+                "n_b_r", pa.array(look("part_b"))
+            )
+
+        with_b = pairs.map_batches(add_counts, batch_format="pyarrow")
+    else:
+        with_a = hash_join(
+            pairs,
+            part_counts.map_batches(
+                lambda b: b.rename_columns(["part_a", "n_a"]), batch_format="pyarrow"
+            ),
+            "part_a",
+            right_value_cols=["n_a"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
+        with_b = hash_join(
+            with_a,
+            part_counts.map_batches(
+                lambda b: b.rename_columns(["part_b", "n_b"]), batch_format="pyarrow"
+            ),
+            "part_b",
+            right_value_cols=["n_b"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
 
     def lift(b: pa.Table) -> pa.Table:
         np_ = b.column("n_pair").to_pylist()

@@ -132,3 +132,33 @@ def test_copurchase_son_prune_bit_equal():
     )
     pd.testing.assert_frame_equal(a, b)
     assert set(zip(a["part_a"], a["part_b"])) == {(1, 2)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_broadcast_and_join_annotation_bit_equal(monkeypatch):
+    """Round-5 adaptive lift annotation: the broadcast path (default at
+    catalog scale) and the hash-join fallback must be bit-equal."""
+    import ocr_lib_ray.functions.basket as basket
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+            "l_partkey": pa.array([10, 20, 30, 10, 20, 20, 30, 40], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(li).repartition(3)
+    a = (
+        basket.copurchase_lift(ds, min_support=2)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(basket, "PART_COUNTS_BROADCAST_MAX", 0)
+    b = (
+        basket.copurchase_lift(ds, min_support=2)
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(zip(a["part_a"], a["part_b"])) == {(10, 20), (20, 30)}
