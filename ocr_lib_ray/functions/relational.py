@@ -86,10 +86,49 @@ def dim_lookup(batch_keys: np.ndarray, dim):
     """Vectorized lookup of ``batch_keys`` in a ``make_dim_ref`` payload
     → (match_mask, positions).  Unmatched keys get mask=False."""
     keys, _ = dim
+    if len(keys) == 0:  # empty dimension: nothing matches
+        return np.zeros(len(batch_keys), dtype=bool), np.zeros(
+            len(batch_keys), dtype=np.int64
+        )
     pos = np.searchsorted(keys, batch_keys)
     pos_c = np.clip(pos, 0, len(keys) - 1)
     mask = keys[pos_c] == batch_keys
     return mask, pos_c
+
+
+#: ADAPTIVE broadcast bound for corpus-SCALED sides that are usually
+#: small after their prep filter (a part type's keys, one nation's
+#: suppliers, a region's customers).  At or below this many rows the
+#: prepped side broadcasts once (``make_dim_ref``) and the gate/enrich
+#: is map-side; past it the caller's bucketed hash join runs — exact
+#: same output either way (pinned by the fallback-equality tests).
+DIM_BROADCAST_MAX = 5_000_000
+
+
+def dim_ref_adaptive(ds, key_col: str, value_cols: list, max_rows: int | None = None):
+    """Materialize a PREPPED side (already filtered/projected — cheap,
+    dim-table-sized) and broadcast it when it fits: returns
+    ``(dim_ref_or_None, materialized_ds)``.  The materialized handle is
+    returned so the fallback join re-reads blocks instead of
+    re-executing the prep.  Cost when it does NOT fit: the one
+    materialize the fallback join wants anyway."""
+    if max_rows is None:
+        max_rows = DIM_BROADCAST_MAX
+    mat = ds.materialize()
+    n = mat.count()
+    if n == 0:
+        # empty sides take the join path with the ORIGINAL lazy handle:
+        # it still carries an inferable schema (a zero-row materialized
+        # dataset reports schema=Unknown and would break the bucketed
+        # union), and the join already produces correctly-TYPED empties
+        return None, ds
+    if n > max_rows:
+        return None, mat
+    # build the table from the dataset's own Arrow blocks (typed)
+    tbl = pa.concat_tables(
+        list(mat.iter_batches(batch_format="pyarrow"))
+    ).select([key_col] + list(value_cols))
+    return make_dim_ref(tbl, key_col, list(value_cols)), mat
 
 
 def broadcast_dim_join(ds, dim_ref, fact_key: str, value_cols: list, how: str = "inner"):
@@ -1265,12 +1304,13 @@ def nation_volume(
     Output: (supp_nation, cust_nation, revenue_u4), one row per
     surviving direction, exact integer u4.
 
-    Scale shape (round-5 restructure — one exchange fewer, depth 3→2):
-    nation (O(25) rows at ANY scale) is broadcast onto supplier and
-    customer map-side; the supplier side is then FILTERED to the two
-    nations (~2/|nations| of suppliers) before its bucketed hash join
-    with the windowed lineitem — the chain's biggest prune runs
-    earliest.  The customer enrich moved OFF the fact chain: orders
+    Scale shape (round-5 restructure): nation (O(25) rows at ANY
+    scale) is broadcast onto supplier and customer map-side; the
+    supplier side is then FILTERED to the two nations (~2/|nations| of
+    suppliers) — and both filtered dims are ADAPTIVE
+    (``dim_ref_adaptive``): they broadcast when they fit
+    ``DIM_BROADCAST_MAX`` (the common plan pays exactly ONE exchange)
+    and fall back to bucketed hash joins past the bound.  The customer enrich moved OFF the fact chain: orders
     join the pair-filtered customers in a SIDE BRANCH (one
     custkey-keyed exchange over the orders table, run CONCURRENTLY
     with the lineitem⋈supplier exchange by the streaming executor —
@@ -1320,14 +1360,28 @@ def nation_volume(
         )
 
     li = lineitem_ds.map_batches(li_prep, batch_format="pyarrow")
-    with_supp = hash_join(
-        li,
-        supp,
-        "suppkey",
-        right_value_cols=["supp_nation"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
+    # ADAPTIVE supplier enrich (round 5): two nations' suppliers
+    # usually fit a broadcast — map-side gate+enrich; bucketed join
+    # past DIM_BROADCAST_MAX
+    supp_ref, supp_mat = dim_ref_adaptive(supp, "suppkey", ["supp_nation"])
+    if supp_ref is not None:
+        with_supp = broadcast_dim_join(
+            li, supp_ref, "suppkey", ["supp_nation"], how="inner"
+        ).map_batches(
+            lambda b: b.rename_columns(
+                [c if c != "supp_nation" else "supp_nation_r" for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        with_supp = hash_join(
+            li,
+            supp_mat,
+            "suppkey",
+            right_value_cols=["supp_nation"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
 
     def order_parts(b: pa.Table) -> pa.Table:
         df = b.select(["orderkey", "supp_nation_r", "rev_u4"]).to_pandas()
@@ -1364,27 +1418,52 @@ def nation_volume(
     # lineitem⋈supplier fact exchange); custkey never ships down the
     # fact stream.  Inner join also GATES orders to the pair's
     # customers, so the orderkey exchange below ships ~2/|nations| of
-    # the per-order partials' join partners.
-    enriched_orders = hash_join(
-        orders,
-        cust,
-        "custkey",
-        right_value_cols=["cust_nation"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-
-    def orders_project(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "orderkey": b.column("orderkey"),
-                "cust_nation": b.column("cust_nation_r"),
-            }
+    # the per-order partials' join partners.  ADAPTIVE (round 5): the
+    # pair's customers broadcast when they fit — the enrich is then
+    # map-side and the whole query pays ONE exchange.
+    cust_ref, cust_mat = dim_ref_adaptive(cust, "custkey", ["cust_nation"])
+    if cust_ref is not None:
+        enriched = broadcast_dim_join(
+            orders, cust_ref, "custkey", ["cust_nation"], how="inner"
+        ).map_batches(
+            lambda b: b.select(["orderkey", "cust_nation"]),
+            batch_format="pyarrow",
+        )
+    else:
+        enriched = hash_join(
+            orders,
+            cust_mat,
+            "custkey",
+            right_value_cols=["cust_nation"],
+            how="inner",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "orderkey": b.column("orderkey"),
+                    "cust_nation": b.column("cust_nation_r"),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
+    def _empty_nv():
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "revenue_u4": pa.array([], pa.int64()),
+            }
+        ).to_pandas()
+
+    # emptiness short-circuit before the join (see market_share: an
+    # all-empty chained-map dataset keeps no schema for the union;
+    # limit(1) stops at the first row, near-free when non-empty)
+    if per_order.limit(1).count() == 0 or enriched.limit(1).count() == 0:
+        return _empty_nv()
     joined = hash_join(
         per_order,
-        enriched_orders.map_batches(orders_project, batch_format="pyarrow"),
+        enriched,
         "orderkey",
         right_value_cols=["cust_nation"],
         how="inner",
@@ -1409,13 +1488,7 @@ def nation_volume(
     # and the empty case hands back the typed frame directly
     parts = joined.map_batches(pair_parts, batch_format="pyarrow").take_all()
     if not parts:
-        return pa.table(
-            {
-                "supp_nation": pa.array([], pa.string()),
-                "cust_nation": pa.array([], pa.string()),
-                "revenue_u4": pa.array([], pa.int64()),
-            }
-        ).to_pandas()
+        return _empty_nv()
     agg = (
         pd.DataFrame(parts)
         .groupby(["supp_nation", "cust_nation"], sort=True)["rev"]
@@ -1455,13 +1528,15 @@ def market_share(
     discipline as promo_revenue; the int64 bound (target_u4 below
     ~9.2e12) is documented there.
 
-    Scale shape (round-5 restructure — two exchanges fewer, depth 5→3):
-    part reduces to the type's keys and SEMI-gates lineitem first (the
-    chain's biggest prune); supplier rides the bucketed hash join
-    carrying only an ``is_target`` bit (nation names resolved by the
-    O(25)-row broadcast before the join, so the corpus-scaled supplier
-    table ships one extra int8, not a string); the stream is
-    pre-aggregated per (orderkey, is_target) before the orders join.
+    Scale shape (round-5 restructure): every dimension side is
+    ADAPTIVE (``dim_ref_adaptive``) — the type's part keys, the
+    supplier ``is_target`` bits and the region's customer keys each
+    broadcast when they fit ``DIM_BROADCAST_MAX`` (they usually do
+    even under a 100 TB fact table, so the common plan pays exactly
+    ONE exchange: per-order partials ⋈ gated orders) and fall back to
+    the bucketed semi/inner hash joins past the bound (bit-identical
+    output).  The stream is pre-aggregated per (orderkey, is_target)
+    before the orders join either way.
     The customer region gate moved OFF the fact chain: orders are
     semi-gated by the region's customers in a SIDE BRANCH (one
     custkey-keyed exchange over the orders table that the streaming
@@ -1507,13 +1582,27 @@ def market_share(
             }
         )
 
-    li = hash_join(
-        lineitem_ds.map_batches(li_prep, batch_format="pyarrow"),
-        tp,
-        "partkey",
-        how="semi",
-        num_partitions=num_partitions,
-    )
+    li_raw = lineitem_ds.map_batches(li_prep, batch_format="pyarrow")
+    # ADAPTIVE part gate (round 5): one part type's keys usually fit a
+    # broadcast even under a 100 TB fact table — then the biggest
+    # exchange of the chain (all of lineitem, keyed by partkey)
+    # becomes a map-side is-in filter; past DIM_BROADCAST_MAX the
+    # exact bucketed semi join runs
+    tp_ref, tp_mat = dim_ref_adaptive(tp, "partkey", [])
+    if tp_ref is not None:
+        import ray
+
+        def part_gate(b: pa.Table) -> pa.Table:
+            dim = ray.get(tp_ref)
+            pk = np.asarray(b.column("partkey").to_numpy(zero_copy_only=False))
+            mask, _ = dim_lookup(pk, dim)
+            return b.filter(pa.array(mask))
+
+        li = li_raw.map_batches(part_gate, batch_format="pyarrow")
+    else:
+        li = hash_join(
+            li_raw, tp_mat, "partkey", how="semi", num_partitions=num_partitions
+        )
 
     def supp_prep(b: pa.Table) -> pa.Table:
         import ray
@@ -1528,14 +1617,27 @@ def market_share(
         ).filter(pa.array(mask))
 
     supp = supplier_ds.map_batches(supp_prep, batch_format="pyarrow")
-    with_supp = hash_join(
-        li,
-        supp,
-        "suppkey",
-        right_value_cols=["is_target"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
+    # ADAPTIVE supplier enrich: the (suppkey, is_target) side is one
+    # int per supplier — broadcast when it fits, bucketed join past it
+    supp_ref, supp_mat = dim_ref_adaptive(supp, "suppkey", ["is_target"])
+    if supp_ref is not None:
+        with_supp = broadcast_dim_join(
+            li, supp_ref, "suppkey", ["is_target"], how="inner"
+        ).map_batches(
+            lambda b: b.rename_columns(
+                [c if c != "is_target" else "is_target_r" for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        with_supp = hash_join(
+            li,
+            supp_mat,
+            "suppkey",
+            right_value_cols=["is_target"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
 
     def order_parts(b: pa.Table) -> pa.Table:
         df = b.select(["orderkey", "is_target_r", "rev_u4"]).to_pandas()
@@ -1569,14 +1671,48 @@ def market_share(
 
     cust = customer_ds.map_batches(cust_prep, batch_format="pyarrow")
     # region gate on the ORDERS side branch (concurrent with the fact
-    # chain); custkey never ships down the fact stream
-    gated_orders = hash_join(
-        orders_ds.map_batches(orders_prep, batch_format="pyarrow"),
-        cust,
-        "custkey",
-        how="semi",
-        num_partitions=num_partitions,
-    ).select_columns(["orderkey", "o_year"])
+    # chain); custkey never ships down the fact stream.  ADAPTIVE: a
+    # region's customer keys broadcast when they fit — the gate is
+    # then map-side and the whole query pays ONE exchange
+    orders_prepped = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
+    cust_ref, cust_mat = dim_ref_adaptive(cust, "custkey", [])
+    if cust_ref is not None:
+        import ray
+
+        def region_gate(b: pa.Table) -> pa.Table:
+            dim = ray.get(cust_ref)
+            ck = np.asarray(b.column("custkey").to_numpy(zero_copy_only=False))
+            mask, _ = dim_lookup(ck, dim)
+            return b.filter(pa.array(mask)).select(["orderkey", "o_year"])
+
+        gated_orders = orders_prepped.map_batches(region_gate, batch_format="pyarrow")
+    else:
+        gated_orders = hash_join(
+            orders_prepped,
+            cust_mat,
+            "custkey",
+            how="semi",
+            num_partitions=num_partitions,
+        ).select_columns(["orderkey", "o_year"])
+
+    def _empty_ms():
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "target_u4": pa.array([], pa.int64()),
+                "total_u4": pa.array([], pa.int64()),
+                "share_micro": pa.array([], pa.int64()),
+            }
+        ).to_pandas()
+
+    # emptiness short-circuit (typed result): an all-empty chained-map
+    # dataset keeps ZERO blocks — no schema survives for the join's
+    # union alignment — so probe each side with limit(1) (the
+    # streaming executor stops at the first row, so the probe is
+    # near-free in the common non-empty case and only pays a full
+    # map-only pass when the result IS empty)
+    if per_order.limit(1).count() == 0 or gated_orders.limit(1).count() == 0:
+        return _empty_ms()
     with_orders = hash_join(
         per_order,
         gated_orders,
@@ -1606,14 +1742,7 @@ def market_share(
 
     parts = with_orders.map_batches(year_parts, batch_format="pyarrow").take_all()
     if not parts:
-        return pa.table(
-            {
-                "o_year": pa.array([], pa.int64()),
-                "target_u4": pa.array([], pa.int64()),
-                "total_u4": pa.array([], pa.int64()),
-                "share_micro": pa.array([], pa.int64()),
-            }
-        ).to_pandas()
+        return _empty_ms()
     agg = (
         pd.DataFrame(parts)
         .groupby("o_year", sort=True)
