@@ -36,6 +36,13 @@ import math
 
 import pyarrow as pa
 
+#: source_divergence adaptive bounds (round 5): at or below these the
+#: per-source totals / global token table broadcast and the enrichment
+#: is map-side with driver-reduced finals; past them the fully-streamed
+#: bucketed-join path runs (bit-identical output)
+SOURCES_BROADCAST_MAX = 1_000_000
+VOCAB_BROADCAST_MAX = 5_000_000
+
 __all__ = ["dsir_weights", "source_divergence"]
 
 DEFAULT_N_BUCKETS = 10_000
@@ -182,14 +189,19 @@ def source_divergence(docs_ds, text_col: str = "text", source_col: str = "source
     |ln ratio| ≤ 30 nats that is ~3e11 tokens in ONE source — beyond
     that, rescale to milli-units or accumulate float.
 
-    Scale shape: per-batch (source, token) count partials → ONE
-    groupby at |sources|×|vocab| scale, materialized once
-    (aggregate-sized); the global token counts, per-source totals and
-    the grand total all derive from that aggregate — the corpus is
-    read exactly once.  Both enrichment joins (token → n_g, source →
-    N_s) are bucketed hash joins — neither side is ever broadcast, so
-    a domains-as-sources corpus with millions of sources still
-    streams.  The final per-source reduction ships int64 partials.
+    Scale shape (round-5 adaptive): per-batch (source, token) count
+    partials → ONE groupby at |sources|×|vocab| scale, materialized
+    once; the corpus is read exactly once.  Per-source totals and the
+    grand total then come from a DRIVER reduce of per-block partials
+    (≤ blocks × |sources| tiny rows — no exchange), and when the
+    global token table fits ``VOCAB_BROADCAST_MAX`` it broadcasts into
+    a map-side annotate with the final per-source reduction also
+    driver-reduced — the whole query pays TWO exchanges (the st and
+    glob groupbys).  Past the bounds (millions of sources, or a vocab
+    beyond broadcast) the original fully-streamed path runs: both
+    enrichment joins (token → n_g, source → N_s) as bucketed hash
+    joins and a distributed final groupby — bit-identical output
+    (pinned by a monkeypatched equality test).
     """
     import numpy as np
     import pandas as pd
@@ -233,13 +245,90 @@ def source_divergence(docs_ds, text_col: str = "text", source_col: str = "source
         docs_ds.map_batches(st_partials, batch_format="pyarrow")
         .groupby(["source", "token"])
         .aggregate(Sum("n_s", alias_name="n_s"))
-        .materialize()  # aggregate-sized; three consumers below
+        .materialize()  # aggregate-sized; consumers below re-read blocks
     )
-    glob = st.groupby("token").aggregate(Sum("n_s", alias_name="n_g"))
-    tot = st.groupby("source").aggregate(Sum("n_s", alias_name="n_src"))
-    grand = int(st.aggregate(Sum("n_s", alias_name="nn"))["nn"] or 0)
 
-    with_g = hash_join(st, glob, "token", right_value_cols=["n_g"], how="inner")
+    # per-source totals + grand total: per-block partials → DRIVER
+    # reduce (≤ blocks × |sources| tiny integer rows — no exchange)
+    tot_parts = st.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(["source", "n_s"])
+            .to_pandas()
+            .groupby("source", sort=False)["n_s"]
+            .sum()
+            .reset_index(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    tot_map: dict = {}
+    for r in tot_parts:
+        tot_map[r["source"]] = tot_map.get(r["source"], 0) + int(r["n_s"])
+    grand = sum(tot_map.values())
+    if not tot_map:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_tokens": pd.Series(dtype="int64"),
+                "kl_micro_sum": pd.Series(dtype="int64"),
+            }
+        )
+
+    glob_mat = (
+        st.groupby("token").aggregate(Sum("n_s", alias_name="n_g")).materialize()
+    )
+    if (
+        len(tot_map) <= SOURCES_BROADCAST_MAX
+        and glob_mat.count() <= VOCAB_BROADCAST_MAX
+    ):
+        import ray
+
+        glob_map = {r["token"]: int(r["n_g"]) for r in glob_mat.take_all()}
+        refs = ray.put((glob_map, tot_map))
+
+        def terms_bcast(b: pa.Table) -> pa.Table:
+            gm, tm = ray.get(refs)
+            df = b.select(["source", "token", "n_s"]).to_pandas()
+            ng = df["token"].map(gm).to_numpy(dtype=np.int64)
+            nsrc = df["source"].map(tm).to_numpy(dtype=np.int64)
+            ns = df["n_s"].to_numpy(dtype=np.int64)
+            micro = np.fromiter(
+                (
+                    math.floor(
+                        math.log((float(a) * float(grand)) / (float(c) * float(g)))
+                        * 1e6
+                        + 0.5
+                    )
+                    for a, g, c in zip(ns, ng, nsrc)
+                ),
+                dtype=np.int64,
+                count=len(ns),
+            )
+            out = pd.DataFrame(
+                {"source": df["source"], "n_tokens": ns, "term": ns * micro}
+            )
+            g2 = out.groupby("source", sort=False).agg(
+                n_tokens=("n_tokens", "sum"), kl_micro_sum=("term", "sum")
+            ).reset_index()
+            return pa.Table.from_pandas(g2, preserve_index=False)
+
+        parts = st.map_batches(terms_bcast, batch_format="pyarrow").take_all()
+        agg = (
+            pd.DataFrame(parts)
+            .groupby("source", sort=True)
+            .agg(
+                n_tokens=("n_tokens", "sum"),
+                kl_micro_sum=("kl_micro_sum", "sum"),
+            )
+            .reset_index()
+        )
+        agg["n_tokens"] = agg["n_tokens"].astype(np.int64)
+        agg["kl_micro_sum"] = agg["kl_micro_sum"].astype(np.int64)
+        return agg
+
+    # fully-streamed fallback: bucketed enrich joins + distributed final
+    tot = st.groupby("source").aggregate(Sum("n_s", alias_name="n_src"))
+    with_g = hash_join(st, glob_mat, "token", right_value_cols=["n_g"], how="inner")
     with_tot = hash_join(
         with_g, tot, "source", right_value_cols=["n_src"], how="inner"
     )

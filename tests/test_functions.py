@@ -1005,7 +1005,8 @@ def test_source_divergence_zero_for_identical_blends_and_positive_for_skew():
     # two sources with the IDENTICAL token distribution -> every ratio
     # is exactly 1, ln == 0, so the integer KL is exactly 0
     same = docs([("a a b", "s1"), ("a a b", "s2")])
-    out = source_divergence(same).to_pandas().sort_values("source")
+    out = source_divergence(same)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out).sort_values("source")
     assert out["kl_micro_sum"].tolist() == [0, 0]
     assert out["n_tokens"].tolist() == [3, 3]
 
@@ -1013,16 +1014,16 @@ def test_source_divergence_zero_for_identical_blends_and_positive_for_skew():
     # n_s == n_g and N == 2 * N_s -> ratio 2, term = n_s * ln(2) micro
     skew = docs([("x x y", "s1"), ("p q r", "s2")])
     out2 = (
-        source_divergence(skew).to_pandas().sort_values("source").reset_index(drop=True)
+        (lambda r: (r.to_pandas() if hasattr(r, "to_pandas") else r))(source_divergence(skew)).sort_values("source").reset_index(drop=True)
     )
     ln2 = math.floor(math.log(2.0) * 1e6 + 0.5)
     assert out2["kl_micro_sum"].tolist() == [3 * ln2, 3 * ln2]
 
     # block-layout invariance: same bytes at any partitioning
     big = docs([("a b c d e", f"s{i % 3}") for i in range(30)])
-    a = source_divergence(big).to_pandas().sort_values("source").reset_index(drop=True)
+    a = (lambda r: (r.to_pandas() if hasattr(r, "to_pandas") else r))(source_divergence(big)).sort_values("source").reset_index(drop=True)
     big2 = docs([("a b c d e", f"s{i % 3}") for i in range(30)]).repartition(7)
-    b = source_divergence(big2).to_pandas().sort_values("source").reset_index(drop=True)
+    b = (lambda r: (r.to_pandas() if hasattr(r, "to_pandas") else r))(source_divergence(big2)).sort_values("source").reset_index(drop=True)
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
@@ -1099,3 +1100,29 @@ def test_sessionize_bucketed_hot_user_and_hand_check():
         assert len(cold) == 50
         assert (cold["session_id"] == 0).all()
         assert (cold["n_events"] == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_divergence_broadcast_equals_streamed(monkeypatch):
+    """Round-5 adaptive path: the broadcast/driver-reduced plan and the
+    fully-streamed join fallback must be bit-equal."""
+    import pandas as pd
+    import ray.data as rd
+
+    import ocr_lib_ray.functions.importance as imp
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text", "source"]
+    )
+    a = imp.source_divergence(docs)
+    a = a.to_pandas() if hasattr(a, "to_pandas") else a
+    monkeypatch.setattr(imp, "VOCAB_BROADCAST_MAX", 0)
+    b = imp.source_divergence(docs)
+    b = b.to_pandas() if hasattr(b, "to_pandas") else b
+    key = "source"
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(a) > 1
