@@ -757,8 +757,10 @@ def large_orders(
 
     Scale shape: quantity partials per block → one groupby at
     #orders scale → the > min_qty filter shrinks the left side BEFORE
-    both joins, so the joins shuffle only qualifying orders; customer
-    is a bucketed hash join (corpus-sized side, never broadcast)."""
+    both joins, so the joins shuffle only qualifying orders; the
+    customer name enrich broadcasts when the name table fits
+    ``DIM_BROADCAST_MAX`` (map-side lookup, no second exchange) and
+    falls back to the bucketed hash join past the bound."""
     if num_partitions is None:
         from .joins import derive_num_partitions
 
@@ -815,9 +817,24 @@ def large_orders(
         ),
         batch_format="pyarrow",
     )
+    # customer enrich is adaptive: a name table that fits
+    # DIM_BROADCAST_MAX ships once and the enrich is map-side (the
+    # qualifying-order side already paid the only intrinsic exchange);
+    # past the bound the bucketed hash join runs — identical output
+    # (fallback-equality pinned in test_relational.py)
+    cust_ref, cust_mat = dim_ref_adaptive(cust, "custkey", ["c_name"])
+    if cust_ref is not None:
+        return broadcast_dim_join(
+            with_order, cust_ref, "custkey", ["c_name"], how="inner"
+        ).map_batches(
+            lambda b: b.select(
+                ["orderkey", "custkey", "c_name", "o_date_us", "total_cents", "sum_qty"]
+            ),
+            batch_format="pyarrow",
+        )
     out = hash_join(
         with_order,
-        cust,
+        cust_mat,
         "custkey",
         right_value_cols=["c_name"],
         how="inner",

@@ -811,3 +811,14 @@ def test_adaptive_dim_broadcast_equals_join_fallback(monkeypatch):
         b2.sort_values(key).reset_index(drop=True),
     )
     assert len(a2) or len(a)  # at least one query exercised real rows
+
+    # large_orders: the customer-name enrich broadcasts by default and
+    # must equal the bucketed-join fallback row-for-row
+    a3, b3 = both(
+        lambda: rel.large_orders(li, orders, cust, min_qty=25)
+        .to_pandas()
+        .sort_values("orderkey")
+        .reset_index(drop=True)
+    )
+    assert len(a3) > 0
+    pd.testing.assert_frame_equal(a3, b3)
