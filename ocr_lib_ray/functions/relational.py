@@ -584,8 +584,9 @@ def ship_priority(
 
     Scale shape: lineitem — the dominant table — is filtered AND
     pre-aggregated to one (orderkey, rev) row per block before its
-    join; the segment gate is a SEMI join (only deduped custkeys ship
-    through the shuffle, orders columns never multiply); global top-k
+    join; the segment gate broadcasts the deduped segment custkeys
+    when they fit ``DIM_BROADCAST_MAX`` (map-side is-in mask) and
+    falls back to a SEMI join past the bound; global top-k
     is per-block prune → DRIVER merge of the ≤ k × #blocks pruned
     rows (round 5: the old repartition(1) paid an all-to-all barrier
     for the same merge).  Output: pandas (orderkey, o_date_us,
@@ -613,9 +614,17 @@ def ship_priority(
         )
 
     orders = orders_ds.map_batches(orders_prep, batch_format="pyarrow")
-    orders_in_seg = hash_join(
-        orders, seg, "custkey", how="semi", num_partitions=num_partitions
-    )
+    # segment gate is adaptive: the deduped segment custkeys broadcast
+    # when they fit DIM_BROADCAST_MAX (map-side is-in mask — no custkey
+    # exchange at all), else the bucketed SEMI join runs (fallback-
+    # equality pinned in test_relational.py)
+    seg_ref, seg_mat = dim_ref_adaptive(seg, "custkey", [])
+    if seg_ref is not None:
+        orders_in_seg = broadcast_dim_join(orders, seg_ref, "custkey", [], how="inner")
+    else:
+        orders_in_seg = hash_join(
+            orders, seg_mat, "custkey", how="semi", num_partitions=num_partitions
+        )
 
     def rev_parts(b: pa.Table) -> pa.Table:
         keep = pc.greater(b.column("l_shipdate").cast(pa.int64()), cutoff_us)

@@ -822,3 +822,13 @@ def test_adaptive_dim_broadcast_equals_join_fallback(monkeypatch):
     )
     assert len(a3) > 0
     pd.testing.assert_frame_equal(a3, b3)
+
+    # ship_priority: the segment-custkey gate broadcasts by default and
+    # must equal the bucketed semi-join fallback row-for-row
+    seg = pq2.read_table(f"{SF}/customer.parquet").column("c_mktsegment")[0].as_py()
+    cutoff = int(pd.Timestamp("1996-01-01").value // 1000)
+    a4, b4 = both(
+        lambda: rel.ship_priority(li, orders, cust, seg, cutoff, k=10)
+    )
+    assert len(a4) > 0
+    pd.testing.assert_frame_equal(a4, b4)
