@@ -2449,7 +2449,8 @@ def _q_star_revenue(sf_dir: str):
     """TPC-H Q5 shape: revenue per ASIA nation, orders in 1996–1997.
     lineitem pre-aggregated per orderkey per block BEFORE its join;
     nation⋈region broadcast (constant-size at any scale factor);
-    customer through the bucketed hash join."""
+    customer broadcasts adaptively (bucketed hash join past
+    DIM_BROADCAST_MAX)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 

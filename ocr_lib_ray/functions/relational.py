@@ -319,8 +319,10 @@ def star_revenue(
     """Revenue per nation for customers in ``region_name``, orders in
     [lo_us, hi_us): the star-join shape.  nation⋈region is pre-joined
     driver-side (≤ 30 rows total at ANY scale) and broadcast; customer
-    goes through the bucketed hash join (it scales with the corpus).
-    Output: (n_name, revenue_u4), exact integer units."""
+    broadcasts adaptively when (custkey -> nationkey) fits
+    ``DIM_BROADCAST_MAX`` (one exchange total) and takes the bucketed
+    hash join past the bound.  Output: (n_name, revenue_u4), exact
+    integer units."""
     if num_partitions is None:
         from .joins import derive_num_partitions
 
@@ -343,22 +345,37 @@ def star_revenue(
         ),
         batch_format="pyarrow",
     )
-    # the per-custkey aggregate is fused into the customer join's own
-    # exchange (left_group_agg) — two logical steps, one all-to-all
-    with_nation = hash_join(
-        rev_cust_partials,
-        cust,
-        "custkey",
-        right_value_cols=["nationkey"],
-        how="inner",
-        num_partitions=num_partitions,
-        left_group_agg={"revenue_u4": ("rev_u4", "sum")},
-    ).map_batches(
-        lambda b: b.rename_columns(
-            [c[:-2] if c == "nationkey_r" else c for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    )
+    # customer is adaptive: (custkey -> nationkey) broadcasts when it
+    # fits DIM_BROADCAST_MAX and the nation tag is map-side on the
+    # rev partials (no per-custkey aggregate needed — the driver
+    # reduce below sums partials per nation, and sums commute); past
+    # the bound the bucketed join runs with the per-custkey aggregate
+    # fused into its exchange (fallback-equality pinned)
+    cust_ref, cust_mat = dim_ref_adaptive(cust, "custkey", ["nationkey"])
+    if cust_ref is not None:
+        with_nation = broadcast_dim_join(
+            rev_cust_partials, cust_ref, "custkey", ["nationkey"], how="inner"
+        ).map_batches(
+            lambda b: b.rename_columns(
+                ["revenue_u4" if c == "rev_u4" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        with_nation = hash_join(
+            rev_cust_partials,
+            cust_mat,
+            "custkey",
+            right_value_cols=["nationkey"],
+            how="inner",
+            num_partitions=num_partitions,
+            left_group_agg={"revenue_u4": ("rev_u4", "sum")},
+        ).map_batches(
+            lambda b: b.rename_columns(
+                [c[:-2] if c == "nationkey_r" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
 
     # driver-side dim prejoin: 25 nations × 5 regions — constant-size
     rk = {

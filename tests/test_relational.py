@@ -832,3 +832,13 @@ def test_adaptive_dim_broadcast_equals_join_fallback(monkeypatch):
     )
     assert len(a4) > 0
     pd.testing.assert_frame_equal(a4, b4)
+
+    # star_revenue: the (custkey -> nationkey) broadcast tag must equal
+    # the fused bucketed-join fallback row-for-row
+    a5, b5 = both(
+        lambda: rel.star_revenue(
+            li, orders, cust, nation, region, "ASIA", lo, hi
+        )
+    )
+    assert len(a5) > 0
+    pd.testing.assert_frame_equal(a5, b5)
