@@ -197,11 +197,34 @@ def _gram_h64(tokens: list, i: int, n: int) -> int:
     return struct.unpack("<q", _gram_digest(tokens, i, n)[:8])[0]
 
 
-def _hot_ngrams_ds(ds, text_col: str, n: int, min_df: int):
-    """Distributed hot-gram set as a DATASET (never collected): grams
-    in >= min_df distinct documents — the join-path sibling of
-    :func:`hot_ngrams`, keyed by the int64 gram hash."""
-    import pyarrow.compute as pc
+def _hot_occurrences_fused(docs_ds, n, min_df, id_col, text_col, num_partitions):
+    """(id, pos) rows for HOT gram occurrences in ONE gram-keyed
+    exchange: the per-block distinct-doc df partials and the exploded
+    occurrence rows ride the same tagged bucketed union (the PageRank
+    exchange-fusion pattern, graph.py), and each bucket sums its grams'
+    df and semi-filters its occurrences in-task.  Replaces the old
+    {df groupby → semi hash_join} pair — same rows, one all-to-all
+    fewer.  Shared by the stats and rewrite join paths."""
+    import pandas as pd
+
+    from .joins import _union_bucketed
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids, poss, hashes = [], [], []
+        id_vals = batch.column(id_col).to_pylist()
+        for did, toks in zip(id_vals, _norm_tokens(batch, text_col)):
+            for i in range(len(toks) - n + 1):
+                ids.append(did)
+                poss.append(i)
+                hashes.append(_gram_h64(toks, i, n))
+        return pa.Table.from_arrays(
+            [
+                pa.array(hashes, pa.int64()),
+                pa.array(ids, batch.column(id_col).type),
+                pa.array(poss, pa.int64()),
+            ],
+            names=["gram_h64", id_col, "pos"],
+        )
 
     def partials(batch: pa.Table) -> pa.Table:
         hashes = []
@@ -217,46 +240,22 @@ def _hot_ngrams_ds(ds, text_col: str, n: int, min_df: int):
             names=["gram_h64", "nd"],
         )
 
-    return (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gram_h64")
-        .aggregate(Sum("nd", alias_name="nd"))
-        .map_batches(
-            lambda b: b.filter(pc.greater_equal(b.column("nd"), min_df)).select(
-                ["gram_h64"]
-            ),
-            batch_format="pyarrow",
-        )
-    )
-
-
-def _hot_occurrences(docs_ds, hot_ds, n, id_col, text_col, num_partitions):
-    """(id, pos, gram_h64) rows for HOT gram occurrences only: explode
-    every occurrence, semi-join the distributed hot set bucketed by the
-    int64 gram hash.  Shared by the stats and rewrite join paths."""
-    from .joins import hash_join
-
-    def occurrences(batch: pa.Table) -> pa.Table:
-        ids, poss, hashes = [], [], []
-        id_vals = batch.column(id_col).to_pylist()
-        for did, toks in zip(id_vals, _norm_tokens(batch, text_col)):
-            for i in range(len(toks) - n + 1):
-                ids.append(did)
-                poss.append(i)
-                hashes.append(_gram_h64(toks, i, n))
-        return pa.Table.from_arrays(
-            [
-                pa.array(ids, batch.column(id_col).type),
-                pa.array(poss, pa.int64()),
-                pa.array(hashes, pa.int64()),
-            ],
-            names=[id_col, "pos", "gram_h64"],
-        )
-
     occ = docs_ds.map_batches(
         occurrences, batch_format="pyarrow", zero_copy_batch=True
     )
-    return hash_join(occ, hot_ds, "gram_h64", how="semi", num_partitions=num_partitions)
+    parts = docs_ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    union, _ = _union_bucketed(occ, parts, "gram_h64", num_partitions)
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 1]
+        df = p.groupby("gram_h64", sort=False)["nd"].sum()
+        hot = df.index[df.to_numpy() >= min_df]
+        o = g[g["side"] == 0]
+        return o[o["gram_h64"].isin(hot)][[id_col, "pos"]]
+
+    return union.groupby("bucket").map_groups(filt, batch_format="pandas")
 
 
 def dup_ngram_stats_join(
@@ -271,20 +270,18 @@ def dup_ngram_stats_join(
     path the broadcast docstring points at, for dup-heavy crawls where
     duplicated grams are corpus-scale (> max_hot).
 
-    Same output, different shape: (1) the hot-gram set stays a DATASET;
-    (2) every gram occurrence explodes to a (doc, pos, gram_hash) row,
-    bucketed BY GRAM HASH through ``hash_join(how="semi")`` — only hot
-    occurrences survive; (3) one doc-side ``groupby(id).map_groups``
-    merges the covered [pos, pos+n) intervals vectorized (numpy min of
-    sorted-start gaps — no per-position rows ever exist); (4) the
-    per-doc partials and the (id, n_tokens) base union under ONE
-    schema (each zero-filling the other's columns) and a native
-    ``groupby(id).aggregate(Sum)`` stitches them — an aggregate, not a
-    join, so an all-unique corpus (empty hot side) degrades to the
-    base rows with zeros instead of a schema-less right side.  Four
-    bounded shuffles total, nothing collected: every stage is sized by
-    its keys, not the corpus.  Prefer the broadcast form while the hot
-    set fits ``max_hot`` — it is two shuffles cheaper.
+    Same output, different shape: (1) the per-block gram-df partials
+    and the exploded (gram_hash, doc, pos) occurrence rows ride ONE
+    gram-keyed tagged exchange — each bucket sums df and semi-filters
+    its occurrences in-task (:func:`_hot_occurrences_fused`); (2) the
+    surviving (id, pos) rows and the (id, n_tokens) base rows ride ONE
+    doc-keyed tagged exchange whose buckets merge the covered
+    [pos, pos+n) intervals segment-vectorized (numpy min of sorted
+    per-doc gaps — no per-position rows, no per-KEY dispatch) and
+    stitch the zeros for unduplicated docs.  TWO bounded shuffles
+    total, nothing collected: every stage is sized by its keys, not
+    the corpus.  Prefer the broadcast form while the hot set fits
+    ``max_hot`` — it is one shuffle cheaper still.
     """
     if num_partitions is None:
         from .joins import derive_num_partitions
@@ -292,63 +289,63 @@ def dup_ngram_stats_join(
         num_partitions = derive_num_partitions(docs_ds, floor=32)
     import numpy as np
     import pandas as pd
-    from ray.data.aggregate import Sum as AggSum
 
-    hot = _hot_ngrams_ds(docs_ds, text_col, n, min_df)
-    hot_occ = _hot_occurrences(docs_ds, hot, n, id_col, text_col, num_partitions)
+    from .joins import _union_bucketed
 
-    def merge_intervals(g: pd.DataFrame) -> pd.DataFrame:
-        starts = np.sort(g["pos"].to_numpy(np.int64))
-        # covered tokens = union of [s, s+n): new coverage per start is
-        # n minus the overlap with the previous interval
-        gaps = np.diff(starts)
-        covered = int(n + np.minimum(gaps, n).sum()) if len(starts) else 0
-        return pd.DataFrame(
-            {
-                id_col: [g[id_col].iloc[0]],
-                "n_hot_grams": [len(starts)],
-                "n_dup_tokens": [covered],
-            }
-        )
-
-    def typed(b: pa.Table) -> pa.Table:
-        # pin arrow types after the pandas map_groups AND zero-fill the
-        # base side's column so both union sides share one schema
-        n = b.num_rows
-        return pa.Table.from_arrays(
-            [
-                b.column(id_col),
-                pa.array([0] * n, pa.int64()),
-                b.column("n_hot_grams").cast(pa.int64()),
-                b.column("n_dup_tokens").cast(pa.int64()),
-            ],
-            names=[id_col, "n_tokens", "n_hot_grams", "n_dup_tokens"],
-        )
-
-    per_doc = (
-        hot_occ.groupby(id_col)
-        .map_groups(merge_intervals, batch_format="pandas")
-        .map_batches(typed, batch_format="pyarrow")
+    hot_occ = _hot_occurrences_fused(
+        docs_ds, n, min_df, id_col, text_col, num_partitions
     )
 
     def base(batch: pa.Table) -> pa.Table:
         n_toks = [len(t) for t in _norm_tokens(batch, text_col)]
-        zeros = pa.array([0] * batch.num_rows, pa.int64())
         return pa.Table.from_arrays(
-            [batch.column(id_col), pa.array(n_toks, pa.int64()), zeros, zeros],
-            names=[id_col, "n_tokens", "n_hot_grams", "n_dup_tokens"],
+            [batch.column(id_col), pa.array(n_toks, pa.int64())],
+            names=[id_col, "n_tokens"],
         )
 
-    stitched = (
-        docs_ds.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
-        .union(per_doc)
-        .groupby(id_col)
-        .aggregate(
-            AggSum("n_tokens", alias_name="n_tokens"),
-            AggSum("n_hot_grams", alias_name="n_hot_grams"),
-            AggSum("n_dup_tokens", alias_name="n_dup_tokens"),
+    base_ds = docs_ds.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
+    union, _ = _union_bucketed(base_ds, hot_occ, id_col, num_partitions)
+
+    def stats_merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["side"] == 0]
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_tokens": b["n_tokens"].to_numpy(np.int64),
+            }
         )
-    )
+        o = g[g["side"] == 1]
+        if o.empty:
+            out["n_hot_grams"] = np.int64(0)
+            out["n_dup_tokens"] = np.int64(0)
+            return out
+        o = o.sort_values([id_col, "pos"], kind="mergesort")
+        oi = o[id_col].to_numpy()
+        op = o["pos"].to_numpy(np.int64)
+        new_seg = np.empty(len(oi), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = oi[1:] != oi[:-1]
+        # covered tokens = union of [s, s+n): the first start of a doc
+        # contributes n, each later start n minus the overlap with the
+        # previous interval = min(gap, n)
+        contrib = np.empty(len(oi), np.int64)
+        contrib[new_seg] = n
+        same = ~new_seg[1:]
+        contrib[1:][same] = np.minimum(np.diff(op)[same], n)
+        seg = np.cumsum(new_seg) - 1
+        per_doc = pd.DataFrame(
+            {
+                id_col: oi[new_seg],
+                "n_hot_grams": np.bincount(seg).astype(np.int64),
+                "n_dup_tokens": np.bincount(seg, weights=contrib).astype(np.int64),
+            }
+        )
+        out = out.merge(per_doc, on=id_col, how="left")
+        out["n_hot_grams"] = out["n_hot_grams"].fillna(0).astype(np.int64)
+        out["n_dup_tokens"] = out["n_dup_tokens"].fillna(0).astype(np.int64)
+        return out
+
+    stitched = union.groupby("bucket").map_groups(stats_merge, batch_format="pandas")
 
     def finish(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -392,12 +389,14 @@ def remove_dup_ngrams_join(
     crawls.
 
     The hot occurrences (id, pos) regroup WITH the document text under
-    one schema: the text side contributes a single ``pos = -1`` row per
-    document carrying its normalized text, the occurrence side rows
-    carry ``payload = ''`` — a union, then one ``groupby(id)``
-    ``map_groups`` drops the covered tokens.  Text crosses exactly one
-    doc-keyed shuffle (inherent for a rewrite: the output IS text);
-    positions cross the gram-keyed semi join.  Nothing collected.
+    one tagged bucketed union (the text side carries its normalized
+    text as ``payload``; the occurrence side's payload zero-fills) and
+    one BUCKET-keyed ``map_groups`` drops the covered tokens for every
+    document in its bucket — bucket-first, not per-doc dispatch (the
+    sessionize lesson: map_groups on a raw near-unique key pays one
+    task per key).  Text crosses exactly one doc-keyed shuffle
+    (inherent for a rewrite: the output IS text); positions cross the
+    fused gram-keyed exchange.  Nothing collected; TWO shuffles total.
     """
     if num_partitions is None:
         from .joins import derive_num_partitions
@@ -405,52 +404,51 @@ def remove_dup_ngrams_join(
         num_partitions = derive_num_partitions(docs_ds, floor=32)
     import pandas as pd
 
-    hot = _hot_ngrams_ds(docs_ds, text_col, n, min_df)
-    hot_occ = _hot_occurrences(docs_ds, hot, n, id_col, text_col, num_partitions)
+    from .joins import _union_bucketed
+
+    hot_occ = _hot_occurrences_fused(
+        docs_ds, n, min_df, id_col, text_col, num_partitions
+    )
 
     def text_rows(batch: pa.Table) -> pa.Table:
         from .text_stats import normalize_expr
 
         norm = normalize_expr(batch.column(text_col))
-        m = batch.num_rows
         return pa.Table.from_arrays(
             [
                 batch.column(id_col),
-                pa.array([-1] * m, pa.int64()),
                 norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm,
             ],
-            names=[id_col, "pos", "payload"],
+            names=[id_col, "payload"],
         )
 
-    def occ_rows(batch: pa.Table) -> pa.Table:
-        m = batch.num_rows
-        return pa.Table.from_arrays(
-            [
-                batch.column(id_col),
-                batch.column("pos"),
-                pa.array([""] * m, pa.string()),
-            ],
-            names=[id_col, "pos", "payload"],
-        )
-
-    union = docs_ds.map_batches(
+    texts = docs_ds.map_batches(
         text_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(hot_occ.map_batches(occ_rows, batch_format="pyarrow"))
+    )
+    union, _ = _union_bucketed(texts, hot_occ, id_col, num_partitions)
 
-    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
-        text = g.loc[g["pos"] == -1, "payload"].iloc[0]
-        toks = text.split(" ") if text else []
-        starts = g.loc[g["pos"] >= 0, "pos"].to_numpy()
-        if len(starts):
-            cov = np.zeros(len(toks), dtype=bool)
-            for s in starts:
-                cov[s : s + n] = True
-            toks = [t for t, c in zip(toks, cov) if not c]
-        return pd.DataFrame(
-            {id_col: [g[id_col].iloc[0]], text_col: [" ".join(toks)]}
+    def rewrite_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        starts_of = (
+            {did: grp["pos"].to_numpy(np.int64) for did, grp in o.groupby(id_col, sort=False)}
+            if len(o)
+            else {}
         )
+        out_ids, out_texts = [], []
+        for did, text in zip(t[id_col].to_numpy(), t["payload"].to_numpy()):
+            toks = text.split(" ") if text else []
+            starts = starts_of.get(did)
+            if starts is not None and len(starts):
+                cov = np.zeros(len(toks), dtype=bool)
+                for s in starts:
+                    cov[s : s + n] = True
+                toks = [tok for tok, c in zip(toks, cov) if not c]
+            out_ids.append(did)
+            out_texts.append(" ".join(toks))
+        return pd.DataFrame({id_col: out_ids, text_col: out_texts})
 
-    return union.groupby(id_col).map_groups(rewrite, batch_format="pandas")
+    return union.groupby("bucket").map_groups(rewrite_bucket, batch_format="pandas")
 
 
 def decontaminate(
