@@ -109,8 +109,18 @@ def _hot_keys(
     return {int(r[key_col]) for r in rows}
 
 
+#: past this exchange width the driver-side O(P^2) partial-ref fan of
+#: the raw-task loop outgrows the sort shuffle's fixed latency — fall
+#: back to the Dataset loop (see bucket_tasks module docstring)
+PAGERANK_TASKS_MAX_PARTITIONS = 256
+
+
 def pagerank_micro(
-    edges_ds, iters: int = 3, num_partitions: int | None = None, hot_degree_min=None
+    edges_ds,
+    iters: int = 3,
+    num_partitions: int | None = None,
+    hot_degree_min=None,
+    impl: str | None = None,
 ):
     """PageRank over DISTINCT directed edges (src, dst) — integer
     micro-unit spec in the module docstring.  Returns Dataset
@@ -262,6 +272,15 @@ def pagerank_micro(
             bk = bk.copy()
             bk[mask] = bucket_ints(mix.view(np.int64), num_partitions)
         return bk
+
+    if impl is None:
+        impl = "tasks" if num_partitions <= PAGERANK_TASKS_MAX_PARTITIONS else "dataset"
+    if impl == "tasks":
+        return _pagerank_tasks_loop(
+            edges, state, hot_arr, n_nodes, num_partitions, iters, _spread_hot
+        )
+    if impl != "dataset":
+        raise ValueError(f"impl must be 'tasks', 'dataset' or None, got {impl!r}")
 
     # FUSED exchange A left side, tagged ONCE (static across iterations):
     # edges under the union schema (k=src, dst, r=0, outdeg=0, side=0).
@@ -517,6 +536,201 @@ def pagerank_micro(
     return state.select_columns(["n", "r"]).map_batches(
         lambda b: b.rename_columns(["node", "rank_micro"]), batch_format="pyarrow"
     )
+
+
+def _pagerank_tasks_loop(
+    edges, state, hot_arr, n_nodes, num_partitions, iters, spread_hot
+):
+    """The raw-task iteration loop (default for ``num_partitions <=
+    PAGERANK_TASKS_MAX_PARTITIONS``): both Dataset exchanges key by
+    ``bucket(node)``, so the state partition is INVARIANT across
+    iterations — but a ``groupby`` cannot know that and pays a full
+    sort-shuffle barrier per exchange per iteration anyway.  Here the
+    edges and the seeded state are exchanged ONCE into per-bucket
+    ObjectRefs (two task waves each, ``bucket_tasks``), and every
+    iteration is exactly two task WAVES with object transfers only
+    bucket→bucket:
+
+    * wave A (one task per src bucket): the same fused join +
+      per-dst pre-sum as ``contrib_partials``, emitting one tiny
+      (dst, partial) pair per DESTINATION bucket (``num_returns=P+1``;
+      the +1 is this bucket's dangling-mass scalar, so the old
+      per-iteration dangling pass over the state disappears too).
+    * wave B (one task per dst bucket): the same final Sum + left join
+      + damped update as ``update_bucket``, consuming its P partials
+      and its own state ref.
+
+    The per-bucket edge structure is precomputed once at merge time
+    (sorted by (dst_bucket, dst) with per-dst run starts), so an
+    iteration's map task is {searchsorted, //, reduceat, P slices} —
+    no re-sorting.  Bit-equality with the Dataset loop is pinned by
+    test (the kernels share the int64 math; integer sums commute, so
+    hot-spread placement differences cannot change the result).
+    """
+    import ray
+    import ray.data as rd
+
+    from .bucket_tasks import exchange_to_bucket_refs
+    from .joins import bucket_ints
+
+    P = num_partitions
+
+    def edge_buckets(tbl: pa.Table) -> np.ndarray:
+        src = np.asarray(
+            tbl.column("src").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return spread_hot(src, bucket_ints(src, P))
+
+    def edge_merge(tbl: pa.Table) -> dict:
+        if tbl.num_rows == 0:  # possibly SCHEMA-LESS (map_groups empties)
+            z = np.zeros(0, dtype=np.int64)
+            return {
+                "src": z,
+                "dst_run": z,
+                "starts": z,
+                "run_off": np.zeros(P + 1, dtype=np.int64),
+            }
+        src = np.asarray(
+            tbl.column("src").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        dst = np.asarray(
+            tbl.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        db = bucket_ints(dst, P).astype(np.int64)
+        order = np.lexsort((dst, db))
+        src, dst, db = src[order], dst[order], db[order]
+        if len(dst):
+            starts = np.flatnonzero(np.concatenate([[True], dst[1:] != dst[:-1]]))
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+        run_counts = np.bincount(db[starts], minlength=P) if len(starts) else np.zeros(P, np.int64)
+        run_off = np.concatenate([[0], np.cumsum(run_counts)]).astype(np.int64)
+        return {
+            "src": src,
+            "dst_run": dst[starts],
+            "starts": starts.astype(np.int64),
+            "run_off": run_off,
+        }
+
+    def state_buckets(tbl: pa.Table) -> np.ndarray:
+        n = np.asarray(tbl.column("n").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return bucket_ints(n, P)
+
+    def state_merge(tbl: pa.Table) -> dict:
+        if tbl.num_rows == 0:  # possibly SCHEMA-LESS (map_groups empties)
+            z = np.zeros(0, dtype=np.int64)
+            return {"n": z, "r": z, "outdeg": z}
+        n = np.asarray(tbl.column("n").to_numpy(zero_copy_only=False), dtype=np.int64)
+        r = np.asarray(tbl.column("r").to_numpy(zero_copy_only=False), dtype=np.int64)
+        od = np.asarray(
+            tbl.column("outdeg").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        o = np.argsort(n, kind="stable")
+        return {"n": n[o], "r": r[o], "outdeg": od[o]}
+
+    edge_refs = exchange_to_bucket_refs(
+        edges.to_arrow_refs(), edge_buckets, P, edge_merge
+    )
+    state_refs = exchange_to_bucket_refs(
+        state.to_arrow_refs(), state_buckets, P, state_merge
+    )
+
+    hot_home = (
+        sorted({int(b) for b in bucket_ints(hot_arr, P)})
+        if hot_arr is not None
+        else []
+    )
+
+    @ray.remote
+    def gather_hot(*sts):
+        """Hot state rows from their HOME buckets (bounded by hub
+        count) — shipped to every wave-A task, mirroring the Dataset
+        path's replicate-into-every-bucket discipline."""
+        ns = np.concatenate([s["n"] for s in sts])
+        rs = np.concatenate([s["r"] for s in sts])
+        ods = np.concatenate([s["outdeg"] for s in sts])
+        mask = np.isin(ns, hot_arr)
+        return {"n": ns[mask], "r": rs[mask], "outdeg": ods[mask]}
+
+    @ray.remote
+    def contrib(eb, st, hot_rows):
+        # dangling partial of THIS bucket's pre-update state rides the
+        # same wave (return slot P) — no separate pass over the state
+        dang = int(st["r"][st["outdeg"] == 0].sum())
+        src = eb["src"]
+        if len(src) == 0:
+            empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            return tuple([empty] * P + [dang])
+        if hot_rows is not None and len(hot_rows["n"]):
+            lk_n = np.concatenate([st["n"], hot_rows["n"]])
+            lk_r = np.concatenate([st["r"], hot_rows["r"]])
+            lk_o = np.concatenate([st["outdeg"], hot_rows["outdeg"]])
+            o = np.argsort(lk_n, kind="stable")
+            lk_n, lk_r, lk_o = lk_n[o], lk_r[o], lk_o[o]
+        else:
+            lk_n, lk_r, lk_o = st["n"], st["r"], st["outdeg"]
+        pos = np.searchsorted(lk_n, src)
+        if pos.max(initial=-1) >= len(lk_n) or not (lk_n[pos] == src).all():
+            raise ValueError(
+                "pagerank tasks wave A: edge source missing its in-bucket "
+                "state row (hot-replication / bucketing invariant broken)"
+            )
+        ce = lk_r[pos] // lk_o[pos]
+        sums = np.add.reduceat(ce, eb["starts"]).astype(np.int64)
+        out = []
+        for c in range(P):
+            lo, hi = int(eb["run_off"][c]), int(eb["run_off"][c + 1])
+            out.append((eb["dst_run"][lo:hi], sums[lo:hi]))
+        return tuple(out + [dang])
+
+    @ray.remote
+    def update(share, st, *partials):
+        sk, sod = st["n"], st["outdeg"]
+        inc = np.zeros(len(sk), dtype=np.int64)
+        live = [p for p in partials if len(p[0])]
+        if live:
+            pk = np.concatenate([p[0] for p in live])
+            pv = np.concatenate([p[1] for p in live])
+            o = np.argsort(pk, kind="stable")
+            pks, pcs = pk[o], pv[o]
+            starts = np.flatnonzero(np.concatenate([[True], pks[1:] != pks[:-1]]))
+            sums = np.add.reduceat(pcs, starts)
+            pos = np.searchsorted(sk, pks[starts])
+            if pos.max(initial=-1) >= len(sk) or not (sk[pos] == pks[starts]).all():
+                raise ValueError(
+                    "pagerank tasks wave B: contribution destination missing "
+                    "its in-bucket node row (bucketing invariant broken)"
+                )
+            inc[pos] = sums
+        r = BASE + (DAMP_NUM * (inc + share)) // DAMP_DEN
+        return {"n": sk, "r": r.astype(np.int64), "outdeg": sod}
+
+    for _ in range(iters):
+        hot_rows = (
+            gather_hot.remote(*[state_refs[b] for b in hot_home])
+            if hot_home
+            else None
+        )
+        outs = [
+            contrib.options(num_returns=P + 1).remote(
+                edge_refs[b], state_refs[b], hot_rows
+            )
+            for b in range(P)
+        ]
+        dang = sum(ray.get([o[P] for o in outs]))
+        share = dang // n_nodes
+        state_refs = [
+            update.remote(share, state_refs[c], *[outs[b][c] for b in range(P)])
+            for c in range(P)
+        ]
+
+    @ray.remote
+    def finish(st):
+        return pa.Table.from_arrays(
+            [pa.array(st["n"]), pa.array(st["r"])], names=["node", "rank_micro"]
+        )
+
+    return rd.from_arrow_refs([finish.remote(s) for s in state_refs])
 
 
 def purchase_graph_edges(orders_ds, lineitem_ds, num_partitions: int | None = None):

@@ -347,7 +347,55 @@ def test_pagerank_state_block_count_stays_clamped():
 
     rng = np.random.RandomState(7)
     edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, 50, (300, 2)) if a != b})
-    res = pagerank_micro(edge_ds(edges), iters=5, num_partitions=4).materialize()
+    res = pagerank_micro(
+        edge_ds(edges), iters=5, num_partitions=4, impl="dataset"
+    ).materialize()
     assert res.num_blocks() <= 4
     out = {r["node"]: r["rank_micro"] for r in res.take_all()}
     assert out == ref_pagerank(edges, 5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_tasks_loop_bit_equal_to_dataset_loop():
+    """The raw-task iteration loop (the default at bounded partition
+    counts) must be bit-equal to the Dataset sort-shuffle loop — across
+    partition counts (incl. the degenerate P=1 exchange), at iters=0
+    (seed state only), and with hub salting active (hot spread differs
+    between the paths, but integer sums commute, so the final ranks
+    cannot)."""
+    from ocr_lib_ray.functions.graph import pagerank_micro
+
+    rng = np.random.RandomState(11)
+    edges = sorted(
+        {(int(a), int(b)) for a, b in rng.randint(0, 200, (1500, 2)) if a != b}
+    )
+
+    def ranks(**kw):
+        return {
+            r["node"]: r["rank_micro"]
+            for r in pagerank_micro(edge_ds(edges), **kw).take_all()
+        }
+
+    for P in (1, 4, 8):
+        assert ranks(iters=3, num_partitions=P, impl="tasks") == ranks(
+            iters=3, num_partitions=P, impl="dataset"
+        )
+    assert ranks(iters=0, num_partitions=4, impl="tasks") == ranks(
+        iters=0, num_partitions=4, impl="dataset"
+    )
+    # hub case: node 7 fans out to 400 destinations — salted on both paths
+    hub = [(7, d) for d in range(400)] + [(d, 7) for d in range(40)]
+    hub_ds = edge_ds(hub)
+    a = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(
+            hub_ds, iters=3, num_partitions=4, hot_degree_min=10, impl="tasks"
+        ).take_all()
+    }
+    b = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(
+            hub_ds, iters=3, num_partitions=4, hot_degree_min=10, impl="dataset"
+        ).take_all()
+    }
+    assert a == b == ref_pagerank(hub, 3)
