@@ -1368,41 +1368,92 @@ def dedup_fuzzy_keep_best(
                 f"dup-cluster labels ({comps.count()} rows) exceed "
                 f"max_broadcast={max_broadcast}; rerun with mode='join'"
             )
-        label: dict = {}
-        for b in comps.iter_batches(batch_format="pyarrow"):
-            label.update(
-                zip(b.column(id_col).to_pylist(), b.column("component").to_pylist())
+        import numpy as np
+
+        lab_tbls = list(comps.iter_batches(batch_format="pyarrow"))
+        lk = np.concatenate(
+            [
+                np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), np.int64)
+                for t in lab_tbls
+            ]
+        )
+        lc = np.concatenate(
+            [
+                np.asarray(
+                    t.column("component").to_numpy(zero_copy_only=False), np.int64
+                )
+                for t in lab_tbls
+            ]
+        )
+        o = np.argsort(lk, kind="stable")
+        ref = ray.put((lk[o], lc[o]))
+
+        def _stamp(b: pa.Table):
+            ks, cs = ray.get(ref)
+            ids = np.asarray(
+                b.column(id_col).to_numpy(zero_copy_only=False), np.int64
             )
-        ref = ray.put(label)
+            pos = np.searchsorted(ks, ids).clip(max=max(len(ks) - 1, 0))
+            matched = (ks[pos] == ids) if len(ks) else np.zeros(len(ids), bool)
+            return ids, cs[pos], matched
 
         def singles(b: pa.Table) -> pa.Table:
-            lab = ray.get(ref)
-            keep = [i not in lab for i in b.column(id_col).to_pylist()]
-            return b.filter(pa.array(keep, pa.bool_())).select([id_col])
+            _, _, matched = _stamp(b)
+            return b.filter(pa.array(~matched)).select([id_col])
 
-        def dup_rows(b: pa.Table) -> pa.Table:
-            lab = ray.get(ref)
-            mask = [i in lab for i in b.column(id_col).to_pylist()]
-            t = b.filter(pa.array(mask, pa.bool_()))
-            comp = pa.array(
-                [lab[i] for i in t.column(id_col).to_pylist()], pa.int64()
-            )
+        def winner_partials(b: pa.Table) -> pa.Table:
+            """Per-block best (q desc, id asc) per component — the
+            global winner reduce is then DRIVER-SIDE over <= |labels|
+            partial rows (the bounded-final driver-reduce rule): the
+            old per-cluster keep_latest exchange paid a full all-to-all
+            of fixed latency to pick winners among rows whose label set
+            was ALREADY collected on the driver by this very mode."""
+            ids, comp, matched = _stamp(b)
+            if not matched.any():
+                return pa.Table.from_arrays(
+                    [
+                        pa.array([], pa.int64()),
+                        pa.array([], pa.int64()),
+                        pa.array([], b.schema.field(quality_col).type),
+                    ],
+                    names=[id_col, "component", "q"],
+                )
+            q = np.asarray(
+                b.column(quality_col).to_numpy(zero_copy_only=False)
+            )[matched]
+            ids, comp = ids[matched], comp[matched]
+            # best per component: sort (component asc, q desc, id asc)
+            o = np.lexsort((ids, -q, comp))
+            comp, ids, q = comp[o], ids[o], q[o]
+            first = np.concatenate([[True], comp[1:] != comp[:-1]])
             return pa.Table.from_arrays(
-                [t.column(id_col), comp, t.column(quality_col)],
+                [pa.array(ids[first]), pa.array(comp[first]), pa.array(q[first])],
                 names=[id_col, "component", "q"],
             )
 
         single_ids = docs_ds.map_batches(
             singles, batch_format="pyarrow", zero_copy_batch=True
         )
-        dups = docs_ds.map_batches(
-            dup_rows, batch_format="pyarrow", zero_copy_batch=True
-        )
-        winners = keep_latest(dups, key_col="component", ts_col="q", tie_col=id_col)
-        winner_ids = winners.map_batches(
-            lambda b: b.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
-        )
-        return single_ids.union(winner_ids)
+        parts = docs_ds.map_batches(
+            winner_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        if parts:
+            import pandas as pd
+
+            pdf = pd.DataFrame(parts).sort_values(
+                ["q", id_col], ascending=[False, True], kind="stable"
+            )
+            win = pdf.drop_duplicates("component")[id_col].astype("int64")
+            winner_tbl = pa.Table.from_arrays(
+                [pa.array(np.sort(win.to_numpy()))], names=[id_col]
+            )
+        else:
+            winner_tbl = pa.Table.from_arrays(
+                [pa.array([], pa.int64())], names=[id_col]
+            )
+        import ray.data as rd
+
+        return single_ids.union(rd.from_arrow(winner_tbl))
 
     if mode != "join":
         raise ValueError(f"mode must be 'broadcast' or 'join', got {mode!r}")
@@ -1439,7 +1490,9 @@ def dedup_fuzzy_keep_best(
     )
 
 
-def dup_cluster_sizes(docs_ds, pairs_ds, id_col: str = "doc_id"):
+def dup_cluster_sizes(
+    docs_ds, pairs_ds, id_col: str = "doc_id", max_broadcast: int = 5_000_000
+):
     """Near-duplicate CLUSTER SIZE distribution — the dedup-tuning
     dashboard number (how much of the corpus sits in 2-clusters vs
     giant cliques decides band/threshold settings and predicts dedup
@@ -1453,13 +1506,109 @@ def dup_cluster_sizes(docs_ds, pairs_ds, id_col: str = "doc_id"):
     coalesce to their own id), a per-block partial count per
     component, a #components-scale groupby, a per-block size-histogram
     partial and a ≤ max-cluster-size-sized final groupby.  Nothing is
-    driver-collected."""
+    driver-collected.
+
+    ADAPTIVE (round 5): when the CC label set fits ``max_broadcast``
+    (it is the DUP SUBSET, not the corpus), the labels broadcast into
+    a map-only stamp instead of the left-join exchange, and — because
+    a singleton's "component" appears in exactly one block and a real
+    component's partial rows are bounded by |labels| + blocks — the
+    histogram finishes as a DRIVER reduce over tiny partials (the
+    bounded-final driver-reduce rule): zero post-scan exchanges.  Dup-
+    heavy corpora whose label set outgrows the cap keep the join path.
+    """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from .joins import hash_join
 
-    cc = connected_components(pairs_ds, node_col=id_col)
+    from ..schema_utils import pa_col_type
+
+    cc = connected_components(pairs_ds, node_col=id_col).materialize()
+    cc_rows = cc.count()
+    id_is_int = pa.types.is_integer(pa_col_type(cc, id_col))
+    if id_is_int and cc_rows <= max_broadcast:
+        import numpy as np
+
+        import ray
+        import ray.data as rd
+
+        lab_tbls = list(cc.iter_batches(batch_format="pyarrow"))
+        if lab_tbls:
+            lk = np.concatenate(
+                [
+                    np.asarray(
+                        t.column(id_col).to_numpy(zero_copy_only=False), np.int64
+                    )
+                    for t in lab_tbls
+                ]
+            )
+            lc = np.concatenate(
+                [
+                    np.asarray(
+                        t.column("component").to_numpy(zero_copy_only=False),
+                        np.int64,
+                    )
+                    for t in lab_tbls
+                ]
+            )
+        else:
+            lk = lc = np.zeros(0, dtype=np.int64)
+        o = np.argsort(lk, kind="stable")
+        ref = ray.put((lk[o], lc[o]))
+
+        def stamp_partials(b: pa.Table) -> pa.Table:
+            """Per-block (component, n) counts for MATCHED ids plus one
+            (-1, n_misses) singleton-count row (doc ids are non-negative
+            by the repo id contract, so -1 cannot collide)."""
+            ks, cs = ray.get(ref)
+            ids_np = np.asarray(
+                b.column(id_col).to_numpy(zero_copy_only=False), np.int64
+            )
+            if len(ks):
+                pos = np.searchsorted(ks, ids_np).clip(max=len(ks) - 1)
+                matched = ks[pos] == ids_np
+            else:
+                matched = np.zeros(len(ids_np), bool)
+            comp = cs[pos][matched] if len(ks) else np.zeros(0, np.int64)
+            u, n = np.unique(comp, return_counts=True)
+            miss = int((~matched).sum())
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.concatenate([u, [-1]]).astype(np.int64)),
+                    pa.array(np.concatenate([n, [miss]]).astype(np.int64)),
+                ],
+                names=["component", "n"],
+            )
+
+        parts = docs_ds.map_batches(
+            lambda b: stamp_partials(b.select([id_col])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+        comp_sum: dict = {}
+        singletons = 0
+        for row in parts:
+            if row["component"] == -1:
+                singletons += row["n"]
+            else:
+                comp_sum[row["component"]] = comp_sum.get(row["component"], 0) + row["n"]
+        hist: dict = {}
+        for size in comp_sum.values():
+            hist[size] = hist.get(size, 0) + 1
+        if singletons:
+            hist[1] = hist.get(1, 0) + singletons
+        sizes_sorted = sorted(hist)
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [
+                    pa.array(sizes_sorted, pa.int64()),
+                    pa.array([hist[s] for s in sizes_sorted], pa.int64()),
+                ],
+                names=["size", "n_clusters"],
+            )
+        )
+
     ids = docs_ds.map_batches(
         lambda b: b.select([id_col]), batch_format="pyarrow"
     )
