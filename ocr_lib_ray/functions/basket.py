@@ -226,23 +226,72 @@ def copurchase_lift(
 
         return f
 
-    n_orders = int(
-        tagged.map_batches(kind_eq(2), batch_format="pyarrow").aggregate(
-            Sum("n", alias_name="s")
-        )["s"]
-        or 0
+    # n_orders + part counts: both finals are BOUNDED (one kind-2 row
+    # per bucket; kind-1 partials <= buckets x catalog, and SKU catalogs
+    # stay bounded even under a 100 TB fact table) — so ADAPTIVELY
+    # (round 5) reduce them on the driver from ONE streamed scan of the
+    # materialized partials instead of {a Sum pass + a catalog groupby
+    # exchange + its materialize}.  The stream aborts past the cap and
+    # falls back to the exchange, nothing unbounded ever lands.
+    n_orders = 0
+    pk_parts: list = []
+    n_meta = 0
+    meta12 = tagged.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b.column("kind"), 1), pc.less_equal(b.column("kind"), 2))
+        ).select(["part_a", "n", "kind"]),
+        batch_format="pyarrow",
     )
-    part_counts = (
-        tagged.map_batches(kind_eq(1), batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.select(["part_a", "n"]).rename_columns(["pk", "n"]),
-            batch_format="pyarrow",
+    for mb in meta12.iter_batches(batch_format="pyarrow"):
+        n_meta += mb.num_rows
+        if n_meta > PART_COUNTS_BROADCAST_MAX:
+            pk_parts = None
+            break
+        kinds = mb.column("kind").to_numpy(zero_copy_only=False)
+        nv = np.asarray(mb.column("n").to_numpy(zero_copy_only=False), np.int64)
+        n_orders += int(nv[kinds == 2].sum())
+        m1 = kinds == 1
+        pk_parts.append(
+            (
+                np.asarray(
+                    mb.column("part_a").to_numpy(zero_copy_only=False), np.int64
+                )[m1],
+                nv[m1],
+            )
         )
-        .groupby("pk")
-        .aggregate(Sum("n", alias_name="n_p"))
-        .materialize()  # catalog-sized; joined twice below, and
-        # hash_join's schema probe would execute the lazy groupby anyway
-    )
+    if pk_parts is not None:
+        if pk_parts:
+            pk_all = np.concatenate([p[0] for p in pk_parts])
+            nv_all = np.concatenate([p[1] for p in pk_parts])
+            o = np.argsort(pk_all, kind="stable")
+            pk_all, nv_all = pk_all[o], nv_all[o]
+            starts = np.flatnonzero(
+                np.concatenate([[True], pk_all[1:] != pk_all[:-1]])
+            ) if len(pk_all) else np.zeros(0, np.int64)
+            pk_u = pk_all[starts]
+            np_u = np.add.reduceat(nv_all, starts).astype(np.int64) if len(starts) else np.zeros(0, np.int64)
+        else:
+            pk_u = np_u = np.zeros(0, np.int64)
+        part_counts = None
+    else:
+        # fallback: the original catalog-sized exchange
+        n_orders = int(
+            tagged.map_batches(kind_eq(2), batch_format="pyarrow").aggregate(
+                Sum("n", alias_name="s")
+            )["s"]
+            or 0
+        )
+        part_counts = (
+            tagged.map_batches(kind_eq(1), batch_format="pyarrow")
+            .map_batches(
+                lambda b: b.select(["part_a", "n"]).rename_columns(["pk", "n"]),
+                batch_format="pyarrow",
+            )
+            .groupby("pk")
+            .aggregate(Sum("n", alias_name="n_p"))
+            .materialize()  # catalog-sized; joined twice below, and
+            # hash_join's schema probe would execute the lazy groupby anyway
+        )
     pair_stream = tagged.map_batches(kind_eq(0), batch_format="pyarrow")
     if local_min > 1:
         # SON pass 2: only candidate partials enter the pair exchange.
@@ -300,14 +349,59 @@ def copurchase_lift(
             min_support,
             num_partitions,
         )
-    pairs = (
-        pair_stream.groupby(["part_a", "part_b"])
-        .aggregate(Sum("n", alias_name="n_pair"))
-        .map_batches(
-            lambda b: b.filter(pc.greater_equal(b.column("n_pair"), min_support)),
-            batch_format="pyarrow",
+    from .bucket_tasks import TASK_EXCHANGE_MAX_PARTITIONS, exchange_map_groups
+    from .joins import bucket_int_pairs
+
+    def pair_sum_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3, names=["part_a", "part_b", "n_pair"]
+            )
+        a = np.asarray(t.column("part_a").to_numpy(zero_copy_only=False), np.int64)
+        bb = np.asarray(t.column("part_b").to_numpy(zero_copy_only=False), np.int64)
+        n = np.asarray(t.column("n").to_numpy(zero_copy_only=False), np.int64)
+        o = np.lexsort((bb, a))
+        a, bb, n = a[o], bb[o], n[o]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
         )
-    )
+        sums = np.add.reduceat(n, starts).astype(np.int64)
+        keep = sums >= min_support
+        return pa.Table.from_arrays(
+            [pa.array(a[starts][keep]), pa.array(bb[starts][keep]), pa.array(sums[keep])],
+            names=["part_a", "part_b", "n_pair"],
+        )
+
+    if num_partitions <= TASK_EXCHANGE_MAX_PARTITIONS:
+        # the pair Sum is the dominant exchange of this operator — at
+        # bounded widths run it as the two-wave raw-task exchange (no
+        # sort barrier); the split-side pre_fn ships ONLY kind-0 rows.
+        # Both pair_stream variants are views over MATERIALIZED blocks
+        # (tagged, or the SON-filtered materialization), so the source
+        # dataset re-reads blocks, never re-executes lineage.
+        src = tagged if local_min <= 1 else pair_stream
+        pairs = exchange_map_groups(
+            src,
+            lambda t: bucket_int_pairs(
+                np.asarray(t.column("part_a").to_numpy(zero_copy_only=False), np.int64),
+                np.asarray(t.column("part_b").to_numpy(zero_copy_only=False), np.int64),
+                num_partitions,
+            ),
+            num_partitions,
+            pair_sum_group,
+            pre_fn=lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(
+                ["part_a", "part_b", "n"]
+            ),
+        )
+    else:
+        pairs = (
+            pair_stream.groupby(["part_a", "part_b"])
+            .aggregate(Sum("n", alias_name="n_pair"))
+            .map_batches(
+                lambda b: b.filter(pc.greater_equal(b.column("n_pair"), min_support)),
+                batch_format="pyarrow",
+            )
+        )
 
     # lift annotation: every surviving pair needs (n_a, n_b) from the
     # catalog-sized part_counts table.  ADAPTIVE (round 5): when the
@@ -317,15 +411,17 @@ def copurchase_lift(
     # lookups, saving TWO bucketed exchanges; past the bound, fall back
     # to the exact same bucketed hash joins (bit-identical output —
     # inner joins on keys that exist by construction).
-    n_parts = part_counts.count()
-    if n_parts <= PART_COUNTS_BROADCAST_MAX:
+    if part_counts is None or part_counts.count() <= PART_COUNTS_BROADCAST_MAX:
         import ray
 
-        rows = part_counts.take_all()
-        pk_arr = np.fromiter((r["pk"] for r in rows), np.int64, count=len(rows))
-        np_arr = np.fromiter((r["n_p"] for r in rows), np.int64, count=len(rows))
-        o = np.argsort(pk_arr)
-        counts_ref = ray.put((pk_arr[o], np_arr[o]))
+        if part_counts is None:
+            counts_ref = ray.put((pk_u, np_u))  # already driver-reduced, sorted
+        else:
+            rows = part_counts.take_all()
+            pk_arr = np.fromiter((r["pk"] for r in rows), np.int64, count=len(rows))
+            np_arr = np.fromiter((r["n_p"] for r in rows), np.int64, count=len(rows))
+            o = np.argsort(pk_arr)
+            counts_ref = ray.put((pk_arr[o], np_arr[o]))
 
         def add_counts(b: pa.Table) -> pa.Table:
             keys, vals = ray.get(counts_ref)

@@ -57,6 +57,7 @@ def exchange_to_bucket_refs(
     bucket_fn,
     num_partitions: int,
     merge_fn=None,
+    pre_fn=None,
 ):
     """The hand-rolled exchange: two task waves turn dataset blocks
     into one ObjectRef per bucket.
@@ -82,6 +83,8 @@ def exchange_to_bucket_refs(
         # degenerate exchange: one merge task over the raw blocks
         @ray.remote
         def merge_all(*tbls):
+            if pre_fn is not None:
+                tbls = [pre_fn(x) if x.num_rows > 0 else x for x in tbls]
             live = [x for x in tbls if x.num_rows > 0]
             t = pa.concat_tables(live, promote_options="default") if live else tbls[0]
             return merge_fn(t) if merge_fn is not None else t
@@ -90,6 +93,8 @@ def exchange_to_bucket_refs(
 
     @ray.remote
     def split(tbl: pa.Table):
+        if pre_fn is not None and tbl.num_rows > 0:
+            tbl = pre_fn(tbl)
         if tbl.num_rows == 0:
             # map_groups upstream can emit SCHEMA-LESS empty blocks
             # (the known Ray quirk) — never hand those to bucket_fn
@@ -111,3 +116,30 @@ def exchange_to_bucket_refs(
         merge.remote(*[waves[i][b] for i in range(len(waves))])
         for b in range(num_partitions)
     ]
+
+
+#: past this exchange width the driver-side O(blocks x P) ref fan of
+#: the raw exchange outgrows the sort shuffle's fixed latency
+TASK_EXCHANGE_MAX_PARTITIONS = 256
+
+
+def exchange_map_groups(ds, bucket_fn, num_partitions, group_fn, pre_fn=None):
+    """Drop-in ``groupby(bucket).map_groups(group_fn)`` replacement over
+    a MATERIALIZED dataset: the two-wave raw exchange instead of the
+    sort-shuffle barrier.  ``pre_fn`` (optional) runs inside the split
+    task (e.g. a tag filter + column prune, so only the exchanged rows
+    ship); ``group_fn(pa.Table) -> pa.Table`` runs once per bucket —
+    exactly the map_groups contract, including the possibly-EMPTY
+    (typed) input table.  Returns a Dataset with one block per bucket.
+
+    Same caller contract as the Dataset exchange it replaces: one
+    bucket must fit one task, and callers should gate on
+    ``num_partitions <= TASK_EXCHANGE_MAX_PARTITIONS`` and keep the
+    Dataset path beyond (the driver fans O(blocks x P) tiny refs).
+    """
+    import ray.data as rd
+
+    refs = exchange_to_bucket_refs(
+        ds.to_arrow_refs(), bucket_fn, num_partitions, merge_fn=group_fn, pre_fn=pre_fn
+    )
+    return rd.from_arrow_refs(refs)
