@@ -334,6 +334,73 @@ def _union_bucketed(
     return union, left_names
 
 
+def run_bucket_groups(union_ds, num_partitions: int, fn, batch_format: str = "pandas"):
+    """Execute the repo's standard ``groupby("bucket").map_groups(fn)``
+    exchange — as the TWO-WAVE raw-task exchange (``bucket_tasks``) at
+    bounded widths, falling back to the Dataset sort shuffle beyond.
+
+    The sort shuffle pays seconds of fixed barrier latency per exchange
+    at ANY data size (BASELINE anatomy note; the copurchase pair Sum
+    measured 17 s of stage wall for ~1M partial rows where the raw
+    exchange runs the whole operator in 3 s).  Semantics match
+    map_groups: ``fn`` runs once per NON-EMPTY bucket with the whole
+    bucket in one frame/table (the ``bucket`` column still present);
+    buckets left empty are skipped, and a fully-empty result keeps one
+    typed empty block so downstream schema probes behave.
+
+    Eagerness caveat: the raw path executes the union's lineage NOW
+    (``to_arrow_refs``), where the Dataset path is lazy — callers that
+    need laziness (none in-repo; schema probes were the reason several
+    sites pre-materialize) should call the Dataset form directly.
+    """
+    from .bucket_tasks import TASK_EXCHANGE_MAX_PARTITIONS, exchange_to_bucket_refs
+
+    if num_partitions > TASK_EXCHANGE_MAX_PARTITIONS:
+        return union_ds.groupby("bucket").map_groups(fn, batch_format=batch_format)
+
+    import ray
+    import ray.data as rd
+
+    if batch_format == "pandas":
+
+        def group_fn(t: pa.Table):
+            out = fn(t.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    else:
+
+        def group_fn(t: pa.Table):
+            return fn(t)
+
+    @ray.remote(num_returns=2)
+    def run_group(t: pa.Table):
+        if t.num_rows == 0:
+            return t, 0  # skipped — map_groups never sees empty groups
+        out = group_fn(t)
+        return out, out.num_rows
+
+    refs = exchange_to_bucket_refs(
+        union_ds.to_arrow_refs(),
+        lambda t: np.asarray(t.column("bucket").to_numpy(zero_copy_only=False)),
+        num_partitions,
+    )
+    pairs = [run_group.remote(r) for r in refs]
+    counts = ray.get([n for _, n in pairs])
+    live = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not live:
+        # preserve ONE typed empty output block: run fn on an empty
+        # (typed) group table so the schema matches the non-empty case
+        @ray.remote
+        def empty_out(t: pa.Table):
+            try:
+                return group_fn(t)
+            except Exception:
+                return t.slice(0, 0)
+
+        live = [empty_out.remote(refs[0])]
+    return rd.from_arrow_refs(live)
+
+
 def _check_right_cols(left_ds, right_value_cols, suffix: str, extra=()) -> None:
     """Shared join-guard: right value columns must not collide with
     left columns, neither bare (the bucketed union would merge them)
@@ -431,7 +498,7 @@ def asof_join(
             out[c + suffix] = out[c + suffix].astype("float64")
         return out
 
-    return union.groupby("bucket").map_groups(merge, batch_format="pandas")
+    return run_bucket_groups(union, num_partitions, merge)
 
 
 def hash_join(
@@ -603,7 +670,7 @@ def hash_join(
             out = l[mask] if how == "semi" else l[~mask]
             return out.sort_values(key_cols, kind="mergesort")
 
-        return union.groupby("bucket").map_groups(filter_keys, batch_format="pandas")
+        return run_bucket_groups(union, num_partitions, filter_keys)
 
     _check_right_cols(left_ds, right_value_cols, suffix)
     right = right_ds.select_columns(key_cols + list(right_value_cols))
@@ -663,7 +730,7 @@ def hash_join(
             _stabilize(out, l.dtypes, left_value_cols)
         return out
 
-    return union.groupby("bucket").map_groups(merge, batch_format="pandas")
+    return run_bucket_groups(union, num_partitions, merge)
 
 
 def range_join_count(
@@ -716,4 +783,4 @@ def range_join_count(
             parts.append(sub.assign(n_in_window=n))
         return pd.concat(parts, ignore_index=True)
 
-    return union.groupby("bucket").map_groups(count_in_window, batch_format="pandas")
+    return run_bucket_groups(union, num_partitions, count_in_window)
