@@ -213,12 +213,13 @@ def copurchase_lift(
             names=["part_a", "part_b", "n", "kind"],
         )
 
-    tagged = (
-        lineitem_ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_order, batch_format="pandas")
-        .materialize()  # three consumers; already reduced to partials
-    )
+    from .joins import run_bucket_groups
+
+    tagged = run_bucket_groups(
+        lineitem_ds.map_batches(prep, batch_format="pyarrow"),
+        num_partitions,
+        per_order,
+    ).materialize()  # three consumers; already reduced to partials
 
     def kind_eq(k: int):
         def f(b: pa.Table) -> pa.Table:

@@ -679,14 +679,20 @@ def knn_pq(
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist_sq", id_col], kind="mergesort").head(k_nn)
-        return g.reset_index(drop=True)
+    from .similarity import driver_topk_per_query
 
-    return (
-        emb_ds.map_batches(local, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final, batch_format="pandas")
+    return driver_topk_per_query(
+        emb_ds.map_batches(local, batch_format="pyarrow"),
+        k_nn,
+        ["query_id", "dist_sq", id_col],
+        [True, True, True],
+        pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "dist_sq": pa.array([], pa.int64()),
+            }
+        ),
     )
 
 
@@ -837,15 +843,18 @@ def knn_ivf_pq(
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values(["dist_sq", id_col], kind="mergesort")
-            .head(k_nn)
-            .reset_index(drop=True)
-        )
+    from .similarity import driver_topk_per_query
 
-    return (
-        emb_ds.map_batches(local, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final, batch_format="pandas")
+    return driver_topk_per_query(
+        emb_ds.map_batches(local, batch_format="pyarrow"),
+        k_nn,
+        ["query_id", "dist_sq", id_col],
+        [True, True, True],
+        pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "dist_sq": pa.array([], pa.int64()),
+            }
+        ),
     )

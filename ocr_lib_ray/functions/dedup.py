@@ -642,12 +642,13 @@ def connected_components(
         )
 
     def min_round(cands):
-        return (
-            cands.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(take_min, batch_format="pandas")
-            .materialize()
-        )
+        from .joins import run_bucket_groups
+
+        return run_bucket_groups(
+            cands.map_batches(add_bucket, batch_format="pyarrow"),
+            num_buckets,
+            take_min,
+        ).materialize()
 
     # init = the first propagation hop: label(node) = min(self, peers)
     def init_cands(b: pa.Table) -> pa.Table:
@@ -737,7 +738,9 @@ def connected_components(
                 }
             )
 
-        labels = min_round(union.groupby("bucket").map_groups(emit_msgs, batch_format="pandas"))
+        from .joins import run_bucket_groups
+
+        labels = min_round(run_bucket_groups(union, num_buckets, emit_msgs))
         if labels.sum("changed") == 0:
             break
     else:
@@ -814,7 +817,9 @@ def dedup_by_pairs_join(docs_ds, pairs_ds, id_col: str = "doc_id", num_partition
         drop = g.loc[g["side"] == 1, id_col]
         return left.loc[~left[id_col].isin(set(drop)), doc_cols]
 
-    return union.groupby("bucket").map_groups(anti, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(union, num_partitions, anti)
 
 
 # --- incremental (crawl-over-crawl) dedup ----------------------------------
@@ -927,7 +932,9 @@ def dedup_against_reference(
         out = left.loc[~left["_fp"].isin(seen), doc_cols]
         return out.drop(columns=["_fp"])
 
-    return union.groupby("bucket").map_groups(anti, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(union, num_partitions, anti)
 
 
 def dedup_minhash_incremental(
@@ -1081,7 +1088,9 @@ def dedup_minhash_incremental(
         drop = set(g.loc[g["side"] == 1, id_col])
         return left.loc[~left[id_col].isin(drop), doc_cols]
 
-    return union.groupby("bucket").map_groups(anti, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(union, num_partitions, anti)
 
 
 # --- simhash ---------------------------------------------------------------

@@ -102,13 +102,17 @@ def ab_metrics(
             }
         )
 
+    from .joins import run_bucket_groups
+
     agg = (
-        events_ds.map_batches(prep, batch_format="pyarrow")
-        .map_batches(
-            lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
+        run_bucket_groups(
+            events_ds.map_batches(prep, batch_format="pyarrow").map_batches(
+                lambda b: _add_bucket(b, "user_id", num_buckets),
+                batch_format="pyarrow",
+            ),
+            num_buckets,
+            per_bucket,
         )
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
         .groupby("variant")
         .aggregate(
             Sum("n_users", alias_name="n_users"),

@@ -835,10 +835,13 @@ def cosupplier_edges(lineitem_ds, num_partitions: int | None = None):
             names=["src", "dst"],
         )
 
-    pairs = (
-        lineitem_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+    from .joins import run_bucket_groups
+
+    pairs = run_bucket_groups(
+        lineitem_ds.map_batches(add_bucket, batch_format="pyarrow"),
+        num_partitions,
+        per_bucket,
+        batch_format="pyarrow",
     )
     return _distinct_pairs(pairs)
 
@@ -1000,10 +1003,13 @@ def triangle_support(edges_ds, max_wedges: int = 50_000_000, num_partitions: int
             names=["a", "b", "nw", "has_edge"],
         )
 
-    wedge_rows = (
-        oriented.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(wedges, batch_format="pyarrow")
+    from .joins import run_bucket_groups
+
+    wedge_rows = run_bucket_groups(
+        oriented.map_batches(add_bucket, batch_format="pyarrow"),
+        num_partitions,
+        wedges,
+        batch_format="pyarrow",
     )
 
     def tag_edges(b: pa.Table) -> pa.Table:

@@ -334,7 +334,13 @@ def _union_bucketed(
     return union, left_names
 
 
-def run_bucket_groups(union_ds, num_partitions: int, fn, batch_format: str = "pandas"):
+def run_bucket_groups(
+    union_ds,
+    num_partitions: int,
+    fn,
+    batch_format: str = "pandas",
+    bucket_col_name: str = "bucket",
+):
     """Execute the repo's standard ``groupby("bucket").map_groups(fn)``
     exchange — as the TWO-WAVE raw-task exchange (``bucket_tasks``) at
     bounded widths, falling back to the Dataset sort shuffle beyond.
@@ -356,7 +362,9 @@ def run_bucket_groups(union_ds, num_partitions: int, fn, batch_format: str = "pa
     from .bucket_tasks import TASK_EXCHANGE_MAX_PARTITIONS, exchange_to_bucket_refs
 
     if num_partitions > TASK_EXCHANGE_MAX_PARTITIONS:
-        return union_ds.groupby("bucket").map_groups(fn, batch_format=batch_format)
+        return union_ds.groupby(bucket_col_name).map_groups(
+            fn, batch_format=batch_format
+        )
 
     import ray
     import ray.data as rd
@@ -365,6 +373,8 @@ def run_bucket_groups(union_ds, num_partitions: int, fn, batch_format: str = "pa
 
         def group_fn(t: pa.Table):
             out = fn(t.to_pandas())
+            if isinstance(out, pa.Table):  # map_groups tolerates either
+                return out
             return pa.Table.from_pandas(out, preserve_index=False)
 
     else:
@@ -381,7 +391,7 @@ def run_bucket_groups(union_ds, num_partitions: int, fn, batch_format: str = "pa
 
     refs = exchange_to_bucket_refs(
         union_ds.to_arrow_refs(),
-        lambda t: np.asarray(t.column("bucket").to_numpy(zero_copy_only=False)),
+        lambda t: np.asarray(t.column(bucket_col_name).to_numpy(zero_copy_only=False)),
         num_partitions,
     )
     pairs = [run_group.remote(r) for r in refs]

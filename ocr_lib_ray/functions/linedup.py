@@ -168,8 +168,10 @@ def remove_common_lines_join(
         keep = g[(g["side"] == 0) & (~g["line_hash"].isin(hot_set))]
         return keep[[id_col, "line_idx", "line"]]
 
-    kept = exploded.union(hot).groupby("bucket").map_groups(
-        filter_in_bucket, batch_format="pandas"
+    from .joins import run_bucket_groups
+
+    kept = run_bucket_groups(
+        exploded.union(hot), num_partitions, filter_in_bucket
     )
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:

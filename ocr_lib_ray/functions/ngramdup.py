@@ -255,7 +255,9 @@ def _hot_occurrences_fused(docs_ds, n, min_df, id_col, text_col, num_partitions)
         o = g[g["side"] == 0]
         return o[o["gram_h64"].isin(hot)][[id_col, "pos"]]
 
-    return union.groupby("bucket").map_groups(filt, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(union, num_partitions, filt)
 
 
 def dup_ngram_stats_join(
@@ -345,7 +347,9 @@ def dup_ngram_stats_join(
         out["n_dup_tokens"] = out["n_dup_tokens"].fillna(0).astype(np.int64)
         return out
 
-    stitched = union.groupby("bucket").map_groups(stats_merge, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    stitched = run_bucket_groups(union, num_partitions, stats_merge)
 
     def finish(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -448,7 +452,9 @@ def remove_dup_ngrams_join(
             out_texts.append(" ".join(toks))
         return pd.DataFrame({id_col: out_ids, text_col: out_texts})
 
-    return union.groupby("bucket").map_groups(rewrite_bucket, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(union, num_partitions, rewrite_bucket)
 
 
 def decontaminate(

@@ -133,13 +133,14 @@ def rolling_stats(events_ds, k: int = 5, num_buckets: int | None = None):
             }
         )
 
-    return (
-        events_ds.map_batches(_prep_events, batch_format="pyarrow")
-        .map_batches(
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(
+        events_ds.map_batches(_prep_events, batch_format="pyarrow").map_batches(
             lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        ),
+        num_buckets,
+        per_bucket,
     )
 
 
@@ -180,13 +181,14 @@ def lag_intervals(events_ds, num_buckets: int | None = None):
             names=["event_id", "user_id", "ts_us"],
         )
 
-    return (
-        events_ds.map_batches(prep, batch_format="pyarrow")
-        .map_batches(
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(
+        events_ds.map_batches(prep, batch_format="pyarrow").map_batches(
             lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        ),
+        num_buckets,
+        per_bucket,
     )
 
 
@@ -252,13 +254,14 @@ def funnel_stages(
             names=["user_id", "ts_us", "event_type"],
         )
 
-    return (
-        events_ds.map_batches(prep, batch_format="pyarrow")
-        .map_batches(
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(
+        events_ds.map_batches(prep, batch_format="pyarrow").map_batches(
             lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        ),
+        num_buckets,
+        per_bucket,
     )
 
 
@@ -312,13 +315,14 @@ def sessionize_assign(events_ds, gap_seconds: int = 1800, num_buckets: int | Non
             names=["event_id", "user_id", "ts_us"],
         )
 
-    return (
-        events_ds.map_batches(prep, batch_format="pyarrow")
-        .map_batches(
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(
+        events_ds.map_batches(prep, batch_format="pyarrow").map_batches(
             lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        ),
+        num_buckets,
+        per_bucket,
     )
 
 
@@ -386,16 +390,15 @@ def transition_counts(events_ds, num_buckets: int | None = None):
             names=["event_id", "user_id", "ts_us", "event_type"],
         )
 
-    return (
-        events_ds.map_batches(prep, batch_format="pyarrow")
-        .map_batches(
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(
+        events_ds.map_batches(prep, batch_format="pyarrow").map_batches(
             lambda b: _add_bucket(b, "user_id", num_buckets), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .groupby(["prev_type", "next_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+        ),
+        num_buckets,
+        per_bucket,
+    ).groupby(["prev_type", "next_type"]).aggregate(Sum("n", alias_name="n"))
 
 
 def cohort_retention(events_ds, window_seconds: int = 86_400):

@@ -18,8 +18,25 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float64)
+    """Embedding list column → (n, d) float64 matrix — ZERO-COPY flatten
+    of the Arrow values buffer when the column is a null-free uniform-
+    width list (the embeddings-table contract), falling back to the
+    python-object path otherwise.  float32→float64 via np.astype is
+    value-exact, so both paths are bit-identical."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if arr.null_count == 0 and (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        offs = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            return np.asarray(vals[offs[0] : offs[-1]], dtype=np.float64).reshape(
+                len(widths), int(widths[0])
+            )
+    if arr.null_count == 0 and pa.types.is_fixed_size_list(t):
+        vals = np.asarray(arr.values.to_numpy(zero_copy_only=False), np.float64)
+        return vals.reshape(len(arr), t.list_size)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -41,7 +58,7 @@ def local_topk_batch(batch: pa.Table, q_ref, k: int) -> pa.Table:
     if batch.num_rows == 0:  # empty batches occur downstream of filters
         return _EMPTY_TOPK
     q_ids, q_mat = ray.get(q_ref)  # normalized query matrix, broadcast once
-    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    ids = np.asarray(batch.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     m = _normalize_rows(_as_matrix(batch.column("embedding")))
     sims = q_mat @ m.T  # (nq, batch)
     k_eff = min(k, sims.shape[1])
@@ -60,6 +77,31 @@ def local_topk_batch(batch: pa.Table, q_ref, k: int) -> pa.Table:
         ],
         names=["query_id", "vec_id", "sim"],
     )
+
+
+def driver_topk_per_query(local_ds, k, sort_cols, ascending, empty_tbl, finish=None):
+    """Bounded-final driver reduce of per-block top-k partials: the
+    candidate set is <= n_queries x k x n_blocks rows by construction
+    (each block emits at most k per query), so the per-query groupby
+    exchange the Dataset path paid was pure fixed all-to-all latency
+    (the repo's bounded-final driver-reduce rule).  ``sort_cols`` /
+    ``ascending`` must replicate the group fn's ordering exactly —
+    a global mergesort then per-query head(k) is identical to the
+    per-group sort+head.  Returns a one-block Dataset typed by
+    ``empty_tbl``'s schema."""
+    import ray.data as rd
+
+    rows = local_ds.take_all()
+    if not rows:
+        return rd.from_arrow(empty_tbl)
+    df = pd.DataFrame(rows).sort_values(sort_cols, ascending=ascending, kind="mergesort")
+    df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    if finish is not None:
+        df = finish(df)
+    tbl = pa.Table.from_pandas(
+        df[empty_tbl.column_names], preserve_index=False
+    ).cast(empty_tbl.schema)
+    return rd.from_arrow(tbl)
 
 
 def _global_topk_group(g: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -89,7 +131,7 @@ def knn_brute(emb_ds, query_ids, k: int = 5, exclude_self: bool = True):
             ).iter_batches(batch_format="pyarrow")
         ]
     )
-    q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    q_ids = np.asarray(q_tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.argsort(q_ids)
     q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))[order]
     q_ids = q_ids[order]
@@ -106,8 +148,13 @@ def knn_brute(emb_ds, query_ids, k: int = 5, exclude_self: bool = True):
     local = corpus.map_batches(
         lambda b: local_topk_batch(b, q_ref, k), batch_format="pyarrow"
     )
-    return local.groupby("query_id").map_groups(
-        lambda g: _global_topk_group(g, k), batch_format="pandas"
+    return driver_topk_per_query(
+        local,
+        k,
+        ["query_id", "sim", "vec_id"],
+        [True, False, True],
+        _EMPTY_TOPK,
+        finish=lambda df: df.assign(sim=df["sim"].round(6)),
     )
 
 
@@ -164,7 +211,7 @@ def knn_lsh(
             ).iter_batches(batch_format="pyarrow")
         )
     )
-    q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    q_ids = np.asarray(q_tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))
     # per table: queries grouped by (probed) bucket, broadcast once
     tables: list = []
@@ -192,7 +239,7 @@ def knn_lsh(
         if batch.num_rows == 0:
             return _EMPTY_TOPK
         qtables = ray.get(q_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = np.asarray(batch.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
         keep = ~np.isin(ids, np.asarray(qset))
         m = _normalize_rows(_as_matrix(batch.column("embedding")))
         seen: set = set()  # (query, vec) scored once across tables
@@ -226,8 +273,13 @@ def knn_lsh(
         )
 
     local = emb_ds.map_batches(_bucket_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        lambda g: _global_topk_group(g, k), batch_format="pandas"
+    return driver_topk_per_query(
+        local,
+        k,
+        ["query_id", "sim", "vec_id"],
+        [True, False, True],
+        _EMPTY_TOPK,
+        finish=lambda df: df.assign(sim=df["sim"].round(6)),
     )
 
 
@@ -274,7 +326,7 @@ def build_ivf_centroids(
     tbl = pa.concat_tables(
         list(emb_ds.limit(sample_rows).iter_batches(batch_format="pyarrow"))
     )
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.argsort(ids)
     m = _normalize_rows(_as_matrix(tbl.column("embedding")))[order]
     n = m.shape[0]
@@ -319,7 +371,7 @@ def knn_ivf(
             ).iter_batches(batch_format="pyarrow")
         )
     )
-    q_ids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    q_ids = np.asarray(q_tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     q_mat = _normalize_rows(_as_matrix(q_tbl.column("embedding")))
     n_cells = cent.shape[0]
     probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, : min(nprobe, n_cells)]
@@ -329,7 +381,7 @@ def knn_ivf(
         if batch.num_rows == 0:
             return _EMPTY_TOPK
         cent_, q_ids_, q_mat_, probe_ = ray.get(ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = np.asarray(batch.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
         keep = ~np.isin(ids, q_ids_)
         m = _normalize_rows(_as_matrix(batch.column("embedding")))
         cells = (m @ cent_.T).argmax(axis=1)
@@ -356,8 +408,13 @@ def knn_ivf(
         )
 
     local = emb_ds.map_batches(_cell_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        lambda g: _global_topk_group(g, k), batch_format="pandas"
+    return driver_topk_per_query(
+        local,
+        k,
+        ["query_id", "sim", "vec_id"],
+        [True, False, True],
+        _EMPTY_TOPK,
+        finish=lambda df: df.assign(sim=df["sim"].round(6)),
     )
 
 
@@ -466,7 +523,7 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.95, max_rows: int = COSINE_BRU
             f"cosine_dup_pairs is the exact brute verifier (> {max_rows} "
             "rows); use cosine_dup_pairs_lsh at scale"
         )
-    ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
+    ids = np.asarray(full.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     mat = _normalize_rows(_as_matrix(full.column("embedding")))
     ref = ray.put((ids, mat))
 
@@ -477,7 +534,7 @@ def cosine_dup_pairs(emb_ds, threshold: float = 0.95, max_rows: int = COSINE_BRU
                 names=["d1", "d2", "cosine"],
             )
         all_ids, all_mat = ray.get(ref)
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bids = np.asarray(batch.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
         bmat = _normalize_rows(_as_matrix(batch.column("embedding")))
         sims = bmat @ all_mat.T
         d1, d2, s = [], [], []

@@ -248,12 +248,13 @@ def prepare_bucket_log(
         os.replace(tmp, path)
         return pd.DataFrame({"bucket": [w], "path": [path], "n_rows": [len(g)]})
 
-    manifest = (
-        events_ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(write_partition, batch_format="pandas")
-        .to_pandas()  # num_buckets rows — metadata, not data
-    )
+    from .joins import run_bucket_groups
+
+    manifest = run_bucket_groups(
+        events_ds.map_batches(tag, batch_format="pyarrow"),
+        num_buckets,
+        write_partition,
+    ).to_pandas()  # num_buckets rows — metadata, not data
     return dict(zip(manifest["bucket"], manifest["path"]))
 
 

@@ -164,10 +164,12 @@ def sessionize(
             ["user_id", "session_id", "session_start_us", "n_events", "value_sum"]
         ]
 
-    return (
-        events_ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    return run_bucket_groups(
+        events_ds.map_batches(add_bucket, batch_format="pyarrow"),
+        num_buckets,
+        per_bucket,
     )
 
 
@@ -276,10 +278,12 @@ def sessionize_salted(
         )
         return out
 
-    partials = (
-        events_ds.map_batches(add_keys, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(partial_sessions, batch_format="pandas")
+    from .joins import run_bucket_groups
+
+    partials = run_bucket_groups(
+        events_ds.map_batches(add_keys, batch_format="pyarrow"),
+        num_buckets,
+        partial_sessions,
     )
 
     def add_user_bucket(batch: pa.Table) -> pa.Table:
@@ -323,10 +327,11 @@ def sessionize_salted(
         )
         return out[["user_id", "session_id", "session_start_us", "n_events", "value_sum"]]
 
-    return (
-        partials.map_batches(add_user_bucket, batch_format="pyarrow")
-        .groupby("ubucket")
-        .map_groups(merge_users, batch_format="pandas")
+    return run_bucket_groups(
+        partials.map_batches(add_user_bucket, batch_format="pyarrow"),
+        num_buckets,
+        merge_users,
+        bucket_col_name="ubucket",
     )
 
 
