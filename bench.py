@@ -350,14 +350,24 @@ def run_scaling() -> dict:
         )
         best = None
         for _ in range(3):
-            out = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
+            )
+            # The child prints its JSON before ray.shutdown(); accept
+            # the measurement even if teardown then crashed (observed
+            # once: native segfault in the C++ shutdown path).
+            try:
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"headline child failed (rc={proc.returncode}):\n"
+                        f"{proc.stderr[-2000:]}"
+                    )
+                raise
             if best is None or r["value"] < best["value"]:
                 best = r
         return best
@@ -410,7 +420,9 @@ def run_headline_only() -> dict:
     t0 = time.time()
     out_rows = extract_pipeline(rd.read_parquet(pages_dir)).count()
     headline = time.time() - t0
-    ray.shutdown()
+    # No ray.shutdown() here: __main__ persists + prints the result
+    # first, then shuts down — a shutdown-time segfault (observed once
+    # on this host) must not destroy the measurement.
     return {
         "metric": "extract_sec",
         "value": round(headline, 3),
@@ -447,11 +459,17 @@ if __name__ == "__main__":
         result = run_headline_only()
         if os.environ.get("GRAFT_BENCH_NO_ARTIFACT") != "1":
             write_artifact(result, "headline")
-        print(json.dumps(result))
-    else:
-        result = run_bench()
+        print(json.dumps(result), flush=True)
         import ray
 
         ray.shutdown()
+    else:
+        result = run_bench()
+        # Persist and print BEFORE ray.shutdown(): a shutdown-time
+        # segfault (observed once on this host — native libc trace in
+        # the C++ teardown path) must not destroy the sweep's result.
         write_artifact(result, "sweep")
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
+        import ray
+
+        ray.shutdown()
